@@ -1,0 +1,92 @@
+"""Text-analysis column expressions (EXT — north-star text operators).
+
+Everything is a composition of builtin pyspark.sql.functions (JVM-side,
+whole-stage-codegen'd) — no UDFs. Each expression has an exactly
+equivalent ANSI/DuckDB form used by the oracle in plans/ext.py; keep the
+two in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .rounding import round_det
+
+# Small deterministic stopword lists for the language-ID heuristic and
+# quality scoring. Lists are intentionally tiny: the operator's value is
+# the distributed shape (per-row array ops, no shuffle), not the NLP.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+ES_STOPWORDS = ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von")
+
+PUNCT_CLASS = r"[^.!?,;:]"
+
+
+def words_expr(text_col):
+    """Whitespace tokenization, lowercased, empties dropped."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+
+
+def token_count_expr(text_col):
+    """Whitespace token count — the `len(split())` token estimate."""
+    return F.size(words_expr(text_col))
+
+
+def bpe_ish_piece_count_expr(text_col):
+    """A BPE-ish subword-piece estimate: alphanumeric runs + punctuation
+    marks each count as one piece (regex segmentation, no model)."""
+    pieces = F.regexp_extract_all(F.lower(text_col), F.lit(r"([a-z0-9]+|[^a-z0-9\s])"), 1)
+    return F.size(pieces)
+
+
+def punct_ratio_expr(text_col):
+    """Fraction of characters that are sentence punctuation."""
+    n_punct = F.length(F.regexp_replace(text_col, PUNCT_CLASS, ""))
+    return n_punct / F.greatest(F.length(text_col), F.lit(1)).cast("double")
+
+
+def _stop_hits(text_col, stops):
+    return F.size(F.filter(words_expr(text_col), lambda w: w.isin(*stops)))
+
+
+def stopword_ratio_expr(text_col, stops=EN_STOPWORDS):
+    """Fraction of tokens that are stopwords (fluency signal)."""
+    return _stop_hits(text_col, stops) / F.greatest(
+        token_count_expr(text_col), F.lit(1)
+    ).cast("double")
+
+
+def quality_score_expr(text_col):
+    """Composite document-quality score in [0,1]:
+    0.4·min(tokens/100,1) + 0.3·(1 - punct_ratio) + 0.3·min(stop_ratio·5,1).
+
+    The standard pretraining-corpus heuristic shape (length + fluency +
+    punctuation sanity); weights are fixed so the score is reproducible.
+    """
+    length_term = F.least(token_count_expr(text_col) / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - punct_ratio_expr(text_col)
+    stop_term = F.least(stopword_ratio_expr(text_col) * 5.0, F.lit(1.0))
+    return round_det(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 4)
+
+
+def lang_id_expr(text_col):
+    """n-gram/stopword language-ID heuristic → 'en' | 'es' | 'de' | 'und'.
+
+    Deterministic argmax with fixed tie order (en > es > de > unknown).
+    """
+    en = _stop_hits(text_col, EN_STOPWORDS)
+    es = _stop_hits(text_col, ES_STOPWORDS)
+    de = _stop_hits(text_col, DE_STOPWORDS)
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def rolling_fingerprint_expr(text_col):
+    """Document fingerprint: md5 of the sorted distinct lowercase token
+    set (rolling-hash analog, content-order invariant)."""
+    toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda x: x != "")
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))

@@ -1,0 +1,69 @@
+"""As-of (merge-asof) join as a DataFrame composition.
+
+Spark has no native as-of join (reference: none either — this is an
+IMPLIED/EXT operator, SURVEY.md §2.3 J5). The classic distributed
+formulation: union both sides tagged, sort within the equi-key
+partition by (time, side), and carry the latest right-side payload
+forward with last(ignorenulls) — ONE shuffle on the key, no per-group
+Python, no cartesian blowup. This survives 100 TB because the shuffle
+is the same one an equi-join would do, and the window sort is local to
+each key partition (AQE handles skewed keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    prefix: str = "right_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_time] <= left[left_time]``, matched on ``on``.
+
+    Right columns (except the key) come back ``prefix``-renamed; left
+    rows with no prior right row get NULLs (left-outer semantics).
+    Ties on time resolve to "right row at the same instant matches"
+    (inclusive), mirroring pandas merge_asof and DuckDB ASOF.
+    """
+    lcols = [c for c in left.columns if c not in (on, left_time)]
+    rcols = [c for c in right.columns if c != on]
+
+    lhs = left.select(
+        F.col(on),
+        F.col(left_time).alias("_asof_time"),
+        F.lit(1).alias("_asof_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(prefix + c) for c in rcols],
+    )
+    rhs = right.select(
+        F.col(on),
+        F.col(right_time).alias("_asof_time"),
+        F.lit(0).alias("_asof_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(prefix + c) for c in rcols],
+    )
+
+    # side=0 (right) sorts before side=1 (left) at equal timestamps →
+    # a right row at exactly left_time is visible to that left row.
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("_asof_time"), F.col("_asof_side"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = lhs.unionByName(rhs)
+    for c in rcols:
+        carried = carried.withColumn(
+            prefix + c, F.last(prefix + c, ignorenulls=True).over(w)
+        )
+    return (
+        carried.filter(F.col("_asof_side") == 1)
+        .drop("_asof_side")
+        .withColumnRenamed("_asof_time", left_time)
+    )

@@ -1,0 +1,251 @@
+"""Deduplication operators for the documents table (EXT — SURVEY.md §2.11).
+
+All four families a 100 TB training-data pipeline needs:
+
+- exact:        hash-groupBy on the full text (one shuffle, map-side partial)
+- fingerprint:  md5 over a normalized token multiset (casing/ordering-proof)
+- MinHash+LSH:  shingle → k hashes → band buckets → candidate pairs;
+                only bucket-mates are compared, never all pairs
+- SimHash:      64-bit signature whose hamming distance tracks cosine/jaccard
+- n-gram Jaccard: exact token-set similarity on (cheap) candidate pairs
+
+Everything except the SimHash bit-fold is pure DataFrame ops (JVM-side,
+codegen). xxhash64 is Spark's builtin 64-bit hash — seeded variants come
+from hashing (seed, value) tuples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_det
+
+# Tokenization shared by every text-dedup operator: lowercase, split on
+# non-alphanumeric runs, drop empties. Keep in sync with the DuckDB
+# oracle expressions in plans/ext.py.
+def tokens_expr(text_col):
+    toks = F.split(F.lower(text_col), r"[^a-z0-9]+")
+    return F.filter(toks, lambda x: x != "")
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup keeping the lowest id per duplicate group.
+
+    groupBy(min) rather than dropDuplicates: dropDuplicates keeps an
+    ARBITRARY row (partition-order dependent) — unacceptable for a
+    reproducible pipeline and untestable against an oracle.
+    """
+    return df.groupBy(*cols).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup via a canonical fingerprint: md5 of the sorted
+    distinct token set. Catches reorderings/casing/punctuation variants
+    that exact dedup misses, at identical cost (one shuffle on the hash).
+    """
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_expr(F.col(text_col)))), " "))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingles as a distinct array column.
+
+    Documents shorter than n tokens yield an EMPTY shingle set (matches
+    the oracle's range() semantics) rather than a padded partial gram.
+    """
+    toks = tokens_expr(text_col)
+    n_grams = F.size(toks) - (n - 1)
+    return F.when(
+        n_grams > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle: int = 3
+) -> DataFrame:
+    """One row per doc with a minhash signature array<long>[num_hashes].
+
+    Each hash family member h_i(s) = xxhash64(i, s); the signature entry
+    is min over the doc's shingles. Computed with explode + groupBy so
+    the heavy lifting is a single hash-aggregate (map-side combine keeps
+    shuffle volume at docs × num_hashes longs, independent of doc size).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over minhash sigs.
+
+    bands=8 × rows=4 over 32 hashes → collision prob ≈ 1-(1-j^4)^8,
+    steep around jaccard ≈ 0.55. Docs sharing ANY band bucket become a
+    candidate pair; estimated jaccard = fraction of agreeing signature
+    positions. At 100 TB the band-bucket groupBy is the only shuffle and
+    bucket sizes stay small (salting oversized buckets is the escape
+    hatch — a bucket with B docs costs B² pair expansions).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), "signature", F.explode(band_cols).alias("bb")).select(
+        F.col(id_col), "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return pairs.select("id_a", "id_b", round_det(est, 4).alias("est_jaccard"))
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document, pure DataFrame ops.
+
+    Explode tokens, hash each to 64 bits, and for every bit position sum
+    (+1 / −1); the signature bit is 1 where the sum is positive. The
+    bit unpacking stays JVM-side via shiftright/bitwise-and over a
+    posexploded 0..63 sequence — no Python in the loop.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    bits = hashed.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).select(
+        id_col,
+        "bit",
+        # shiftright with a column shift amount only exists in SQL form
+        F.expr("CAST(shiftright(h, bit) & 1 AS INT) * 2 - 1").alias("v"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("v").alias("vote"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def hamming_distance(a, b):
+    """Popcount of XOR — bit_count is a Spark builtin."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Exact n-gram-shingle-set Jaccard over blocked candidate pairs.
+
+    Word n-grams (not single tokens) so a small vocabulary still yields
+    a discriminative set. Blocking (equi-join on block_cols) bounds the
+    pair count; the intersection is computed distributively — explode
+    distinct shingles, self-join on (block, shingle), count matches per
+    pair — so no document pair is ever materialized with full texts side
+    by side. Shuffles: one for the shingle join, one for the pair groupBy.
+    """
+    grams = _shingles(F.col(text_col), shingle) if shingle > 1 else F.array_distinct(
+        tokens_expr(F.col(text_col))
+    )
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(grams).alias("tok"),
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    a = toks.alias("a")
+    b = toks.alias("b")
+    block_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.tok") == F.col("b.tok")
+    )
+    for c in block_cols:
+        block_cond = block_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, block_cond)
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard_raw"),
+        )
+    )
+    return (
+        jac.filter(F.col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", round_det("jaccard_raw", 4).alias("jaccard"))
+    )

@@ -1,0 +1,831 @@
+"""Core relational operators (SURVEY.md §2.2-§2.7) over the fixture tables.
+
+Each query exercises one operator row from the survey inventory, with a
+reference citation in the docstring. Spark side is the DataFrame API so
+Catalyst sees the full plan (pushdown, pruning, broadcast selection);
+the DuckDB oracle is the semantic contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_det
+from ..tables import load_tables
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Projections / constants (P1-P5 — reference main.py:456-470,461,725-727)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_project_rename",
+    oracle="""
+    SELECT o_orderkey AS pull_request_id,
+           o_orderstatus AS current_status,
+           CAST(o_orderdate AS DATE) AS date_created,
+           o_totalprice AS total_price
+    FROM orders
+    """,
+)
+def p1_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: 1:1 column projection + rename (reference main.py:456-470)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        F.col("o_orderkey").alias("pull_request_id"),
+        F.col("o_orderstatus").alias("current_status"),
+        F.col("o_orderdate").cast("date").alias("date_created"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "p3_p5_constant_columns",
+    oracle="""
+    SELECT o_orderkey AS pull_request_id,
+           CAST(NULL AS VARCHAR) AS author_email,
+           'acme/widgets' AS target_repository,
+           CAST('2026-01-15' AS DATE) AS snapshot_date
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def p3_p5_constant_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P5: NULL placeholder, repo tag, snapshot-date stamp
+    (reference main.py:486,461,725-727)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("pull_request_id"),
+            F.lit(None).cast("string").alias("author_email"),
+            F.lit("acme/widgets").alias("target_repository"),
+            F.lit("2026-01-15").cast("date").alias("snapshot_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (F1-F6 — reference main.py:335,369,228-230,449-453,513,576-578)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_f2_null_and_empty_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL
+    """,
+)
+def f1_f2_null_and_empty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: drop NULL-user / empty-body rows (reference main.py:335,369).
+
+    Python truthiness (`if body`) is encoded explicitly as
+    IS NOT NULL AND <> '' so Spark and SQL three-valued logic agree
+    (SURVEY.md §7.4 risk 2).
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & F.col("lang").isNotNull()
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "f4_bounded_numeric_predicate",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey < 750 AND o_custkey IS NOT NULL
+    """,
+)
+def f4_bounded_numeric_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4: missing-key skip + bounded numeric gate
+    (reference main.py:228-230,449-453: bug ids must be < 1e8)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey").isNotNull() & (F.col("o_custkey") < 750))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "f6_partition_predicate",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND user_id = 7
+    """,
+)
+def f6_partition_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: conjunctive equality predicate — the probe/delete shape
+    (reference main.py:513,576-578,626-627). On a partitioned layout this
+    becomes partition pruning for free."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") == 7))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "s8_existence_probe",
+    oracle="""
+    SELECT CAST(count(*) > 0 AS INTEGER) AS snapshot_exists
+    FROM (
+      SELECT 1 FROM orders
+      WHERE o_orderstatus = 'F' AND o_custkey = 1
+      LIMIT 1
+    )
+    """,
+)
+def s8_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J4/O2: `SELECT 1 ... LIMIT 1` existence probe as semi-join
+    (reference main.py:573-588)."""
+    t = load_tables(spark, sf_dir)
+    probe = (
+        t["orders"]
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_custkey") == 1))
+        .select(F.lit(1).alias("one"))
+        .limit(1)
+    )
+    return probe.agg((F.count("*") > 0).cast("int").alias("snapshot_exists"))
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J5 — reference main.py:300-304,227-239,494-539)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_broadcast_lookup_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_type,
+           l.l_quantity AS quantity
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    headline=True,
+)
+def j1_broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the N+1 detail-fetch (reference main.py:300-304) as a broadcast
+    hash lookup join — dimension side is explicitly broadcast so the fact
+    scan never shuffles (100 TB stance: `part` is the small side)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        "p_type",
+        F.col("l_quantity").alias("quantity"),
+    )
+
+
+@query(
+    "j2_enrichment_left_join",
+    oracle="""
+    SELECT o.o_orderkey AS pull_request_id,
+           o.o_orderstatus AS current_status,
+           COALESCE(c.n_commits, 0) AS n_commits,
+           (floor((COALESCE(c.total_qty, 0.0)) * 100 + 0.5) / 100) AS total_qty
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey, count(*) AS n_commits, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+    ) c ON o.o_orderkey = c.l_orderkey
+    """,
+)
+def j2_enrichment_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: parent→children enrichment (reference main.py:227-239) as a
+    left join against a pre-aggregated child table. Aggregating before
+    the join keeps the shuffled payload minimal (partial agg map-side)."""
+    t = load_tables(spark, sf_dir)
+    children = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_commits"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+    )
+    return (
+        t["orders"]
+        .join(children, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            F.col("o_orderkey").alias("pull_request_id"),
+            F.col("o_orderstatus").alias("current_status"),
+            F.coalesce(F.col("n_commits"), F.lit(0)).alias("n_commits"),
+            round_det(F.coalesce(F.col("total_qty"), F.lit(0.0)), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "j3_left_outer_status_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderpriority AS status
+    FROM lineitem l
+    LEFT JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE o_orderstatus = 'F') o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def j3_left_outer_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: comments→reviews status propagation (reference main.py:494-539):
+    left outer lookup; unmatched rows keep NULL status."""
+    t = load_tables(spark, sf_dir)
+    reviews = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.col("o_orderpriority").alias("status"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(reviews), F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .select("l_orderkey", "l_linenumber", "status")
+    )
+
+
+@query(
+    "j4_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: EXISTS as a left-semi join (reference probe main.py:573-588)."""
+    t = load_tables(spark, sf_dir)
+    big = t["lineitem"].filter(F.col("l_quantity") >= 49).select("l_orderkey")
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "j5_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: NOT EXISTS as a left-anti join (IMPLIED — free join shape)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "j5_range_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, count(*) AS n_following
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: non-equi (range) join — views within 5 minutes after each click.
+
+    Equi key (user_id) carries the shuffle; the range predicate is applied
+    post-join so Spark still plans a hash join, not a cartesian product.
+    """
+    t = load_tables(spark, sf_dir)
+    a = t["events"].filter(F.col("event_type") == "click").alias("a")
+    b = t["events"].filter(F.col("event_type") == "view").alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"), F.col("a.event_id").alias("click_id"))
+        .agg(F.count("*").alias("n_following"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A4 — reference main.py:513-518)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_conditional_min",
+    oracle="""
+    SELECT user_id, MIN(ts) AS date_approved
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def a1_conditional_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: earliest-approval conditional min (reference main.py:513-518):
+    `min(submitted_at) where state='APPROVED'` per PR → `min(ts) where
+    event_type='purchase'` per user. Engine uses real timestamps, not
+    lexicographic strings (SURVEY.md §7.4 risk 1)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("date_approved"))
+    )
+
+
+@query(
+    "a4_group_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           (floor((SUM(l_quantity)) * 100 + 0.5) / 100) AS sum_qty,
+           (floor((SUM(l_extendedprice)) * 100 + 0.5) / 100) AS sum_base_price,
+           (floor((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100) AS sum_disc_price,
+           (floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100) AS sum_charge,
+           (floor((AVG(l_quantity)) * 10000 + 0.5) / 10000) AS avg_qty,
+           (floor((AVG(l_extendedprice)) * 10000 + 0.5) / 10000) AS avg_price,
+           (floor((AVG(l_discount)) * 10000 + 0.5) / 10000) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def a4_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: TPC-H-Q1-shaped hash aggregate — partial (map-side) + final agg
+    is Catalyst's default physical plan; sums rounded for cross-engine
+    float stability."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_det(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_det(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_det(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_det(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            round_det(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_det(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_det(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a4_distinct_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a4_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact distinct aggregation (expand + two-phase agg in Spark)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("a4_approx_distinct")  # no oracle: HLL sketches differ across engines
+def a4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distincts; rows-only check since sketch estimates are engine-specific.
+    Accuracy vs exact countDistinct is asserted in tests/test_queries.py."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "a4_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           (floor((SUM(l_quantity)) * 100 + 0.5) / 100) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: rollup (hierarchical subtotals + grand total)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round_det(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a4_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: cube (all grouping-set combinations)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query(
+    "a4_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           (floor((SUM(o_totalprice)) * 100 + 0.5) / 100) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: explicit grouping sets via spark.sql."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               (floor((SUM(o_totalprice)) * 100 + 0.5) / 100) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "a4_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           (floor((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000) AS p50,
+           (floor((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000) AS p90,
+           (floor((MIN(o_totalprice)) * 100 + 0.5) / 100) AS min_price,
+           (floor((MAX(o_totalprice)) * 100 + 0.5) / 100) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a4_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact continuous percentiles (both engines interpolate linearly);
+    `percentile_approx` is the 100 TB variant (sketch-based, rows-only)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            round_det(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            round_det(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            round_det(F.min("o_totalprice"), 2).alias("min_price"),
+            round_det(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "a4_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: pivot with an explicit value list (no extra pass to discover
+    distinct keys — required at scale)."""
+    t = load_tables(spark, sf_dir)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    df = t["events"].groupBy("user_id").pivot("event_type", kinds).count().na.fill(0, kinds)
+    return df.withColumnsRenamed({k: f"n_{k}" for k in kinds})
+
+
+# ---------------------------------------------------------------------------
+# Explode / nested (E1-E3 — reference main.py:474-491,465-469)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e1_double_explode_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_suppkey, l_partkey, l_quantity
+    FROM lineitem
+    """,
+)
+def e1_double_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: the commit×file double flatten (reference main.py:474-491).
+
+    The nested document is rebuilt from the flat fixture
+    (order → [supplier → [parts]]) with collect_list(struct(...)), then
+    double-exploded back; the oracle is the original flat table, so the
+    round trip proves explode semantics exactly.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    level1 = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.collect_list(F.struct("l_partkey", "l_quantity")).alias("files")
+    )
+    nested = level1.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_suppkey", "files")).alias("commit_data")
+    )
+    exploded = nested.select(
+        "l_orderkey", F.explode("commit_data").alias("c")
+    ).select(
+        "l_orderkey", F.col("c.l_suppkey").alias("l_suppkey"), F.explode("c.files").alias("f")
+    )
+    return exploded.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("f.l_partkey").alias("l_partkey"),
+        F.col("f.l_quantity").alias("l_quantity"),
+    )
+
+
+@query(
+    "e3_array_transform",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(p_name, ' '), x -> upper(x)), ',')
+             AS labels,
+           len(string_split(p_name, ' ')) AS n_labels
+    FROM part
+    """,
+)
+def e3_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: array-of-struct projection via higher-order transform
+    (reference labels extraction main.py:465-469)."""
+    t = load_tables(spark, sf_dir)
+    words = F.split(F.col("p_name"), " ")
+    return t["part"].select(
+        "p_partkey",
+        F.array_join(F.transform(words, lambda x: F.upper(x)), ",").alias("labels"),
+        F.size(words).alias("n_labels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (C1-C11 — reference main.py:25,449-454,530-532,...)
+# ---------------------------------------------------------------------------
+
+BUG_RE = r"(?i)\b(?:bug|b=)\s*#?(\d+)\b"
+
+
+def bug_id_expr(title_col):
+    """C1: the reference's bug-id extraction (main.py:25,449-454):
+    all regex matches, drop ids >= 1e8, keep the FIRST survivor.
+
+    `Bug 999999999 and bug 123` → 123 (not NULL) — the edge the survey
+    flags (§7.4 risk 3); a single regexp_extract gets this wrong.
+    """
+    matches = F.regexp_extract_all(title_col, F.lit(BUG_RE), F.lit(1))
+    surviving = F.filter(matches, lambda x: x.cast("long") < 100000000)
+    # try_element_at: empty survivor list → NULL (ANSI element_at throws)
+    return F.try_element_at(surviving, F.lit(1)).cast("long")
+
+
+@query(
+    "c1_regex_bug_id",
+    oracle="""
+    WITH titled AS (
+      SELECT o_orderkey,
+             CASE
+               WHEN o_orderstatus = 'P' THEN 'Update documentation'
+               WHEN o_orderstatus = 'F' THEN
+                 'Bug ' || CAST(o_orderkey + 100000000 AS VARCHAR)
+                 || ' and b=' || CAST(o_orderkey AS VARCHAR) || ' fix'
+               ELSE 'Bug #' || CAST(o_orderkey AS VARCHAR) || ' - patch'
+             END AS title
+      FROM orders
+    )
+    SELECT o_orderkey, title,
+           CAST(list_filter(regexp_extract_all(title, '(?i)\\b(?:bug|b=)\\s*#?(\\d+)\\b', 1),
+                            x -> CAST(x AS BIGINT) < 100000000)[1] AS BIGINT) AS bug_id
+    FROM titled
+    """,
+)
+def c1_regex_bug_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 end-to-end on synthesized titles covering all reference test
+    cases (tests/test_transform_data.py:35-113): plain match, `b=`,
+    `#`-prefixed, over-limit id followed by a valid one, and no-match."""
+    t = load_tables(spark, sf_dir)
+    title = (
+        F.when(F.col("o_orderstatus") == "P", F.lit("Update documentation"))
+        .when(
+            F.col("o_orderstatus") == "F",
+            F.concat(
+                F.lit("Bug "),
+                (F.col("o_orderkey") + 100000000).cast("string"),
+                F.lit(" and b="),
+                F.col("o_orderkey").cast("string"),
+                F.lit(" fix"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("Bug #"), F.col("o_orderkey").cast("string"), F.lit(" - patch"))
+        )
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        title.alias("title"),
+        bug_id_expr(title).alias("bug_id"),
+    )
+
+
+@query(
+    "c2_char_count",
+    oracle="""
+    SELECT doc_id, COALESCE(length(text), 0) AS character_count
+    FROM documents
+    """,
+)
+def c2_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: `character_count = len(body)`, 0 for NULL/empty
+    (reference main.py:530-532)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", F.coalesce(F.length("text"), F.lit(0)).alias("character_count")
+    )
+
+
+@query(
+    "c4_c5_date_and_cast",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS snapshot_date_str,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int
+    FROM orders
+    """,
+)
+def c4_c5_date_and_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/C5: date formatting + integer casts (reference main.py:710,827,452)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("snapshot_date_str"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+    )
+
+
+@query(
+    "c10_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def c10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: JSON decode at the boundary (reference resp.json(),
+    main.py:218,299): schema-on-read extraction from a JSON string col."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+    )
+
+
+@query(
+    "c11_math_revenue",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100) AS net_price,
+           (floor((abs(l_extendedprice - l_quantity * 1000)) * 100 + 0.5) / 100) AS price_gap
+    FROM lineitem
+    """,
+)
+def c11_math_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: arithmetic / round / abs on fixture columns."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        round_det(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        round_det(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000), 2).alias(
+            "price_gap"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops (O1-O4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o3_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def o3_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: global top-k — Spark plans TakeOrderedAndProject (no full sort);
+    deterministic tiebreak on the key."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "o4_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def o4_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: union + dedup."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "o4_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def o4_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: intersect (customers with both finished and open orders)."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "o4_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def o4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: except (customers with no open orders)."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select("c_custkey")
+    b = t["orders"].filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.subtract(b)

@@ -1,0 +1,307 @@
+"""EXT queries (SURVEY.md §2.11): dedup, similarity search, text analysis.
+
+Where the computation is SQL-expressible, the DuckDB oracle mirrors the
+Spark expression exactly (same tokenization regex, same hash function
+where both engines share one — md5 — and integer/exact arithmetic so
+value hashes match bit-for-bit). MinHash/SimHash/LSH use Spark-side
+xxhash64, which DuckDB lacks → rows-only checks + property tests in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bpe_ish_piece_count_expr,
+    lang_id_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    rolling_fingerprint_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..functions.rounding import round_det
+from ..operators.similarity import brute_force_topk, lsh_bucketed_topk
+from ..tables import load_tables
+from .registry import query
+
+# DuckDB token expression kept in lockstep with operators.dedup.tokens_expr.
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# Whitespace words, lockstep with functions.text.words_expr.
+_SQL_WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_id, count(*) AS n_dupes
+    FROM documents
+    GROUP BY text
+    """,
+    headline=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: exact dedup — deterministic keeper (min id), not
+    dropDuplicates' arbitrary row."""
+    t = load_tables(spark, sf_dir)
+    return exact_dedup(t["documents"], ["text"], "doc_id")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           count(*) AS n_dupes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: canonical-fingerprint dedup (md5 of sorted distinct token set
+    — order/casing/punctuation-invariant)."""
+    t = load_tables(spark, sf_dir)
+    return fingerprint_dedup(t["documents"], "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS tok
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           (floor((n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE)) * 10000 + 0.5) / 10000) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.5
+    """,
+    headline=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: exact 3-gram-shingle Jaccard near-dup pairs, blocked by lang."""
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", block_cols=["lang"], threshold=0.5, shingle=3
+    )
+
+
+@query("dedup_minhash_lsh", headline=True)  # xxhash64-based → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: MinHash+LSH near-dup candidates (32 hashes, 8 bands × 4 rows).
+    Recall vs exact Jaccard asserted in tests/test_dedup.py."""
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_candidates(t["documents"], "text", "doc_id")
+
+
+@query("dedup_simhash")  # xxhash64-based → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: 64-bit SimHash signatures (near-dup = small hamming distance;
+    property-tested against token overlap in tests/test_dedup.py)."""
+    t = load_tables(spark, sf_dir)
+    return simhash_signatures(t["documents"], "text", "doc_id")
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_WORDS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '([a-z0-9]+|[^a-z0-9\\s])', 1), x -> x <> '')) AS INTEGER) AS n_pieces,
+           COALESCE(length(text), 0) AS n_chars_computed,
+           md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: token counting (whitespace + BPE-ish regex pieces) and
+    document fingerprinting."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        bpe_ish_piece_count_expr(F.col("text")).alias("n_pieces"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("n_chars_computed"),
+        rolling_fingerprint_expr(F.col("text")).alias("fingerprint"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS}) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter({_SQL_WORDS},
+                  x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_nz
+      FROM documents
+    )
+    SELECT doc_id,
+           (floor((n_punct / n_chars_nz) * 10000 + 0.5) / 10000) AS punct_ratio,
+           (floor((n_stop / greatest(n_tok, 1)) * 10000 + 0.5) / 10000) AS stopword_ratio,
+           (floor((0.4 * least(n_tok / 100.0, 1.0)
+               + 0.3 * (1.0 - n_punct / n_chars_nz)
+               + 0.3 * least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0)) * 10000 + 0.5) / 10000) AS quality_score
+    FROM base
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: quality scoring — length/punctuation/stopword-ratio composite."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        round_det(punct_ratio_expr(F.col("text")), 4).alias("punct_ratio"),
+        round_det(stopword_ratio_expr(F.col("text")), 4).alias("stopword_ratio"),
+        quality_score_expr(F.col("text")).alias("quality_score"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter({_SQL_WORDS}, x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS en,
+             len(list_filter({_SQL_WORDS}, x -> list_contains(['el','la','de','que','y','en','un','una','los','por'], x))) AS es,
+             len(list_filter({_SQL_WORDS}, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS de
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: stopword-ngram language-ID heuristic with deterministic
+    tie-breaking (en > es > de > und)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id_expr(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SIM_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+            FROM (SELECT UNNEST(q.q_vec) AS a, UNNEST(e.embedding) AS b) x)
+         / (sqrt((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                    FROM (SELECT UNNEST(q.q_vec) AS a) y))
+          * sqrt((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                    FROM (SELECT UNNEST(e.embedding) AS b) z))) AS cosine_raw
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("sim_bruteforce_topk", oracle=_SIM_ORACLE, headline=True)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: exact top-5 cosine neighbors for query vectors (vec_id < 10):
+    broadcast queries × corpus scan, zip_with/aggregate dot products
+    (JVM-side), window top-k with deterministic tiebreak."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return brute_force_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@query("sim_lsh_topk")  # approximate — recall asserted in tests
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: LSH-bucketed ANN (random hyperplane signs, 16 buckets) — the
+    scale path: each query scans ~1/16 of the corpus."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return lsh_bucketed_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5, n_planes=4
+    )
+
+
+@query(
+    "sim_cosine_neardup",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (SELECT SUM(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+                FROM (SELECT UNNEST(a.embedding) AS u, UNNEST(b.embedding) AS v) x)
+             / (sqrt((SELECT SUM(CAST(y.u AS DOUBLE) * CAST(y.u AS DOUBLE))
+                        FROM (SELECT UNNEST(a.embedding) AS u) y))
+              * sqrt((SELECT SUM(CAST(z.v AS DOUBLE) * CAST(z.v AS DOUBLE))
+                        FROM (SELECT UNNEST(b.embedding) AS v) z))) AS cosine_raw
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
+    FROM pairs WHERE cosine_raw >= 0.95
+    """,
+)
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: embedding-cosine near-duplicate pairs, blocked on label
+    (the cluster id plays the LSH-bucket role for the exact variant)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    from ..operators.similarity import cosine_expr, _as_double
+
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        _as_double("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        _as_double("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine_raw"))
+        .filter(F.col("cosine_raw") >= 0.95)
+        .select("id_a", "id_b", round_det("cosine_raw", 4).alias("cosine"))
+    )

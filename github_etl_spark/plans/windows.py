@@ -1,0 +1,217 @@
+"""Window functions, sessionization, as-of join, event-time buckets
+(SURVEY.md §2.8, §2.9/T5 batch analogs).
+
+The reference's only windowable computation is the earliest-approval agg
+(A1); everything here is the IMPLIED generalization, plus the streaming
+operators' batch-equivalent forms so they are DuckDB-checkable (the real
+Structured Streaming versions live in github_etl_spark/streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_det
+from ..operators.asof import asof_join
+from ..tables import load_tables
+from .registry import query
+
+
+@query(
+    "w1_row_number_topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem
+    )
+    WHERE rn <= 2
+    """,
+    headline=True,
+)
+def w1_row_number_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: top-k per group via ranking window ("latest review per PR" is
+    this shape — the window form of A1). Deterministic tiebreak on
+    l_linenumber."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        t["lineitem"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "w2_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id) OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: analytic lag/lead over an event stream, with inter-event gap
+    in epoch microseconds (timezone-proof integer arithmetic)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           (floor((SUM(l_extendedprice) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100) AS running_revenue
+    FROM lineitem
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: frame-spec running aggregate; total order inside each
+    partition (shipdate, orderkey, linenumber) makes the prefix sums
+    deterministic across engines."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t["lineitem"].select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        round_det(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+@query(
+    "w4_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch analog: sessionization with a 30-minute inactivity gap —
+    lag + gap-flag + prefix-sum (the standard batch form of
+    session_window; the streaming form is tested in tests/test_streaming)."""
+    t = load_tables(spark, sf_dir)
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order_w))
+    marked = t["events"].select(
+        "user_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run_w = (
+        W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new").over(run_w))
+    return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "t5_tumbling_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           (floor((SUM(value)) * 100 + 0.5) / 100) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def t5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch analog: tumbling event-time window aggregation. The
+    streaming form (readStream + withWatermark + window()) produces the
+    same rows — asserted in tests/test_streaming.py."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_det(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "j5_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j5_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: as-of join (Spark lacks a native one — composed from a union +
+    ordered window in operators/asof.py; oracle is DuckDB's native ASOF).
+
+    For each purchase, the most recent click at-or-before it by the same
+    user.
+    """
+    t = load_tables(spark, sf_dir)
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    clicks = t["events"].filter(F.col("event_type") == "click")
+    joined = asof_join(
+        left=purchases.select("event_id", "user_id", "ts"),
+        right=clicks.select("user_id", "ts"),
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("right_ts").alias("last_click_ts"),
+    )

@@ -1,0 +1,64 @@
+"""Every catalog query vs its DuckDB oracle at sf0.001 (fast local mirror
+of the driver's sf0.01 gate), plus sanity checks for rows-only queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from github_etl_spark.plans import QUERIES
+
+from .oracle_harness import compare, duckdb_conn
+
+ORACLE_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+_conns = {}
+
+
+def _conn(sf_dir):
+    if sf_dir not in _conns:
+        _conns[sf_dir] = duckdb_conn(sf_dir)
+    return _conns[sf_dir]
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    compare(df, _conn(sf_dir), q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    # Every declared oracle key must have a matching queries() key.
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """approx_count_distinct within its 2% target of the exact count."""
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    row = (
+        t["lineitem"]
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()[0]
+    )
+    assert abs(row.approx - row.exact) / max(row.exact, 1) < 0.1
