@@ -79,21 +79,22 @@ def minhash_signatures(
     """One row per doc with a minhash signature array<long>[num_hashes].
 
     Each hash family member h_i(s) = xxhash64(i, s); the signature entry
-    is min over the doc's shingles. Computed with explode + groupBy so
-    the heavy lifting is a single hash-aggregate (map-side combine keeps
-    shuffle volume at docs × num_hashes longs, independent of doc size).
+    is min over the doc's shingles — computed entirely within the row
+    via transform + array_min (higher-order functions), so signature
+    generation needs NO shuffle at any scale. Docs with fewer tokens
+    than the shingle width have no signature and are dropped (they can't
+    near-dup under this family anyway).
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("shingle")
+    shingled = df.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    return shingled.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(

@@ -40,6 +40,10 @@ def load_tables(spark: SparkSession, sf_dir: str, register: bool = True) -> dict
     than pre-materializing trimmed copies.
     """
     tune(spark)
+    cache_key = (id(spark), sf_dir, register)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return dict(cached)
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -47,7 +51,13 @@ def load_tables(spark: SparkSession, sf_dir: str, register: bool = True) -> dict
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df
+    _TABLE_CACHE[cache_key] = dict(out)
     return out
+
+
+# DataFrames are immutable plan handles — reusing them across queries in
+# one session skips re-reading 10 parquet footers per catalog call.
+_TABLE_CACHE: dict[tuple, dict[str, DataFrame]] = {}
 
 
 def _nanos_ts_columns(path: str) -> list[str]:
