@@ -21,6 +21,22 @@ DE_STOPWORDS = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "
 
 PUNCT_CLASS = r"[^.!?,;:]"
 
+# C1: the reference's bug-id regex (reference main.py:25), case-insensitive.
+BUG_RE = r"(?i)\b(?:bug|b=)\s*#?(\d+)\b"
+
+
+def bug_id_expr(title_col):
+    """C1: the reference's bug-id extraction (main.py:25,449-454):
+    all regex matches, drop ids >= 1e8, keep the FIRST survivor.
+
+    `Bug 999999999 and bug 123` → 123 (not NULL) — the edge the survey
+    flags (§7.4 risk 3); a single regexp_extract gets this wrong.
+    """
+    matches = F.regexp_extract_all(title_col, F.lit(BUG_RE), F.lit(1))
+    surviving = F.filter(matches, lambda x: x.cast("long") < 100000000)
+    # try_element_at: empty survivor list → NULL (ANSI element_at throws)
+    return F.try_element_at(surviving, F.lit(1)).cast("long")
+
 
 def words_expr(text_col):
     """Whitespace tokenization, lowercased, empties dropped."""
