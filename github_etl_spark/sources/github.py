@@ -1,0 +1,330 @@
+"""GitHub REST connector — Spark 4 Python Data Source (SURVEY.md §2.1
+S1-S5, §2.9 T2-T3, §7.1 M3).
+
+The reference scans PRs with a serial Link-header walk
+(main.py:176-271), throttles on the rate-limit headers
+(main.py:380-423), and N+1-fetches children per PR (main.py:274-377).
+Spark-first re-expression:
+
+- **Page-parallel scan.** GitHub's `Link` header carries `rel="last"`
+  on the first page; the reference only follows `rel="next"`
+  (main.py:244-269) and is therefore inherently serial. We probe
+  `rel="last"` once on the driver (`partitions()`) and emit **one
+  InputPartition per page**, so page fetches + per-PR child fetches run
+  across executors. Ingest parallelism = pages × repos, not 1.
+- **Pushdown.** `state/per_page/sort/direction` are query params on the
+  scan (the reference's own pushdown, main.py:203-208), settable as
+  reader options.
+- **Throttle/retry.** 403 + `X-RateLimit-Remaining: 0` → sleep until
+  `X-RateLimit-Reset` and retry (reference behavior); transient 5xx →
+  bounded exponential backoff (the reference exits on any 5xx,
+  main.py:421-423 — a hazard, fixed here per §4.1).
+- **Child pagination.** commits/reviews/comments follow their own
+  `next` links; the reference fetches one page and silently truncates
+  at GitHub's default 30 (§4.1 hazard, fixed).
+- **Rate budget at scale.** Each partition self-throttles on the
+  response headers, so N concurrent tasks degrade gracefully; for a
+  1000-executor deployment, cap concurrency with
+  `option("max_pages", ...)` per trigger or run per-repo apps — a
+  shared driver-coordinated token bucket is the documented next step
+  (SURVEY.md §7.4 risk 4).
+
+Rows are emitted in the enriched-PR shape (`etl.transform.RAW_PR_SCHEMA`)
+so `spark.read.format("github").load()` feeds `etl.transform.transform`
+directly.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..etl.transform import RAW_PR_SCHEMA
+
+DEFAULT_API_URL = "https://api.github.com"
+USER_AGENT = "github-etl-spark/0.1"
+MAX_TRANSIENT_RETRIES = 4
+
+
+class GithubHttpError(RuntimeError):
+    def __init__(self, status: int, url: str, body: str):
+        super().__init__(f"GitHub API error {status} for {url}: {body[:200]}")
+        self.status = status
+
+
+def _parse_link_header(value: str | None) -> dict[str, str]:
+    """RFC-5988 `Link` header → {rel: url}."""
+    rels: dict[str, str] = {}
+    if not value:
+        return rels
+    for part in value.split(","):
+        m = re.match(r'\s*<([^>]+)>\s*;\s*rel="([^"]+)"', part)
+        if m:
+            rels[m.group(2)] = m.group(1)
+    return rels
+
+
+def _page_of(url: str) -> int | None:
+    """`page` query param of a Link URL (cf. reference main.py:247-269)."""
+    q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
+    vals = q.get("page")
+    if not vals:
+        return None
+    try:
+        return int(vals[0])
+    except ValueError:
+        return None
+
+
+class GithubClient:
+    """Throttled, retrying GET (connector-internal; S5/T2).
+
+    Picklable (plain attrs only) — one instance is shipped to each read
+    task inside the reader.
+    """
+
+    def __init__(self, api_url: str, token: str | None = None, timeout: float = 30.0):
+        self.api_url = api_url.rstrip("/")
+        self.token = token
+        self.timeout = timeout
+
+    def _headers(self) -> dict[str, str]:
+        h = {
+            "Accept": "application/vnd.github+json",
+            "User-Agent": USER_AGENT,
+        }
+        if self.token:
+            h["Authorization"] = f"Bearer {self.token}"
+        return h
+
+    def get(self, path: str, params: dict | None = None) -> tuple[object, dict[str, str]]:
+        """GET → (parsed JSON, response headers). Sleeps through rate
+        limits; retries transient 5xx with exponential backoff."""
+        url = path if path.startswith("http") else f"{self.api_url}{path}"
+        if params:
+            sep = "&" if "?" in url else "?"
+            url = url + sep + urllib.parse.urlencode(params)
+        transient = 0
+        while True:
+            req = urllib.request.Request(url, headers=self._headers())
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    headers = {k.lower(): v for k, v in resp.headers.items()}
+                    return json.loads(resp.read().decode("utf-8")), headers
+            except urllib.error.HTTPError as e:
+                headers = {k.lower(): v for k, v in e.headers.items()}
+                if e.code == 403 and headers.get("x-ratelimit-remaining") == "0":
+                    self._sleep_for_rate_limit(headers)
+                    continue
+                if e.code >= 500 and transient < MAX_TRANSIENT_RETRIES:
+                    time.sleep(min(2.0**transient * 0.1, 10.0))
+                    transient += 1
+                    continue
+                body = e.read().decode("utf-8", "replace") if e.fp else ""
+                raise GithubHttpError(e.code, url, body) from None
+
+    @staticmethod
+    def _sleep_for_rate_limit(headers: dict[str, str]) -> None:
+        """Sleep until `X-RateLimit-Reset` (+1 s margin); missing/passed
+        reset → minimal sleep (cf. reference main.py:380-389)."""
+        try:
+            reset = float(headers.get("x-ratelimit-reset", "0"))
+        except ValueError:
+            reset = 0.0
+        time.sleep(max(reset - time.time() + 1.0, 1.0))
+
+    # ---------------------------------------------------------------- scans
+
+    def iter_pages(self, path: str, params: dict | None = None) -> Iterator[list]:
+        """Follow `rel="next"` links, yielding one JSON array per page."""
+        page, headers = self.get(path, params)
+        yield page
+        while True:
+            nxt = _parse_link_header(headers.get("link")).get("next")
+            if nxt is None or not page:
+                return
+            if (_page_of(nxt) or 0) <= 0:  # invalid page param → stop
+                return
+            page, headers = self.get(nxt)
+            yield page
+
+    def last_page(self, path: str, params: dict) -> int:
+        """Total pages for a paginated listing, from `rel="last"` of the
+        first response. 1 when there is a single page."""
+        _, headers = self.get(path, params)
+        last = _parse_link_header(headers.get("link")).get("last")
+        return max(_page_of(last) or 1, 1) if last else 1
+
+
+class PrPagePartition(InputPartition):
+    def __init__(self, repo: str, page: int):
+        self.repo = repo
+        self.page = page
+
+
+class GithubPullsReader(DataSourceReader):
+    """Reads enriched PRs: one partition per (repo, page)."""
+
+    def __init__(self, options: dict):
+        repos = options.get("repos") or options.get("repo") or ""
+        self.repos = [r.strip() for r in repos.split(",") if r.strip()]
+        if not self.repos:
+            raise ValueError("github source requires option 'repo' (or 'repos')")
+        self.client = GithubClient(
+            options.get("url", DEFAULT_API_URL), options.get("token") or None
+        )
+        self.per_page = int(options.get("per_page", "100"))
+        self.state = options.get("state", "all")
+        self.max_pages = int(options.get("max_pages", "0"))  # 0 = unbounded
+        self.with_children = options.get("with_children", "true").lower() == "true"
+
+    def _list_params(self) -> dict:
+        # The reference's source pushdown (main.py:203-208).
+        return {
+            "state": self.state,
+            "per_page": self.per_page,
+            "sort": "created",
+            "direction": "asc",
+        }
+
+    def partitions(self) -> list[PrPagePartition]:
+        parts: list[PrPagePartition] = []
+        for repo in self.repos:
+            n = self.client.last_page(f"/repos/{repo}/pulls", self._list_params())
+            if self.max_pages:
+                n = min(n, self.max_pages)
+            parts.extend(PrPagePartition(repo, p) for p in range(1, n + 1))
+        return parts
+
+    def read(self, partition: PrPagePartition) -> Iterator[tuple]:
+        c = self.client
+        params = {**self._list_params(), "page": partition.page}
+        prs, _ = c.get(f"/repos/{partition.repo}/pulls", params)
+        for pr in prs:
+            number = pr.get("number")
+            if number is None:
+                continue  # F3: un-enrichable row (reference hazard main.py:228-230)
+            if self.with_children:
+                commits = self._commits(partition.repo, number)
+                reviews = [
+                    r
+                    for page in c.iter_pages(
+                        f"/repos/{partition.repo}/pulls/{number}/reviews",
+                        {"per_page": self.per_page},
+                    )
+                    for r in page
+                    if r.get("user") is not None  # F1 (reference main.py:335)
+                ]
+                comments = [
+                    cm
+                    for page in c.iter_pages(
+                        f"/repos/{partition.repo}/issues/{number}/comments",
+                        {"per_page": self.per_page},
+                    )
+                    for cm in page
+                    if cm.get("user") is not None and cm.get("body")  # F2
+                ]
+            else:
+                commits, reviews, comments = [], [], []
+            yield self._to_row(pr, commits, reviews, comments)
+
+    def _commits(self, repo: str, number: int) -> list[dict]:
+        """Commit list + per-commit file detail (S2's N+1 join, J1).
+
+        The list endpoint omits `files`; the detail endpoint carries it.
+        """
+        c = self.client
+        out = []
+        for page in c.iter_pages(
+            f"/repos/{repo}/pulls/{number}/commits", {"per_page": self.per_page}
+        ):
+            for commit in page:
+                sha = commit.get("sha")
+                if sha:
+                    detail, _ = c.get(f"/repos/{repo}/commits/{sha}")
+                    commit = {**commit, "files": detail.get("files", [])}
+                out.append(commit)
+        return out
+
+    @staticmethod
+    def _to_row(pr: dict, commits: list, reviews: list, comments: list) -> tuple:
+        """Project the raw JSON onto RAW_PR_SCHEMA field order."""
+
+        def _files(commit: dict) -> list[tuple]:
+            return [
+                (f.get("filename"), f.get("additions"), f.get("deletions"))
+                for f in commit.get("files") or []
+            ]
+
+        def _author(commit: dict) -> tuple | None:
+            a = (commit.get("commit") or {}).get("author")
+            if a is None:
+                return None
+            return ((a.get("name"), a.get("date")),)
+
+        return (
+            pr.get("number"),
+            pr.get("title"),
+            pr.get("state"),
+            pr.get("created_at"),
+            pr.get("updated_at"),
+            pr.get("merged_at"),
+            [(lbl.get("name"),) for lbl in pr.get("labels") or []],
+            [
+                (
+                    cm.get("sha"),
+                    _author(cm),
+                    _files(cm),
+                )
+                for cm in commits
+            ],
+            [
+                (
+                    r.get("id"),
+                    ((r.get("user") or {}).get("login"),),
+                    r.get("state"),
+                    r.get("submitted_at"),
+                )
+                for r in reviews
+            ],
+            [
+                (
+                    cm.get("id"),
+                    ((cm.get("user") or {}).get("login"),),
+                    cm.get("body"),
+                    cm.get("created_at"),
+                    cm.get("pull_request_review_id"),
+                )
+                for cm in comments
+            ],
+        )
+
+
+class GithubDataSource(DataSource):
+    """`spark.read.format("github")` after `register(spark)`.
+
+    Options: `repo`/`repos` (comma list), `url` (API base override —
+    the reference's GITHUB_API_URL, main.py:799-801), `token`,
+    `per_page`, `state`, `max_pages`, `with_children`.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "github"
+
+    def schema(self):
+        return RAW_PR_SCHEMA
+
+    def reader(self, schema) -> GithubPullsReader:
+        return GithubPullsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(GithubDataSource)

@@ -1,0 +1,157 @@
+"""GitHub connector (M3) against the in-process mock server.
+
+Covers the reference's extraction protocol behaviors
+(tests/test_extract_pull_requests.py and friends, re-derived):
+pagination, enrichment wiring, rate-limit retry, 5xx retry, child
+filters, plus the engine's page-parallel partition planning and the
+end-to-end read → transform → sink composition.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from github_etl_spark.etl.transform import transform
+from github_etl_spark.sources.github import (
+    GithubClient,
+    GithubHttpError,
+    GithubPullsReader,
+    _page_of,
+    _parse_link_header,
+    register,
+)
+from tests.mock_github_server import N_PRS, MockGithub
+
+
+@pytest.fixture(scope="module")
+def mock_api():
+    with MockGithub() as m:
+        yield m
+
+
+# ------------------------------------------------------------------ unit-level
+
+
+def test_parse_link_header():
+    h = '<https://x/p?page=2>; rel="next", <https://x/p?page=9>; rel="last"'
+    rels = _parse_link_header(h)
+    assert rels["next"] == "https://x/p?page=2"
+    assert _page_of(rels["last"]) == 9
+    assert _parse_link_header(None) == {}
+    assert _page_of("https://x/p?page=abc") is None
+
+
+def test_client_pagination_and_rate_limit(mock_api):
+    c = GithubClient(mock_api.url)
+    pages = list(
+        c.iter_pages("/repos/acme/widgets/pulls", {"state": "all", "per_page": 3})
+    )
+    # 7 PRs at 3/page → 3 pages; page 2 served after one 403-retry.
+    assert [len(p) for p in pages] == [3, 3, 1]
+    numbers = [pr["number"] for page in pages for pr in page]
+    assert numbers == list(range(1, N_PRS + 1))
+
+
+def test_client_last_page(mock_api):
+    c = GithubClient(mock_api.url)
+    assert c.last_page("/repos/acme/widgets/pulls", {"state": "all", "per_page": 3}) == 3
+    assert c.last_page("/repos/acme/widgets/pulls", {"state": "all", "per_page": 100}) == 1
+
+
+def test_client_404_raises(mock_api):
+    c = GithubClient(mock_api.url)
+    with pytest.raises(GithubHttpError) as ei:
+        c.get("/repos/acme/widgets/unknown")
+    assert ei.value.status == 404
+
+
+def test_reader_requires_repo():
+    with pytest.raises(ValueError):
+        GithubPullsReader({})
+
+
+def test_reader_partitions_per_page(mock_api):
+    r = GithubPullsReader(
+        {"repo": "acme/widgets", "url": mock_api.url, "per_page": "3"}
+    )
+    parts = r.partitions()
+    assert [(p.repo, p.page) for p in parts] == [("acme/widgets", i) for i in (1, 2, 3)]
+
+
+def test_reader_enrichment_wiring(mock_api):
+    r = GithubPullsReader(
+        {"repo": "acme/widgets", "url": mock_api.url, "per_page": "100"}
+    )
+    [part] = r.partitions()
+    rows = list(r.read(part))
+    assert len(rows) == N_PRS
+    by_number = {row[0]: row for row in rows}
+    pr3 = by_number[3]
+    # commits: 2 commits × 2 files grafted from the detail endpoint
+    # (sha pr3-c0 serves a 500 first — retried transparently).
+    commits = pr3[7]
+    assert [c[0] for c in commits] == ["pr3-c0", "pr3-c1"]
+    assert len(commits[0][2]) == 2  # files
+    assert commits[0][2][0][0] == "src/f0_0.py"
+    # reviews: null-user review dropped (F1) → 2 of 3 survive.
+    reviews = pr3[8]
+    assert [rv[2] for rv in reviews] == ["APPROVED", "COMMENTED"]
+    # comments: empty-body comment dropped (F2) → 1 of 2 survives.
+    comments = pr3[9]
+    assert len(comments) == 1 and comments[0][4] == 1003
+
+
+# ------------------------------------------------------------- DataFrame-level
+
+
+def test_spark_read_and_transform(spark, mock_api, tmp_path):
+    register(spark)
+    df = (
+        spark.read.format("github")
+        .option("repo", "acme/widgets")
+        .option("url", mock_api.url)
+        .option("per_page", "3")
+        .option("state", "all")
+        .load()
+    )
+    # 3 partitions — one per page (parallel, not the reference's serial walk).
+    assert df.rdd.getNumPartitions() == 3
+    prs = df.collect()
+    assert sorted(r.number for r in prs) == list(range(1, N_PRS + 1))
+
+    tables = transform(df, "acme/widgets")
+    pr_rows = {r.pull_request_id: r for r in tables["pull_requests"].collect()}
+    assert pr_rows[3].bug_id == 3  # "Bug 3 fix widget"
+    assert pr_rows[2].bug_id is None  # "Refactor module 2"
+    assert pr_rows[3].date_approved is not None
+    assert pr_rows[2].date_approved is None
+    assert pr_rows[3].labels == []  # 3 % 3 == 0 → no labels
+    assert pr_rows[2].labels == ["area-2"]
+
+    commits = tables["commits"].collect()
+    assert len(commits) == N_PRS * 2 * 2  # PR × commit × file
+    comments = {r.pull_request_id: r for r in tables["comments"].collect()}
+    assert comments[3].status == "APPROVED"  # FK matched review 1003
+    assert comments[2].status is None  # dangling FK on even PRs
+
+
+def test_without_children(spark, mock_api):
+    register(spark)
+    df = (
+        spark.read.format("github")
+        .option("repo", "acme/widgets")
+        .option("url", mock_api.url)
+        .option("state", "all")
+        .option("with_children", "false")
+        .load()
+    )
+    row = df.where("number = 1").collect()[0]
+    assert row.commit_data == [] and row.reviewer_data == []
+
+
+def test_max_pages_cap(mock_api):
+    r = GithubPullsReader(
+        {"repo": "acme/widgets", "url": mock_api.url, "per_page": "3",
+         "max_pages": "2"}
+    )
+    assert len(r.partitions()) == 2
