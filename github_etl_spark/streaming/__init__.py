@@ -1,0 +1,9 @@
+"""Streaming layer: micro-batch pipeline + event-time operators."""
+
+from .events import (  # noqa: F401
+    dedup_within_watermark,
+    session_counts,
+    tumbling_counts,
+)
+from .pipeline import run_batch, stream_landing  # noqa: F401
+from .stateful import running_totals  # noqa: F401

@@ -1,0 +1,218 @@
+"""Streaming layer (M4): foreachBatch pipeline, watermarks, state.
+
+File-source streams with `availableNow` triggers — deterministic
+micro-batch sequences (one file per trigger, mtime-ordered) so
+watermark progression and state carry-over are observable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from github_etl_spark.sinks.snapshot import read_snapshot
+from github_etl_spark.streaming import (
+    dedup_within_watermark,
+    run_batch,
+    running_totals,
+    stream_landing,
+    tumbling_counts,
+)
+from tests.mock_github_server import N_PRS, MockGithub
+
+EVENT_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
+
+
+def _write_file(path, rows, mtime):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _ev(eid, uid, ts, etype="click"):
+    return {"event_id": eid, "user_id": uid, "ts": ts, "event_type": etype}
+
+
+def _drain(stream_df, name, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+# ----------------------------------------------------------------- pipeline
+
+
+def test_run_batch_e2e_and_skip(spark, tmp_path):
+    with MockGithub() as mock:
+        sink_base = str(tmp_path / "wh")
+        sink = run_batch(
+            spark, ["acme/widgets"], mock.url, sink_base, "2026-01-15", per_page=3
+        )
+        prs = read_snapshot(spark, sink.path("pull_requests"))
+        assert prs.count() == N_PRS
+        assert read_snapshot(spark, sink.path("commits")).count() == N_PRS * 2 * 2
+
+        # Second run: snapshot exists → skipped (no duplication).
+        run_batch(spark, ["acme/widgets"], mock.url, sink_base, "2026-01-15", per_page=3)
+        assert read_snapshot(spark, sink.path("pull_requests")).count() == N_PRS
+
+        # Forced rerun: dynamic partition overwrite → still exactly N_PRS.
+        run_batch(
+            spark, ["acme/widgets"], mock.url, sink_base, "2026-01-15",
+            per_page=3, force=True,
+        )
+        assert read_snapshot(spark, sink.path("pull_requests")).count() == N_PRS
+
+
+def test_stream_landing_incremental(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink_base = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _pr_row(i):
+        return {
+            "number": i, "title": f"Bug {i} fix", "state": "open",
+            "created_at": f"2026-02-{i:02d}T00:00:00Z",
+            "updated_at": f"2026-02-{i:02d}T00:00:00Z",
+            "merged_at": None, "labels": [], "commit_data": [],
+            "reviewer_data": [], "comment_data": [],
+        }
+
+    _write_file(landing / "a.json", [_pr_row(1), _pr_row(2)], time.time() - 10)
+    q, sink = stream_landing(
+        spark, str(landing), "acme/widgets", sink_base, "2026-02-10", ckpt
+    )
+    q.awaitTermination(120)
+    assert read_snapshot(spark, sink.path("pull_requests")).count() == 2
+
+    # New file lands; restart from the same checkpoint → only the new
+    # file is processed (no re-append of the first two).
+    _write_file(landing / "b.json", [_pr_row(3)], time.time())
+    q2, _ = stream_landing(
+        spark, str(landing), "acme/widgets", sink_base, "2026-02-10", ckpt
+    )
+    q2.awaitTermination(120)
+    out = read_snapshot(spark, sink.path("pull_requests"))
+    assert sorted(r.pull_request_id for r in out.collect()) == [1, 2, 3]
+    assert out.where("bug_id IS NOT NULL").count() == 3
+
+
+# ------------------------------------------------------------------ windows
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "events"
+    d.mkdir()
+    return d
+
+
+def _events_stream(spark, stream_dir):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(stream_dir))
+    )
+
+
+def test_tumbling_counts_drops_late_data(spark, stream_dir, tmp_path):
+    now = time.time()
+    # Watermark eviction lags one batch (the watermark used by batch N is
+    # computed from data through N-1), and the "too late" drop is only
+    # guaranteed once the window's state has been evicted — so the late
+    # row arrives two batches after the watermark passed its window.
+    # Batch 1: two clicks in [10:00,11:00), one view in [11:00,12:00),
+    # plus a 12:30 event pushing event-time to 12:30 (wm → 12:20).
+    _write_file(
+        stream_dir / "b1.json",
+        [
+            _ev(1, 1, "2026-03-01T10:05:00Z"),
+            _ev(2, 1, "2026-03-01T10:20:00Z"),
+            _ev(3, 2, "2026-03-01T11:10:00Z", "view"),
+            _ev(4, 3, "2026-03-01T12:30:00Z", "other"),
+        ],
+        now - 20,
+    )
+    # Batch 2: advancer only — runs with wm 12:20, emits + evicts the
+    # click and view windows, moves event-time to 14:00.
+    _write_file(
+        stream_dir / "b2.json", [_ev(5, 3, "2026-03-01T14:00:00Z", "other")], now - 10
+    )
+    # Batch 3: a 10:40 click — far behind the 13:50 watermark and its
+    # window's state is gone → guaranteed dropped.
+    _write_file(
+        stream_dir / "b3.json",
+        [
+            _ev(6, 1, "2026-03-01T10:40:00Z"),
+            _ev(7, 3, "2026-03-01T16:00:00Z", "other"),
+        ],
+        now,
+    )
+    agg = tumbling_counts(_events_stream(spark, stream_dir), watermark="10 minutes")
+    _drain(agg, "tumbling_out", str(tmp_path / "ck1"))
+    click_rows = [
+        r.n_events
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        if str(r.window_start) == "2026-03-01 10:00:00" and r.event_type == "click"
+    ]
+    # Exactly one finalized emission, and the late event isn't in it.
+    assert click_rows == [2]
+    view_rows = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert view_rows[("2026-03-01 11:00:00", "view")] == 1
+
+
+def test_dedup_within_watermark(spark, stream_dir, tmp_path):
+    now = time.time()
+    _write_file(
+        stream_dir / "b1.json",
+        [_ev(1, 1, "2026-03-01T10:00:00Z"), _ev(2, 1, "2026-03-01T10:01:00Z")],
+        now - 10,
+    )
+    _write_file(
+        stream_dir / "b2.json",
+        [_ev(2, 1, "2026-03-01T10:02:00Z"), _ev(3, 2, "2026-03-01T10:03:00Z")],
+        now,
+    )
+    dedup = dedup_within_watermark(_events_stream(spark, stream_dir), watermark="1 hour")
+    _drain(dedup, "dedup_out", str(tmp_path / "ck2"))
+    ids = sorted(r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect())
+    assert ids == [1, 2, 3]  # duplicate id 2 in batch 2 suppressed
+
+
+def test_running_totals_state_across_batches(spark, stream_dir, tmp_path):
+    now = time.time()
+    _write_file(
+        stream_dir / "b1.json",
+        [
+            _ev(1, 1, "2026-03-01T10:00:00Z"),
+            _ev(2, 1, "2026-03-01T10:01:00Z"),
+            _ev(3, 2, "2026-03-01T10:02:00Z"),
+        ],
+        now - 10,
+    )
+    _write_file(stream_dir / "b2.json", [_ev(4, 1, "2026-03-01T10:03:00Z")], now)
+    totals = running_totals(_events_stream(spark, stream_dir))
+    _drain(totals, "totals_out", str(tmp_path / "ck3"))
+    rows = [
+        (r.user_id, r.batch_events, r.total_events)
+        for r in spark.sql(
+            "SELECT * FROM totals_out ORDER BY total_events, user_id"
+        ).collect()
+    ]
+    # Batch 1: u1 sees 2, u2 sees 1. Batch 2: u1 sees 1 more → total 3.
+    assert (1, 2, 2) in rows and (2, 1, 1) in rows and (1, 1, 3) in rows
