@@ -1,0 +1,224 @@
+"""Multimodal columns: binary payloads + typed metadata (SURVEY.md §2.11).
+
+Model: media is an opaque `binary` column beside a typed metadata
+struct — the lakehouse-native layout for images/audio/video at 100 TB
+(payload bytes travel with the row, metadata is prunable/filterable
+without touching payloads; Parquet stores the binary column contiguously
+so a metadata-only query never reads it).
+
+All media operators are Arrow-batched `mapInPandas` transforms: Spark
+hands each task an iterator of pandas batches, the codec runs
+vectorized per batch, and output schemas are declared up front so
+Catalyst plans around them. No row-at-a-time Python anywhere.
+
+Codec layer: the real decoders (PIL / soundfile / av) are not in this
+container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
+"codec" interprets the raw bytes themselves as samples/pixels
+(`uint8`), which keeps every byte of the Spark-side plumbing — schema,
+batch shape, partitioning, null handling — real and testable. Swapping
+in a real codec changes ONLY the inside of the per-batch function.
+
+Scale notes:
+- Payload skew is the hazard: a 4 GB video next to 4 KB thumbnails.
+  `repartition_by_payload` salts rows into even-sized partitions by
+  cumulative byte size, bounding per-task memory.
+- `spark.sql.execution.arrow.maxRecordsPerBatch` is the batch-size
+  knob when payloads are large (set ~32 for video, default for
+  thumbnails).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - real codecs absent in this environment
+    import PIL.Image  # noqa: F401
+
+    _HAVE_REAL_CODECS = True
+except ImportError:
+    _HAVE_REAL_CODECS = False
+
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("meta", MEDIA_META),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media fixtures from the `documents` table: the
+    UTF-8 bytes of the text become the payload; metadata is derived
+    from the id. Pure column ops — no UDF, reproducible at any SF."""
+    n = F.coalesce(F.length(text_col).cast("int"), F.lit(0))
+    width = (n / F.lit(8)).cast("int") + F.lit(1)
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.struct(
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col(id_col) % 3 + 1).cast("int"),
+            ).alias("media_type"),
+            width.alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col(id_col) % 7 + 1).cast("int").alias("n_frames"),
+            F.lit("raw-u8").alias("codec"),
+        ).alias("meta"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias("content"),
+    )
+
+
+def _as_u8(content: bytes | None) -> np.ndarray:
+    if content is None or len(content) == 0:
+        return np.zeros(1, dtype=np.uint8)
+    return np.frombuffer(bytes(content), dtype=np.uint8)
+
+
+# --------------------------------------------------------------- operators
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Per-item decode + summary stats (the "can we read it" pass every
+    media pipeline runs first). Fake codec: bytes are the samples."""
+    schema = (
+        "media_id long, media_type string, n_bytes long, "
+        "mean_value double, min_value int, max_value int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_REAL_CODECS:  # pragma: no cover
+            raise NotImplementedError(
+                "real codec path not wired: decode via PIL/soundfile here"
+            )
+        for pdf in it:
+            arrs = [_as_u8(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [len(a) for a in arrs],
+                    "mean_value": [float(a.mean()) for a in arrs],
+                    "min_value": [int(a.min()) for a in arrs],
+                    "max_value": [int(a.max()) for a in arrs],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFrame:
+    """Strided "resize": sample the payload down to out_width*out_height
+    bytes (nearest-neighbor over the fake 1-D pixel space). Output keeps
+    the media schema shape with updated metadata + payload."""
+    schema = "media_id long, width int, height int, content binary"
+    target = out_width * out_height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_REAL_CODECS:  # pragma: no cover
+            raise NotImplementedError("real codec path: PIL Image.resize here")
+        for pdf in it:
+            out = []
+            for c in pdf["content"]:
+                a = _as_u8(c)
+                idx = np.linspace(0, len(a) - 1, num=target).astype(np.int64)
+                out.append(a[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_width,
+                    "height": out_height,
+                    "content": out,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video rows: split the payload into
+    `meta.n_frames` equal frames, keep every `every_n`-th — a 1→N
+    mapInPandas (output rows ≠ input rows), the shape a real
+    keyframe-extractor has."""
+    schema = "media_id long, frame_index int, frame bytes".replace("bytes", "binary")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_REAL_CODECS:  # pragma: no cover
+            raise NotImplementedError("real codec path: av keyframe demux here")
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, meta, c in zip(pdf["media_id"], pdf["meta"], pdf["content"]):
+                if meta["media_type"] != "video":
+                    continue
+                a = _as_u8(c)
+                n = max(int(meta["n_frames"] or 1), 1)
+                for i, frame in enumerate(np.array_split(a, n)):
+                    if i % every_n == 0:
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(frame.tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Fixed-dim feature vector per item (the embed step before
+    similarity search / near-dup). Fake featurizer: per-bucket byte
+    means, L2-normalized — deterministic, vectorized, and shaped exactly
+    like a real encoder's output (`array<float>[dim]`)."""
+    schema = f"media_id long, features array<float>"  # noqa: F541
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_REAL_CODECS:  # pragma: no cover
+            raise NotImplementedError("real model path: batch-infer encoder here")
+        for pdf in it:
+            feats = []
+            for c in pdf["content"]:
+                a = _as_u8(c).astype(np.float32)
+                buckets = np.array(
+                    [b.mean() if len(b) else 0.0 for b in np.array_split(a, dim)],
+                    dtype=np.float32,
+                )
+                norm = float(np.linalg.norm(buckets))
+                feats.append((buckets / norm if norm else buckets).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def repartition_by_payload(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
+    """Rebalance so each partition carries ~target_bytes of payload.
+
+    Binary rows are size-skewed; hash partitioning by count gives some
+    tasks 100× the bytes of others. Bucket rows by cumulative size per
+    current partition → repartition on the bucket. At 100 TB this is
+    the difference between a smooth stage and three stragglers."""
+    with_size = media.withColumn("_sz", F.coalesce(F.length("content"), F.lit(0)))
+    # salt = size-weighted bucket; xxhash spreads equal-size rows.
+    buckets = F.abs(F.xxhash64("media_id")) % F.lit(1024)
+    weighted = with_size.withColumn(
+        "_bucket", (buckets * (F.col("_sz") + 1) / F.lit(target_bytes)).cast("long")
+    )
+    return weighted.repartition(F.col("_bucket")).drop("_sz", "_bucket")

@@ -305,3 +305,23 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= 0.95)
         .select("id_a", "id_b", round_det("cosine_raw", 4).alias("cosine"))
     )
+
+
+@query("mm_media_pipeline")  # binary payloads — rows-only check (no SQL form)
+def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: multimodal pipeline — synthesize binary media from
+    `documents`, decode-stats each payload, extract fixed-dim features
+    (Arrow-batched mapInPandas; deterministic fake codecs)."""
+    from ..multimodal.media import decode_stats, extract_features, synthesize_media
+
+    t = load_tables(spark, sf_dir)
+    media = synthesize_media(t["documents"])
+    stats = decode_stats(media)
+    feats = extract_features(media, dim=8)
+    return stats.join(feats, "media_id").select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        F.size("features").alias("feature_dim"),
+    )

@@ -9,6 +9,8 @@ semantics match the DuckDB oracle and any downstream warehouse.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -22,6 +24,45 @@ RUNTIME_CONFS: dict[str, str] = {
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
+
+
+# Sessions we've already shipped the package zip to (by JVM context id).
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `github_etl_spark` importable on executors via addPyFile.
+
+    Python-executed operators (mapInPandas / applyInPandas closures)
+    unpickle by importing this package in the worker process. When the
+    driving session was created by an external harness whose
+    PYTHONPATH doesn't include the repo (it sys.path-inserts on the
+    driver only), workers would fail the import — shipping a zip of the
+    package with the job fixes that for any deployment, which is also
+    exactly how this code reaches a real cluster's executors.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"github_etl_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        # Some managed deployments forbid addPyFile; workers must then
+        # already have the package installed.
+        pass
+    _SHIPPED.add(key)
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -39,6 +80,7 @@ def tune(spark: SparkSession) -> SparkSession:
             # Non-settable in this deployment — keep going; individual
             # queries avoid depending on any single conf for correctness.
             pass
+    ship_package(spark)
     return spark
 
 
