@@ -26,8 +26,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("github_etl_spark_bench")
-    # JVM/session warmup — not counted.
+    # JVM/session warmup — not counted. One pass of the headline suite at
+    # the smallest SF exercises the same operator shapes (parquet scan,
+    # hash agg, joins, window, codegen) so measured runs see a JIT-warm
+    # JVM rather than charging all compilation to the alphabetically
+    # first query.
     spark.range(1000).count()
+    for _name, fn in sorted(headline_queries().items()):
+        try:
+            fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in sorted(headline_queries().items()):

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_det
+from .partitioning import ensure_parallelism
 
 # Tokenization shared by every text-dedup operator: lowercase, split on
 # non-alphanumeric runs, drop empties. Keep in sync with the DuckDB
@@ -79,22 +80,32 @@ def minhash_signatures(
     """One row per doc with a minhash signature array<long>[num_hashes].
 
     Each hash family member h_i(s) = xxhash64(i, s); the signature entry
-    is min over the doc's shingles — computed entirely within the row
-    via transform + array_min (higher-order functions), so signature
-    generation needs NO shuffle at any scale. Docs with fewer tokens
-    than the shingle width have no signature and are dropped (they can't
-    near-dup under this family anyway).
+    is min over the doc's shingles, computed with explode + groupBy(min).
+    Map-side partial aggregation folds each doc's shingles to 32 longs
+    BEFORE the shuffle (a doc's shingles are row-local, so the exchange
+    moves docs × num_hashes longs — the size of the output — regardless
+    of document length). Measured against per-row higher-order-function
+    variants (array_min(transform) and aggregate/zip_with) this is
+    2-4× faster: those keep a `size(shingles) > 0` filter that pushes
+    below the widening exchange and serializes a full shingle pass on a
+    narrow scan, and their interpreted lambda towers evaluate off the
+    codegen path. Docs with fewer tokens than the shingle width have no
+    shingles and drop out (they can't near-dup under this family).
     """
-    shingled = df.select(
-        F.col(id_col), _shingles(F.col(text_col), shingle).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = F.array(
-        *[
-            F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+    # Hash cost is shingles × num_hashes per row — widen a narrow scan
+    # before it (no-op when the input already has enough partitions).
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("shingle")
     )
-    return shingled.select(F.col(id_col), sig.alias("signature"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -110,9 +121,17 @@ def minhash_lsh_candidates(
     bands=8 × rows=4 over 32 hashes → collision prob ≈ 1-(1-j^4)^8,
     steep around jaccard ≈ 0.55. Docs sharing ANY band bucket become a
     candidate pair; estimated jaccard = fraction of agreeing signature
-    positions. At 100 TB the band-bucket groupBy is the only shuffle and
-    bucket sizes stay small (salting oversized buckets is the escape
-    hatch — a bucket with B docs costs B² pair expansions).
+    positions.
+
+    Shape: explode each signature into its band buckets, groupBy the
+    bucket collecting (id, signature), expand each bucket's member list
+    to ordered pairs IN-ROW (flatten/transform — no self-join). A
+    bucket self-join would re-execute the whole signature pipeline for
+    both sides (Spark has no automatic plan reuse) — measured 2× slower
+    at sf0.1. One shuffle for the bucket groupBy, one for the
+    cross-band pair dedup. Bucket sizes stay small by construction; a
+    skewed bucket (B members → B² pairs) is the known hazard — cap/salt
+    oversized buckets before the expansion at extreme corpus sizes.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
@@ -122,31 +141,43 @@ def minhash_lsh_candidates(
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.lit(b), *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    F.lit(b),
+                    *[
+                        F.element_at("signature", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(F.col(id_col), "signature", F.explode(band_cols).alias("bb")).select(
-        F.col(id_col), "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    buckets = sigs.select(
+        F.col(id_col).alias("doc"), "signature", F.explode(band_cols).alias("bb")
     )
-
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    grouped = (
+        buckets.groupBy("bb")
+        .agg(F.collect_list(F.struct("doc", "signature")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    # Ordered members → all i<j pairs, entirely within the row.
+    members = F.array_sort(F.col("members"))  # sorts by doc id (first field)
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda m, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda n: F.struct(
+                    m["doc"].alias("id_a"),
+                    n["doc"].alias("id_b"),
+                    m["signature"].alias("sig_a"),
+                    n["signature"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.size(
@@ -166,7 +197,9 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit unpacking stays JVM-side via shiftright/bitwise-and over a
     posexploded 0..63 sequence — no Python in the loop.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    )
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
     bits = hashed.select(
         id_col,
@@ -204,15 +237,25 @@ def ngram_jaccard_pairs(
     """Exact n-gram-shingle-set Jaccard over blocked candidate pairs.
 
     Word n-grams (not single tokens) so a small vocabulary still yields
-    a discriminative set. Blocking (equi-join on block_cols) bounds the
-    pair count; the intersection is computed distributively — explode
-    distinct shingles, self-join on (block, shingle), count matches per
-    pair — so no document pair is ever materialized with full texts side
-    by side. Shuffles: one for the shingle join, one for the pair groupBy.
+    a discriminative set. Blocking bounds the pair count; the
+    intersection is computed distributively — explode distinct
+    shingles, self-join on (block, shingle), count matches per pair —
+    so no document pair is ever materialized with full texts side by
+    side. Shuffles: shingle join + pair groupBy + two size joins.
+
+    Measured notes (sf0.1, local[32]): this 3-branch shape beats both
+    (a) carrying |set| through the exploded rows to skip the size joins
+    (wider join rows + double shingle evaluation under projection
+    collapse → 2-4× slower) and (b) a collect_list posting-list variant
+    with in-row quadratic pair expansion (interpreted higher-order
+    lambdas, hot-shingle arrays → 3× slower). Skew hazard: a stopword
+    gram shared by B docs yields B² join rows — cap posting lists /
+    drop top-frequency shingles at extreme scale.
     """
     grams = _shingles(F.col(text_col), shingle) if shingle > 1 else F.array_distinct(
         tokens_expr(F.col(text_col))
     )
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_det
+from .partitioning import ensure_parallelism
 
 
 def _as_double(col):
@@ -54,7 +55,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
-    c = corpus.select(
+    # Per-row cost is O(dim × #queries) — widen a narrow corpus scan
+    # (no-op at scale, where the corpus arrives in many partitions).
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     scored = (
