@@ -158,3 +158,141 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", round_det("cosine_raw", 4).alias("cosine"))
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: k-means over a bounded, deterministic
+    corpus sample, run driver-side with numpy.
+
+    The sample is hash-selected (orderBy xxhash64 + limit → planned as
+    a distributed top-k, not a full sort), so it's stable across runs
+    and partitionings, and the driver transfer is bounded at
+    `sample_size` rows no matter the corpus size — one corpus scan to
+    train, which is what makes this viable at 100 TB (FAISS trains IVF
+    on a sample the same way). Empty-cell centroids are re-seeded from
+    the farthest points (standard k-means repair).
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .where(F.size("v") > 0)
+        .orderBy(F.xxhash64(F.col("v").cast("array<string>")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r.v for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                cent[c] = m / (n or 1.0)
+            else:
+                cent[c] = x[sims.max(axis=1).argmin()]  # farthest point
+    return cent.tolist()
+
+
+def _cell_sims_expr(vec, centroids: list[list[float]]):
+    """Array of cosine-ish scores of `vec` against each centroid.
+
+    Centroids are unit vectors, so dot(vec, centroid) ranks cells the
+    same as cosine for a fixed vec — no per-row norm needed.
+    """
+    return F.array(
+        *[dot_expr(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest-centroid cell (the IVF
+    "inverted list" id). Pure JVM expressions; at scale, write the
+    result partitioned/bucketed BY CELL so probes prune to nprobe
+    directories and the probe join needs no corpus shuffle."""
+    sims = _cell_sims_expr(_as_double(F.col(vec_col)), centroids)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k cosine: score only corpus vectors whose
+    cell is among the query's `nprobe` closest centroids.
+
+    Cost per query ≈ (nprobe / n_centroids) of the corpus vs brute
+    force; recall rises with nprobe (asserted in tests). The probed
+    query set (query_id × nprobe cells) is broadcast, so the only wide
+    operation is the final per-query top-k window. Centroid training is
+    sample-bounded; assignment is one corpus pass.
+    """
+    centroids = train_ivf_centroids(
+        corpus, vec_col, n_centroids, sample_size, seed=seed
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    q_sims = _cell_sims_expr(_as_double(F.col(vec_col)), centroids)
+    # Rank cells per query: sort (sim, cell) structs desc, take nprobe.
+    cells_ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    q_sims,
+                    lambda s, i: F.struct(s.alias("sim"), i.cast("int").alias("cell")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        F.explode(F.transform(cells_ranked, lambda s: s["cell"])).alias("cell"),
+    )
+
+    scored = assigned.join(F.broadcast(q), ["cell"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", round_det("cosine_raw", 4).alias("cosine"))
+    )

@@ -325,3 +325,16 @@ def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det("mean_value", 4).alias("mean_value"),
         F.size("features").alias("feature_dim"),
     )
+
+
+@query("sim_ivf_topk")  # approximate — recall asserted in tests
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: IVF ANN — sample-trained coarse quantizer (16 cells), probe
+    the 4 closest cells per query (~1/4 of the corpus scored). The
+    FAISS-IVF shape on DataFrames; see operators/similarity.ivf_topk."""
+    from ..operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.orderBy("vec_id").limit(10)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)

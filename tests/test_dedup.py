@@ -1,0 +1,185 @@
+"""Property tests for the approximate dedup/similarity operators.
+
+The xxhash64-based operators (minhash, simhash, LSH) have no DuckDB
+oracle (different hash function), so the driver only row-count-checks
+them. These tests pin the *statistical* contracts instead: estimator
+accuracy against exactly-computed ground truth, and candidate recall
+against the exact operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_spark.operators.dedup import (
+    _shingles,
+    hamming_distance,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+
+
+def _docs(spark):
+    """Deterministic corpus with known duplicate structure: families of
+    near-identical docs (small token edits) + unrelated filler."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill near the garden gate"
+    )
+    rows = []
+    # Family A: base with 0/1/2-token tweaks → high pairwise jaccard.
+    rows.append((0, base))
+    rows.append((1, base.replace("quick", "swift")))
+    rows.append((2, base.replace("lazy", "sleepy").replace("warm", "cold")))
+    # Family B: a different sentence, twice verbatim.
+    alt = (
+        "distributed query engines shuffle partitioned data across the "
+        "cluster network while the optimizer prunes unneeded columns"
+    )
+    rows.append((3, alt))
+    rows.append((4, alt))
+    # Filler: unrelated docs sharing no 3-gram with anything above.
+    for i in range(5, 25):
+        rows.append((i, f"document number {i} talks about topic {i * 7} "
+                        f"and item {i * 13} exclusively in isolation {i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _true_jaccard(spark, df, a, b, shingle=3):
+    sh = df.select("doc_id", _shingles(F.col("text"), shingle).alias("sh"))
+    rows = {r.doc_id: set(r.sh) for r in sh.collect()}
+    inter = len(rows[a] & rows[b])
+    union = len(rows[a] | rows[b])
+    return inter / union if union else 0.0
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    df = _docs(spark)
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(df, "text", "doc_id", 64).collect()}
+    for a, b in [(0, 1), (0, 2), (3, 4), (0, 3)]:
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64.0
+        true = _true_jaccard(spark, df, a, b)
+        # 64 hashes → stderr ≈ sqrt(j(1-j)/64) ≤ 0.063; allow 3σ.
+        assert abs(est - true) <= 0.2, (a, b, est, true)
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = _docs(spark)
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(df, "text", "doc_id").collect()}
+    assert sigs[3] == sigs[4]
+
+
+def test_lsh_recall_of_exact_near_dups(spark):
+    df = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df.withColumn("blk", F.lit(1)), "text", "doc_id", ["blk"], threshold=0.6
+        ).collect()
+    }
+    assert exact  # the families above must yield exact near-dup pairs
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "text", "doc_id", 32, 8).collect()
+    }
+    # Banded LSH (8 bands × 4 rows) catches every pair with j ≥ 0.6
+    # on this corpus; collision prob at j=0.6 is 1-(1-0.6^4)^8 ≈ 0.70
+    # per band family — families here sit at j ≥ 0.7 where it's ≈ 0.9.
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.9, (exact, cands)
+
+
+def test_lsh_no_candidates_across_unrelated_docs(spark):
+    df = _docs(spark)
+    cands = minhash_lsh_candidates(df, "text", "doc_id", 32, 8)
+    filler_pairs = cands.filter((F.col("id_a") >= 5) & (F.col("id_b") >= 5)).count()
+    assert filler_pairs == 0  # no shared shingles → no shared buckets
+
+
+def test_simhash_orders_by_similarity(spark):
+    df = _docs(spark)
+    sh = simhash_signatures(df, "text", "doc_id")
+    sigs = {r.doc_id: r.simhash for r in sh.collect()}
+    pairs = spark.createDataFrame(
+        [(sigs[3], sigs[4]), (sigs[0], sigs[1]), (sigs[0], sigs[10])],
+        "a long, b long",
+    ).select(hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()
+    d_same, d_near, d_far = (r.d for r in pairs)
+    assert d_same == 0  # identical docs → identical simhash
+    assert d_near < d_far  # near-dup family closer than unrelated doc
+
+
+@pytest.mark.parametrize("num_hashes,bands", [(32, 8), (64, 16)])
+def test_lsh_candidate_pairs_are_ordered_and_unique(spark, num_hashes, bands):
+    df = _docs(spark)
+    rows = minhash_lsh_candidates(df, "text", "doc_id", num_hashes, bands).collect()
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
+# ------------------------------------------------------------- similarity ANN
+
+
+def _emb_tables(spark):
+    from github_etl_spark.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", register=False)
+    emb = t["embeddings"]
+    return emb, emb.orderBy("vec_id").limit(10)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from github_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb, queries = _emb_tables(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # nprobe=4/16 cells; clustered fixtures
+
+
+def test_ivf_nprobe_monotone_recall(spark):
+    from github_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb, queries = _emb_tables(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=nprobe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    # Probing every cell IS brute force (recall 1.0); more probes never hurt.
+    r2, r16 = recall(2), recall(16)
+    assert r16 == 1.0
+    assert r2 <= r16
+
+
+def test_ivf_assign_covers_all_rows(spark):
+    from github_etl_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    emb, _ = _emb_tables(spark)
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_size=256)
+    assert len(cents) == 8
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    cells = [r.cell for r in assigned.select("cell").distinct().collect()]
+    assert all(0 <= c < 8 for c in cells)
