@@ -215,3 +215,127 @@ def j5_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("right_ts").alias("last_click_ts"),
     )
+
+
+@query(
+    "t5_sliding_window_agg",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS w0
+      FROM events
+    ),
+    expanded AS (
+      SELECT event_type, unnest(list_value(w0, w0 - 1800)) AS wstart
+      FROM base
+    )
+    SELECT make_timestamp(wstart * 1000000) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def t5_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch analog: sliding 1h windows every 30min — each event
+    lands in exactly duration/slide = 2 windows (Spark's Expand
+    operator; the oracle unnests the same two window starts)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+@query(
+    "t5_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def t5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch analog: `session_window(ts, gap)` — sessions close after
+    30min inactivity; Spark defines session_end = last event + gap (the
+    oracle reproduces sessions via the lag/cumsum idiom, w4's shape)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "j5_full_outer_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT user_id, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.n_clicks AS n_clicks,
+           p.n_purchases AS n_purchases
+    FROM clicks c FULL OUTER JOIN purchases p ON c.user_id = p.user_id
+    """,
+)
+def j5_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: full outer — users with clicks but no purchases and vice
+    versa both survive with NULLs on the missing side."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        clicks.withColumnRenamed("user_id", "c_user")
+        .join(
+            purchases.withColumnRenamed("user_id", "p_user"),
+            F.col("c_user") == F.col("p_user"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            "n_clicks",
+            "n_purchases",
+        )
+    )
