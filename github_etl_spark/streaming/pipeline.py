@@ -39,6 +39,7 @@ def run_batch(
     snapshot_date: str | _dt.date,
     per_page: int = 100,
     force: bool = False,
+    token: str | None = None,
 ) -> SnapshotSink:
     """Full ETL for each repo: scan → transform → idempotent load.
 
@@ -53,14 +54,16 @@ def run_batch(
     for repo in repos:
         if not force and sink.exists(spark, repo, snapshot_date):
             continue
-        prs = (
+        reader = (
             spark.read.format("github")
             .option("repo", repo)
             .option("url", api_url)
             .option("per_page", str(per_page))
             .option("state", "all")
-            .load()
         )
+        if token:
+            reader = reader.option("token", token)
+        prs = reader.load()
         sink.load(transform(prs, repo), repo, snapshot_date)
     return sink
 
