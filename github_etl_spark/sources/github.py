@@ -90,17 +90,29 @@ class GithubClient:
     task inside the reader.
     """
 
-    def __init__(self, api_url: str, token: str | None = None, timeout: float = 30.0):
+    def __init__(
+        self,
+        api_url: str,
+        token: str | None = None,
+        timeout: float = 30.0,
+        auth=None,
+    ):
         self.api_url = api_url.rstrip("/")
         self.token = token
         self.timeout = timeout
+        # Optional provider with .headers() — e.g. sources.auth
+        # .InstallationAuth (GitHub App flow, refreshed per request: the
+        # reference's refresh_auth closure, main.py:843-869 / T3).
+        self.auth = auth
 
     def _headers(self) -> dict[str, str]:
         h = {
             "Accept": "application/vnd.github+json",
             "User-Agent": USER_AGENT,
         }
-        if self.token:
+        if self.auth is not None:
+            h.update(self.auth.headers())
+        elif self.token:
             h["Authorization"] = f"Bearer {self.token}"
         return h
 
@@ -177,9 +189,18 @@ class GithubPullsReader(DataSourceReader):
         self.repos = [r.strip() for r in repos.split(",") if r.strip()]
         if not self.repos:
             raise ValueError("github source requires option 'repo' (or 'repos')")
-        self.client = GithubClient(
-            options.get("url", DEFAULT_API_URL), options.get("token") or None
-        )
+        api_url = options.get("url", DEFAULT_API_URL)
+        auth = None
+        if options.get("app_id") and options.get("private_key"):
+            from .auth import InstallationAuth
+
+            auth = InstallationAuth(
+                app_id=options["app_id"],
+                private_key_pem=options["private_key"].replace("\\n", "\n"),
+                repo=self.repos[0],
+                api_url=api_url.rstrip("/"),
+            )
+        self.client = GithubClient(api_url, options.get("token") or None, auth=auth)
         self.per_page = int(options.get("per_page", "100"))
         self.state = options.get("state", "all")
         self.max_pages = int(options.get("max_pages", "0"))  # 0 = unbounded
