@@ -33,7 +33,11 @@ def bug_id_expr(title_col):
     flags (§7.4 risk 3); a single regexp_extract gets this wrong.
     """
     matches = F.regexp_extract_all(title_col, F.lit(BUG_RE), F.lit(1))
-    surviving = F.filter(matches, lambda x: x.cast("long") < 100000000)
+    # try_cast: digit runs longer than int64 (e.g. 20 digits) must be
+    # DROPPED like any other >= 1e8 id, not raise — the reference's
+    # Python int() is arbitrary-precision (ANSI cast would throw here;
+    # NULL < x is NULL, which filter() treats as false).
+    surviving = F.filter(matches, lambda x: x.try_cast("long") < 100000000)
     # try_element_at: empty survivor list → NULL (ANSI element_at throws)
     return F.try_element_at(surviving, F.lit(1)).cast("long")
 

@@ -628,7 +628,7 @@ from ..functions.text import BUG_RE, bug_id_expr  # noqa: E402,F401
     )
     SELECT o_orderkey, title,
            CAST(list_filter(regexp_extract_all(title, '(?i)\\b(?:bug|b=)\\s*#?(\\d+)\\b', 1),
-                            x -> CAST(x AS BIGINT) < 100000000)[1] AS BIGINT) AS bug_id
+                            x -> TRY_CAST(x AS BIGINT) < 100000000)[1] AS BIGINT) AS bug_id
     FROM titled
     """,
 )

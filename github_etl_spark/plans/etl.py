@@ -36,7 +36,7 @@ SELECT t.o_orderkey AS pull_request_id,
        t.o_orderstatus AS current_status,
        CAST(t.o_orderdate AS DATE) AS date_created,
        CAST(list_filter(regexp_extract_all(t.title, '(?i)\\b(?:bug|b=)\\s*#?(\\d+)\\b', 1),
-                        x -> CAST(x AS BIGINT) < 100000000)[1] AS BIGINT) AS bug_id,
+                        x -> TRY_CAST(x AS BIGINT) < 100000000)[1] AS BIGINT) AS bug_id,
        c.c_mktsegment AS segment,
        a.date_approved AS date_approved,
        'acme/widgets' AS target_repository,
