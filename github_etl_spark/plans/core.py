@@ -818,3 +818,27 @@ def o4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return a.subtract(b)
+
+
+@query(
+    "s8_param_sql_probe",
+    oracle="""
+    SELECT o_orderkey AS pull_request_id, o_orderdate AS date_created
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_custkey < 100
+    """,
+)
+def s8_param_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3: the reference's delegated parameterized SQL
+    (ScalarQueryParameter probe, main.py:573-586) as first-class
+    `spark.sql` with named parameters — no external engine, no string
+    interpolation (injection-safe like the original)."""
+    load_tables(spark, sf_dir)  # registers the temp views
+    return spark.sql(
+        """
+        SELECT o_orderkey AS pull_request_id, o_orderdate AS date_created
+        FROM orders
+        WHERE o_orderstatus = :status AND o_custkey < :max_cust
+        """,
+        args={"status": "F", "max_cust": 100},
+    )

@@ -216,3 +216,35 @@ def test_running_totals_state_across_batches(spark, stream_dir, tmp_path):
     ]
     # Batch 1: u1 sees 2, u2 sees 1. Batch 2: u1 sees 1 more → total 3.
     assert (1, 2, 2) in rows and (2, 1, 1) in rows and (1, 1, 3) in rows
+
+
+def test_session_counts_stream(spark, stream_dir, tmp_path):
+    from github_etl_spark.streaming import session_counts
+
+    now = time.time()
+    # u1: two events 5min apart (one session), then 40min gap → new
+    # session. u2: single event. Advancer closes everything.
+    _write_file(
+        stream_dir / "b1.json",
+        [
+            _ev(1, 1, "2026-03-01T10:00:00Z"),
+            _ev(2, 1, "2026-03-01T10:05:00Z"),
+            _ev(3, 1, "2026-03-01T10:45:00Z"),
+            _ev(4, 2, "2026-03-01T10:10:00Z"),
+        ],
+        now - 10,
+    )
+    _write_file(
+        stream_dir / "b2.json", [_ev(5, 3, "2026-03-01T20:00:00Z", "other")], now
+    )
+    sess = session_counts(
+        _events_stream(spark, stream_dir), gap="30 minutes", watermark="5 minutes"
+    )
+    _drain(sess, "sessions_out", str(tmp_path / "ck4"))
+    rows = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert rows[(1, "2026-03-01 10:00:00")] == 2  # merged 10:00+10:05
+    assert rows[(1, "2026-03-01 10:45:00")] == 1  # after the 40min gap
+    assert rows[(2, "2026-03-01 10:10:00")] == 1
