@@ -842,3 +842,30 @@ def s8_param_sql_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "max_cust": 100},
     )
+
+
+@query(
+    "j6_salted_skew_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name,
+           l.l_quantity AS quantity
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join (operators/partitioning.salted_join): big side
+    salted by row hash, small side replicated per salt, join on
+    (key, salt). Row-identical to the plain join — which is exactly what
+    the oracle checks. For the pathological hot key AQE's post-shuffle
+    skew split can't fix (SURVEY.md §2.3 key-distribution note)."""
+    from ..operators.partitioning import salted_join
+
+    t = load_tables(spark, sf_dir)
+    lineitem = t["lineitem"].withColumnRenamed("l_suppkey", "suppkey")
+    supplier = t["supplier"].withColumnRenamed("s_suppkey", "suppkey")
+    return salted_join(lineitem, supplier, "suppkey", salt_buckets=8).select(
+        "l_orderkey",
+        "l_linenumber",
+        "s_name",
+        F.col("l_quantity").alias("quantity"),
+    )

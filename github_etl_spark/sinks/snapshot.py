@@ -152,3 +152,29 @@ class SnapshotSink:
             snapshot_exists(spark, self.path(t), repo, snapshot_date)
             for t in SNAPSHOT_TABLES
         )
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    repo: str,
+    snapshot_date: str | _dt.date,
+    target_files: int = 1,
+) -> None:
+    """Rewrite one `(repo, date)` partition into `target_files` files.
+
+    The streaming path appends a file-set per micro-batch (S7), which
+    accumulates small files; this is the standard post-stream compaction:
+    read exactly that partition (pruned scan), coalesce, and replace it
+    atomically with the same dynamic-partition-overwrite used for loads.
+    Rows are unchanged — only the file layout. At scale, run per
+    partition after the stream's snapshot date closes.
+    """
+    part = read_snapshot(spark, table_path, repo, snapshot_date)
+    compacted = part.coalesce(target_files)
+    (
+        compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(table_path)
+    )
