@@ -44,7 +44,12 @@ import urllib.parse
 import urllib.request
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..etl.transform import RAW_PR_SCHEMA
 
@@ -328,6 +333,89 @@ class GithubPullsReader(DataSourceReader):
         )
 
 
+class GithubStreamReader(SimpleDataSourceStreamReader):
+    """Incremental PR ingest: `spark.readStream.format("github")`.
+
+    Offset = highest PR number ingested (PR numbers are monotone per
+    repo, and the scan is pinned to `sort=created, direction=asc`, the
+    reference's own ordering contract — main.py:203-208). Each
+    micro-batch reads only PRs with number > offset, enriches them, and
+    advances the cursor; `readBetweenOffsets` replays a committed range
+    deterministically for recovery, giving exactly-once delivery into a
+    checkpointed sink. This is the T1 chunked pipeline as a *live*
+    stream rather than a daily batch — the reference must re-run and
+    re-fetch the whole day to catch up; this resumes from the cursor.
+
+    Single-repo by design (offsets are per-repo); run one stream per
+    repo and union downstream if needed.
+    """
+
+    def __init__(self, options: dict):
+        repo = options.get("repo") or options.get("repos") or ""
+        self.repo = repo.split(",")[0].strip()
+        if not self.repo:
+            raise ValueError("github stream requires option 'repo'")
+        self.batch = GithubPullsReader({**options, "repo": self.repo})
+
+    def initialOffset(self) -> dict:
+        return {"last_number": 0}
+
+    def _read_after(self, last: int, upto: int | None = None):
+        rows = []
+        max_seen = last
+        for part in self.batch.partitions():
+            params = {**self.batch._list_params(), "page": part.page}
+            prs, _ = self.batch.client.get(f"/repos/{part.repo}/pulls", params)
+            for pr in prs:
+                n = pr.get("number")
+                if n is None or n <= last or (upto is not None and n > upto):
+                    continue
+                rows.append((part, pr))
+                max_seen = max(max_seen, n)
+        return rows, max_seen
+
+    def read(self, start: dict):
+        last = int(start.get("last_number", 0))
+        rows, max_seen = self._read_after(last)
+        # iter() over a materialized list: the prefetcher calls next()
+        # (so it needs a real iterator) and caches the consumed rows
+        # driver-side (so every row must be picklable — plain tuples).
+        return iter(list(self._enrich(rows))), {"last_number": max_seen}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._read_after(
+            int(start.get("last_number", 0)), int(end.get("last_number", 0))
+        )
+        return iter(list(self._enrich(rows)))
+
+    def _enrich(self, rows):
+        for part, pr in rows:
+            number = pr["number"]
+            if self.batch.with_children:
+                commits = self.batch._commits(part.repo, number)
+                reviews = [
+                    r
+                    for page in self.batch.client.iter_pages(
+                        f"/repos/{part.repo}/pulls/{number}/reviews",
+                        {"per_page": self.batch.per_page},
+                    )
+                    for r in page
+                    if r.get("user") is not None
+                ]
+                comments = [
+                    cm
+                    for page in self.batch.client.iter_pages(
+                        f"/repos/{part.repo}/issues/{number}/comments",
+                        {"per_page": self.batch.per_page},
+                    )
+                    for cm in page
+                    if cm.get("user") is not None and cm.get("body")
+                ]
+            else:
+                commits, reviews, comments = [], [], []
+            yield GithubPullsReader._to_row(pr, commits, reviews, comments)
+
+
 class GithubDataSource(DataSource):
     """`spark.read.format("github")` after `register(spark)`.
 
@@ -345,6 +433,9 @@ class GithubDataSource(DataSource):
 
     def reader(self, schema) -> GithubPullsReader:
         return GithubPullsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> GithubStreamReader:
+        return GithubStreamReader(self.options)
 
 
 def register(spark) -> None:

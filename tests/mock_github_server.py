@@ -94,6 +94,10 @@ def _comments(i: int) -> list[dict]:
 class _Handler(BaseHTTPRequestHandler):
     faults: dict[str, bool] = {}
     fault_lock = threading.Lock()
+    # Extra PR numbers appended to the listing after the base N_PRS —
+    # lets streaming tests grow the corpus mid-test (server-side state,
+    # visible to executor processes).
+    extra_prs: list[int] = []
 
     def log_message(self, *args):  # quiet
         pass
@@ -152,7 +156,9 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             )
         state = q.get("state", "open")
-        prs = [_pr(i) for i in range(1, N_PRS + 1)]
+        prs = [_pr(i) for i in range(1, N_PRS + 1)] + [
+            _pr(i) for i in _Handler.extra_prs
+        ]
         if state != "all":
             prs = [p for p in prs if p["state"] == state]
         start, end = (page - 1) * per_page, page * per_page
@@ -169,8 +175,12 @@ class _Handler(BaseHTTPRequestHandler):
 class MockGithub:
     """Context manager: serves on an ephemeral localhost port."""
 
+    def add_pr(self, number: int) -> None:
+        _Handler.extra_prs.append(number)
+
     def __enter__(self):
         _Handler.faults = {}
+        _Handler.extra_prs = []
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
         self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
         self.thread.start()

@@ -155,3 +155,46 @@ def test_max_pages_cap(mock_api):
          "max_pages": "2"}
     )
     assert len(r.partitions()) == 2
+
+
+# ------------------------------------------------------------------ streaming
+
+
+def test_github_stream_incremental(spark, tmp_path):
+    """Streaming reader: first batch ingests the existing corpus and
+    advances the PR-number cursor; PRs appearing later arrive in a
+    subsequent micro-batch with no re-ingest of earlier ones."""
+    with MockGithub() as mock:
+        register(spark)
+        stream = (
+            spark.readStream.format("github")
+            .option("repo", "acme/widgets")
+            .option("url", mock.url)
+            .option("per_page", "3")
+            .option("state", "all")
+            .option("with_children", "false")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("gh_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            first = sorted(
+                r.number for r in spark.sql("SELECT number FROM gh_stream").collect()
+            )
+            assert first == list(range(1, N_PRS + 1))
+
+            mock.add_pr(N_PRS + 1)
+            mock.add_pr(N_PRS + 2)
+            q.processAllAvailable()
+            second = sorted(
+                r.number for r in spark.sql("SELECT number FROM gh_stream").collect()
+            )
+            assert second == list(range(1, N_PRS + 3))  # no duplicates
+        finally:
+            q.stop()
