@@ -5,5 +5,5 @@ from .events import (  # noqa: F401
     session_counts,
     tumbling_counts,
 )
-from .pipeline import run_batch, stream_landing  # noqa: F401
+from .pipeline import run_batch, stream_github, stream_landing  # noqa: F401
 from .stateful import running_totals  # noqa: F401

@@ -112,3 +112,56 @@ def stream_landing(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return query, sink
+
+
+def stream_github(
+    spark: SparkSession,
+    repo: str,
+    api_url: str,
+    sink_base: str,
+    snapshot_date: str | _dt.date,
+    checkpoint_dir: str,
+    token: str | None = None,
+    with_children: bool = True,
+    available_now: bool = False,
+):
+    """LIVE end-to-end ETL: streaming GitHub source → transform →
+    per-batch append into the four snapshot tables.
+
+    The full reference DAG as one continuous query: the source's
+    PR-number cursor (sources.github.GithubStreamReader) plus the
+    checkpoint give exactly-once table appends; a crash resumes at the
+    cursor instead of refetching the day (strictly better than the
+    reference's probe→delete→reload recovery). Run compaction
+    (`sinks.snapshot.compact_snapshot`) when the date closes.
+    """
+    from ..sources.github import register
+
+    register(spark)
+    reader = (
+        spark.readStream.format("github")
+        .option("repo", repo)
+        .option("url", api_url)
+        .option("state", "all")
+        .option("with_children", "true" if with_children else "false")
+    )
+    if token:
+        reader = reader.option("token", token)
+    stream = reader.load()
+
+    def _load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for name, df in transform(batch_df, repo).items():
+            out = stamp(df, repo, snapshot_date)
+            if out.take(1):
+                out.write.mode("append").partitionBy(
+                    "target_repository", "snapshot_date"
+                ).parquet(os.path.join(sink_base, name))
+
+    writer = (
+        stream.writeStream.foreachBatch(_load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), SnapshotSink(sink_base)

@@ -248,3 +248,32 @@ def test_session_counts_stream(spark, stream_dir, tmp_path):
     assert rows[(1, "2026-03-01 10:00:00")] == 2  # merged 10:00+10:05
     assert rows[(1, "2026-03-01 10:45:00")] == 1  # after the 40min gap
     assert rows[(2, "2026-03-01 10:10:00")] == 1
+
+
+def test_stream_github_live_etl(spark, tmp_path):
+    from github_etl_spark.streaming.pipeline import stream_github
+
+    with MockGithub() as mock:
+        q, sink = stream_github(
+            spark,
+            "acme/widgets",
+            mock.url,
+            str(tmp_path / "wh"),
+            "2026-01-15",
+            str(tmp_path / "ck"),
+        )
+        try:
+            q.processAllAvailable()
+            prs = read_snapshot(spark, sink.path("pull_requests"))
+            assert prs.count() == N_PRS
+            # New PR appears upstream → next micro-batch appends just it.
+            mock.add_pr(N_PRS + 1)
+            q.processAllAvailable()
+            out = read_snapshot(spark, sink.path("pull_requests"))
+            assert sorted(r.pull_request_id for r in out.collect()) == list(
+                range(1, N_PRS + 2)
+            )
+            # Children flowed through the same stream.
+            assert read_snapshot(spark, sink.path("commits")).count() == (N_PRS + 1) * 4
+        finally:
+            q.stop()
