@@ -26,6 +26,7 @@ import datetime as _dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..etl.transform import RAW_PR_SCHEMA, transform
 from ..sinks.snapshot import SnapshotSink, stamp
@@ -80,23 +81,32 @@ def stream_landing(
 ):
     """Streaming ingest of enriched-PR JSON files → four snapshot tables.
 
-    `foreachBatch` appends each micro-batch (S7's streaming-insert
-    analog); the partition columns are stamped per batch so a later
-    dynamic-partition-overwrite compaction can supersede the stream's
-    appends. `maxFilesPerTrigger` is the chunk-size knob (the
-    reference's 100-PR chunk, main.py:875); the checkpoint makes replay
-    after a crash resume at the failed batch instead of refetching the
-    day (T4, strictly better than probe+delete).
+    `foreachBatch` writes each micro-batch (S7's streaming-insert
+    analog) into a per-batch sub-partition with dynamic partition
+    overwrite: `foreachBatch` alone is only at-least-once (a crash
+    between the table write and the checkpoint commit replays the
+    batch), but since batch N always overwrites exactly partition
+    `ingest_batch=N`, the replay is idempotent — effective
+    exactly-once without a transactional table format.
+    `maxFilesPerTrigger` is the chunk-size knob (the reference's
+    100-PR chunk, main.py:875); compaction
+    (`sinks.snapshot.compact_snapshot`) later collapses the per-batch
+    dirs.
     """
     sink = SnapshotSink(sink_base)
 
     def _load_batch(batch_df: DataFrame, batch_id: int) -> None:
         for name, df in transform(batch_df, repo).items():
-            out = stamp(df, repo, snapshot_date)
+            out = stamp(df, repo, snapshot_date).withColumn(
+                "ingest_batch", F.lit(batch_id)
+            )
             if out.take(1):
-                out.write.mode("append").partitionBy(
-                    "target_repository", "snapshot_date"
-                ).parquet(os.path.join(sink_base, name))
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("target_repository", "snapshot_date", "ingest_batch")
+                    .parquet(os.path.join(sink_base, name))
+                )
 
     reader = spark.readStream.schema(RAW_PR_SCHEMA)
     if max_files_per_trigger:
@@ -129,11 +139,13 @@ def stream_github(
     per-batch append into the four snapshot tables.
 
     The full reference DAG as one continuous query: the source's
-    PR-number cursor (sources.github.GithubStreamReader) plus the
-    checkpoint give exactly-once table appends; a crash resumes at the
-    cursor instead of refetching the day (strictly better than the
-    reference's probe→delete→reload recovery). Run compaction
-    (`sinks.snapshot.compact_snapshot`) when the date closes.
+    PR-number cursor (sources.github.GithubStreamReader) resumes after
+    a crash instead of refetching the day, and each batch overwrites
+    its own `ingest_batch` partition (dynamic overwrite), so batch
+    replay is idempotent — effective exactly-once end to end, strictly
+    better than the reference's probe→delete→reload recovery. Run
+    compaction (`sinks.snapshot.compact_snapshot`) when the date
+    closes.
     """
     from ..sources.github import register
 
@@ -151,11 +163,16 @@ def stream_github(
 
     def _load_batch(batch_df: DataFrame, batch_id: int) -> None:
         for name, df in transform(batch_df, repo).items():
-            out = stamp(df, repo, snapshot_date)
+            out = stamp(df, repo, snapshot_date).withColumn(
+                "ingest_batch", F.lit(batch_id)
+            )
             if out.take(1):
-                out.write.mode("append").partitionBy(
-                    "target_repository", "snapshot_date"
-                ).parquet(os.path.join(sink_base, name))
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("target_repository", "snapshot_date", "ingest_batch")
+                    .parquet(os.path.join(sink_base, name))
+                )
 
     writer = (
         stream.writeStream.foreachBatch(_load_batch)

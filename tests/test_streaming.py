@@ -277,3 +277,41 @@ def test_stream_github_live_etl(spark, tmp_path):
             assert read_snapshot(spark, sink.path("commits")).count() == (N_PRS + 1) * 4
         finally:
             q.stop()
+
+
+def test_stream_landing_batch_replay_is_idempotent(spark, tmp_path):
+    """Simulates the crash-between-write-and-commit case: wiping the
+    checkpoint makes the stream reprocess the same file as the same
+    batch id. The per-batch dynamic partition overwrite must replace,
+    not duplicate."""
+    import shutil
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink_base = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        {
+            "number": i, "title": f"pr {i}", "state": "open",
+            "created_at": "2026-02-01T00:00:00Z",
+            "updated_at": "2026-02-01T00:00:00Z",
+            "merged_at": None, "labels": [], "commit_data": [],
+            "reviewer_data": [], "comment_data": [],
+        }
+        for i in (1, 2, 3)
+    ]
+    _write_file(landing / "a.json", rows, time.time())
+
+    q, sink = stream_landing(
+        spark, str(landing), "acme/widgets", sink_base, "2026-02-10", ckpt
+    )
+    q.awaitTermination(120)
+    assert read_snapshot(spark, sink.path("pull_requests")).count() == 3
+
+    shutil.rmtree(ckpt)  # lose the commit → replay batch 0
+    q2, _ = stream_landing(
+        spark, str(landing), "acme/widgets", sink_base, "2026-02-10", ckpt
+    )
+    q2.awaitTermination(120)
+    out = read_snapshot(spark, sink.path("pull_requests"))
+    assert sorted(r.pull_request_id for r in out.collect()) == [1, 2, 3]  # no dupes
