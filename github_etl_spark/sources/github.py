@@ -210,6 +210,11 @@ class GithubPullsReader(DataSourceReader):
         self.state = options.get("state", "all")
         self.max_pages = int(options.get("max_pages", "0"))  # 0 = unbounded
         self.with_children = options.get("with_children", "true").lower() == "true"
+        # A PR can vanish between the listing and its child fetches
+        # (deleted repo content, force-push). One missing PR must not
+        # fail a whole scan task; 404s on child endpoints degrade to
+        # empty children unless skip_missing=false.
+        self.skip_missing = options.get("skip_missing", "true").lower() == "true"
 
     def _list_params(self) -> dict:
         # The reference's source pushdown (main.py:203-208).
@@ -237,29 +242,41 @@ class GithubPullsReader(DataSourceReader):
             number = pr.get("number")
             if number is None:
                 continue  # F3: un-enrichable row (reference hazard main.py:228-230)
-            if self.with_children:
-                commits = self._commits(partition.repo, number)
-                reviews = [
-                    r
-                    for page in c.iter_pages(
-                        f"/repos/{partition.repo}/pulls/{number}/reviews",
-                        {"per_page": self.per_page},
-                    )
-                    for r in page
-                    if r.get("user") is not None  # F1 (reference main.py:335)
-                ]
-                comments = [
-                    cm
-                    for page in c.iter_pages(
-                        f"/repos/{partition.repo}/issues/{number}/comments",
-                        {"per_page": self.per_page},
-                    )
-                    for cm in page
-                    if cm.get("user") is not None and cm.get("body")  # F2
-                ]
-            else:
-                commits, reviews, comments = [], [], []
+            commits, reviews, comments = self.children(partition.repo, number)
             yield self._to_row(pr, commits, reviews, comments)
+
+    def children(self, repo: str, number: int) -> tuple[list, list, list]:
+        """Fetch (commits, reviews, comments) for one PR, with the F1/F2
+        row filters applied (reference main.py:335,369). 404s degrade to
+        empty children when skip_missing (vanished PR ≠ failed scan)."""
+        if not self.with_children:
+            return [], [], []
+        c = self.client
+        try:
+            commits = self._commits(repo, number)
+            reviews = [
+                r
+                for page in c.iter_pages(
+                    f"/repos/{repo}/pulls/{number}/reviews",
+                    {"per_page": self.per_page},
+                )
+                for r in page
+                if r.get("user") is not None  # F1 (reference main.py:335)
+            ]
+            comments = [
+                cm
+                for page in c.iter_pages(
+                    f"/repos/{repo}/issues/{number}/comments",
+                    {"per_page": self.per_page},
+                )
+                for cm in page
+                if cm.get("user") is not None and cm.get("body")  # F2
+            ]
+        except GithubHttpError as e:
+            if e.status == 404 and self.skip_missing:
+                return [], [], []
+            raise
+        return commits, reviews, comments
 
     def _commits(self, repo: str, number: int) -> list[dict]:
         """Commit list + per-commit file detail (S2's N+1 join, J1).
@@ -390,29 +407,7 @@ class GithubStreamReader(SimpleDataSourceStreamReader):
 
     def _enrich(self, rows):
         for part, pr in rows:
-            number = pr["number"]
-            if self.batch.with_children:
-                commits = self.batch._commits(part.repo, number)
-                reviews = [
-                    r
-                    for page in self.batch.client.iter_pages(
-                        f"/repos/{part.repo}/pulls/{number}/reviews",
-                        {"per_page": self.batch.per_page},
-                    )
-                    for r in page
-                    if r.get("user") is not None
-                ]
-                comments = [
-                    cm
-                    for page in self.batch.client.iter_pages(
-                        f"/repos/{part.repo}/issues/{number}/comments",
-                        {"per_page": self.batch.per_page},
-                    )
-                    for cm in page
-                    if cm.get("user") is not None and cm.get("body")
-                ]
-            else:
-                commits, reviews, comments = [], [], []
+            commits, reviews, comments = self.batch.children(part.repo, pr["number"])
             yield GithubPullsReader._to_row(pr, commits, reviews, comments)
 
 

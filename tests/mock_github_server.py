@@ -98,6 +98,8 @@ class _Handler(BaseHTTPRequestHandler):
     # lets streaming tests grow the corpus mid-test (server-side state,
     # visible to executor processes).
     extra_prs: list[int] = []
+    # PR numbers whose child endpoints 404 (vanished mid-scan).
+    gone_prs: set[int] = set()
 
     def log_message(self, *args):  # quiet
         pass
@@ -131,7 +133,10 @@ class _Handler(BaseHTTPRequestHandler):
             if sub == "pulls" and len(parts) == 4:
                 return self._pulls(q)
             if sub == "pulls" and len(parts) == 6 and parts[5] == "commits":
-                return self._send(_commit_list(int(parts[4])))
+                n = int(parts[4])
+                if n in _Handler.gone_prs:  # vanished PR: children 404
+                    return self._send({"message": "Not Found"}, status=404)
+                return self._send(_commit_list(n))
             if sub == "pulls" and len(parts) == 6 and parts[5] == "reviews":
                 return self._send(_reviews(int(parts[4])))
             if sub == "issues" and len(parts) == 6 and parts[5] == "comments":
@@ -178,9 +183,13 @@ class MockGithub:
     def add_pr(self, number: int) -> None:
         _Handler.extra_prs.append(number)
 
+    def mark_gone(self, number: int) -> None:
+        _Handler.gone_prs.add(number)
+
     def __enter__(self):
         _Handler.faults = {}
         _Handler.extra_prs = []
+        _Handler.gone_prs = set()
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
         self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
         self.thread.start()

@@ -198,3 +198,27 @@ def test_github_stream_incremental(spark, tmp_path):
             assert second == list(range(1, N_PRS + 3))  # no duplicates
         finally:
             q.stop()
+
+
+def test_vanished_pr_children_degrade_to_empty(spark, tmp_path):
+    """A PR whose child endpoints 404 mid-scan (deleted upstream) must
+    not fail the task: it survives with empty children by default, and
+    raises only with skip_missing=false."""
+    with MockGithub() as mock:
+        mock.mark_gone(4)
+        r = GithubPullsReader(
+            {"repo": "acme/widgets", "url": mock.url, "per_page": "100"}
+        )
+        [part] = r.partitions()
+        rows = {row[0]: row for row in r.read(part)}
+        assert len(rows) == N_PRS
+        assert rows[4][7] == []  # no commits
+        assert rows[3][7] != []  # others unaffected
+
+        strict = GithubPullsReader(
+            {"repo": "acme/widgets", "url": mock.url, "per_page": "100",
+             "skip_missing": "false"}
+        )
+        [part2] = strict.partitions()
+        with pytest.raises(GithubHttpError):
+            list(strict.read(part2))
