@@ -869,3 +869,59 @@ def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.col("l_quantity").alias("quantity"),
     )
+
+
+@query(
+    "a4_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def a4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of a4_pivot): wide measure columns →
+    (metric, value) long form — `DataFrame.unpivot`, Spark's Expand
+    operator, one output row per (row × measure), no shuffle."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+    )
+
+
+@query("a4_hll_sketch")  # sketch bytes are engine-specific → rows-only
+def a4_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch aggregation: per-group Datasketches HLL sketches
+    merged with hll_union_agg — the re-aggregatable form of
+    approx_count_distinct (build per partition/day, union across any
+    grouping later without rescanning). Estimate accuracy is asserted
+    against exact counts in tests."""
+    t = load_tables(spark, sf_dir)
+    per_flag = t["lineitem"].groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_suppkey").alias("sketch"),
+        F.count_distinct("l_suppkey").alias("exact_distinct"),
+    )
+    return per_flag.select(
+        "l_returnflag",
+        "exact_distinct",
+        F.hll_sketch_estimate("sketch").alias("estimate"),
+    ).unionByName(
+        per_flag.agg(
+            F.lit("ALL").alias("l_returnflag"),
+            F.lit(None).cast("long").alias("exact_distinct"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate"),
+        )
+    )

@@ -339,3 +339,95 @@ def j5_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases",
         )
     )
+
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '9999-12-31 23:59:59' AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT DISTINCT o_custkey AS c_custkey, o_orderstatus AS segment,
+         CAST(o_orderdate AS TIMESTAMP) AS ts
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION
+  SELECT DISTINCT o.o_custkey, c.c_mktsegment,
+         CAST(o.o_orderdate AS TIMESTAMP)
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderkey % 11 = 0
+),
+versions0 AS (
+  SELECT c_custkey, segment, ts AS valid_from,
+         COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 23:59:59') AS valid_to,
+         ROW_NUMBER() OVER w AS rn
+  FROM upd
+  WINDOW w AS (PARTITION BY c_custkey ORDER BY ts, segment)
+),
+cur AS (SELECT c_custkey, segment AS cur_seg FROM dim WHERE is_current),
+versions AS (
+  SELECT v.c_custkey, v.segment, v.valid_from, v.valid_to,
+         v.valid_to = TIMESTAMP '9999-12-31 23:59:59' AS is_current
+  FROM versions0 v LEFT JOIN cur USING (c_custkey)
+  WHERE NOT (v.rn = 1 AND v.segment IS NOT DISTINCT FROM cur.cur_seg)
+),
+first_new AS (
+  SELECT c_custkey, MIN(valid_from) AS nf FROM versions GROUP BY c_custkey
+),
+closed AS (
+  SELECT d.c_custkey, d.segment, d.valid_from, f.nf AS valid_to,
+         FALSE AS is_current
+  FROM dim d JOIN first_new f USING (c_custkey)
+  WHERE d.is_current
+),
+untouched AS (
+  SELECT d.c_custkey, d.segment, d.valid_from, d.valid_to, d.is_current
+  FROM dim d
+  WHERE d.is_current
+    AND d.c_custkey NOT IN (SELECT c_custkey FROM first_new)
+)
+SELECT * FROM untouched
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT c_custkey, segment, valid_from, valid_to, is_current FROM versions
+"""
+
+
+@query("scd2_merge", oracle=_SCD2_ORACLE)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/scd.scd2_apply) — the MERGE INTO
+    emulation on plain parquet: close changed current rows, append
+    ordered new versions, drop no-op updates, pass untouched keys
+    through. The oracle replays the same algorithm in SQL."""
+    from ..operators.scd import scd2_apply
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31 23:59:59").cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderstatus").alias("segment"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+        )
+    )
+    noops = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+        )
+    )
+    updates = changes.unionByName(noops).distinct()
+    return scd2_apply(dim, updates, "c_custkey", "ts", ["segment"])

@@ -62,3 +62,16 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         .collect()[0]
     )
     assert abs(row.approx - row.exact) / max(row.exact, 1) < 0.1
+
+
+def test_hll_estimate_accuracy(spark):
+    """HLL estimates must sit within ~3% of exact distinct counts at
+    the default lgConfigK=12 (rel. stderr ≈ 1.6%)."""
+    from github_etl_spark.plans import spark_queries
+
+    rows = spark_queries()["a4_hll_sketch"](spark, "/root/testdata/sf0.01").collect()
+    union_row = [r for r in rows if r.l_returnflag == "ALL"]
+    assert len(union_row) == 1
+    for r in rows:
+        if r.exact_distinct is not None:
+            assert abs(r.estimate - r.exact_distinct) / r.exact_distinct < 0.03
