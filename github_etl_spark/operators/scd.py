@@ -38,51 +38,69 @@ def scd2_apply(
     Semantics:
     - multiple updates for one key in a batch apply in `ts_col` order
       (each non-final one becomes an already-closed history row);
-    - an update identical in all `tracked` columns to the key's current
-      row is a no-op (no new version);
+    - an update whose `tracked` values equal the PRECEDING version's
+      (the prior update in the batch, or the key's current dim row for
+      the first update) is a no-op and emits no new version — so
+      consecutive duplicates never close-and-reopen a row;
     - new keys insert as current rows;
     - untouched keys pass through unchanged.
-    """
-    # Order the batch per key; keep a closed interval per consecutive
-    # pair. Tracked columns break timestamp ties deterministically;
-    # exact duplicate update rows are collapsed first.
-    updates = updates.select(key, *tracked, ts_col).dropDuplicates()
-    versions = updates.select(key, *tracked, F.col(ts_col).alias("valid_from"))
-    w = W.partitionBy(key).orderBy(F.col("valid_from"), *[F.col(c) for c in tracked])
-    versions = versions.withColumn(
-        "valid_to",
-        F.coalesce(
-            F.lead("valid_from").over(w), F.lit(END_OF_TIME).cast("timestamp")
-        ),
-    ).withColumn("is_current", F.col("valid_to") == F.lit(END_OF_TIME).cast("timestamp"))
 
-    # Drop no-op updates: the FIRST version of a key is dropped when the
-    # key has a current dim row equal in every tracked column. (Later
-    # versions still apply — they represent real changes.)
+    Precondition: update timestamps must be newer than the current
+    row's `valid_from` (late-arriving updates older than the open
+    interval would produce inverted intervals; handling retroactive
+    history rewrites is out of scope).
+    """
+    # Order the batch per key (tracked columns break timestamp ties
+    # deterministically); collapse exact duplicate rows first.
+    updates = updates.select(key, *tracked, ts_col).dropDuplicates()
+    ordered = updates.select(key, *tracked, F.col(ts_col).alias("valid_from"))
+    w = W.partitionBy(key).orderBy(F.col("valid_from"), *[F.col(c) for c in tracked])
+
+    # Value-change detection BEFORE interval computation: compare each
+    # update against its predecessor row (lag), with the key's current
+    # dim row as virtual row zero. Dropping a middle duplicate this way
+    # automatically stretches the previous version's interval when the
+    # leads are computed over the SURVIVORS.
     current = dim.filter(F.col("is_current")).select(
         F.col(key),
         F.lit(True).alias("_has_cur"),
         *[F.col(c).alias(f"_cur_{c}") for c in tracked],
     )
-    is_first = F.row_number().over(w) == 1
-    noop = F.col("_is_first") & F.coalesce(F.col("_has_cur"), F.lit(False)) & _all_equal(
-        tracked
+    with_prev = ordered.join(current, key, "left").withColumn(
+        "_rn", F.row_number().over(w)
     )
-    versions = (
-        versions.withColumn("_is_first", is_first)
-        .join(current, key, "left")
-        .filter(~noop)
-        .drop("_is_first", "_has_cur", *[f"_cur_{c}" for c in tracked])
+    for c in tracked:
+        # Explicit _rn guard rather than coalesce(lag, cur): a genuine
+        # NULL value in a mid-batch predecessor must compare as NULL,
+        # not fall back to the current row.
+        with_prev = with_prev.withColumn(
+            f"_prev_{c}",
+            F.when(F.col("_rn") > 1, F.lag(c).over(w)).otherwise(F.col(f"_cur_{c}")),
+        )
+    has_prev = (F.col("_rn") > 1) | F.coalesce(F.col("_has_cur"), F.lit(False))
+    unchanged = has_prev & _all_equal(tracked, "_prev_")
+    survivors = with_prev.filter(~unchanged).drop(
+        "_rn",
+        "_has_cur",
+        *[f"_cur_{c}" for c in tracked],
+        *[f"_prev_{c}" for c in tracked],
     )
 
-    changed_keys = versions.select(key).distinct()
+    versions = survivors.withColumn(
+        "valid_to",
+        F.coalesce(
+            F.lead("valid_from").over(w), F.lit(END_OF_TIME).cast("timestamp")
+        ),
+    ).withColumn(
+        "is_current", F.col("valid_to") == F.lit(END_OF_TIME).cast("timestamp")
+    )
 
     # Close the previously-current row of each key that has real changes:
-    # its valid_to becomes the first new version's valid_from.
+    # its valid_to becomes the first new version's valid_from. first_new
+    # doubles as the changed-key set for the pass-through anti-join.
     first_new = versions.groupBy(key).agg(F.min("valid_from").alias("_new_from"))
     closed = (
-        dim.join(changed_keys, key, "left_semi")
-        .filter(F.col("is_current"))
+        dim.filter(F.col("is_current"))
         .join(first_new, key)
         .withColumn("valid_to", F.col("_new_from"))
         .withColumn("is_current", F.lit(False))
@@ -90,7 +108,7 @@ def scd2_apply(
     )
     untouched_history = dim.filter(~F.col("is_current"))
     untouched_current = dim.filter(F.col("is_current")).join(
-        changed_keys, key, "left_anti"
+        first_new.select(key), key, "left_anti"
     )
 
     cols = [key, *tracked, "valid_from", "valid_to", "is_current"]
@@ -102,10 +120,11 @@ def scd2_apply(
     )
 
 
-def _all_equal(tracked: list[str]):
-    """NULL-safe conjunction: every tracked column equals its _cur_ twin."""
+def _all_equal(tracked: list[str], prefix: str = "_cur_"):
+    """NULL-safe conjunction: every tracked column equals its
+    ``prefix``-twin."""
     cond = None
     for c in tracked:
-        eq = F.col(c).eqNullSafe(F.col(f"_cur_{c}"))
+        eq = F.col(c).eqNullSafe(F.col(f"{prefix}{c}"))
         cond = eq if cond is None else (cond & eq)
     return cond

@@ -879,7 +879,7 @@ def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
       FROM lineitem WHERE l_orderkey % 100 = 0
     )
-    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    UNPIVOT INCLUDE NULLS (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
     """,
 )
 def a4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:

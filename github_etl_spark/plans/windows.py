@@ -344,7 +344,7 @@ def j5_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_ORACLE = """
 WITH dim AS (
   SELECT c_custkey, c_mktsegment AS segment,
-         TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
          TIMESTAMP '9999-12-31 23:59:59' AS valid_to,
          TRUE AS is_current
   FROM customer
@@ -359,19 +359,32 @@ upd AS (
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   WHERE o.o_orderkey % 11 = 0
 ),
-versions0 AS (
+ordered AS (
   SELECT c_custkey, segment, ts AS valid_from,
-         COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 23:59:59') AS valid_to,
-         ROW_NUMBER() OVER w AS rn
+         ROW_NUMBER() OVER w AS rn,
+         LAG(segment) OVER w AS lag_seg
   FROM upd
   WINDOW w AS (PARTITION BY c_custkey ORDER BY ts, segment)
 ),
-cur AS (SELECT c_custkey, segment AS cur_seg FROM dim WHERE is_current),
+cur AS (
+  SELECT c_custkey, segment AS cur_seg, TRUE AS has_cur
+  FROM dim WHERE is_current
+),
+survivors AS (
+  SELECT o.c_custkey, o.segment, o.valid_from
+  FROM ordered o LEFT JOIN cur USING (c_custkey)
+  WHERE NOT (
+    (o.rn > 1 OR COALESCE(cur.has_cur, FALSE))
+    AND o.segment IS NOT DISTINCT FROM
+        (CASE WHEN o.rn > 1 THEN o.lag_seg ELSE cur.cur_seg END)
+  )
+),
 versions AS (
-  SELECT v.c_custkey, v.segment, v.valid_from, v.valid_to,
-         v.valid_to = TIMESTAMP '9999-12-31 23:59:59' AS is_current
-  FROM versions0 v LEFT JOIN cur USING (c_custkey)
-  WHERE NOT (v.rn = 1 AND v.segment IS NOT DISTINCT FROM cur.cur_seg)
+  SELECT c_custkey, segment, valid_from,
+         COALESCE(LEAD(valid_from) OVER w2,
+                  TIMESTAMP '9999-12-31 23:59:59') AS valid_to
+  FROM survivors
+  WINDOW w2 AS (PARTITION BY c_custkey ORDER BY valid_from, segment)
 ),
 first_new AS (
   SELECT c_custkey, MIN(valid_from) AS nf FROM versions GROUP BY c_custkey
@@ -390,7 +403,10 @@ untouched AS (
 )
 SELECT * FROM untouched
 UNION ALL SELECT * FROM closed
-UNION ALL SELECT c_custkey, segment, valid_from, valid_to, is_current FROM versions
+UNION ALL
+SELECT c_custkey, segment, valid_from, valid_to,
+       valid_to = TIMESTAMP '9999-12-31 23:59:59' AS is_current
+FROM versions
 """
 
 
@@ -406,7 +422,7 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = t["customer"].select(
         "c_custkey",
         F.col("c_mktsegment").alias("segment"),
-        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
         F.lit("9999-12-31 23:59:59").cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )

@@ -69,7 +69,9 @@ def test_hll_estimate_accuracy(spark):
     the default lgConfigK=12 (rel. stderr ≈ 1.6%)."""
     from github_etl_spark.plans import spark_queries
 
-    rows = spark_queries()["a4_hll_sketch"](spark, "/root/testdata/sf0.01").collect()
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = spark_queries()["a4_hll_sketch"](spark, SF_CORRECTNESS).collect()
     union_row = [r for r in rows if r.l_returnflag == "ALL"]
     assert len(union_row) == 1
     for r in rows:

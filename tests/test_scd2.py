@@ -92,3 +92,46 @@ def test_untouched_keys_and_history_pass_through(spark):
 
 def test_end_of_time_constant():
     assert END_OF_TIME == "9999-12-31 23:59:59"
+
+
+def test_later_duplicate_updates_are_noops(spark):
+    """Review regression: updates identical to the current value at ANY
+    position in the batch (not just the first) must not close-and-
+    reopen the row."""
+    t0 = dt.datetime(2026, 1, 1)
+    t1, t2 = dt.datetime(2026, 3, 1), dt.datetime(2026, 7, 1)
+    out = _apply(spark, [(1, "a", t0, EOT, True)], [(1, "a", t1), (1, "a", t2)])
+    assert out == [(1, "a", t0, EOT, True)]  # fully unchanged
+
+
+def test_consecutive_inbatch_duplicates_collapse(spark):
+    """b@t1, b@t2, c@t3 → the duplicate middle 'b' disappears and the
+    first 'b' interval stretches to t3."""
+    t0 = dt.datetime(2026, 1, 1)
+    t1, t2, t3 = (
+        dt.datetime(2026, 2, 1),
+        dt.datetime(2026, 4, 1),
+        dt.datetime(2026, 6, 1),
+    )
+    out = _apply(
+        spark,
+        [(1, "a", t0, EOT, True)],
+        [(1, "b", t1), (1, "b", t2), (1, "c", t3)],
+    )
+    assert out == [
+        (1, "a", t0, t1, False),
+        (1, "b", t1, t3, False),  # stretched over the dropped duplicate
+        (1, "c", t3, EOT, True),
+    ]
+
+
+def test_value_flapping_keeps_every_transition(spark):
+    """a → b → a is three real states, not a dedupe opportunity."""
+    t0 = dt.datetime(2026, 1, 1)
+    t1, t2 = dt.datetime(2026, 3, 1), dt.datetime(2026, 6, 1)
+    out = _apply(spark, [(1, "a", t0, EOT, True)], [(1, "b", t1), (1, "a", t2)])
+    assert out == [
+        (1, "a", t0, t1, False),
+        (1, "b", t1, t2, False),
+        (1, "a", t2, EOT, True),
+    ]
