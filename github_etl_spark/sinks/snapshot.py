@@ -163,18 +163,83 @@ def compact_snapshot(
 ) -> None:
     """Rewrite one `(repo, date)` partition into `target_files` files.
 
-    The streaming path appends a file-set per micro-batch (S7), which
-    accumulates small files; this is the standard post-stream compaction:
-    read exactly that partition (pruned scan), coalesce, and replace it
-    atomically with the same dynamic-partition-overwrite used for loads.
-    Rows are unchanged — only the file layout. At scale, run per
-    partition after the stream's snapshot date closes.
+    The streaming path writes a file-set per micro-batch (S7) under
+    per-batch `ingest_batch=` sub-partitions, which accumulate small
+    files; this is the standard post-stream compaction: read exactly
+    that partition (pruned scan), coalesce, and replace it atomically
+    with the same dynamic-partition-overwrite used for loads. Rows are
+    unchanged — only the file layout.
+
+    Partition-depth care: parquet partition discovery rejects a table
+    whose dates mix directory depths, so when the table carries the
+    streaming layout (`ingest_batch` present) the compacted rewrite
+    keeps that level, collapsing everything into ONE NEGATIVE batch id
+    chosen deterministically as -(max positive batch id + 1) — every
+    date stays three levels deep whether compacted or live. The
+    superseded dirs are then removed in a second step. Crash safety:
+    re-running after a crash between write and cleanup recomputes the
+    SAME target id (the positive dirs still exist), excludes only the
+    target itself from the sources, and dynamic overwrite replaces the
+    partial output — idempotent, the contract a VACUUM has. A
+    transactional format (Delta/Iceberg) would make this one atomic
+    commit; on plain parquet this is the standard trade. At scale, run
+    per partition after the stream's snapshot date closes.
     """
     part = read_snapshot(spark, table_path, repo, snapshot_date)
+    partition_cols = list(PARTITION_COLS)
+    streaming_layout = "ingest_batch" in part.columns
+    target_id = None
+    if streaming_layout:
+        ids = [r[0] for r in part.select("ingest_batch").distinct().collect()]
+        live = [i for i in ids if i >= 0]
+        if not live:
+            return  # nothing new since the last compaction
+        target_id = -(max(live) + 1)
+        part = part.filter(F.col("ingest_batch") != target_id).withColumn(
+            "ingest_batch", F.lit(target_id)
+        )
+        partition_cols.append("ingest_batch")
     compacted = part.coalesce(target_files)
     (
         compacted.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*PARTITION_COLS)
+        .partitionBy(*partition_cols)
         .parquet(table_path)
     )
+    if streaming_layout:
+        _remove_superseded_batch_dirs(
+            table_path, repo, snapshot_date, keep=f"ingest_batch={target_id}"
+        )
+
+
+def _escape_partition_value(value: str) -> str:
+    """Hive-style partition-dir escaping for the chars Spark escapes
+    (enough for repo slugs: '/' → %2F)."""
+    out = []
+    for ch in value:
+        out.append(f"%{ord(ch):02X}" if ch in '"#%\'*/:=?\\\x7f{[]^' else ch)
+    return "".join(out)
+
+
+def _remove_superseded_batch_dirs(
+    table_path: str, repo: str, snapshot_date: str | _dt.date, keep: str
+) -> None:
+    """Drop every `ingest_batch=` dir except `keep` for one (repo, date).
+
+    Local-filesystem implementation; on HDFS/S3 this is the same listing
+    + delete through the Hadoop FileSystem API.
+    """
+    import shutil
+
+    if isinstance(snapshot_date, _dt.date):
+        snapshot_date = snapshot_date.isoformat()
+    date_dir = os.path.join(
+        table_path,
+        f"target_repository={_escape_partition_value(repo)}",
+        f"snapshot_date={snapshot_date}",
+    )
+    if not os.path.isdir(date_dir):
+        return
+    for entry in os.listdir(date_dir):
+        if entry.startswith("ingest_batch=") and entry != keep:
+            shutil.rmtree(os.path.join(date_dir, entry), ignore_errors=True)

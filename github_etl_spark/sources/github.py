@@ -23,11 +23,15 @@ Spark-first re-expression:
   `next` links; the reference fetches one page and silently truncates
   at GitHub's default 30 (§4.1 hazard, fixed).
 - **Rate budget at scale.** Each partition self-throttles on the
-  response headers, so N concurrent tasks degrade gracefully; for a
-  1000-executor deployment, cap concurrency with
-  `option("max_pages", ...)` per trigger or run per-repo apps — a
-  shared driver-coordinated token bucket is the documented next step
-  (SURVEY.md §7.4 risk 4).
+  response headers — primary limits (403 + remaining 0 → sleep to
+  reset) AND secondary/abuse limits (403/429 with `Retry-After` →
+  bounded honor-and-retry), so N concurrent tasks degrade gracefully.
+  For a 1000-executor deployment a shared driver-coordinated token
+  bucket is the documented next step (SURVEY.md §7.4 risk 4).
+  `option("max_pages", ...)` bounds a BATCH scan (e.g. sampling a huge
+  repo); it is deliberately ignored by the streaming reader, where a
+  page cap over an ascending listing would permanently stall the
+  cursor below the capped pages.
 
 Rows are emitted in the enriched-PR shape (`etl.transform.RAW_PR_SCHEMA`)
 so `spark.read.format("github").load()` feeds `etl.transform.transform`
@@ -129,6 +133,7 @@ class GithubClient:
             sep = "&" if "?" in url else "?"
             url = url + sep + urllib.parse.urlencode(params)
         transient = 0
+        retry_after_honored = 0
         while True:
             req = urllib.request.Request(url, headers=self._headers())
             try:
@@ -139,6 +144,22 @@ class GithubClient:
                 headers = {k.lower(): v for k, v in e.headers.items()}
                 if e.code == 403 and headers.get("x-ratelimit-remaining") == "0":
                     self._sleep_for_rate_limit(headers)
+                    continue
+                # Secondary/abuse limits: 403 or 429 with Retry-After
+                # (remaining is NOT 0) — exactly what this connector's
+                # parallel fan-out can trigger. Honor the header a
+                # bounded number of times, then surface the error.
+                if (
+                    e.code in (403, 429)
+                    and "retry-after" in headers
+                    and retry_after_honored < MAX_TRANSIENT_RETRIES
+                ):
+                    try:
+                        wait = float(headers["retry-after"])
+                    except ValueError:
+                        wait = 1.0
+                    time.sleep(min(max(wait, 1.0), 120.0))
+                    retry_after_honored += 1
                     continue
                 if e.code >= 500 and transient < MAX_TRANSIENT_RETRIES:
                     time.sleep(min(2.0**transient * 0.1, 10.0))
@@ -195,17 +216,25 @@ class GithubPullsReader(DataSourceReader):
         if not self.repos:
             raise ValueError("github source requires option 'repo' (or 'repos')")
         api_url = options.get("url", DEFAULT_API_URL)
-        auth = None
-        if options.get("app_id") and options.get("private_key"):
-            from .auth import InstallationAuth
+        token = options.get("token") or None
+        # GitHub App installations are per-org/per-repo-selection: a
+        # token minted for repo A's installation cannot read repo B
+        # under another installation, so each repo gets its own client
+        # (same static-token client is shared when no app auth).
+        self._clients: dict[str, GithubClient] = {}
+        for repo in self.repos:
+            auth = None
+            if options.get("app_id") and options.get("private_key"):
+                from .auth import InstallationAuth
 
-            auth = InstallationAuth(
-                app_id=options["app_id"],
-                private_key_pem=options["private_key"].replace("\\n", "\n"),
-                repo=self.repos[0],
-                api_url=api_url.rstrip("/"),
-            )
-        self.client = GithubClient(api_url, options.get("token") or None, auth=auth)
+                auth = InstallationAuth(
+                    app_id=options["app_id"],
+                    private_key_pem=options["private_key"].replace("\\n", "\n"),
+                    repo=repo,
+                    api_url=api_url.rstrip("/"),
+                )
+            self._clients[repo] = GithubClient(api_url, token, auth=auth)
+        self.client = self._clients[self.repos[0]]
         self.per_page = int(options.get("per_page", "100"))
         self.state = options.get("state", "all")
         self.max_pages = int(options.get("max_pages", "0"))  # 0 = unbounded
@@ -215,6 +244,9 @@ class GithubPullsReader(DataSourceReader):
         # fail a whole scan task; 404s on child endpoints degrade to
         # empty children unless skip_missing=false.
         self.skip_missing = options.get("skip_missing", "true").lower() == "true"
+
+    def client_for(self, repo: str) -> GithubClient:
+        return self._clients.get(repo, self.client)
 
     def _list_params(self) -> dict:
         # The reference's source pushdown (main.py:203-208).
@@ -228,14 +260,16 @@ class GithubPullsReader(DataSourceReader):
     def partitions(self) -> list[PrPagePartition]:
         parts: list[PrPagePartition] = []
         for repo in self.repos:
-            n = self.client.last_page(f"/repos/{repo}/pulls", self._list_params())
+            n = self.client_for(repo).last_page(
+                f"/repos/{repo}/pulls", self._list_params()
+            )
             if self.max_pages:
                 n = min(n, self.max_pages)
             parts.extend(PrPagePartition(repo, p) for p in range(1, n + 1))
         return parts
 
     def read(self, partition: PrPagePartition) -> Iterator[tuple]:
-        c = self.client
+        c = self.client_for(partition.repo)
         params = {**self._list_params(), "page": partition.page}
         prs, _ = c.get(f"/repos/{partition.repo}/pulls", params)
         for pr in prs:
@@ -251,7 +285,7 @@ class GithubPullsReader(DataSourceReader):
         empty children when skip_missing (vanished PR ≠ failed scan)."""
         if not self.with_children:
             return [], [], []
-        c = self.client
+        c = self.client_for(repo)
         try:
             commits = self._commits(repo, number)
             reviews = [
@@ -282,8 +316,11 @@ class GithubPullsReader(DataSourceReader):
         """Commit list + per-commit file detail (S2's N+1 join, J1).
 
         The list endpoint omits `files`; the detail endpoint carries it.
+        A 404 on ONE sha's detail (garbage-collected after a force-push
+        while the PR stays alive) keeps the commit with empty `files`
+        rather than discarding the whole PR's children.
         """
-        c = self.client
+        c = self.client_for(repo)
         out = []
         for page in c.iter_pages(
             f"/repos/{repo}/pulls/{number}/commits", {"per_page": self.per_page}
@@ -291,8 +328,13 @@ class GithubPullsReader(DataSourceReader):
             for commit in page:
                 sha = commit.get("sha")
                 if sha:
-                    detail, _ = c.get(f"/repos/{repo}/commits/{sha}")
-                    commit = {**commit, "files": detail.get("files", [])}
+                    try:
+                        detail, _ = c.get(f"/repos/{repo}/commits/{sha}")
+                        commit = {**commit, "files": detail.get("files", [])}
+                    except GithubHttpError as e:
+                        if e.status != 404 or not self.skip_missing:
+                            raise
+                        commit = {**commit, "files": []}
                 out.append(commit)
         return out
 
@@ -363,6 +405,15 @@ class GithubStreamReader(SimpleDataSourceStreamReader):
     stream rather than a daily batch — the reference must re-run and
     re-fetch the whole day to catch up; this resumes from the cursor.
 
+    Steady-state cost: the listing is walked NEWEST-first
+    (`direction=desc`) and stops at the first PR at or below the
+    cursor, so a trigger with no new PRs costs ONE request — not a full
+    re-listing. Backfill (first batch from offset 0) is bounded by
+    `stream_max_prs` per micro-batch (oldest-first), so a huge repo
+    ingests as a sequence of bounded batches instead of one enormous
+    driver-side read. `max_pages` is deliberately ignored here — a page
+    cap over the listing would permanently stall the cursor.
+
     Single-repo by design (offsets are per-repo); run one stream per
     repo and union downstream if needed.
     """
@@ -372,42 +423,62 @@ class GithubStreamReader(SimpleDataSourceStreamReader):
         self.repo = repo.split(",")[0].strip()
         if not self.repo:
             raise ValueError("github stream requires option 'repo'")
-        self.batch = GithubPullsReader({**options, "repo": self.repo})
+        self.batch = GithubPullsReader({**options, "repo": self.repo, "max_pages": "0"})
+        self.max_prs = int(options.get("stream_max_prs", "1000"))
 
     def initialOffset(self) -> dict:
         return {"last_number": 0}
 
-    def _read_after(self, last: int, upto: int | None = None):
+    def _list_newer_than(self, last: int, upto: int | None = None):
+        """All listing rows with last < number (<= upto), walking pages
+        newest-first and early-stopping at the cursor."""
+        c = self.batch.client
+        params = {**self.batch._list_params(), "direction": "desc"}
         rows = []
-        max_seen = last
-        for part in self.batch.partitions():
-            params = {**self.batch._list_params(), "page": part.page}
-            prs, _ = self.batch.client.get(f"/repos/{part.repo}/pulls", params)
+        page = 1
+        while True:
+            prs, headers = c.get(
+                f"/repos/{self.repo}/pulls", {**params, "page": page}
+            )
+            if not prs:
+                break
+            hit_cursor = False
             for pr in prs:
                 n = pr.get("number")
-                if n is None or n <= last or (upto is not None and n > upto):
+                if n is None:
                     continue
-                rows.append((part, pr))
-                max_seen = max(max_seen, n)
-        return rows, max_seen
+                if n <= last:
+                    hit_cursor = True
+                    continue
+                if upto is not None and n > upto:
+                    continue
+                rows.append(pr)
+            if hit_cursor:
+                break
+            if _parse_link_header(headers.get("link")).get("next") is None:
+                break
+            page += 1
+        rows.sort(key=lambda p: p["number"])  # oldest-first for the cap
+        return rows
 
     def read(self, start: dict):
         last = int(start.get("last_number", 0))
-        rows, max_seen = self._read_after(last)
+        prs = self._list_newer_than(last)[: self.max_prs]
+        max_seen = prs[-1]["number"] if prs else last
         # iter() over a materialized list: the prefetcher calls next()
         # (so it needs a real iterator) and caches the consumed rows
         # driver-side (so every row must be picklable — plain tuples).
-        return iter(list(self._enrich(rows))), {"last_number": max_seen}
+        return iter(list(self._enrich(prs))), {"last_number": max_seen}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        rows, _ = self._read_after(
+        prs = self._list_newer_than(
             int(start.get("last_number", 0)), int(end.get("last_number", 0))
         )
-        return iter(list(self._enrich(rows)))
+        return iter(list(self._enrich(prs)))
 
-    def _enrich(self, rows):
-        for part, pr in rows:
-            commits, reviews, comments = self.batch.children(part.repo, pr["number"])
+    def _enrich(self, prs):
+        for pr in prs:
+            commits, reviews, comments = self.batch.children(self.repo, pr["number"])
             yield GithubPullsReader._to_row(pr, commits, reviews, comments)
 
 

@@ -64,9 +64,43 @@ def run_batch(
         )
         if token:
             reader = reader.option("token", token)
-        prs = reader.load()
-        sink.load(transform(prs, repo), repo, snapshot_date)
+        # One API scan feeds all four tables: without the persist, each
+        # table's take(1) + write re-executes the whole custom-source
+        # read (~8 scans), racing upstream changes into inconsistent
+        # tables and multiplying the rate-limit spend.
+        prs = reader.load().persist()
+        try:
+            prs.count()  # materialize the scan once
+            sink.load(transform(prs, repo), repo, snapshot_date)
+        finally:
+            prs.unpersist()
     return sink
+
+
+def _make_batch_loader(sink_base: str, repo: str, snapshot_date: str | _dt.date):
+    """foreachBatch body shared by the streaming pipelines: transform +
+    stamp + per-`ingest_batch` dynamic partition overwrite (idempotent
+    under batch replay). The batch is persisted once so the four table
+    writes don't each re-read the micro-batch's input; no take(1)
+    guard — an empty frame under dynamic overwrite touches nothing."""
+
+    def _load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, df in transform(batch_df, repo).items():
+                out = stamp(df, repo, snapshot_date).withColumn(
+                    "ingest_batch", F.lit(batch_id)
+                )
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("target_repository", "snapshot_date", "ingest_batch")
+                    .parquet(os.path.join(sink_base, name))
+                )
+        finally:
+            batch_df.unpersist()
+
+    return _load_batch
 
 
 def stream_landing(
@@ -95,26 +129,15 @@ def stream_landing(
     """
     sink = SnapshotSink(sink_base)
 
-    def _load_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for name, df in transform(batch_df, repo).items():
-            out = stamp(df, repo, snapshot_date).withColumn(
-                "ingest_batch", F.lit(batch_id)
-            )
-            if out.take(1):
-                (
-                    out.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("target_repository", "snapshot_date", "ingest_batch")
-                    .parquet(os.path.join(sink_base, name))
-                )
-
     reader = spark.readStream.schema(RAW_PR_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.json(landing_dir)
 
     writer = (
-        stream.writeStream.foreachBatch(_load_batch)
+        stream.writeStream.foreachBatch(
+            _make_batch_loader(sink_base, repo, snapshot_date)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
@@ -161,21 +184,10 @@ def stream_github(
         reader = reader.option("token", token)
     stream = reader.load()
 
-    def _load_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for name, df in transform(batch_df, repo).items():
-            out = stamp(df, repo, snapshot_date).withColumn(
-                "ingest_batch", F.lit(batch_id)
-            )
-            if out.take(1):
-                (
-                    out.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("target_repository", "snapshot_date", "ingest_batch")
-                    .parquet(os.path.join(sink_base, name))
-                )
-
     writer = (
-        stream.writeStream.foreachBatch(_load_batch)
+        stream.writeStream.foreachBatch(
+            _make_batch_loader(sink_base, repo, snapshot_date)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

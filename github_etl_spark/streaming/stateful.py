@@ -26,15 +26,25 @@ OUTPUT_SCHEMA = "user_id bigint, batch_events bigint, total_events bigint"
 STATE_SCHEMA = "total bigint"
 
 
+IDLE_EVICT_MS = 6 * 3600 * 1000  # drop state for keys idle this long
+
+
 def _update_running_totals(
     key: tuple[Any, ...],
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # Idle key: evict its counter so state stays bounded by ACTIVE
+        # keys, not every key ever seen (an unbounded key space would
+        # otherwise grow the state store and checkpoints forever).
+        state.remove()
+        return
     (total,) = state.get if state.exists else (0,)
     batch_n = sum(len(pdf) for pdf in pdf_iter)
     total = (total or 0) + batch_n
     state.update((total,))
+    state.setTimeoutDuration(IDLE_EVICT_MS)
     yield pd.DataFrame(
         {"user_id": [key[0]], "batch_events": [batch_n], "total_events": [total]}
     )
@@ -44,12 +54,15 @@ def running_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
     """Per-key cumulative event counts across micro-batches.
 
     Emits one row per key per micro-batch in which the key appears:
-    (key, events this batch, events ever). State = one long per key.
+    (key, events this batch, events ever). State = one long per key,
+    evicted after six idle hours (a key that reappears later restarts
+    from zero — the documented trade for bounded state; keep totals
+    exact forever only if the key space itself is bounded).
     """
     return events.groupBy(key).applyInPandasWithState(
         _update_running_totals,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

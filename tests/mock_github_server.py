@@ -100,6 +100,8 @@ class _Handler(BaseHTTPRequestHandler):
     extra_prs: list[int] = []
     # PR numbers whose child endpoints 404 (vanished mid-scan).
     gone_prs: set[int] = set()
+    # Commit shas whose detail endpoint 404s (gc'd after force-push).
+    gone_shas: set[str] = set()
 
     def log_message(self, *args):  # quiet
         pass
@@ -138,11 +140,20 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._send({"message": "Not Found"}, status=404)
                 return self._send(_commit_list(n))
             if sub == "pulls" and len(parts) == 6 and parts[5] == "reviews":
-                return self._send(_reviews(int(parts[4])))
+                n = int(parts[4])
+                if n == 5 and self._trip_once("secondary429"):
+                    return self._send(
+                        {"message": "abuse"},
+                        status=429,
+                        extra_headers={"Retry-After": "1"},
+                    )
+                return self._send(_reviews(n))
             if sub == "issues" and len(parts) == 6 and parts[5] == "comments":
                 return self._send(_comments(int(parts[4])))
             if sub == "commits" and len(parts) == 5:
                 sha = parts[4]
+                if sha in _Handler.gone_shas:
+                    return self._send({"message": "Not Found"}, status=404)
                 if sha == "pr3-c0" and self._trip_once("commit500"):
                     return self._send({"message": "flaky"}, status=500)
                 return self._send(_commit_detail(sha))
@@ -166,6 +177,8 @@ class _Handler(BaseHTTPRequestHandler):
         ]
         if state != "all":
             prs = [p for p in prs if p["state"] == state]
+        if q.get("direction", "asc") == "desc":  # created == number order
+            prs = list(reversed(prs))
         start, end = (page - 1) * per_page, page * per_page
         last = max((len(prs) + per_page - 1) // per_page, 1)
         links = []
@@ -186,10 +199,14 @@ class MockGithub:
     def mark_gone(self, number: int) -> None:
         _Handler.gone_prs.add(number)
 
+    def mark_sha_gone(self, sha: str) -> None:
+        _Handler.gone_shas.add(sha)
+
     def __enter__(self):
         _Handler.faults = {}
         _Handler.extra_prs = []
         _Handler.gone_prs = set()
+        _Handler.gone_shas = set()
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
         self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
         self.thread.start()

@@ -81,3 +81,48 @@ def test_compact_snapshot_merges_files(spark, tmp_path):
         r.pull_request_id for r in read_snapshot(spark, path).collect()
     )
     assert rows_after == rows_before
+
+
+def test_compact_streaming_layout_rerunnable(spark, tmp_path):
+    """Streaming layout (ingest_batch dirs): compaction collapses into
+    one negative-id dir, preserves rows, keeps the table readable, and
+    a second compaction after new batches keeps earlier compacted rows.
+    """
+    import glob as _glob
+
+    path = str(tmp_path / "pull_requests")
+
+    def _write_batch(batch_id, ids):
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in ids], "pull_request_id long, title string"
+        )
+        (
+            stamp(df, "acme/widgets", "2026-01-15")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .repartition(2)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("target_repository", "snapshot_date", "ingest_batch")
+            .parquet(path)
+        )
+
+    _write_batch(0, [1, 2])
+    _write_batch(1, [3])
+    compact_snapshot(spark, path, "acme/widgets", "2026-01-15", target_files=1)
+    dirs = _glob.glob(f"{path}/*/snapshot_date=2026-01-15/ingest_batch=*")
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["-2"]
+    got = sorted(r.pull_request_id for r in read_snapshot(spark, path).collect())
+    assert got == [1, 2, 3]
+
+    # New batches arrive after compaction; compact again.
+    _write_batch(2, [4, 5])
+    compact_snapshot(spark, path, "acme/widgets", "2026-01-15", target_files=1)
+    got = sorted(r.pull_request_id for r in read_snapshot(spark, path).collect())
+    assert got == [1, 2, 3, 4, 5]  # earlier compacted rows survive
+    dirs = _glob.glob(f"{path}/*/snapshot_date=2026-01-15/ingest_batch=*")
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["-3"]
+
+    # Nothing new → no-op.
+    compact_snapshot(spark, path, "acme/widgets", "2026-01-15", target_files=1)
+    got = sorted(r.pull_request_id for r in read_snapshot(spark, path).collect())
+    assert got == [1, 2, 3, 4, 5]
