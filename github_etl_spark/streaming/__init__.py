@@ -1,6 +1,7 @@
 """Streaming layer: micro-batch pipeline + event-time operators."""
 
 from .events import (  # noqa: F401
+    clicks_to_purchases_join,
     dedup_within_watermark,
     session_counts,
     tumbling_counts,

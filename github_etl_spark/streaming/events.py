@@ -80,3 +80,45 @@ def dedup_within_watermark(
     without unbounded state."""
     keys = keys or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def clicks_to_purchases_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (T5): each click pairs
+    with that user's purchases occurring within `within` AFTER it.
+
+    Both sides are watermarked and the join condition bounds event time
+    on both ends, so Spark can compute how long each side's state must
+    be retained (click state: `within` + watermark; purchase state:
+    watermark) and evict it — the state-bound that makes a
+    stream-stream join viable on an unbounded stream. Without the time
+    bound Spark would have to keep every row forever.
+    """
+    c = clicks.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

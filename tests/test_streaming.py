@@ -315,3 +315,39 @@ def test_stream_landing_batch_replay_is_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     out = read_snapshot(spark, sink.path("pull_requests"))
     assert sorted(r.pull_request_id for r in out.collect()) == [1, 2, 3]  # no dupes
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from github_etl_spark.streaming.events import clicks_to_purchases_join
+
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purchases_dir.mkdir()
+    now = time.time()
+    _write_file(
+        clicks_dir / "c1.json",
+        [
+            _ev(1, 1, "2026-03-01T10:00:00Z"),
+            _ev(2, 2, "2026-03-01T10:05:00Z"),
+        ],
+        now - 10,
+    )
+    _write_file(
+        purchases_dir / "p1.json",
+        [
+            _ev(100, 1, "2026-03-01T10:30:00Z", "purchase"),  # within 1h of click 1
+            _ev(101, 1, "2026-03-01T12:00:00Z", "purchase"),  # too late for click 1
+            _ev(102, 3, "2026-03-01T10:10:00Z", "purchase"),  # no click for user 3
+        ],
+        now - 10,
+    )
+    clicks = spark.readStream.schema(EVENT_SCHEMA).json(str(clicks_dir))
+    purchases = spark.readStream.schema(EVENT_SCHEMA).json(str(purchases_dir))
+    joined = clicks_to_purchases_join(clicks, purchases, within="1 hour")
+    _drain(joined, "ssj_out", str(tmp_path / "ck_ssj"))
+    rows = [
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    ]
+    assert rows == [(1, 1, 100)]  # only the in-window pair for user 1
