@@ -125,8 +125,13 @@ def raw_prs_df(spark: SparkSession, prs: list[dict]) -> DataFrame:
 
 
 def _ts(col) -> F.Column:
-    """ISO-8601 string → timestamp (boundary parse; §7.4 risk 1)."""
-    return F.to_timestamp(col)
+    """ISO-8601 string → timestamp (boundary parse; §7.4 risk 1).
+
+    try_to_timestamp, not to_timestamp: under Spark 4's default ANSI
+    mode a malformed string would otherwise throw and kill the whole
+    batch — a bad row must degrade to NULL, same stance as bug_id's
+    try_cast."""
+    return F.try_to_timestamp(col)
 
 
 def pull_requests_table(prs: DataFrame, repo: str) -> DataFrame:
@@ -219,26 +224,26 @@ def comments_table(prs: DataFrame, repo: str) -> DataFrame:
 
     The reference builds a per-PR dict `review_id → state` and probes it
     per comment (J3). Both arrays live in the same row here, so the
-    lookup is `map_from_arrays(review ids, states)[fk]` — row-local,
-    no join, no shuffle, and scoped to the PR exactly like the dict.
-    Unmatched or NULL FK → NULL status.
+    lookup is a row-local array filter — no join, no shuffle, scoped to
+    the PR exactly like the dict. The LAST matching review wins,
+    mirroring the dict's overwrite-on-duplicate-id behavior (a
+    map_from_arrays lookup would THROW on a duplicated review id under
+    the default dedup policy — a malformed row must degrade, not kill
+    the job). Unmatched or NULL FK → NULL status.
 
     `character_count`: `len(body) if body else 0` → NULL body and empty
     body both give 0 (C2).
     """
-    reviews = F.coalesce(F.col("reviewer_data"), F.array())
-    # map_from_arrays rejects NULL keys; GitHub review ids are non-null,
-    # but guard anyway so a malformed row degrades to no-match not error.
-    keyed = F.filter(reviews, lambda r: r["id"].isNotNull())
-    status_map = F.map_from_arrays(
-        F.transform(keyed, lambda r: r["id"]),
-        F.transform(keyed, lambda r: r["state"]),
+    matches = F.filter(
+        F.coalesce(F.col("reviewer_data"), F.array()),
+        lambda r: r["id"] == F.col("cm.pull_request_review_id"),
     )
+    status = F.try_element_at(matches, F.lit(-1))["state"]
     return (
         prs.filter(F.col("number").isNotNull())
         .select(
             F.col("number").alias("pull_request_id"),
-            status_map.alias("_statuses"),
+            F.col("reviewer_data"),
             F.explode(F.coalesce(F.col("comment_data"), F.array())).alias("cm"),
         )
         .select(
@@ -251,9 +256,7 @@ def comments_table(prs: DataFrame, repo: str) -> DataFrame:
             F.coalesce(F.length("cm.body"), F.lit(0)).cast("long").alias(
                 "character_count"
             ),
-            F.try_element_at(F.col("_statuses"), F.col("cm.pull_request_review_id")).alias(
-                "status"
-            ),
+            status.alias("status"),
         )
     )
 

@@ -105,8 +105,24 @@ def lang_id_expr(text_col):
     )
 
 
+def dedup_tokens_expr(text_col):
+    """Canonical dedup tokenization: lowercase, split on non-alnum
+    runs, drop empties. THE single definition — operators.dedup and the
+    fingerprint below import it, and the DuckDB oracle expressions in
+    plans/ext.py mirror it; change all in lockstep."""
+    toks = F.split(F.lower(text_col), r"[^a-z0-9]+")
+    return F.filter(toks, lambda x: x != "")
+
+
+def fingerprint_expr(text_col):
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set (content-order/casing/punctuation invariant)."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(dedup_tokens_expr(text_col))), " ")
+    )
+
+
 def rolling_fingerprint_expr(text_col):
-    """Document fingerprint: md5 of the sorted distinct lowercase token
-    set (rolling-hash analog, content-order invariant)."""
-    toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda x: x != "")
-    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    """Document fingerprint (rolling-hash analog) — alias of the shared
+    canonical fingerprint."""
+    return fingerprint_expr(text_col)

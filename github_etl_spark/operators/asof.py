@@ -3,11 +3,17 @@
 Spark has no native as-of join (reference: none either — this is an
 IMPLIED/EXT operator, SURVEY.md §2.3 J5). The classic distributed
 formulation: union both sides tagged, sort within the equi-key
-partition by (time, side), and carry the latest right-side payload
-forward with last(ignorenulls) — ONE shuffle on the key, no per-group
-Python, no cartesian blowup. This survives 100 TB because the shuffle
-is the same one an equi-join would do, and the window sort is local to
-each key partition (AQE handles skewed keys).
+partition by (time, side), and carry the latest right-side row forward
+with last(ignorenulls) — ONE shuffle on the key, no per-group Python,
+no cartesian blowup. This survives 100 TB because the shuffle is the
+same one an equi-join would do, and the window sort is local to each
+key partition (AQE handles skewed keys).
+
+The right side's payload is carried as a SINGLE struct, not as
+independent per-column last() calls: independent carries would mix
+columns from different right rows whenever the matched row holds a
+NULL in one payload column (a franken-row pandas merge_asof / DuckDB
+ASOF would never produce).
 """
 
 from __future__ import annotations
@@ -30,40 +36,48 @@ def asof_join(
     Right columns (except the key) come back ``prefix``-renamed; left
     rows with no prior right row get NULLs (left-outer semantics).
     Ties on time resolve to "right row at the same instant matches"
-    (inclusive), mirroring pandas merge_asof and DuckDB ASOF.
+    (inclusive), mirroring pandas merge_asof and DuckDB ASOF. Multiple
+    right rows at the SAME (key, time) are broken deterministically by
+    the payload struct's field order (largest wins), so results are
+    stable across partitionings.
     """
     lcols = [c for c in left.columns if c not in (on, left_time)]
     rcols = [c for c in right.columns if c != on]
+    payload_type = f"struct<{', '.join(f'{c}: {right.schema[c].dataType.simpleString()}' for c in rcols)}>"
 
     lhs = left.select(
         F.col(on),
         F.col(left_time).alias("_asof_time"),
         F.lit(1).alias("_asof_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(prefix + c) for c in rcols],
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
     )
     rhs = right.select(
         F.col(on),
         F.col(right_time).alias("_asof_time"),
         F.lit(0).alias("_asof_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(prefix + c) for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("_asof_payload"),
     )
 
     # side=0 (right) sorts before side=1 (left) at equal timestamps →
     # a right row at exactly left_time is visible to that left row.
+    # The payload struct as the final sort key makes same-instant
+    # right-row ties deterministic.
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("_asof_time"), F.col("_asof_side"))
+        .orderBy(F.col("_asof_time"), F.col("_asof_side"), F.col("_asof_payload"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = lhs.unionByName(rhs)
-    for c in rcols:
-        carried = carried.withColumn(
-            prefix + c, F.last(prefix + c, ignorenulls=True).over(w)
-        )
+    carried = lhs.unionByName(rhs).withColumn(
+        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
     return (
         carried.filter(F.col("_asof_side") == 1)
-        .drop("_asof_side")
-        .withColumnRenamed("_asof_time", left_time)
+        .select(
+            F.col(on),
+            F.col("_asof_time").alias(left_time),
+            *[F.col(c) for c in lcols],
+            *[F.col("_asof_payload")[c].alias(prefix + c) for c in rcols],
+        )
     )

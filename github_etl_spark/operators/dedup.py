@@ -22,12 +22,9 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round_det
 from .partitioning import ensure_parallelism
 
-# Tokenization shared by every text-dedup operator: lowercase, split on
-# non-alphanumeric runs, drop empties. Keep in sync with the DuckDB
-# oracle expressions in plans/ext.py.
-def tokens_expr(text_col):
-    toks = F.split(F.lower(text_col), r"[^a-z0-9]+")
-    return F.filter(toks, lambda x: x != "")
+# Canonical tokenization lives in functions/text.py (shared with the
+# fingerprint expressions and mirrored by the DuckDB oracles).
+from ..functions.text import dedup_tokens_expr as tokens_expr  # noqa: E402
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -47,7 +44,9 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     distinct token set. Catches reorderings/casing/punctuation variants
     that exact dedup misses, at identical cost (one shuffle on the hash).
     """
-    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_expr(F.col(text_col)))), " "))
+    from ..functions.text import fingerprint_expr
+
+    fp = fingerprint_expr(F.col(text_col))
     return (
         df.select(F.col(id_col), fp.alias("fingerprint"))
         .groupBy("fingerprint")

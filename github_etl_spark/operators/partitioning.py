@@ -46,8 +46,21 @@ def salted_join(
     AQE's skew-join split handles moderate skew automatically; explicit
     salting is for the pathological key that exceeds what post-shuffle
     splitting can fix (e.g. one key > a whole executor's memory).
+
+    Supported joins: inner / left / left_semi / left_anti — shapes
+    where every output row is anchored on the (salted) big side. Right
+    and full joins are rejected: an unmatched small-side row exists
+    once per salt replica and would surface `salt_buckets` times.
     """
     from pyspark.sql import functions as F
+
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would "
+            "duplicate unmatched small-side rows per salt replica"
+        )
 
     big_cols = [c for c in big.columns]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big_cols]), F.lit(salt_buckets))

@@ -35,7 +35,30 @@ def norm_expr(a):
 
 
 def cosine_expr(a, b):
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """NULL (not NaN) for a zero-norm side: 0/0 would give NaN, which
+    Spark sorts as the LARGEST double — a single all-zeros embedding
+    would otherwise outrank every true neighbor in a desc top-k. NULLs
+    sort last under desc, dropping degenerate vectors to the bottom."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom != 0, dot_expr(a, b) / denom)
+
+
+def _topk_per_query(scored, k: int):
+    """Shared per-query top-k tail: deterministic rank (cosine desc,
+    neighbor id asc — NULL cosines last), k rows per query."""
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            round_det("cosine_raw", 4).alias("cosine"),
+        )
+    )
 
 
 def brute_force_topk(
@@ -68,19 +91,7 @@ def brute_force_topk(
             cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank"),
-            round_det("cosine_raw", 4).alias("cosine"),
-        )
-    )
+    return _topk_per_query(scored, k)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -150,14 +161,7 @@ def lsh_bucketed_topk(
         "neighbor_id",
         cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", round_det("cosine_raw", 4).alias("cosine"))
-    )
+    return _topk_per_query(scored, k)
 
 
 def train_ivf_centroids(
@@ -203,7 +207,12 @@ def train_ivf_centroids(
                 n = np.linalg.norm(m)
                 cent[c] = m / (n or 1.0)
             else:
-                cent[c] = x[sims.max(axis=1).argmin()]  # farthest point
+                # K-th farthest point per empty cell — distinct seeds
+                # (one shared farthest point would leave twin centroids
+                # and a dead cell).
+                order = np.argsort(sims.max(axis=1))
+                empties = [i for i in range(len(cent)) if not (assign == i).any()]
+                cent[c] = x[order[empties.index(c) % len(x)]]
     return cent.tolist()
 
 
@@ -288,11 +297,4 @@ def ivf_topk(
         "neighbor_id",
         cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", round_det("cosine_raw", 4).alias("cosine"))
-    )
+    return _topk_per_query(scored, k)

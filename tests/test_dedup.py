@@ -183,3 +183,20 @@ def test_ivf_assign_covers_all_rows(spark):
     assert assigned.count() == emb.count()
     cells = [r.cell for r in assigned.select("cell").distinct().collect()]
     assert all(0 <= c < 8 for c in cells)
+
+
+# ------------------------------------------------------- review regressions
+
+
+def test_zero_vector_never_outranks_real_neighbors(spark):
+    """A zero-norm embedding must sort to the bottom (NULL cosine), not
+    the top (NaN sorts as the largest double)."""
+    from github_etl_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [float(i), 1.0, 0.5]) for i in range(1, 6)]
+    rows.append((99, [0.0, 0.0, 0.0]))  # degenerate vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where("vec_id = 1")
+    top = brute_force_topk(emb, queries, k=3).collect()
+    assert all(r.neighbor_id != 99 for r in top)
+    assert [r.rank for r in top] == [1, 2, 3]

@@ -270,3 +270,26 @@ def test_transform_plan_has_no_shuffle(spark):
     for name, df in tables.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"unexpected shuffle in {name}"
+
+
+def test_malformed_timestamp_degrades_to_null(spark):
+    out = _tables(spark, [_pr(created_at="not-a-date", updated_at="")])
+    [row] = out["pull_requests"]
+    assert row.date_created is None and row.date_modified is None
+
+
+def test_duplicate_review_ids_last_wins(spark):
+    """The reference's dict overwrites on duplicate review ids (last
+    wins); a map-based lookup would throw DUPLICATE_MAP_KEY."""
+    reviews = [
+        {"id": 100, "user": {"login": "a"}, "state": "COMMENTED",
+         "submitted_at": "2026-01-01T00:00:00Z"},
+        {"id": 100, "user": {"login": "a"}, "state": "APPROVED",
+         "submitted_at": "2026-01-02T00:00:00Z"},
+    ]
+    comments = [
+        {"id": 1, "user": {"login": "u"}, "body": "x",
+         "created_at": "2026-01-03T00:00:00Z", "pull_request_review_id": 100},
+    ]
+    out = _tables(spark, [_pr(reviewer_data=reviews, comment_data=comments)])
+    assert out["comments"][0].status == "APPROVED"

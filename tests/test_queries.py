@@ -77,3 +77,30 @@ def test_hll_estimate_accuracy(spark):
     for r in rows:
         if r.exact_distinct is not None:
             assert abs(r.estimate - r.exact_distinct) / r.exact_distinct < 0.03
+
+
+def test_asof_join_carries_whole_right_row(spark):
+    """Review regression: a matched right row with a NULL payload column
+    must come back atomically (NULLs included), never as a mix of two
+    right rows."""
+    from github_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, 7), (1, 2, None, 9)],
+        "k long, rt long, price double, qty long",
+    )
+    [row] = asof_join(left, right, "k", "t", "rt").collect()
+    assert row.right_qty == 9
+    assert row.right_price is None  # from the t=2 row, not t=1's 5.0
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+
+    from github_etl_spark.operators.partitioning import salted_join
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(df, df, "k", how=how)
