@@ -97,6 +97,13 @@ def get_spark(app_name: str = "github_etl_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Managed tables (bucketed layouts) land in tmp, not the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/github_etl_spark_warehouse"
+            ),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
