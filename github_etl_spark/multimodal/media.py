@@ -111,15 +111,26 @@ def decode_stats(media: DataFrame) -> DataFrame:
                 "real codec path not wired: decode via PIL/soundfile here"
             )
         for pdf in it:
-            arrs = [_as_u8(c) for c in pdf["content"]]
+            # Empty payloads report honestly: n_bytes=0 and NULL stats
+            # (the zeros(1) pad is only for operators that need a
+            # non-empty sample array, not for integrity reporting).
+            raw = [bytes(c) if c is not None else b"" for c in pdf["content"]]
+            arrs = [_as_u8(c) for c in raw]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": [m["media_type"] for m in pdf["meta"]],
-                    "n_bytes": [len(a) for a in arrs],
-                    "mean_value": [float(a.mean()) for a in arrs],
-                    "min_value": [int(a.min()) for a in arrs],
-                    "max_value": [int(a.max()) for a in arrs],
+                    "n_bytes": [len(r) for r in raw],
+                    "mean_value": [
+                        float(a.mean()) if len(r) else None
+                        for a, r in zip(arrs, raw)
+                    ],
+                    "min_value": [
+                        int(a.min()) if len(r) else None for a, r in zip(arrs, raw)
+                    ],
+                    "max_value": [
+                        int(a.max()) if len(r) else None for a, r in zip(arrs, raw)
+                    ],
                 }
             )
 
@@ -211,14 +222,20 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
 def repartition_by_payload(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
     """Rebalance so each partition carries ~target_bytes of payload.
 
-    Binary rows are size-skewed; hash partitioning by count gives some
-    tasks 100× the bytes of others. Bucket rows by cumulative size per
-    current partition → repartition on the bucket. At 100 TB this is
-    the difference between a smooth stage and three stragglers."""
+    Binary rows are size-skewed; hash partitioning by row COUNT gives
+    some tasks 100× the bytes of others. One aggregation measures the
+    total payload, the partition count is total/target, and rows hash
+    uniformly into those partitions — expected bytes per partition ≈
+    target (hash balance, not bin packing: a single row larger than
+    target still owns its partition, which is unavoidable since rows
+    can't split). At 100 TB this is the difference between a smooth
+    stage and three stragglers."""
     with_size = media.withColumn("_sz", F.coalesce(F.length("content"), F.lit(0)))
-    # salt = size-weighted bucket; xxhash spreads equal-size rows.
-    buckets = F.abs(F.xxhash64("media_id")) % F.lit(1024)
-    weighted = with_size.withColumn(
-        "_bucket", (buckets * (F.col("_sz") + 1) / F.lit(target_bytes)).cast("long")
+    total = with_size.agg(F.sum("_sz")).collect()[0][0] or 0
+    n_parts = max(int(total // target_bytes) + 1, 1)
+    bucket = F.pmod(F.xxhash64("media_id"), F.lit(n_parts))
+    return (
+        with_size.withColumn("_bucket", bucket)
+        .repartition(n_parts, F.col("_bucket"))
+        .drop("_sz", "_bucket")
     )
-    return weighted.repartition(F.col("_bucket")).drop("_sz", "_bucket")

@@ -271,10 +271,10 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              (SELECT SUM(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
                 FROM (SELECT UNNEST(a.embedding) AS u, UNNEST(b.embedding) AS v) x)
-             / (sqrt((SELECT SUM(CAST(y.u AS DOUBLE) * CAST(y.u AS DOUBLE))
+             / NULLIF(sqrt((SELECT SUM(CAST(y.u AS DOUBLE) * CAST(y.u AS DOUBLE))
                         FROM (SELECT UNNEST(a.embedding) AS u) y))
               * sqrt((SELECT SUM(CAST(z.v AS DOUBLE) * CAST(z.v AS DOUBLE))
-                        FROM (SELECT UNNEST(b.embedding) AS v) z))) AS cosine_raw
+                        FROM (SELECT UNNEST(b.embedding) AS v) z)), 0) AS cosine_raw
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
     )

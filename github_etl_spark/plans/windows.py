@@ -108,6 +108,7 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts,
+             event_id,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                        > 1800000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -116,7 +117,7 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM marked
     )
@@ -139,12 +140,17 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = t["events"].select(
         "user_id",
         "ts",
+        "event_id",
         F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
         .otherwise(0)
         .alias("is_new"),
     )
+    # event_id tiebreak: a ROWS-frame prefix sum over tied timestamps is
+    # otherwise order-unspecified → nondeterministic session splits.
     run_w = (
-        W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sessions = marked.withColumn("session_id", F.sum("is_new").over(run_w))
     return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
@@ -254,7 +260,7 @@ def t5_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t5_session_window",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
@@ -263,7 +269,7 @@ def t5_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM marked

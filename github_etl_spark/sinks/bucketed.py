@@ -30,7 +30,11 @@ def write_bucketed(
     on `key`. Bucket count must match across tables that will be
     co-join'd; pick it from target bucket size (~128-512 MB each at
     scale), not core count."""
-    writer = df.write.mode(mode).bucketBy(buckets, key)
+    # One file per bucket: without this repartition each task writes
+    # its own file into every bucket, and the scan only exposes the
+    # sortBy ordering when a bucket is a single file — multi-file
+    # buckets silently re-sort in the join.
+    writer = df.repartition(buckets, df[key]).write.mode(mode).bucketBy(buckets, key)
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)

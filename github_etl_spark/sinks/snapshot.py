@@ -94,7 +94,13 @@ def snapshot_exists(
     """
     if not os.path.exists(table_path):
         return False
-    df = spark.read.parquet(table_path)
+    try:
+        df = spark.read.parquet(table_path)
+    except Exception:
+        # Directory exists but holds no readable parquet (crash during
+        # the first-ever write left only _temporary/, or an empty-frame
+        # write left just _SUCCESS) → "no snapshot", not an error.
+        return False
     probe = df.where(
         (F.col("target_repository") == repo)
         & (F.col("snapshot_date") == _date_lit(snapshot_date))
@@ -140,8 +146,10 @@ class SnapshotSink:
         snapshot_date: str | _dt.date,
     ) -> None:
         for name, df in tables.items():
-            if not df.take(1):
-                continue
+            # No emptiness probe: take(1) would execute each table's
+            # full transform DAG once just to check, and dynamic
+            # partition overwrite of an empty frame replaces nothing —
+            # the reference's skip-empty semantics for free.
             write_snapshot(stamp(df, repo, snapshot_date), self.path(name))
 
     def exists(self, spark: SparkSession, repo: str, snapshot_date: str | _dt.date) -> bool:

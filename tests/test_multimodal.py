@@ -86,7 +86,9 @@ def test_empty_and_null_payloads(spark):
         "sample_rate:int,n_frames:int,codec:string>, content binary",
     )
     stats = decode_stats(m).collect()
-    assert all(s.n_bytes == 1 and s.mean_value == 0.0 for s in stats)  # zero-pad
+    # Honest integrity reporting: empty/NULL payloads are 0 bytes with
+    # NULL stats, distinguishable from a real 1-byte 0x00 payload.
+    assert all(s.n_bytes == 0 and s.mean_value is None for s in stats)
 
 
 def test_repartition_by_payload_preserves_rows(spark, sf_dir):

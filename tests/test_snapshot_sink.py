@@ -94,6 +94,10 @@ def test_sink_four_tables_and_empty_skip(spark, tmp_path):
     )
     assert sink.exists(spark, "acme/widgets", "2026-01-15")
     assert not sink.exists(spark, "acme/widgets", "2026-01-16")
-    # Empty table skipped entirely — no directory written (reference
-    # main.py:719-723 skips empty row lists).
-    assert not (tmp_path / "wh" / "commits").exists()
+    # Empty table → no partitions written; the probe reads it as absent
+    # (reference main.py:719-723 skips empty row lists — same contract,
+    # enforced by dynamic overwrite writing nothing, not by a take(1)
+    # pre-scan that would double-execute the transform).
+    assert not snapshot_exists(
+        spark, sink.path("commits"), "acme/widgets", "2026-01-15"
+    )
