@@ -25,13 +25,15 @@ Spark-first re-expression:
 - **Rate budget at scale.** Each partition self-throttles on the
   response headers — primary limits (403 + remaining 0 → sleep to
   reset) AND secondary/abuse limits (403/429 with `Retry-After` →
-  bounded honor-and-retry), so N concurrent tasks degrade gracefully.
-  For a 1000-executor deployment a shared driver-coordinated token
-  bucket is the documented next step (SURVEY.md §7.4 risk 4).
-  `option("max_pages", ...)` bounds a BATCH scan (e.g. sampling a huge
-  repo); it is deliberately ignored by the streaming reader, where a
-  page cap over an ascending listing would permanently stall the
-  cursor below the capped pages.
+  bounded honor-and-retry). For fleet-wide fairness,
+  `option("requests_per_hour", "5000")` starts a driver-coordinated
+  token bucket (sources/ratelimit.py) that every executor task draws
+  permits from before each API call — the shared-budget coordination
+  SURVEY.md §7.4 flags as risk 4 (`budget_host` = the driver address
+  on a real cluster). `option("max_pages", ...)` bounds a BATCH scan
+  (e.g. sampling a huge repo); it is deliberately ignored by the
+  streaming reader, where a page cap over an ascending listing would
+  permanently stall the cursor below the capped pages.
 
 Rows are emitted in the enriched-PR shape (`etl.transform.RAW_PR_SCHEMA`)
 so `spark.read.format("github").load()` feeds `etl.transform.transform`
@@ -60,6 +62,10 @@ from ..etl.transform import RAW_PR_SCHEMA
 DEFAULT_API_URL = "https://api.github.com"
 USER_AGENT = "github-etl-spark/0.1"
 MAX_TRANSIENT_RETRIES = 4
+
+# Keep-alive for driver-side token-bucket servers (one per reader with
+# a requests_per_hour budget); see GithubPullsReader.__init__.
+_BUDGET_SERVERS: list = []
 
 
 class GithubHttpError(RuntimeError):
@@ -105,6 +111,7 @@ class GithubClient:
         token: str | None = None,
         timeout: float = 30.0,
         auth=None,
+        budget=None,
     ):
         self.api_url = api_url.rstrip("/")
         self.token = token
@@ -113,6 +120,10 @@ class GithubClient:
         # .InstallationAuth (GitHub App flow, refreshed per request: the
         # reference's refresh_auth closure, main.py:843-869 / T3).
         self.auth = auth
+        # Optional driver-coordinated permit client
+        # (sources.ratelimit.BudgetClient) — shares one request budget
+        # across every executor task instead of per-task throttling.
+        self.budget = budget
 
     def _headers(self) -> dict[str, str]:
         h = {
@@ -135,6 +146,8 @@ class GithubClient:
         transient = 0
         retry_after_honored = 0
         while True:
+            if self.budget is not None:
+                self.budget.acquire()
             req = urllib.request.Request(url, headers=self._headers())
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
@@ -217,6 +230,22 @@ class GithubPullsReader(DataSourceReader):
             raise ValueError("github source requires option 'repo' (or 'repos')")
         api_url = options.get("url", DEFAULT_API_URL)
         token = options.get("token") or None
+        budget = None
+        rph = float(options.get("requests_per_hour", "0") or 0)
+        if rph > 0:
+            # Bucket server lives on the driver (where the reader is
+            # constructed); executors reach it via budget_host — the
+            # driver's address (spark.driver.host on a real cluster,
+            # loopback in local mode). Kept in a module registry, NOT on
+            # self: the reader is pickled to executors and a live HTTP
+            # server isn't (the picklable BudgetClient is all they need).
+            from .ratelimit import BudgetClient, TokenBucketServer
+
+            server = TokenBucketServer(rph)
+            _BUDGET_SERVERS.append(server)
+            budget = BudgetClient(
+                server.url_for(options.get("budget_host", "127.0.0.1"))
+            )
         # GitHub App installations are per-org/per-repo-selection: a
         # token minted for repo A's installation cannot read repo B
         # under another installation, so each repo gets its own client
@@ -233,7 +262,9 @@ class GithubPullsReader(DataSourceReader):
                     repo=repo,
                     api_url=api_url.rstrip("/"),
                 )
-            self._clients[repo] = GithubClient(api_url, token, auth=auth)
+            self._clients[repo] = GithubClient(
+                api_url, token, auth=auth, budget=budget
+            )
         self.client = self._clients[self.repos[0]]
         self.per_page = int(options.get("per_page", "100"))
         self.state = options.get("state", "all")
