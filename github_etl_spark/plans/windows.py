@@ -78,28 +78,33 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_running_sum",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           (floor((SUM(l_extendedprice) OVER (
+           SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100) AS running_revenue
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue_cents
     FROM lineitem
     """,
 )
 def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8: frame-spec running aggregate; total order inside each
-    partition (shipdate, orderkey, linenumber) makes the prefix sums
-    deterministic across engines."""
+    partition (shipdate, orderkey, linenumber) fixes WHICH rows each
+    prefix covers, and summing exact integer CENTS makes the values
+    engine-independent — double summation is order-AND-algorithm
+    sensitive (DuckDB window-sums via segment trees, Spark
+    sequentially; their last-ulp disagreements flip cent rounding on
+    long partitions — observed at sf0.1, invisible at sf0.01)."""
     t = load_tables(spark, sf_dir)
     w = (
         W.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     return t["lineitem"].select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        round_det(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+        F.sum(cents).over(w).alias("running_revenue_cents"),
     )
 
 
