@@ -327,7 +327,7 @@ def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk")  # approximate — recall asserted in tests
+@query("sim_ivf_topk", headline=True)  # approximate — recall asserted in tests
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: IVF ANN — sample-trained coarse quantizer (16 cells), probe
     the 4 closest cells per query (~1/4 of the corpus scored). The

@@ -230,6 +230,7 @@ def j5_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t5_sliding_window_agg",
+    headline=True,
     oracle="""
     WITH base AS (
       SELECT event_type, CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS w0
@@ -421,7 +422,7 @@ FROM versions
 """
 
 
-@query("scd2_merge", oracle=_SCD2_ORACLE)
+@query("scd2_merge", oracle=_SCD2_ORACLE, headline=True)
 def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 merge (operators/scd.scd2_apply) — the MERGE INTO
     emulation on plain parquet: close changed current rows, append
