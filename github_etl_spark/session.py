@@ -91,6 +91,17 @@ def get_spark(app_name: str = "github_etl_spark", cpus: int | None = None) -> Sp
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Python workers inherit the driver's PYTHONPATH env, not its
+    # sys.path. The addPyFile zip (ship_package) covers batch task
+    # workers, but the STREAMING data-source planner runs in a worker
+    # that only honors PYTHONPATH — without this, streaming sources
+    # import-fail whenever the driver's cwd isn't the repo root.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
