@@ -27,37 +27,49 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("github_etl_spark_bench")
     # JVM/session warmup — not counted. One pass of the headline suite at
-    # the smallest SF exercises the same operator shapes (parquet scan,
-    # hash agg, joins, window, codegen) so measured runs see a JIT-warm
-    # JVM rather than charging all compilation to the alphabetically
-    # first query.
+    # the smallest available SF exercises the same operator shapes
+    # (parquet scan, hash agg, joins, window, codegen) so measured runs
+    # see a JIT-warm JVM rather than charging all compilation to the
+    # alphabetically first query. Warmup problems are REPORTED, not
+    # swallowed — a silently-skipped warmup would inflate the first
+    # measured query with no trace.
     spark.range(1000).count()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     for _name, fn in sorted(headline_queries().items()):
         try:
-            fn(spark, "/root/testdata/sf0.001").count()
-        except Exception:
-            pass
+            fn(spark, warm_dir).count()
+        except Exception as e:
+            print(f"# warmup {_name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name, fn in sorted(headline_queries().items()):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:
+            # One broken query must not discard the other timings or the
+            # contract-required JSON line.
+            failures.append(name)
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if failures:
+        result["failed"] = failures
+    print(json.dumps(result))
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":

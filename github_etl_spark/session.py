@@ -9,8 +9,6 @@ semantics match the DuckDB oracle and any downstream warehouse.
 from __future__ import annotations
 
 import os
-import tempfile
-import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -26,8 +24,51 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-# Sessions we've already shipped the package zip to (by JVM context id).
-_SHIPPED: set[int] = set()
+# Sessions we've already shipped the package zip to, keyed by
+# (applicationId, startTime) — never by object id, which CPython
+# recycles across garbage-collected contexts.
+_SHIPPED: set[tuple] = set()
+
+# This process's package zip (built once per process; a fresh mkstemp
+# path so a stale or foreign /tmp file from an earlier run/pid can
+# never be shipped in place of the current code).
+_PKG_ZIP: list[str] = []
+
+
+def _package_zip() -> str:
+    if _PKG_ZIP:
+        return _PKG_ZIP[0]
+    import tempfile
+    import zipfile as _zf
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zip_path = tempfile.mkstemp(prefix="github_etl_spark_pkg_", suffix=".zip")
+    os.close(fd)
+    with _zf.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    _PKG_ZIP.append(zip_path)
+    return zip_path
+
+
+def export_pythonpath() -> None:
+    """Prepend the package parent to PYTHONPATH for Python workers.
+
+    Batch task workers get the package via addPyFile; the STREAMING
+    data-source planner worker honors only PYTHONPATH. Exporting here
+    (called from tune(), i.e. also for externally-provided sessions)
+    covers workers spawned after this point — workers launch lazily, so
+    in practice that is all of them."""
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -41,23 +82,12 @@ def ship_package(spark: SparkSession) -> None:
     package with the job fixes that for any deployment, which is also
     exactly how this code reaches a real cluster's executors.
     """
-    key = id(spark.sparkContext)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime)
     if key in _SHIPPED:
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"github_etl_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
     try:
-        spark.sparkContext.addPyFile(zip_path)
+        sc.addPyFile(_package_zip())
     except Exception:
         # Some managed deployments forbid addPyFile; workers must then
         # already have the package installed.
@@ -80,6 +110,7 @@ def tune(spark: SparkSession) -> SparkSession:
             # Non-settable in this deployment — keep going; individual
             # queries avoid depending on any single conf for correctness.
             pass
+    export_pythonpath()
     ship_package(spark)
     return spark
 
@@ -91,17 +122,7 @@ def get_spark(app_name: str = "github_etl_spark", cpus: int | None = None) -> Sp
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    # Python workers inherit the driver's PYTHONPATH env, not its
-    # sys.path. The addPyFile zip (ship_package) covers batch task
-    # workers, but the STREAMING data-source planner runs in a worker
-    # that only honors PYTHONPATH — without this, streaming sources
-    # import-fail whenever the driver's cwd isn't the repo root.
-    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_parent not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            pkg_parent + (os.pathsep + existing if existing else "")
-        )
+    export_pythonpath()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
