@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-END_OF_TIME = "9999-12-31 23:59:59"
+# Open-interval sentinel. Deliberately NOT 9999-12-31: pandas/Arrow
+# datetime64[ns] tops out at 2262-04-11, so a 9999 sentinel makes any
+# toPandas() canonicalization raise ArrowInvalid. 2200-01-01 is far
+# enough to be unambiguous and round-trips through every Arrow/pandas
+# conversion losslessly.
+END_OF_TIME = "2200-01-01 00:00:00"
 
 
 def scd2_apply(

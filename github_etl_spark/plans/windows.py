@@ -78,10 +78,13 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_running_sum",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
+           -- outer CAST matters: DuckDB's window SUM(BIGINT) yields
+           -- HUGEINT, which pandas renders as float64 and diverges
+           -- from Spark's int64 on a dtype-sensitive value hash
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue_cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_revenue_cents
     FROM lineitem
     """,
 )
@@ -357,7 +360,7 @@ _SCD2_ORACLE = """
 WITH dim AS (
   SELECT c_custkey, c_mktsegment AS segment,
          TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
-         TIMESTAMP '9999-12-31 23:59:59' AS valid_to,
+         TIMESTAMP '2200-01-01 00:00:00' AS valid_to,
          TRUE AS is_current
   FROM customer
 ),
@@ -394,7 +397,7 @@ survivors AS (
 versions AS (
   SELECT c_custkey, segment, valid_from,
          COALESCE(LEAD(valid_from) OVER w2,
-                  TIMESTAMP '9999-12-31 23:59:59') AS valid_to
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to
   FROM survivors
   WINDOW w2 AS (PARTITION BY c_custkey ORDER BY valid_from, segment)
 ),
@@ -417,7 +420,7 @@ SELECT * FROM untouched
 UNION ALL SELECT * FROM closed
 UNION ALL
 SELECT c_custkey, segment, valid_from, valid_to,
-       valid_to = TIMESTAMP '9999-12-31 23:59:59' AS is_current
+       valid_to = TIMESTAMP '2200-01-01 00:00:00' AS is_current
 FROM versions
 """
 
@@ -435,7 +438,7 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.col("c_mktsegment").alias("segment"),
         F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
-        F.lit("9999-12-31 23:59:59").cast("timestamp").alias("valid_to"),
+        F.lit("2200-01-01 00:00:00").cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
     changes = (

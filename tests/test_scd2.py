@@ -6,7 +6,7 @@ import datetime as dt
 
 from github_etl_spark.operators.scd import END_OF_TIME, scd2_apply
 
-EOT = dt.datetime(9999, 12, 31, 23, 59, 59)
+EOT = dt.datetime(2200, 1, 1)
 DIM_SCHEMA = (
     "k long, v string, valid_from timestamp, valid_to timestamp, is_current boolean"
 )
@@ -91,7 +91,11 @@ def test_untouched_keys_and_history_pass_through(spark):
 
 
 def test_end_of_time_constant():
-    assert END_OF_TIME == "9999-12-31 23:59:59"
+    # Must stay inside pandas datetime64[ns] range (max 2262-04-11):
+    # the correctness driver canonicalizes via toPandas(), and a
+    # 9999-12-31 sentinel raises ArrowInvalid there.
+    assert END_OF_TIME == "2200-01-01 00:00:00"
+    assert dt.datetime.fromisoformat(END_OF_TIME) < dt.datetime(2262, 4, 11)
 
 
 def test_later_duplicate_updates_are_noops(spark):
