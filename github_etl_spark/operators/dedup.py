@@ -17,6 +17,7 @@ from hashing (seed, value) tuples.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_det
@@ -114,6 +115,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over minhash sigs.
 
@@ -128,11 +130,23 @@ def minhash_lsh_candidates(
     bucket self-join would re-execute the whole signature pipeline for
     both sides (Spark has no automatic plan reuse) — measured 2× slower
     at sf0.1. One shuffle for the bucket groupBy, one for the
-    cross-band pair dedup. Bucket sizes stay small by construction; a
-    skewed bucket (B members → B² pairs) is the known hazard — cap/salt
-    oversized buckets before the expansion at extreme corpus sizes.
+    cross-band pair dedup. Bucket sizes stay small by construction for
+    diverse text, but a boilerplate-heavy corpus puts B near-identical
+    docs in one bucket → B² pairs in a single row (the OOM/straggler
+    hazard at 100 TB). `max_bucket_size` bounds it: a per-bucket
+    row_number (ordered by doc id — deterministic) keeps only the
+    first `max_bucket_size` members, so both the collected member
+    array and the pair expansion are ≤ cap and ≤ cap² regardless of
+    corpus skew. Recall cost is negligible: a bucket that overflows
+    the cap is boilerplate whose members are mutual near-dups; the
+    kept members still pair with each other, and overflow members
+    usually re-collide in other bands. The row_number window
+    hash-partitions on the bucket key, and the groupBy that follows
+    reuses that distribution — the cap adds a per-partition sort, not
+    a shuffle.
     """
     rows_per_band = num_hashes // bands
+    max_bucket_size = max(2, int(max_bucket_size))
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
 
     band_cols = F.array(
@@ -153,8 +167,14 @@ def minhash_lsh_candidates(
     buckets = sigs.select(
         F.col(id_col).alias("doc"), "signature", F.explode(band_cols).alias("bb")
     )
+    # Skew cap: deterministic first-N members per bucket BEFORE the
+    # collect_list, so no single row ever materializes an unbounded
+    # member array (window and groupBy share the bb hash distribution).
+    capped = buckets.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("bb").orderBy("doc"))
+    ).filter(F.col("_rn") <= max_bucket_size)
     grouped = (
-        buckets.groupBy("bb")
+        capped.groupBy("bb")
         .agg(F.collect_list(F.struct("doc", "signature")).alias("members"))
         .filter(F.size("members") > 1)
     )
@@ -232,6 +252,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     shingle: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle-set Jaccard over blocked candidate pairs.
 
@@ -248,8 +269,15 @@ def ngram_jaccard_pairs(
     collapse → 2-4× slower) and (b) a collect_list posting-list variant
     with in-row quadratic pair expansion (interpreted higher-order
     lambdas, hot-shingle arrays → 3× slower). Skew hazard: a stopword
-    gram shared by B docs yields B² join rows — cap posting lists /
-    drop top-frequency shingles at extreme scale.
+    gram shared by B docs yields B² join rows. `max_df` is the
+    mitigation: shingles whose per-block document frequency exceeds it
+    are dropped BEFORE the join (broadcast anti-join against the tiny
+    hot-shingle list), and set sizes are computed over the SURVIVING
+    shingles, so the result is the exact Jaccard over the
+    discriminative (df ≤ max_df) shingle space — a well-defined
+    similarity both engines can mirror, not a one-sided heuristic. A
+    boilerplate gram in 1M docs costs one count shuffle instead of
+    10^12 join rows. None disables the cap.
     """
     grams = _shingles(F.col(text_col), shingle) if shingle > 1 else F.array_distinct(
         tokens_expr(F.col(text_col))
@@ -260,6 +288,14 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.explode(grams).alias("tok"),
     )
+    if max_df is not None:
+        hot = (
+            toks.groupBy(*block_cols, "tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select(*block_cols, "tok")
+        )
+        toks = toks.join(F.broadcast(hot), [*block_cols, "tok"], "left_anti")
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     a = toks.alias("a")

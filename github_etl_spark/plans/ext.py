@@ -79,12 +79,18 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, lang, {_SQL_TOKS} AS w FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT doc_id, lang,
              unnest(list_distinct(list_transform(
                range(1, greatest(len(w) - 2, 0) + 1),
                i -> array_to_string(w[i:i+2], ' ')))) AS tok
       FROM toks
+    ),
+    hot AS (
+      SELECT lang, tok FROM sh0 GROUP BY lang, tok HAVING count(*) > 100
+    ),
+    sh AS (
+      SELECT sh0.* FROM sh0 ANTI JOIN hot USING (lang, tok)
     ),
     sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
     inter AS (
@@ -102,10 +108,19 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT: exact 3-gram-shingle Jaccard near-dup pairs, blocked by lang."""
+    """EXT: exact 3-gram-shingle Jaccard near-dup pairs, blocked by lang,
+    with the hot-shingle skew cap (df > 100 grams dropped on BOTH the
+    Spark and oracle sides — the similarity is over discriminative
+    shingles, so a boilerplate gram can't produce B² join rows)."""
     t = load_tables(spark, sf_dir)
     return ngram_jaccard_pairs(
-        t["documents"], "text", "doc_id", block_cols=["lang"], threshold=0.5, shingle=3
+        t["documents"],
+        "text",
+        "doc_id",
+        block_cols=["lang"],
+        threshold=0.5,
+        shingle=3,
+        max_df=100,
     )
 
 

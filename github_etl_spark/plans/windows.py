@@ -81,25 +81,36 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- outer CAST matters: DuckDB's window SUM(BIGINT) yields
            -- HUGEINT, which pandas renders as float64 and diverges
            -- from Spark's int64 on a dtype-sensitive value hash
+           -- l_extendedprice tiebreak: the synthetic lineitem has
+           -- duplicate (orderkey, linenumber) keys, and rows that tie
+           -- on (shipdate, orderkey, linenumber) with DIFFERENT prices
+           -- make the prefix-sum assignment engine-dependent; tying on
+           -- the summed value itself makes the output multiset
+           -- order-invariant
            CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_revenue_cents
     FROM lineitem
     """,
 )
 def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8: frame-spec running aggregate; total order inside each
-    partition (shipdate, orderkey, linenumber) fixes WHICH rows each
-    prefix covers, and summing exact integer CENTS makes the values
-    engine-independent — double summation is order-AND-algorithm
-    sensitive (DuckDB window-sums via segment trees, Spark
-    sequentially; their last-ulp disagreements flip cent rounding on
-    long partitions — observed at sf0.1, invisible at sf0.01)."""
+    partition (shipdate, orderkey, linenumber, extendedprice) fixes
+    WHICH rows each prefix covers, and summing exact integer CENTS
+    makes the values engine-independent — double summation is
+    order-AND-algorithm sensitive (DuckDB window-sums via segment
+    trees, Spark sequentially; their last-ulp disagreements flip cent
+    rounding on long partitions — observed at sf0.1, invisible at
+    sf0.01). The extendedprice tiebreak matters too: synthetic
+    lineitem duplicates (orderkey, linenumber), and a tie across the
+    first three keys with different prices leaves the prefix-sum
+    assignment engine-dependent; breaking the tie on the summed value
+    itself makes the output multiset deterministic."""
     t = load_tables(spark, sf_dir)
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")

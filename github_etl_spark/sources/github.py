@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import time
 import urllib.error
 import urllib.parse
@@ -63,9 +64,20 @@ DEFAULT_API_URL = "https://api.github.com"
 USER_AGENT = "github-etl-spark/0.1"
 MAX_TRANSIENT_RETRIES = 4
 
-# Keep-alive for driver-side token-bucket servers (one per reader with
-# a requests_per_hour budget); see GithubPullsReader.__init__.
-_BUDGET_SERVERS: list = []
+# Driver-side token-bucket servers, keyed by (rate, bind) and REUSED
+# across reader constructions — one token means one budget, and reuse
+# avoids leaking a thread + port per query in a long-lived driver; see
+# GithubPullsReader.__init__ and close_budget_servers().
+_BUDGET_SERVERS: dict = {}
+_BUDGET_LOCK = threading.Lock()
+
+
+def close_budget_servers() -> None:
+    """Shut down every cached driver-side budget server (tests/teardown)."""
+    with _BUDGET_LOCK:
+        for srv in _BUDGET_SERVERS.values():
+            srv.close()
+        _BUDGET_SERVERS.clear()
 
 
 class GithubHttpError(RuntimeError):
@@ -236,16 +248,23 @@ class GithubPullsReader(DataSourceReader):
             # Bucket server lives on the driver (where the reader is
             # constructed); executors reach it via budget_host — the
             # driver's address (spark.driver.host on a real cluster,
-            # loopback in local mode). Kept in a module registry, NOT on
-            # self: the reader is pickled to executors and a live HTTP
-            # server isn't (the picklable BudgetClient is all they need).
-            from .ratelimit import BudgetClient, TokenBucketServer
+            # loopback in local mode) — and budget_bind controls which
+            # interface it listens on (loopback by default; set to the
+            # driver's interface on a real cluster). Kept in a module
+            # registry, NOT on self: the reader is pickled to executors
+            # and a live HTTP server isn't (the picklable BudgetClient
+            # is all they need). The registry is keyed by (rate, bind)
+            # so repeated reader constructions share one server — one
+            # token, one budget, no thread/port leak per query.
+            from .ratelimit import TokenBucketServer
 
-            server = TokenBucketServer(rph)
-            _BUDGET_SERVERS.append(server)
-            budget = BudgetClient(
-                server.url_for(options.get("budget_host", "127.0.0.1"))
-            )
+            bind = options.get("budget_bind", "127.0.0.1")
+            with _BUDGET_LOCK:
+                server = _BUDGET_SERVERS.get((rph, bind))
+                if server is None:
+                    server = TokenBucketServer(rph, bind=bind)
+                    _BUDGET_SERVERS[(rph, bind)] = server
+            budget = server.client(options.get("budget_host", "127.0.0.1"))
         # GitHub App installations are per-org/per-repo-selection: a
         # token minted for repo A's installation cannot read repo B
         # under another installation, so each repo gets its own client

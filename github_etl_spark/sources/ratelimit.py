@@ -26,9 +26,12 @@ queue): the API's own limiter remains the backstop via the client's
 
 from __future__ import annotations
 
+import hmac
 import json
+import secrets
 import threading
 import time
+import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -66,13 +69,22 @@ class TokenBucket:
 
 class _Handler(BaseHTTPRequestHandler):
     bucket: TokenBucket = None  # set by server factory
+    secret: str = ""  # set by server factory
 
     def log_message(self, *args):  # quiet
         pass
 
     def do_GET(self):
-        if not self.path.startswith("/acquire"):
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path != "/acquire":
             self.send_response(404)
+            self.end_headers()
+            return
+        # Shared-secret gate: without it any network peer that can reach
+        # the port could drain the fleet's request budget.
+        supplied = urllib.parse.parse_qs(parsed.query).get("s", [""])[0]
+        if not hmac.compare_digest(supplied, self.secret):
+            self.send_response(403)
             self.end_headers()
             return
         wait = self.bucket.try_acquire(1)  # bound subclass's bucket
@@ -85,13 +97,29 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class TokenBucketServer:
-    """Serves one bucket on an ephemeral driver port (daemon thread)."""
+    """Serves one bucket on an ephemeral driver port (daemon thread).
 
-    def __init__(self, requests_per_hour: float, burst: float | None = None):
+    Binds loopback by default — correct for local mode and safe by
+    default elsewhere; on a real cluster pass the driver's listen
+    address (`spark.driver.host`'s interface) as `bind` so executors
+    can reach it. Every grant requires the per-server shared secret
+    (query param `s`), so a reachable port alone can't drain the
+    budget.
+    """
+
+    def __init__(
+        self,
+        requests_per_hour: float,
+        burst: float | None = None,
+        bind: str = "127.0.0.1",
+    ):
         rate = requests_per_hour / 3600.0
         self.bucket = TokenBucket(rate, burst if burst is not None else max(rate * 10, 1.0))
-        handler = type("_BoundHandler", (_Handler,), {"bucket": self.bucket})
-        self.server = ThreadingHTTPServer(("0.0.0.0", 0), handler)
+        self.secret = secrets.token_hex(16)
+        handler = type(
+            "_BoundHandler", (_Handler,), {"bucket": self.bucket, "secret": self.secret}
+        )
+        self.server = ThreadingHTTPServer((bind, 0), handler)
         self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
         self.thread.start()
 
@@ -101,6 +129,9 @@ class TokenBucketServer:
 
     def url_for(self, host: str) -> str:
         return f"http://{host}:{self.port}"
+
+    def client(self, host: str, max_wait: float = 900.0) -> "BudgetClient":
+        return BudgetClient(self.url_for(host), secret=self.secret, max_wait=max_wait)
 
     def close(self) -> None:
         self.server.shutdown()
@@ -116,15 +147,17 @@ class BudgetClient:
     executor on a dead coordinator would be worse.
     """
 
-    def __init__(self, url: str, max_wait: float = 900.0):
+    def __init__(self, url: str, secret: str = "", max_wait: float = 900.0):
         self.url = url.rstrip("/")
+        self.secret = secret
         self.max_wait = max_wait
 
     def acquire(self) -> None:
         deadline = time.monotonic() + self.max_wait
+        acquire_url = self.url + "/acquire?s=" + urllib.parse.quote(self.secret)
         while True:
             try:
-                with urllib.request.urlopen(self.url + "/acquire", timeout=10) as r:
+                with urllib.request.urlopen(acquire_url, timeout=10) as r:
                     wait = float(json.loads(r.read().decode()).get("wait", 0.0))
             except Exception:
                 return  # fail-open

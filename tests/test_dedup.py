@@ -124,6 +124,78 @@ def test_lsh_candidate_pairs_are_ordered_and_unique(spark, num_hashes, bands):
         assert 0.0 <= r.est_jaccard <= 1.0
 
 
+# --------------------------------------------------------------- skew caps
+
+
+def _boilerplate_corpus(spark, n_boiler=40, boiler_text=None):
+    """n_boiler docs sharing a long boilerplate prefix with unique short
+    tails, plus one genuinely-duplicated distinctive pair (1000, 1001)."""
+    boiler = boiler_text or (
+        "this message and any attachments are confidential and intended "
+        "solely for the use of the individual or entity to whom they are "
+        "addressed if you have received this email in error please notify "
+        "the sender immediately and delete it from your system"
+    )
+    rows = [(i, f"{boiler} ticket {i * 17} ref {i * 31}") for i in range(n_boiler)]
+    dup = "meeting notes for the quarterly roadmap review in building seven"
+    rows += [(1000, dup), (1001, dup)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_bucket_cap_bounds_pair_explosion(spark):
+    """B identical docs land in ONE bucket per band; the cap must bound
+    the pair expansion at C(cap, 2) instead of C(B, 2), keeping the
+    lowest doc ids (deterministic)."""
+    boiler = "identical boilerplate document body repeated across the corpus many times over"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(120)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_candidates(df, "text", "doc_id", 32, 8, max_bucket_size=16)
+    rows = pairs.collect()
+    assert len(rows) == 16 * 15 // 2  # C(16,2), not C(120,2)=7140
+    assert max(max(r.id_a, r.id_b) for r in rows) == 15  # first-N by doc id
+    assert all(r.est_jaccard == 1.0 for r in rows)
+
+
+def test_lsh_cap_does_not_change_small_buckets(spark):
+    """On a diverse corpus (all buckets under the cap) the capped and
+    uncapped candidate sets are identical."""
+    df = _docs(spark)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "text", "doc_id", 32, 8, max_bucket_size=64).collect()
+    }
+    huge_cap = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "text", "doc_id", 32, 8, max_bucket_size=10**6).collect()
+    }
+    assert capped == huge_cap
+
+
+def test_jaccard_hot_shingle_cap_drops_boilerplate_pairs(spark):
+    """With max_df, boilerplate-only overlap yields NO pairs (the hot
+    grams are dropped before the join) while genuinely duplicated
+    distinctive docs still pair at jaccard 1.0."""
+    df = _boilerplate_corpus(spark).withColumn("blk", F.lit(1))
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", ["blk"], threshold=0.5, shingle=3, max_df=5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1000, 1001)}
+    assert pairs[0].jaccard == 1.0
+
+
+def test_jaccard_uncapped_boilerplate_pairs_exist(spark):
+    """Control for the test above: without the cap the boilerplate docs
+    DO pair (their shared prefix dominates the short unique tails) —
+    i.e. the cap is what removed them, not the fixture."""
+    df = _boilerplate_corpus(spark, n_boiler=12).withColumn("blk", F.lit(1))
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", ["blk"], threshold=0.5, shingle=3, max_df=None
+    )
+    boiler_pairs = pairs.filter((F.col("id_a") < 1000) & (F.col("id_b") < 1000)).count()
+    assert boiler_pairs > 0
+
+
 # ------------------------------------------------------------- similarity ANN
 
 

@@ -30,7 +30,7 @@ def test_bucket_math_with_fake_clock():
 def test_server_smooths_a_stampede():
     srv = TokenBucketServer(requests_per_hour=3600 * 4, burst=2)  # 4/s, burst 2
     try:
-        client = BudgetClient(srv.url_for("127.0.0.1"))
+        client = srv.client("127.0.0.1")
         t0 = time.monotonic()
         threads = [threading.Thread(target=client.acquire) for _ in range(8)]
         for t in threads:
@@ -48,10 +48,70 @@ def test_server_smooths_a_stampede():
 def test_budget_client_fails_open_when_server_gone():
     srv = TokenBucketServer(requests_per_hour=3600)
     url = srv.url_for("127.0.0.1")
+    secret = srv.secret
     srv.close()
     t0 = time.monotonic()
-    BudgetClient(url).acquire()  # must not raise or hang
+    BudgetClient(url, secret).acquire()  # must not raise or hang
     assert time.monotonic() - t0 < 5.0
+
+
+def test_acquire_requires_shared_secret():
+    """A peer that merely reaches the port (no secret) gets 403 and
+    drains nothing; the secret-bearing client still gets permits."""
+    import urllib.error
+    import urllib.request
+
+    srv = TokenBucketServer(requests_per_hour=3600, burst=1)
+    try:
+        url = srv.url_for("127.0.0.1")
+        try:
+            urllib.request.urlopen(url + "/acquire", timeout=5)
+            assert False, "unauthenticated acquire should 403"
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        try:
+            urllib.request.urlopen(url + "/acquire?s=wrong", timeout=5)
+            assert False, "wrong secret should 403"
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        # Budget untouched by the rejected calls: the real client gets
+        # the single burst permit immediately.
+        t0 = time.monotonic()
+        srv.client("127.0.0.1").acquire()
+        assert time.monotonic() - t0 < 1.0
+    finally:
+        srv.close()
+
+
+def test_server_binds_loopback_by_default():
+    srv = TokenBucketServer(requests_per_hour=3600)
+    try:
+        assert srv.server.server_address[0] == "127.0.0.1"
+    finally:
+        srv.close()
+
+
+def test_reader_budget_servers_are_reused_and_closeable():
+    from github_etl_spark.sources.github import (
+        _BUDGET_SERVERS,
+        close_budget_servers,
+    )
+
+    close_budget_servers()
+    with MockGithub() as mock:
+        opts = {
+            "repo": "acme/widgets",
+            "url": mock.url,
+            "with_children": "false",
+            "requests_per_hour": "3600000",
+        }
+        GithubPullsReader(opts)
+        GithubPullsReader(opts)
+        GithubPullsReader({**opts, "requests_per_hour": "7200000"})
+        # Same budget → same server; different budget → its own server.
+        assert len(_BUDGET_SERVERS) == 2
+    close_budget_servers()
+    assert len(_BUDGET_SERVERS) == 0
 
 
 def test_reader_with_budget_reads_everything(spark):
