@@ -144,13 +144,34 @@ class SnapshotSink:
         tables: dict[str, DataFrame],
         repo: str,
         snapshot_date: str | _dt.date,
+        lock: bool = True,
+        lock_timeout: float = 600.0,
     ) -> None:
-        for name, df in tables.items():
-            # No emptiness probe: take(1) would execute each table's
-            # full transform DAG once just to check, and dynamic
-            # partition overwrite of an empty frame replaces nothing —
-            # the reference's skip-empty semantics for free.
-            write_snapshot(stamp(df, repo, snapshot_date), self.path(name))
+        from .locking import PartitionLock
+
+        # Each table write is atomic per partition, but the SNAPSHOT
+        # spans four tables: without serialization two concurrent
+        # writers to the same (repo, date) can interleave and leave a
+        # torn snapshot (tables from different runs). The partition
+        # lock serializes whole loads per (repo, date) — writers to
+        # other partitions never contend (sinks/locking.py).
+        plock = (
+            PartitionLock(self.base_dir, repo, snapshot_date) if lock else None
+        )
+        if plock:
+            plock.acquire(timeout=lock_timeout)
+        try:
+            for name, df in tables.items():
+                # No emptiness probe: take(1) would execute each table's
+                # full transform DAG once just to check, and dynamic
+                # partition overwrite of an empty frame replaces nothing —
+                # the reference's skip-empty semantics for free.
+                write_snapshot(stamp(df, repo, snapshot_date), self.path(name))
+                if plock:
+                    plock.touch()  # long multi-table loads stay fresh
+        finally:
+            if plock:
+                plock.release()
 
     def exists(self, spark: SparkSession, repo: str, snapshot_date: str | _dt.date) -> bool:
         """True if ANY table holds the partition (reference probes only

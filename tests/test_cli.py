@@ -63,3 +63,35 @@ def test_main_end_to_end(spark, tmp_path):
     prs = read_snapshot(spark, str(tmp_path / "wh" / "pull_requests"))
     assert prs.count() == N_PRS
     assert str(prs.select("snapshot_date").distinct().collect()[0][0]) == "2026-01-15"
+
+
+def test_single_command_cli_subprocess(tmp_path):
+    """Compose-run parity (reference docker-compose.yml:1-53): ONE
+    command — `python -m github_etl_spark.etl.cli` — runs
+    connector → transform → idempotent snapshot against the mock API
+    in a fresh process (its own SparkSession, config via env) and
+    exits 0 with the warehouse populated."""
+    import os
+    import subprocess
+    import sys
+
+    with MockGithub() as mock:
+        env = {
+            **os.environ,
+            "PYTHONPATH": "/root/repo",
+            "GITHUB_REPOS": "acme/widgets",
+            "SNAPSHOT_BASE": str(tmp_path / "wh"),
+            "GITHUB_API_URL": mock.url,
+            "SNAPSHOT_DATE": "2026-01-15",
+        }
+        proc = subprocess.run(
+            [sys.executable, "-m", "github_etl_spark.etl.cli"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=str(tmp_path),  # not the repo root — catches cwd dependence
+        )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_dir = tmp_path / "wh" / "pull_requests"
+    assert out_dir.is_dir() and any(out_dir.rglob("*.parquet"))

@@ -101,3 +101,92 @@ def test_sink_four_tables_and_empty_skip(spark, tmp_path):
     assert not snapshot_exists(
         spark, sink.path("commits"), "acme/widgets", "2026-01-15"
     )
+
+
+# ------------------------------------------------- concurrent writers (risk 5)
+
+
+def test_partition_lock_mutual_exclusion_and_stale_break(tmp_path):
+    from github_etl_spark.sinks.locking import LockTimeout, PartitionLock
+
+    base = str(tmp_path)
+    a = PartitionLock(base, "acme/widgets", "2026-01-15")
+    b = PartitionLock(base, "acme/widgets", "2026-01-15")
+    other = PartitionLock(base, "acme/widgets", "2026-01-16")
+    a.acquire()
+    # Same partition blocks; a different date does not contend.
+    try:
+        b.acquire(timeout=0.3)
+        raise AssertionError("second writer must not acquire a held lock")
+    except LockTimeout:
+        pass
+    other.acquire(timeout=0.3)
+    other.release()
+    a.release()
+    b.acquire(timeout=0.3)  # released → immediately acquirable
+    b.release()
+
+    # Stale lock (dead holder) is broken and re-acquired.
+    import os
+    import time
+
+    c = PartitionLock(base, "acme/widgets", "2026-01-15", stale_after=0.2)
+    c.acquire()
+    os.utime(c.path, (time.time() - 10, time.time() - 10))  # simulate dead holder
+    d = PartitionLock(base, "acme/widgets", "2026-01-15", stale_after=0.2)
+    d.acquire(timeout=2.0)
+    # The broken holder's release must NOT remove the new holder's lock.
+    c.release()
+    assert os.path.exists(d.path)
+    d.release()
+    assert not os.path.exists(d.path)
+
+
+def test_concurrent_same_partition_loads_never_tear(spark, tmp_path):
+    """Two writers loading DIFFERENT data into the SAME (repo, date):
+    after both finish, every table must come from ONE writer — the
+    lock serializes whole multi-table loads, so no mixed snapshot."""
+    import threading
+
+    sink = SnapshotSink(str(tmp_path / "wh"))
+
+    def tables_for(writer: int):
+        return {
+            name: spark.createDataFrame(
+                [(i, writer) for i in range(5)],
+                "pull_request_id long, writer int",
+            )
+            for name in ("pull_requests", "commits", "reviewers", "comments")
+        }
+
+    errs = []
+
+    def run(writer: int):
+        try:
+            sink.load(tables_for(writer), "acme/widgets", "2026-01-15")
+        except Exception as e:  # pragma: no cover - surfaced via assert below
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    writers_seen = set()
+    for name in ("pull_requests", "commits", "reviewers", "comments"):
+        vals = {
+            r.writer
+            for r in read_snapshot(
+                spark, sink.path(name), "acme/widgets", "2026-01-15"
+            ).collect()
+        }
+        assert len(vals) == 1, f"{name} holds rows from writers {vals}"
+        writers_seen |= vals
+    # The whole snapshot is from exactly one writer (last one wins).
+    assert len(writers_seen) == 1, f"torn snapshot across tables: {writers_seen}"
+    # Lock file cleaned up after both loads.
+    import os
+
+    lock_dir = os.path.join(str(tmp_path / "wh"), "_locks")
+    assert os.listdir(lock_dir) == []
