@@ -253,6 +253,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle: int = 3,
     max_df: int | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact n-gram-shingle-set Jaccard over blocked candidate pairs.
 
@@ -278,6 +279,15 @@ def ngram_jaccard_pairs(
     similarity both engines can mirror, not a one-sided heuristic. A
     boilerplate gram in 1M docs costs one count shuffle instead of
     10^12 join rows. None disables the cap.
+
+    The (filtered) token relation feeds three consumers — sizes and
+    both join sides — and Spark re-derives it per consumer (no
+    automatic subplan reuse), so the corpus is scanned and
+    re-tokenized up to 3× (plus the hot-gram count). `persist=True`
+    caches the token relation (MEMORY_AND_DISK) so the corpus is
+    scanned once; use it when the tokenized intermediate fits the
+    cluster's storage tier — at extreme scale prefer materializing
+    tokens as a staging table instead.
     """
     grams = _shingles(F.col(text_col), shingle) if shingle > 1 else F.array_distinct(
         tokens_expr(F.col(text_col))
@@ -288,6 +298,10 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.explode(grams).alias("tok"),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         hot = (
             toks.groupBy(*block_cols, "tok")

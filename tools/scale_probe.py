@@ -7,7 +7,12 @@ check the scaling SHAPE — near-linear is the design claim for minhash
 signatures and LSH bucketing; quadratic blowup would flag a
 candidate-pair explosion. Writes docs/SCALE_PROBE.md.
 
-Usage: python tools/scale_probe.py [K ...]   (default: 1 4 16)
+Also runs a SKEW probe: inject one boilerplate string into 5% of the
+corpus (the pathological case for LSH buckets and hot shingles) and
+show that the round-2 caps bound candidate pairs and wall time where
+the uncapped operators go quadratic in the boilerplate count.
+
+Usage: python tools/scale_probe.py [K ...]   (default: 1 4 16 32)
 """
 
 from __future__ import annotations
@@ -39,8 +44,58 @@ def replicate(df, id_col, k):
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+BOILER = (
+    "this message and any attachments are confidential and intended solely "
+    "for the use of the individual or entity to whom they are addressed "
+    "please notify the sender immediately if you received this in error"
+)
+
+
+def skew_probe(spark, docs):
+    """5% boilerplate corpus: capped vs uncapped LSH and Jaccard."""
+    from github_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    skewed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 20 == 0, F.lit(BOILER)).otherwise(F.col("text")),
+    )
+    n_boiler = skewed.filter(F.col("doc_id") % 20 == 0).count()
+    rows = []
+
+    def run(label, fn):
+        t0 = time.perf_counter()
+        pairs = fn().count()
+        rows.append((label, n_boiler, pairs, time.perf_counter() - t0))
+        print(f"skew {label}: {pairs} pairs {rows[-1][3]:.1f}s", flush=True)
+
+    run(
+        "LSH capped (64)",
+        lambda: minhash_lsh_candidates(skewed, "text", "doc_id", max_bucket_size=64),
+    )
+    run(
+        "LSH uncapped",
+        lambda: minhash_lsh_candidates(
+            skewed, "text", "doc_id", max_bucket_size=10**9
+        ),
+    )
+    blk = skewed.withColumn("blk", F.lit(1))
+    run(
+        "Jaccard max_df=100",
+        lambda: ngram_jaccard_pairs(
+            blk, "text", "doc_id", ["blk"], threshold=0.5, max_df=100
+        ),
+    )
+    run(
+        "Jaccard uncapped",
+        lambda: ngram_jaccard_pairs(
+            blk, "text", "doc_id", ["blk"], threshold=0.5, max_df=None
+        ),
+    )
+    return rows
+
+
 def main():
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 32]
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
     docs, emb = t["documents"], t["embeddings"]
@@ -71,6 +126,23 @@ def main():
             f"| {k} | {n_docs} | {t_lsh:.1f} | {pairs} | {n_vec} | {t_ann:.1f} |"
         )
         print(lines[-1], flush=True)
+    skew_rows = skew_probe(spark, docs)
+    lines += [
+        "",
+        "## Skew probe — 5% boilerplate corpus (the B² hazard)",
+        "",
+        f"Same fixture, every 20th doc's text replaced by one boilerplate",
+        f"string ({skew_rows[0][1]} copies). Uncapped, those copies land in",
+        "ONE LSH bucket per band (C(B,2) pair expansion in a single row)",
+        "and share every shingle (B² join rows per gram). The caps bound",
+        "both: the LSH bucket keeps its first 64 members (≤ C(64,2)=2016",
+        "pairs), and max_df drops grams seen in >100 docs before the join.",
+        "",
+        "| scenario | boilerplate docs | pairs | sec |",
+        "|---|---|---|---|",
+    ]
+    for label, nb, pairs, secs in skew_rows:
+        lines.append(f"| {label} | {nb} | {pairs} | {secs:.1f} |")
     lines += [
         "",
         "Reading the numbers: replication makes every doc a true",
