@@ -126,3 +126,20 @@ def rolling_fingerprint_expr(text_col):
     """Document fingerprint (rolling-hash analog) — alias of the shared
     canonical fingerprint."""
     return fingerprint_expr(text_col)
+
+
+# PII patterns kept RE2-and-Java compatible (no backrefs/lookaround) so
+# the Spark expression and the DuckDB oracle run the IDENTICAL pattern.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+def redact_pii_expr(text_col):
+    """Redact emails then phone numbers with typed placeholders.
+
+    Order matters: the email pattern must run first (a phone-like digit
+    run inside an address would otherwise be clipped mid-token). Pure
+    regexp_replace composition — JVM-side, streamable, no UDF.
+    """
+    no_email = F.regexp_replace(text_col, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(no_email, PHONE_RE, "[PHONE]")

@@ -60,18 +60,13 @@ def _shingles(text_col, n: int = 3):
 
     Documents shorter than n tokens yield an EMPTY shingle set (matches
     the oracle's range() semantics) rather than a padded partial gram.
+    Built from n zipped slices of the token array — O(n·L) per row; the
+    `transform(sequence, i -> slice(toks, i, n))` form is O(L²)
+    (measured 5× slower on the sf0.1 corpus, see operators/pipeline.py).
     """
-    toks = tokens_expr(text_col)
-    n_grams = F.size(toks) - (n - 1)
-    return F.when(
-        n_grams > 0,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from .pipeline import ngrams_expr
+
+    return F.array_distinct(ngrams_expr(tokens_expr(text_col), n))
 
 
 def minhash_signatures(

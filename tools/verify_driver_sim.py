@@ -92,6 +92,10 @@ def kind(dtype):
 
 qs = mod.queries()
 oracles = mod.oracle_sql()
+if len(sys.argv) > 1:  # optional: verify only the named queries
+    missing = [a for a in sys.argv[1:] if a not in qs]
+    assert not missing, f"unknown queries: {missing}"
+    qs = {k: v for k, v in qs.items() if k in sys.argv[1:]}
 print(f"CATALOG: {len(qs)} queries, {len(oracles)} with oracle  (sf={SF_CORR})")
 
 n_pass = n_fail = 0
