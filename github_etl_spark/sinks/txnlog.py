@@ -62,7 +62,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .snapshot import PARTITION_COLS, stamp
+from .snapshot import stamp
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
