@@ -195,6 +195,203 @@ def repetition_metrics(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: per-document fraction of distinct
+    word n-grams that also occur anywhere in a benchmark/eval corpus.
+
+    The decontamination step every training pipeline runs before
+    shipping data (n-gram collision against held-out eval sets, as in
+    public LM training reports). Returns (id, n_grams, n_hit,
+    overlap_frac, contaminated); documents with fewer than n tokens
+    have no grams and are absent (same as the oracle's range()
+    semantics).
+
+    Scale shape: the benchmark side is collapsed to its DISTINCT gram
+    set and broadcast — eval suites are MBs while the corpus is TBs, so
+    the asymmetry is structural, not a tuning assumption. The corpus
+    side is one explode of per-document DISTINCT grams, a broadcast
+    left join (no shuffle of the corpus), and one groupBy(id) with
+    map-side partial aggregation. Nothing materializes the cross
+    product and no corpus-wide gram table is ever shuffled.
+    """
+    grams = F.array_distinct(ngrams_expr(words_expr(F.col(text_col)), n))
+    bench_grams = (
+        bench.select(F.explode(grams).alias("g")).distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    exploded = train.select(F.col(id_col), F.explode(grams).alias("g"))
+    return (
+        exploded.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_hit"),
+            round_det(F.col("n_hit") / F.col("n_grams"), 4).alias("overlap_frac"),
+            (F.col("n_hit") / F.col("n_grams") >= F.lit(threshold)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-source weighted downsampling — the domain-mixture step that
+    reweights corpora (web vs code vs books) toward a target token
+    budget.
+
+    Keeps a row iff its portable md5 bucket (of the id) falls below
+    ``rate[source] · n_buckets``, so the sample is deterministic,
+    engine-portable, repartition-stable, and — unlike
+    ``df.sampleBy`` — the same document set on every run and engine.
+    Zero-shuffle: pure per-row expression (a chained CASE over the
+    rate map); composes with downstream partitioning untouched.
+    Rates are clamped to [0, 1]; unseen sources fall to
+    ``default_rate``.
+    """
+    bucket = portable_hash_bucket(F.col(id_col), n_buckets)
+    cut = F.lit(int(max(0.0, min(1.0, default_rate)) * n_buckets))
+    for src, rate in sorted(rates.items()):
+        bound = int(max(0.0, min(1.0, rate)) * n_buckets)
+        cut = F.when(F.col(source_col) == src, F.lit(bound)).otherwise(cut)
+    return df.filter(bucket < cut)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    overlapping windows of ``window`` tokens every ``stride`` tokens —
+    the sharding step that turns documents into model-sized training
+    sequences (and RAG passages).
+
+    Emits (id, chunk_id, n_chunk_tokens, chunk_text) with chunk_id
+    counting from 0 per document; the final chunk may be short, and a
+    document shorter than one window yields exactly one chunk. Empty
+    documents yield none.
+
+    Scale shape: chunks are built per-row with array slices (O(L) per
+    document) and explode — a narrow map-side op, no shuffle, no UDF;
+    the chunk multiplier (~L/stride) is the unavoidable output growth,
+    not a join blowup.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = words_expr(F.col(text_col))
+    n_tok = F.size(toks)
+    # 1 chunk for L ≤ window, then one more per stride step beyond.
+    n_chunks = F.when(n_tok <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.greatest(
+            F.ceil((n_tok - F.lit(window)) / F.lit(float(stride))), F.lit(0)
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, window),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_toks"),
+    )
+    # sequence(0, -1) is DESCENDING [0, -1] in Spark, not empty — an
+    # empty document would emit two ghost chunks. Every real chunk
+    # holds ≥1 token (the last starts at (n_chunks-1)·stride+1 ≤ L),
+    # so dropping empty slices removes exactly the ghosts.
+    return out.filter(F.size("_toks") > 0).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size("_toks").alias("n_chunk_tokens"),
+        F.array_join("_toks", " ").alias("chunk_text"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Greedy sequence packing: group documents into packs whose token
+    sizes sum to ≤ ``capacity`` — the step that fills fixed-length
+    training contexts instead of padding one document per sequence.
+
+    Bin packing is inherently sequential, so it is sharded: documents
+    land in one of ``n_shards`` portable-hash shards, and each shard
+    runs first-fit-decreasing independently inside ``applyInPandas``
+    (sorted by size desc then id — deterministic for a given shard
+    count). Pack ids are ``shard * 2^32 + local_bin`` so they never
+    collide across shards. Oversize documents (> capacity) get a
+    single-document pack flagged ``overflow`` instead of being dropped.
+
+    Scale shape: one shuffle on the shard key; per-shard state is the
+    open-bin table (bounded by shard row count), vectorized pandas in,
+    plain columns out. FFD within a shard wastes ≤ the worst shard's
+    tail vs. global FFD — the price of parallelism; raise n_shards to
+    match cluster cores, not data size.
+    """
+    shard = portable_hash_bucket(F.col(id_col), n_shards)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(size_col).cast("long").alias("n_tokens"),
+        shard.cast("int").alias("shard"),
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard_id = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        bins: list[int] = []  # remaining capacity per open bin
+        assign: list[int] = []
+        for size in pdf["n_tokens"]:
+            placed = -1
+            if size <= capacity:
+                for b, rem in enumerate(bins):
+                    if rem >= size:
+                        placed = b
+                        break
+            if placed < 0:
+                bins.append(capacity - int(size))
+                placed = len(bins) - 1
+            else:
+                bins[placed] -= int(size)
+            assign.append(placed)
+        pdf["pack_id"] = [(shard_id << 32) | b for b in assign]
+        pdf["overflow"] = pdf["n_tokens"] > capacity
+        return pdf[["doc_id", "shard", "n_tokens", "pack_id", "overflow"]]
+
+    out_schema = (
+        "doc_id long, shard int, n_tokens long, pack_id long, overflow boolean"
+    )
+    return base.groupBy("shard").applyInPandas(_pack, schema=out_schema)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: Sequence[str],

@@ -13,9 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_round
-from ..functions.text import EMAIL_RE, PHONE_RE, redact_pii_expr
+from ..functions.text import EMAIL_RE, PHONE_RE, redact_pii_expr, token_count_expr
 from ..operators.pipeline import (
+    chunk_tokens,
+    contamination_overlap,
     hash_split,
+    mixture_sample,
+    pack_greedy,
     repetition_metrics,
     sql_hash_bucket,
     stratified_sample,
@@ -91,6 +95,132 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(t["documents"], ["lang"], 0.1, "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+def _bench_pred():
+    """Eval-set membership for the contamination check: every 20th doc
+    plays the held-out benchmark. One predicate, mirrored in the oracle."""
+    return F.col("doc_id") % 20 == 0
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT t.doc_id, t.g, (b.g IS NOT NULL) AS hit
+      FROM g t LEFT JOIN bench b USING (g)
+      WHERE t.doc_id % 20 <> 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           {sql_round("sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS overlap_frac,
+           (sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) >= 0.5) AS contaminated
+    FROM hits GROUP BY doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: benchmark decontamination — per-document distinct-trigram
+    overlap against a held-out eval set (docs 0 mod 20), broadcast gram
+    join, corpus never shuffled on grams."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return contamination_overlap(
+        docs.filter(~_bench_pred()), docs.filter(_bench_pred()), "text", "doc_id", n=3
+    )
+
+
+# Domain-mixture target: heavier weight on low-numbered sources. ONE
+# dict drives both the Spark CASE chain and the oracle SQL below.
+_MIX_RATES = {
+    f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.25 if i < 15 else 0.1)
+    for i in range(20)
+}
+
+
+def _mix_cut_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * 10_000)}"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM (SELECT doc_id, lang, source,
+                 {sql_hash_bucket('doc_id', 10_000)} AS bucket
+          FROM documents)
+    WHERE bucket < {_mix_cut_sql()}
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: deterministic domain-mixture downsampling — per-source keep
+    rates applied via a portable md5 bucket of doc_id (zero-shuffle,
+    engine-portable, stable across runs — unlike Bernoulli sampleBy)."""
+    t = load_tables(spark, sf_dir)
+    return mixture_sample(t["documents"], "source", "doc_id", _MIX_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    c AS (
+      SELECT doc_id, len(w) AS n_tok,
+             unnest(range(0,
+               CASE WHEN len(w) <= 0 THEN 0
+                    WHEN len(w) <= 32 THEN 1
+                    ELSE 1 + CAST(ceil((len(w) - 32) / 24.0) AS INT) END)) AS chunk_id,
+             w
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(w[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n_tok)]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(w[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n_tok)], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: context-window chunking — 32-token windows every 24 tokens
+    (8-token overlap), per-row slices + explode, no shuffle/UDF."""
+    t = load_tables(spark, sf_dir)
+    out = chunk_tokens(t["documents"], "text", "doc_id", window=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@query("pack_sequences")  # greedy bin packing — procedural, rows-only check
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: greedy sequence packing — shard by portable hash, first-fit-
+    decreasing per shard in applyInPandas, capacity 256 tokens. Packing
+    is procedural (no SQL form); invariants (every doc exactly once, no
+    pack over capacity, deterministic repack) are pytest-asserted."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return pack_greedy(docs, "doc_id", "n_tokens", capacity=256)
 
 
 @query(

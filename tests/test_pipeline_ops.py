@@ -143,3 +143,176 @@ def test_redact_pii(spark):
     assert got[2] == "call [PHONE] today"
     assert got[3] == "both [EMAIL] and [PHONE] ok"
     assert got[4] == "clean text with no pii at all"
+
+
+# ------------------------------------------------------- contamination check
+
+
+def test_contamination_flags_known_overlap(spark):
+    """A doc sharing exactly half its trigrams with the benchmark gets
+    overlap 0.5 and is flagged at threshold 0.5."""
+    from github_etl_spark.operators.pipeline import contamination_overlap
+
+    bench = spark.createDataFrame([(100, "a b c d")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),  # grams: abc bcx cxy xyz → 1/4 hit
+            (2, "a b c d e"),  # grams: abc bcd cde → 2/3 hit
+            (3, "p q r s"),  # no overlap
+            (4, "a b"),  # < n tokens → absent
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.contaminated)
+        for r in contamination_overlap(train, bench, "text", "doc_id", n=3).collect()
+    }
+    assert got == {1: (4, 1, False), 2: (3, 2, True), 3: (2, 0, False)}
+
+
+def test_contamination_distinct_grams_counted_once(spark):
+    """Repeated grams inside one doc count once (distinct semantics)."""
+    from github_etl_spark.operators.pipeline import contamination_overlap
+
+    bench = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    train = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
+    [r] = contamination_overlap(train, bench, "text", "doc_id", n=3).collect()
+    # distinct grams: abc bca cab → only abc in bench
+    assert (r.n_grams, r.n_hit) == (3, 1)
+
+
+# ---------------------------------------------------------- mixture sampling
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from github_etl_spark.operators.pipeline import mixture_sample
+
+    docs = _docs(spark)
+    rates = {"src0": 1.0, "src1": 0.0}
+    out = mixture_sample(docs, "source", "doc_id", rates, default_rate=0.5)
+    per_src = dict(
+        out.groupBy("source").count().rdd.map(lambda r: (r["source"], r["count"])).collect()
+    )
+    totals = dict(
+        docs.groupBy("source").count().rdd.map(lambda r: (r["source"], r["count"])).collect()
+    )
+    assert per_src["src0"] == totals["src0"]  # rate 1.0 keeps all
+    assert "src1" not in per_src  # rate 0.0 drops all
+    kept_default = sum(v for k, v in per_src.items() if k not in rates)
+    total_default = sum(v for k, v in totals.items() if k not in rates)
+    assert 0.3 < kept_default / total_default < 0.7  # ~0.5 at n≈450
+    # Repartition-stable (deterministic hash, not Bernoulli)
+    again = mixture_sample(
+        docs.repartition(13), "source", "doc_id", rates, default_rate=0.5
+    )
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+# ------------------------------------------------------------------ chunking
+
+
+def test_chunk_tokens_edges(spark):
+    from github_etl_spark.operators.pipeline import chunk_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 toks, window 4 stride 2 → 3 chunks
+            (2, "a b"),  # shorter than window → 1 chunk
+            (3, ""),  # empty → none
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_tokens(df, "text", "doc_id", window=4, stride=2).collect()
+    }
+    assert rows == {
+        (1, 0): (4, "t0 t1 t2 t3"),
+        (1, 1): (4, "t2 t3 t4 t5"),
+        (1, 2): (3, "t4 t5 t6"),
+        (2, 0): (2, "a b"),
+    }
+
+
+def test_chunk_tokens_covers_every_token(spark):
+    """Every token position is covered by ≥1 chunk; chunk token counts
+    sum to L + overlap·(n_chunks−1) when stride < window."""
+    from github_etl_spark.operators.pipeline import chunk_tokens
+
+    docs = _docs(spark)
+    out = chunk_tokens(docs, "text", "doc_id", window=32, stride=24)
+    agg = (
+        out.groupBy("doc_id")
+        .agg(
+            F.sum("n_chunk_tokens").alias("s"),
+            F.count("*").alias("k"),
+            F.max("n_chunk_tokens").alias("mx"),
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias("L"),
+            ),
+            "doc_id",
+        )
+    )
+    bad = agg.filter(
+        (F.col("s") != F.col("L") + 8 * (F.col("k") - 1)) | (F.col("mx") > 32)
+    )
+    assert bad.count() == 0
+
+
+# ------------------------------------------------------------------- packing
+
+
+def test_pack_greedy_invariants(spark):
+    from github_etl_spark.operators.pipeline import pack_greedy
+
+    docs = _docs(spark).select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    packed = pack_greedy(docs, "doc_id", "n_tokens", capacity=256, n_shards=8)
+    packed.cache()
+    n = docs.count()
+    # Every doc exactly once
+    assert packed.count() == n
+    assert packed.select("doc_id").distinct().count() == n
+    # No non-overflow pack exceeds capacity
+    over = (
+        packed.filter(~F.col("overflow"))
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .filter(F.col("s") > 256)
+    )
+    assert over.count() == 0
+    # Overflow rows are alone in their pack
+    of_packs = packed.filter(F.col("overflow")).select("pack_id")
+    alone = packed.join(of_packs, "pack_id").groupBy("pack_id").count()
+    assert alone.filter(F.col("count") > 1).count() == 0
+    # Deterministic under repartitioning
+    again = pack_greedy(
+        docs.repartition(17), "doc_id", "n_tokens", capacity=256, n_shards=8
+    )
+    assert packed.exceptAll(again).count() == 0
+    # Packing actually packs: fewer packs than docs, decent mean fill
+    stats = (
+        packed.filter(~F.col("overflow"))
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .agg(F.count("*").alias("k"), F.avg("s").alias("fill"))
+        .collect()[0]
+    )
+    assert stats.k < n / 2
+    assert stats.fill > 0.6 * 256
+    packed.unpersist()
+
+
+def test_pack_greedy_oversize_flagged(spark):
+    from github_etl_spark.operators.pipeline import pack_greedy
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 100), (3, 100)], ["doc_id", "n_tokens"]
+    )
+    rows = {r.doc_id: r for r in pack_greedy(df, "doc_id", "n_tokens", 256, 1).collect()}
+    assert rows[1].overflow and not rows[2].overflow
+    assert rows[2].pack_id == rows[3].pack_id != rows[1].pack_id
