@@ -361,8 +361,6 @@ def pack_greedy(
     )
 
     def _pack(pdf):
-        import pandas as pd
-
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
