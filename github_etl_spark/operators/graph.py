@@ -1,0 +1,164 @@
+"""Distributed connected components for near-dup clustering (EXT).
+
+Pair-generating dedup operators (``minhash_lsh_candidates``,
+``ngram_jaccard_pairs``, ``sim_cosine_neardup``) emit EDGES of a
+similarity graph; turning "A~B, B~C" into "keep one of {A,B,C}" needs
+the graph's connected components. The reference has nothing like this
+(its dedup story is the per-partition snapshot overwrite,
+``main.py:829-839``); this is the north-star extension's clustering
+step, required because near-duplicate similarity is not transitive at
+the pair level but dedup decisions must be.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+standard shuffle-friendly formulation:
+
+- large-star: every node connects its LARGER neighbors to the minimum
+  of its neighborhood (including itself);
+- small-star: every edge is oriented large→small, and every node
+  connects its smaller-or-equal neighbors (and itself) to the minimum.
+
+Both steps are one groupBy(min) + one join each — no collect_list of
+whole neighborhoods, so a mega-component (every doc sharing boilerplate)
+never materializes one giant row; the per-node state is a single long.
+The edge set converges to a star forest (node → component-min) in
+O(log n) rounds even for path graphs, where naive min-label
+propagation needs O(diameter).
+
+Driver-side iteration is inherent to the algorithm (Spark has no
+fixpoint operator); each round localCheckpoints the edge set to
+truncate lineage (otherwise the plan doubles per iteration) and
+convergence is detected with an order-insensitive count+hash signature
+— one small aggregate action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as distinct (src<dst) long pairs, self-loops
+    dropped, NULL endpoints dropped."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).cast("long").alias("src"),
+        F.greatest(F.col(src), F.col(dst)).cast("long").alias("dst"),
+    )
+    return e.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, min(N(u) ∪ {u})) for every v ∈ N(u) with v > u."""
+    nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("mnd"))
+        .select("src", F.least("mnd", "src").alias("mn"))
+    )
+    out = (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge large→small; connect each node's ≤-neighbors and
+    itself to the neighborhood minimum."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    out = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("mn").alias("dst")))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _signature(e: DataFrame) -> tuple:
+    """Order-insensitive (count, xor) fingerprint of an edge set — one
+    aggregate action; equal signature ⇒ converged. XOR of per-row
+    64-bit hashes is order-insensitive and overflow-free under ANSI
+    mode (a sum would raise ARITHMETIC_OVERFLOW); the edge set is
+    distinct so xor self-cancellation can't collide two different sets
+    of equal count except by 64-bit chance — and a false 'converged'
+    is harmless once the set is already a star forest."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Component label (= minimum member id) for every node that appears
+    in ``edges``. Returns (node: long, component: long); roots are
+    labeled with themselves. Raises if the fixpoint is not reached in
+    ``max_iterations`` alternating rounds (log₂ of the largest
+    component's size bounds the need; 25 covers any realistic corpus).
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    sig = _signature(e)
+    for _ in range(max_iterations):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = _signature(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    # Converged star forest: every edge is (node → its component min).
+    nodes = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return nodes.union(roots).distinct()
+
+
+def cluster_assignment(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    broadcast_components: bool = True,
+) -> DataFrame:
+    """Canonical-document assignment for EVERY row of ``df`` given
+    near-dup ``pairs``: docs in some pair get their component's min id,
+    everything else is its own singleton component. Output columns:
+    (``id_col``, component_id, is_canonical) — downstream dedup keeps
+    ``is_canonical`` rows.
+
+    The components frame is bounded by the number of docs that appear in
+    some near-dup pair — normally a small fraction of the corpus, so the
+    enrichment join broadcasts and the corpus is never shuffled. For a
+    pathological corpus where most docs near-dup (components ~ corpus
+    size), pass ``broadcast_components=False`` to fall back to a
+    shuffle join instead of forcing an over-sized broadcast.
+    """
+    comp = connected_components(pairs, src=id_a, dst=id_b).withColumnRenamed(
+        "node", id_col
+    )
+    if broadcast_components:
+        comp = F.broadcast(comp)
+    return df.join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).cast("long").alias("component_id"),
+        (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias(
+            "is_canonical"
+        ),
+    )

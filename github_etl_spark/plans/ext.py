@@ -73,10 +73,12 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(t["documents"], "text", "doc_id")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain: exact blocked n-gram Jaccard candidate pairs with
+# the hot-shingle df cap. Used verbatim by the dedup_ngram_jaccard
+# oracle AND as the edge source of the dedup_cluster_canonical oracle,
+# so the two stay in lockstep with operators.dedup.ngram_jaccard_pairs.
+_JACCARD_PAIR_CTES = f"""
+    toks AS (
       SELECT doc_id, lang, {_SQL_TOKS} AS w FROM documents
     ),
     sh0 AS (
@@ -97,7 +99,13 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES}
     SELECT id_a, id_b,
            (floor((n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE)) * 10000 + 0.5) / 10000) AS jaccard
     FROM inter

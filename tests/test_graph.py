@@ -1,0 +1,107 @@
+"""Connected components (operators/graph.py) vs a pure-python
+union-find ground truth, plus the cluster_assignment composition used
+by the dedup_cluster_canonical catalog query."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_spark.operators.graph import (
+    cluster_assignment,
+    connected_components,
+)
+
+
+def union_find(edges):
+    """Ground truth: {node: component-min} via union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def run_cc(spark, edges):
+    df = spark.createDataFrame(edges or [(None, None)], "src long, dst long")
+    if not edges:
+        df = df.filter(F.lit(False))
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+CASES = [
+    ("two_pairs", [(1, 2), (3, 4)]),
+    ("triangle_plus_chain", [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]),
+    ("star", [(5, 1), (5, 2), (5, 3), (5, 4)]),
+    # Path graphs are the worst case for naive min-propagation
+    # (O(diameter) rounds); large/small-star must do it in O(log n).
+    ("long_path", [(i, i + 1) for i in range(1, 64)]),
+    ("reversed_path", [(i + 1, i) for i in range(1, 64)]),
+    ("dup_and_self", [(1, 2), (2, 1), (1, 1), (2, 3)]),
+    ("empty", []),
+]
+
+
+@pytest.mark.parametrize("name,edges", CASES, ids=[c[0] for c in CASES])
+def test_components_match_union_find(spark, name, edges):
+    clean = [(a, b) for a, b in edges if a != b]
+    assert run_cc(spark, edges) == union_find(clean)
+
+
+def test_components_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 80))
+        ]
+        clean = [(a, b) for a, b in edges if a != b]
+        assert run_cc(spark, edges) == union_find(clean), f"trial {trial}"
+
+
+def test_roots_label_themselves(spark):
+    out = run_cc(spark, [(7, 3), (3, 9)])
+    assert out == {3: 3, 7: 3, 9: 3}
+
+
+def test_cluster_assignment_covers_all_docs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (6, 7)], "id_a long, id_b long"
+    )
+    out = cluster_assignment(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: (r["component_id"], r["is_canonical"]) for r in out.collect()}
+    assert rows == {
+        1: (1, True),
+        2: (1, False),
+        3: (3, True),  # singleton
+        4: (4, True),
+        5: (1, False),
+        6: (6, True),
+        7: (6, False),
+    }
+    # exactly one canonical per component, every doc assigned
+    assert len(rows) == 7
+
+
+def test_cluster_assignment_no_broadcast_path(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    out = cluster_assignment(docs, pairs, "doc_id", broadcast_components=False)
+    rows = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    assert rows == {1: 1, 2: 2, 3: 1, 4: 4}
