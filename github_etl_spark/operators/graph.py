@@ -38,9 +38,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL = ("byte", "short", "integer", "long")
+
+
+def _require_integral(edges: DataFrame, *cols: str) -> None:
+    """Component labels are 64-bit mins, so endpoints must be integral.
+
+    A silent cast("long") on e.g. string doc ids would turn every
+    endpoint NULL, drop all pairs, and report the whole corpus
+    canonical — fail loudly instead. Non-integer ids should be mapped
+    through ``xxhash64``/``monotonically_increasing_id`` by the caller.
+    """
+    by_name = {f.name: f.dataType.typeName() for f in edges.schema.fields}
+    bad = {c: by_name[c] for c in cols if by_name.get(c) not in _INTEGRAL}
+    if bad:
+        raise TypeError(
+            f"connected_components needs integral id columns, got {bad}; "
+            "hash or re-key non-numeric ids first"
+        )
+
+
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge set as distinct (src<dst) long pairs, self-loops
     dropped, NULL endpoints dropped."""
+    _require_integral(edges, src, dst)
     e = edges.select(
         F.least(F.col(src), F.col(dst)).cast("long").alias("src"),
         F.greatest(F.col(src), F.col(dst)).cast("long").alias("dst"),
@@ -86,9 +107,11 @@ def _signature(e: DataFrame) -> tuple:
     aggregate action; equal signature ⇒ converged. XOR of per-row
     64-bit hashes is order-insensitive and overflow-free under ANSI
     mode (a sum would raise ARITHMETIC_OVERFLOW); the edge set is
-    distinct so xor self-cancellation can't collide two different sets
-    of equal count except by 64-bit chance — and a false 'converged'
-    is harmless once the set is already a star forest."""
+    distinct so two DIFFERENT equal-count edge sets collide only with
+    ~2⁻⁶⁴ probability. A collision on a pre-convergence round would
+    stop early with wrong labels — accepted here as negligible; use
+    ``e2.exceptAll(e).isEmpty()`` instead if absolute certainty is
+    ever required."""
     row = e.agg(
         F.count("*").alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
@@ -108,11 +131,16 @@ def connected_components(
     ``max_iterations`` alternating rounds (log₂ of the largest
     component's size bounds the need; 25 covers any realistic corpus).
     """
+    # localCheckpoint truncates the per-round lineage doubling; the
+    # blocks are executor-local (not fault-tolerant under executor
+    # loss — acceptable for an O(log n)-round job; use checkpoint()
+    # with a cluster checkpoint dir if that guarantee is needed).
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     sig = _signature(e)
     for _ in range(max_iterations):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig2 = _signature(e2)
+        e.unpersist()  # drop the previous round's checkpoint blocks now
         e = e2
         if sig2 == sig:
             break

@@ -132,6 +132,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.5
+    ),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ),
+    reach(node, other) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.other
+    ),
+    comp AS (
+      SELECT node AS doc_id, LEAST(node, MIN(other)) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component_id,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: near-dup CLUSTERING — n-gram Jaccard pairs are edges of a
+    similarity graph; alternating large-star/small-star connected
+    components (operators/graph.py) assigns every document a component
+    id (= min member) and flags the canonical keeper. The oracle
+    recomputes components with a DuckDB recursive transitive closure —
+    fine at sf0.01, while the Spark side is the O(log n)-round
+    shuffle-friendly formulation that survives 100 TB."""
+    from ..operators.graph import cluster_assignment
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang"], threshold=0.5, shingle=3, max_df=100
+    )
+    return cluster_assignment(docs.select("doc_id"), pairs, "doc_id")
+
+
 @query("dedup_minhash_lsh", headline=True)  # xxhash64-based → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: MinHash+LSH near-dup candidates (32 hashes, 8 bands × 4 rows).
