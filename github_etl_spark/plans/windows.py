@@ -64,7 +64,11 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     in epoch microseconds (timezone-proof integer arithmetic)."""
     t = load_tables(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros("ts")
+    # The events parquet reads as TIMESTAMP_NTZ; unix_micros requires
+    # TIMESTAMP (ltz). The session timezone is pinned UTC (session.py),
+    # so the NTZ→LTZ cast reinterprets the wall-clock as the identical
+    # instant and the microsecond arithmetic is exact.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     return t["events"].select(
         "user_id",
         "event_id",
@@ -155,7 +159,10 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window; the streaming form is tested in tests/test_streaming)."""
     t = load_tables(spark, sf_dir)
     order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order_w))
+    # NTZ-safe: cast to TIMESTAMP under the pinned-UTC session (see
+    # w2_lag_lead) before unix_micros, which rejects TIMESTAMP_NTZ.
+    ts_ltz = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(order_w))
     marked = t["events"].select(
         "user_id",
         "ts",
