@@ -90,6 +90,18 @@ def scd2_apply(
         *[f"_cur_{c}" for c in tracked],
         *[f"_prev_{c}" for c in tracked],
     )
+    # Materialize the survivor batch once: three downstream branches
+    # (versions in the output union, first_new for closing rows, and the
+    # pass-through anti-join) would otherwise each recompute the whole
+    # updates subtree — dedup shuffle, current-row join, and ordering
+    # window (measured 8 dim scans / 6 update scans in one plan, ~2.8×
+    # cold latency at sf0.1). The batch is the SMALL side of a merge
+    # (update set, not the dimension), so local checkpoint storage is
+    # bounded. Eager: a lazy checkpoint still lets the union's branch
+    # stages race and recompute the subtree before any partition is
+    # cached (measured 2.8s vs 1.7s cold at sf0.1), so pay the batch
+    # computation once, up front.
+    survivors = survivors.localCheckpoint(eager=True)
 
     versions = survivors.withColumn(
         "valid_to",
