@@ -19,19 +19,20 @@ from . import ext  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 
 
-def _driver_green() -> set[str]:
-    """Query names already verified green by a past driver round.
+def _check_history() -> tuple[dict[str, int], dict[str, bool]]:
+    """Per-query (last round checked, green on that check).
 
     The driver's correctness harness stops after a fixed number of
-    queries per round (CORRECTNESS_r01/r02 each contain exactly the
-    first 50 registry entries), so catalog order decides WHICH queries
-    get verified. We read the recorded CORRECTNESS_r*.json ledgers and
-    treat the latest row per query as authoritative: anything already
-    green can yield its slot to queries that have never been checked.
+    queries per round (50 in r01–r03), so catalog order decides WHICH
+    queries get verified each round. The CORRECTNESS_r*.json ledgers
+    record what was actually checked and when.
     """
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    latest: dict[str, bool] = {}
-    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+    last_round: dict[str, int] = {}
+    last_green: dict[str, bool] = {}
+    for rnd, path in enumerate(
+        sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))), start=1
+    ):
         try:
             with open(path) as f:
                 rows = _json.load(f)
@@ -52,22 +53,30 @@ def _driver_green() -> set[str]:
                     and row.get("schema_match") is True
                     and row.get("hash_match") is True
                 )
-            latest[name] = bool(ok)
-    return {n for n, ok in latest.items() if ok}
+            last_round[name] = rnd
+            last_green[name] = bool(ok)
+    return last_round, last_green
 
 
 def _ordered() -> dict[str, Query]:
     """Registry in driver-verification priority order.
 
-    Never-verified or previously-failing queries first (registration
-    order preserved within each tier), already-green queries last. A
-    fresh checkout with no CORRECTNESS ledgers degrades to plain
-    registration order.
+    Least-recently-checked first: never-checked queries lead, then
+    queries whose last driver check is oldest; a red last check
+    outranks a green one from the same round. This guarantees every
+    query cycles back through the driver's fixed-size window instead
+    of holding a stale green forever (the round-3 failure mode: w2/w4
+    broke while carrying an old green from r02, invisible to r03's
+    ledger). Registration order breaks remaining ties; a fresh
+    checkout with no ledgers degrades to plain registration order.
     """
-    green = _driver_green()
-    pending = {n: q for n, q in QUERIES.items() if n not in green}
-    done = {n: q for n, q in QUERIES.items() if n in green}
-    return {**pending, **done}
+    last_round, last_green = _check_history()
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+    names = sorted(
+        QUERIES,
+        key=lambda n: (last_round.get(n, 0), last_green.get(n, False), reg_pos[n]),
+    )
+    return {n: QUERIES[n] for n in names}
 
 
 def spark_queries():
