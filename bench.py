@@ -4,15 +4,19 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Each query is timed as a full cold plan → execute → count (no caching
-between queries; the JVM is warmed once with a trivial action so the
-first measured query doesn't pay session startup).
+Each query is timed as a full plan → execute → count, repeated
+``BENCH_REPS`` times (default 3) with the MEDIAN reported — r03's
+single-shot timings produced two false 2× "regressions" that were
+pure load noise (VERDICT r03). No caching between queries; the JVM is
+warmed once with a trivial action so the first measured query doesn't
+pay session startup.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,20 +47,29 @@ def main() -> None:
         except Exception as e:
             print(f"# warmup {_name} failed: {e}", file=sys.stderr)
 
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     failures: list[str] = []
     for name, fn in sorted(headline_queries().items()):
-        t0 = time.perf_counter()
+        runs: list[float] = []
+        n = 0
         try:
-            n = fn(spark, sf_dir).count()
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
         except Exception as e:
             # One broken query must not discard the other timings or the
             # contract-required JSON line.
             failures.append(name)
             print(f"# {name} FAILED: {e}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        timings[name] = round(statistics.median(runs), 3)
+        spread = f"[{min(runs):.3f}..{max(runs):.3f}]"
+        print(
+            f"# {name}: {n} rows, median of {reps} = {timings[name]}s {spread}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -161,6 +161,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
     FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
+    headline=True,
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: near-dup CLUSTERING — n-gram Jaccard pairs are edges of a
