@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from github_etl_spark.operators.dedup import minhash_lsh_candidates
-from github_etl_spark.operators.similarity import brute_force_topk
+from github_etl_spark.operators.similarity import brute_force_topk, ivf_topk
 from github_etl_spark.session import get_spark
 from github_etl_spark.tables import load_tables
 
@@ -106,8 +106,8 @@ def main():
         "Near-linear growth = healthy; superlinear flags candidate-pair",
         "explosion. Regenerate: `python tools/scale_probe.py`.",
         "",
-        "| K | docs | minhash+LSH sec | pairs | vecs | ANN topk sec |",
-        "|---|---|---|---|---|---|",
+        "| K | docs | minhash+LSH sec | pairs | vecs | brute ANN sec | IVF ANN sec |",
+        "|---|---|---|---|---|---|---|",
     ]
     for k in ks:
         d = replicate(docs, "doc_id", k)
@@ -122,8 +122,12 @@ def main():
         t0 = time.perf_counter()
         brute_force_topk(e, queries, k=5).count()
         t_ann = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf_topk(e, queries, k=5).count()
+        t_ivf = time.perf_counter() - t0
         lines.append(
-            f"| {k} | {n_docs} | {t_lsh:.1f} | {pairs} | {n_vec} | {t_ann:.1f} |"
+            f"| {k} | {n_docs} | {t_lsh:.1f} | {pairs} | {n_vec} "
+            f"| {t_ann:.1f} | {t_ivf:.1f} |"
         )
         print(lines[-1], flush=True)
     skew_rows = skew_probe(spark, docs)
@@ -151,7 +155,15 @@ def main():
         "algorithm. The cost columns are the design check: signature +",
         "bucketing time should track docs near-linearly (modulo the",
         "parallelism headroom at small K), and brute-force ANN tracks",
-        "corpus \u00d7 queries.",
+        "corpus \u00d7 queries. IVF ANN pays a FIXED train+assign cost",
+        "(bounded k-means sample + one corpus assignment pass) and then",
+        "scores only nprobe/n_centroids of the corpus per query, so at",
+        "these corpus sizes its absolute time trails brute force while",
+        "its GROWTH SLOPE is flatter (compare the K=1\u219232 ratios); the",
+        "crossover sits where per-query scoring dominates the fixed",
+        "pass \u2014 and at real scale the assignment is materialized once",
+        "as a cell-partitioned staging table (similarity.py design",
+        "note), so queries pay only the pruned scoring term.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "SCALE_PROBE.md")
