@@ -1,0 +1,42 @@
+"""Driver-window rotation: the registry order decides which queries the
+driver's fixed-size correctness window re-verifies each round, so the
+ordering logic is itself correctness-critical (a query that breaks
+while parked outside the window holds a stale green — the round-3
+failure mode)."""
+
+from __future__ import annotations
+
+import github_etl_spark.plans as plans
+from github_etl_spark.plans import QUERIES, oracle_sqls, spark_queries
+
+
+def test_order_is_least_recently_checked_first(monkeypatch):
+    names = list(QUERIES)
+    # Synthetic history: a/b checked round 2 (b red), c round 1, d never.
+    a, b, c, d = names[0], names[1], names[2], names[3]
+    monkeypatch.setattr(
+        plans,
+        "_check_history",
+        lambda: (
+            {a: 2, b: 2, c: 1, **{n: 3 for n in names[4:]}},
+            {a: True, b: False, c: True, **{n: True for n in names[4:]}},
+        ),
+    )
+    ordered = list(plans._ordered())
+    # Never-checked leads, then oldest round; red-before-green within a round.
+    assert ordered[0] == d
+    assert ordered[1] == c
+    assert ordered[2] == b
+    assert ordered[3] == a
+    assert set(ordered) == set(names)
+
+
+def test_order_covers_every_query_and_oracle_keys_match():
+    qs = spark_queries()
+    assert set(qs) == set(QUERIES)
+    assert set(oracle_sqls()) <= set(qs)
+
+
+def test_fresh_checkout_degrades_to_registration_order(monkeypatch):
+    monkeypatch.setattr(plans, "_check_history", lambda: ({}, {}))
+    assert list(plans._ordered()) == list(QUERIES)
