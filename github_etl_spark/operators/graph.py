@@ -119,17 +119,56 @@ def _signature(e: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _local_components(spark, edge_rows) -> DataFrame:
+    """Union-find finish for a small (bounded-collect) edge list.
+
+    Returns the same (node, component=min member) contract as the
+    distributed path. Path-halving find + union-by-attachment keeps
+    this O(E α(E)); labels are normalized to each set's minimum member
+    afterwards, so the output is identical to the star-algorithm's.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in edge_rows:
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # Root = set minimum by construction (always attach larger to smaller).
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    local_finish_edges: int = 200_000,
 ) -> DataFrame:
     """Component label (= minimum member id) for every node that appears
     in ``edges``. Returns (node: long, component: long); roots are
     labeled with themselves. Raises if the fixpoint is not reached in
     ``max_iterations`` alternating rounds (log₂ of the largest
     component's size bounds the need; 25 covers any realistic corpus).
+
+    ``local_finish_edges``: once the (exactly counted) edge set is at
+    or below this, stop iterating and finish with driver-side
+    union-find — a bounded collect (≤ ~3 MB at the default) that
+    replaces several whole-cluster rounds whose per-round scheduling
+    cost dwarfs 200k edges of work. The big-data regime is untouched:
+    star rounds run distributed until the edge set actually shrinks
+    under the bound (GraphFrames/GraphX apply the same small-graph
+    cutover). 0 disables.
     """
     # localCheckpoint truncates the per-round lineage doubling; the
     # blocks are executor-local (not fault-tolerant under executor
@@ -138,6 +177,10 @@ def connected_components(
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     sig = _signature(e)
     for _ in range(max_iterations):
+        if local_finish_edges and sig[0] <= local_finish_edges:
+            return _local_components(
+                e.sparkSession, [(r["src"], r["dst"]) for r in e.collect()]
+            )
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig2 = _signature(e2)
         e.unpersist()  # drop the previous round's checkpoint blocks now

@@ -33,11 +33,11 @@ def union_find(edges):
     return {n: find(n) for n in parent}
 
 
-def run_cc(spark, edges):
+def run_cc(spark, edges, **kw):
     df = spark.createDataFrame(edges or [(None, None)], "src long, dst long")
     if not edges:
         df = df.filter(F.lit(False))
-    out = connected_components(df)
+    out = connected_components(df, **kw)
     return {r["node"]: r["component"] for r in out.collect()}
 
 
@@ -54,13 +54,18 @@ CASES = [
 ]
 
 
+# local_finish=0 forces the distributed star iteration; the default
+# takes the bounded-collect union-find shortcut on these small graphs.
+# Both must produce identical labels.
+@pytest.mark.parametrize("local_finish", [0, 200_000], ids=["distributed", "local"])
 @pytest.mark.parametrize("name,edges", CASES, ids=[c[0] for c in CASES])
-def test_components_match_union_find(spark, name, edges):
+def test_components_match_union_find(spark, name, edges, local_finish):
     clean = [(a, b) for a, b in edges if a != b]
-    assert run_cc(spark, edges) == union_find(clean)
+    assert run_cc(spark, edges, local_finish_edges=local_finish) == union_find(clean)
 
 
-def test_components_random_graphs(spark):
+@pytest.mark.parametrize("local_finish", [0, 200_000], ids=["distributed", "local"])
+def test_components_random_graphs(spark, local_finish):
     rng = random.Random(42)
     for trial in range(3):
         n = 60
@@ -69,7 +74,18 @@ def test_components_random_graphs(spark):
             for _ in range(rng.randrange(10, 80))
         ]
         clean = [(a, b) for a, b in edges if a != b]
-        assert run_cc(spark, edges) == union_find(clean), f"trial {trial}"
+        assert (
+            run_cc(spark, edges, local_finish_edges=local_finish) == union_find(clean)
+        ), f"trial {trial}"
+
+
+def test_local_finish_mid_iteration(spark):
+    """A graph large enough to start above a small threshold must still
+    cut over to the local finish once star rounds shrink the edge set,
+    and produce the same labels."""
+    edges = [(i, i + 1) for i in range(1, 200)]  # path: 199 edges
+    got = run_cc(spark, edges, local_finish_edges=150)
+    assert got == union_find(edges)
 
 
 def test_roots_label_themselves(spark):
