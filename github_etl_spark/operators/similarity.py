@@ -398,3 +398,105 @@ def ivf_topk(
         cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
     )
     return _topk_per_query(scored, k)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+    arrow: bool = True,
+) -> list[list[float]]:
+    """Materialize the IVF index `ivf_topk` computes inline: cell
+    assignments written as parquet PARTITIONED BY cell, centroids as a
+    one-line text sidecar at ``<path>_centroids``.
+
+    This is the 100 TB shape of the design note on `ivf_assign`: train
+    once (sample-bounded), assign once (one corpus pass), write once —
+    then every query batch reads only its probed cell directories
+    (static partition pruning, see `ivf_query_index`) instead of
+    re-scoring the corpus. Both artifacts go through Spark writers, so
+    the layout works on any supported filesystem, not just local disk.
+    Returns the trained centroids.
+    """
+    import json
+
+    centroids = train_ivf_centroids(
+        corpus, vec_col, n_centroids, sample_size, seed=seed
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, arrow=arrow)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame([(json.dumps(centroids),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(path + "_centroids")
+    return centroids
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    arrow: bool = True,
+) -> DataFrame:
+    """Top-k cosine against a materialized `ivf_build_index` layout.
+
+    The probed cell set is computed from the (small) query batch and
+    pushed as a STATIC ``cell IN (...)`` partition filter, so the scan
+    touches only ``≤ queries×nprobe`` of the index's cell directories —
+    no corpus shuffle, no full scan (asserted via ``inputFiles()`` in
+    tests). Scoring and ranking reuse the exact `ivf_topk` expressions,
+    so for the same centroids the results are identical to the inline
+    path.
+    """
+    import json
+
+    centroids = json.loads(
+        spark.read.text(path + "_centroids").head()[0]
+    )
+    if arrow:
+        probe_cells = _nearest_cells_udf(centroids, nprobe)(
+            _as_double(F.col(vec_col))
+        )
+    else:
+        q_sims = _cell_sims_expr(_as_double(F.col(vec_col)), centroids)
+        probe_cells = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        q_sims,
+                        lambda s, i: F.struct(
+                            (-s).alias("neg_sim"), i.cast("int").alias("cell")
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+            lambda s: s["cell"],
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    # Bounded driver transfer: queries×nprobe ints. A static IN-filter
+    # guarantees directory-level pruning (dynamic partition pruning
+    # would also work but depends on join planning).
+    cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    scored = assigned.join(F.broadcast(q), ["cell"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
+    )
+    return _topk_per_query(scored, k)
