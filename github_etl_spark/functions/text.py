@@ -123,8 +123,11 @@ def fingerprint_expr(text_col):
 
 
 def rolling_fingerprint_expr(text_col):
-    """Document fingerprint (rolling-hash analog) — alias of the shared
-    canonical fingerprint."""
+    """Whole-document fingerprint — alias of the shared canonical
+    set-hash fingerprint. For the true rolling-hash (winnowing)
+    scheme with positional window minima, use
+    operators.pipeline.winnow_fingerprints_expr (query
+    text_fingerprint_winnow)."""
     return fingerprint_expr(text_col)
 
 

@@ -107,6 +107,46 @@ def ngrams_expr(toks: Column, n: int) -> Column:
     return F.when(n_grams > 0, out).otherwise(F.array().cast("array<string>"))
 
 
+def winnow_fingerprints_expr(text_col, k: int = 3, w: int = 4) -> Column:
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03): hash
+    every word k-gram, select the minimum hash in each sliding window
+    of ``w`` consecutive gram hashes, fingerprint = sorted distinct
+    selected minima.
+
+    Guarantee: any run of ≥ w+k-1 shared tokens between two documents
+    contributes at least one SHARED fingerprint, while only ~2/(w+1)
+    of all grams are kept — the local-sampling property that makes
+    winnowing the standard plagiarism/near-dup fingerprint.
+
+    The gram hash is a 16-hex-char md5 prefix: md5 is the one hash both
+    Spark and DuckDB share, and hex strings order identically in both
+    engines, so the oracle can mirror the selection exactly. (A
+    Rabin-Karp ROLLING hash is an O(1)-per-gram computation trick for
+    the same scheme; here gram hashing is one vectorized JVM md5 per
+    gram.) Sliding minima are built from ``w`` zipped length-aligned
+    slices — O(w·L) per row, same shape as ngrams_expr, NOT the O(L²)
+    transform(sequence)+slice form.
+
+    Documents with fewer than k tokens yield an empty fingerprint
+    array; with fewer than w grams, one fingerprint (the global min).
+    """
+    from ..functions.text import dedup_tokens_expr
+
+    grams = ngrams_expr(dedup_tokens_expr(text_col), k)
+    hs = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    n = F.size(hs)
+    n_wins = n - (w - 1)
+    mins = F.slice(hs, 1, n_wins)
+    for i in range(1, w):
+        mins = F.zip_with(mins, F.slice(hs, i + 1, n_wins), lambda a, b: F.least(a, b))
+    wins = (
+        F.when(n_wins > 0, mins)
+        .when(n > 0, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str,

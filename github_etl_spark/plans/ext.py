@@ -222,6 +222,55 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_fingerprint_winnow",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS wrd FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(wrd) - 2, 0) + 1),
+                            i -> array_to_string(wrd[i:i+2], ' ')) AS g
+      FROM toks
+    ),
+    hs AS (
+      SELECT doc_id, list_transform(g, x -> substr(md5(x), 1, 16)) AS h
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4
+                    THEN list_transform(range(1, len(h) - 3 + 1),
+                                        i -> list_min(h[i:i+3]))
+                  WHEN len(h) > 0 THEN [list_min(h)]
+                  ELSE CAST([] AS VARCHAR[]) END AS mins
+      FROM hs
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints,
+           md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_digest
+    FROM wins
+    """,
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: winnowing document fingerprints (Schleimer et al. — the
+    rolling-hash fingerprint scheme; operators/pipeline.
+    winnow_fingerprints_expr). k=3-word grams, window w=4; the md5
+    gram hash and hex string ordering are shared with DuckDB, so the
+    oracle reproduces the exact window-minima selection."""
+    from ..operators.pipeline import winnow_fingerprints_expr
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", winnow_fingerprints_expr(F.col("text")).alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.md5(F.concat_ws(",", "fps")).alias("fp_digest"),
+        )
+    )
+
+
+@query(
     "text_quality",
     oracle=f"""
     WITH base AS (

@@ -88,3 +88,71 @@ def test_text_metrics_match_reference(spark, texts):
         assert r.pieces == ref_piece_count(t), (t, r.pieces)
         assert abs(r.punct - ref_punct_ratio(t)) < 1e-9, (t, r.punct)
         assert r.lang == ref_lang(t), (t, r.lang)
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def ref_winnow(text: str, k: int = 3, w: int = 4) -> list[str]:
+    """Ground-truth winnowing: md5-prefix gram hashes, window minima."""
+    import hashlib
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+    if not hs:
+        return []
+    if len(hs) < w:
+        mins = [min(hs)]
+    else:
+        mins = [min(hs[i : i + w]) for i in range(len(hs) - w + 1)]
+    return sorted(set(mins))
+
+
+_winnow_text = st.lists(
+    st.sampled_from(["the", "cat", "sat", "on", "mat", "dog", "x", "42", "Ü!"]),
+    min_size=0,
+    max_size=30,
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_winnow_text, min_size=1, max_size=40))
+def test_winnow_matches_reference(spark, texts):
+    from github_etl_spark.operators.pipeline import winnow_fingerprints_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: list(r.fps)
+        for r in df.select(
+            "i", winnow_fingerprints_expr(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_winnow(t), (t, got[i])
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Two documents sharing a run of ≥ w+k-1 tokens (6 at k=3, w=4)
+    must share at least one fingerprint — winnowing's defining
+    property; disjoint documents share none."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    a = "intro words here " + shared + " tail one"
+    b = "completely different prefix " + shared
+    c = "nothing in common with either document at all seven eight nine"
+    from github_etl_spark.operators.pipeline import winnow_fingerprints_expr
+
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "i long, text string"
+    )
+    fps = {
+        r.i: set(r.fps)
+        for r in df.select(
+            "i", winnow_fingerprints_expr(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert fps[0] & fps[1], (fps[0], fps[1])
+    assert not (fps[0] & fps[2])
+    assert not (fps[1] & fps[2])
