@@ -163,12 +163,13 @@ def connected_components(
 
     ``local_finish_edges``: once the (exactly counted) edge set is at
     or below this, stop iterating and finish with driver-side
-    union-find — a bounded collect (≤ ~3 MB at the default) that
-    replaces several whole-cluster rounds whose per-round scheduling
-    cost dwarfs 200k edges of work. The big-data regime is untouched:
-    star rounds run distributed until the edge set actually shrinks
-    under the bound (GraphFrames/GraphX apply the same small-graph
-    cutover). 0 disables.
+    union-find — a bounded collect (tens of MB of driver heap at the
+    200k default: Row objects + the parent dict, not just the 16-byte
+    payload) that replaces several whole-cluster rounds whose
+    per-round scheduling cost dwarfs 200k edges of work. The big-data
+    regime is untouched: star rounds run distributed until the edge
+    set actually shrinks under the bound (GraphFrames/GraphX apply the
+    same small-graph cutover). 0 disables.
     """
     # localCheckpoint truncates the per-round lineage doubling; the
     # blocks are executor-local (not fault-tolerant under executor
@@ -178,9 +179,10 @@ def connected_components(
     sig = _signature(e)
     for _ in range(max_iterations):
         if local_finish_edges and sig[0] <= local_finish_edges:
-            return _local_components(
-                e.sparkSession, [(r["src"], r["dst"]) for r in e.collect()]
-            )
+            rows = [(r["src"], r["dst"]) for r in e.collect()]
+            spark = e.sparkSession
+            e.unpersist()  # drop the checkpoint blocks we just drained
+            return _local_components(spark, rows)
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig2 = _signature(e2)
         e.unpersist()  # drop the previous round's checkpoint blocks now

@@ -360,7 +360,23 @@ def ivf_topk(
         corpus, vec_col, n_centroids, sample_size, seed=seed
     )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, arrow=arrow)
+    q = _probed_queries(queries, centroids, id_col, vec_col, nprobe, arrow)
+    return _score_probed(assigned, q, k)
 
+
+def _probed_queries(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    arrow: bool,
+) -> DataFrame:
+    """(query_id, q_vec, cell) — one row per query × probed cell.
+
+    Shared by the inline and materialized-index paths so their probe
+    selection cannot diverge (the index roundtrip test asserts exact
+    equality of results)."""
     if arrow:
         probe_cells = _nearest_cells_udf(centroids, nprobe)(
             _as_double(F.col(vec_col))
@@ -384,12 +400,16 @@ def ivf_topk(
             ),
             lambda s: s["cell"],
         )
-    q = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         F.explode(probe_cells).alias("cell"),
     )
 
+
+def _score_probed(assigned: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail: broadcast the probed queries against the
+    cell-matched corpus vectors, cosine-score, per-query top-k."""
     scored = assigned.join(F.broadcast(q), ["cell"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
@@ -451,52 +471,26 @@ def ivf_query_index(
     The probed cell set is computed from the (small) query batch and
     pushed as a STATIC ``cell IN (...)`` partition filter, so the scan
     touches only ``≤ queries×nprobe`` of the index's cell directories —
-    no corpus shuffle, no full scan (asserted via ``inputFiles()`` in
-    tests). Scoring and ranking reuse the exact `ivf_topk` expressions,
-    so for the same centroids the results are identical to the inline
-    path.
+    no corpus shuffle, no full scan (asserted against the executed
+    plan's PartitionFilters in tests). Probe selection and the scoring
+    tail are the same helpers `ivf_topk` uses, so for the same
+    centroids the results are identical to the inline path.
     """
     import json
 
     centroids = json.loads(
         spark.read.text(path + "_centroids").head()[0]
     )
-    if arrow:
-        probe_cells = _nearest_cells_udf(centroids, nprobe)(
-            _as_double(F.col(vec_col))
-        )
-    else:
-        q_sims = _cell_sims_expr(_as_double(F.col(vec_col)), centroids)
-        probe_cells = F.transform(
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        q_sims,
-                        lambda s, i: F.struct(
-                            (-s).alias("neg_sim"), i.cast("int").alias("cell")
-                        ),
-                    )
-                ),
-                1,
-                nprobe,
-            ),
-            lambda s: s["cell"],
-        )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("q_vec"),
-        F.explode(probe_cells).alias("cell"),
-    )
+    # Materialize the probed query set once (bounded: queries×nprobe
+    # rows): it is consumed twice — the IN-list below and the scoring
+    # join — and would otherwise re-run the centroid-scoring UDF per
+    # consumer.
+    q = _probed_queries(
+        queries, centroids, id_col, vec_col, nprobe, arrow
+    ).localCheckpoint(eager=True)
     # Bounded driver transfer: queries×nprobe ints. A static IN-filter
     # guarantees directory-level pruning (dynamic partition pruning
     # would also work but depends on join planning).
     cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     assigned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
-    scored = assigned.join(F.broadcast(q), ["cell"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
-    )
-    return _topk_per_query(scored, k)
+    return _score_probed(assigned, q, k)

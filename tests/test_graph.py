@@ -80,11 +80,21 @@ def test_components_random_graphs(spark, local_finish):
 
 
 def test_local_finish_mid_iteration(spark):
-    """A graph large enough to start above a small threshold must still
-    cut over to the local finish once star rounds shrink the edge set,
-    and produce the same labels."""
-    edges = [(i, i + 1) for i in range(1, 200)]  # path: 199 edges
-    got = run_cc(spark, edges, local_finish_edges=150)
+    """A DENSE graph that starts above the threshold must cut over to
+    the local finish only after star rounds compress away redundant
+    edges — exercising union-find on a star-TRANSFORMED edge set, not
+    the original input. 60 nodes fully meshed in 3 cliques = 3×C(20,2)
+    = 570 distinct edges > 300; any star round collapses each clique
+    toward its minimum (≤ ~60 edges), forcing the mid-loop cutover.
+    (A sparse graph can never trigger it: connectivity keeps the edge
+    count ≥ nodes-1 every round, so use redundancy, not size.)"""
+    edges = [
+        (base + i, base + j)
+        for base in (0, 100, 200)
+        for i in range(20)
+        for j in range(i + 1, 20)
+    ]
+    got = run_cc(spark, edges, local_finish_edges=300)
     assert got == union_find(edges)
 
 
