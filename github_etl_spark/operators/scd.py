@@ -145,3 +145,60 @@ def _all_equal(tracked: list[str], prefix: str = "_cur_"):
         eq = F.col(c).eqNullSafe(F.col(f"{prefix}{c}"))
         cond = eq if cond is None else (cond & eq)
     return cond
+
+
+def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
+    """Point-in-time view of an SCD2 dimension: the one version of each
+    key whose validity interval covers ``ts`` (half-open
+    [valid_from, valid_to)). Keys whose first version starts after
+    ``ts`` simply don't appear — time travel, not imputation.
+
+    Pure filter — no shuffle; on a dimension partitioned by is_current
+    a current-timestamp probe prunes to the current partition."""
+    ts_lit = F.lit(ts).cast("timestamp")
+    return dim.filter((F.col("valid_from") <= ts_lit) & (F.col("valid_to") > ts_lit))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Change-data capture between two full snapshots of the same
+    keyed table: one row per changed key with ``change_type`` in
+    {insert, update, delete}; unchanged keys are dropped.
+
+    The reference's warehouse is full per-(repo, date) snapshots — this
+    is the derived op that turns two of them into a change feed (what a
+    downstream incremental consumer actually wants). One shuffle: a
+    full-outer join on the key; tracked-column comparison is NULL-safe,
+    so NULL→value and value→NULL both read as updates. Output carries
+    both sides' values (old_*/new_*) for audit.
+    """
+    o = old.select(
+        F.col(key), *[F.col(c).alias(f"old_{c}") for c in tracked]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        F.col(key), *[F.col(c).alias(f"new_{c}") for c in tracked]
+    ).withColumn("_in_new", F.lit(True))
+    joined = o.join(n, key, "full_outer")
+    same = None
+    for c in tracked:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            key,
+            "change_type",
+            *[f"old_{c}" for c in tracked],
+            *[f"new_{c}" for c in tracked],
+        )
+    )

@@ -480,3 +480,76 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = changes.unionByName(noops).distinct()
     return scd2_apply(dim, updates, "c_custkey", "ts", ["segment"])
+
+
+_AS_OF_TS = "1995-06-01 00:00:00"
+
+
+@query(
+    "scd2_point_in_time",
+    oracle=f"""
+    WITH merged AS ({_SCD2_ORACLE})
+    SELECT c_custkey, segment, valid_from, valid_to
+    FROM merged
+    WHERE valid_from <= TIMESTAMP '{_AS_OF_TS}'
+      AND valid_to   >  TIMESTAMP '{_AS_OF_TS}'
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension (operators/scd.scd2_as_of):
+    the one version per key valid at the probe timestamp — the query a
+    mart runs to reconstruct any historical day from the merged
+    history. Built on the scd2_merge output, so the oracle reuses the
+    same merge CTE filtered to the interval covering the probe."""
+    from ..operators.scd import scd2_as_of
+
+    merged = scd2_merge(spark, sf_dir)
+    return scd2_as_of(merged, _AS_OF_TS).select(
+        "c_custkey", "segment", "valid_from", "valid_to"
+    )
+
+
+@query(
+    "snapshot_cdc_diff",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey, c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                  ELSE c_mktsegment END AS segment
+      FROM customer WHERE c_custkey % 11 <> 3
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.segment AS old_segment,
+           n.segment AS new_segment
+    FROM old o FULL OUTER JOIN new n USING (c_custkey)
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.segment IS DISTINCT FROM n.segment
+    """,
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two full snapshots (operators/scd.snapshot_diff):
+    the reference's warehouse stores whole per-(repo, date) snapshots;
+    this derives the insert/update/delete feed an incremental consumer
+    wants. Old = customers minus every 5th key; new = every 7th key's
+    segment rewritten, every (11k+3)th key dropped."""
+    from ..operators.scd import snapshot_diff
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    old = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    new = cust.filter(F.col("c_custkey") % 11 != 3).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return snapshot_diff(old, new, "c_custkey", ["segment"])

@@ -139,3 +139,51 @@ def test_value_flapping_keeps_every_transition(spark):
         (1, "b", t1, t2, False),
         (1, "a", t2, EOT, True),
     ]
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from github_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d"), (5, "e")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, None), (6, "f")],
+        "k long, v string",
+    )
+    rows = {
+        r.k: (r.change_type, r.old_v, r.new_v)
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    assert rows == {
+        2: ("update", "b", "B"),
+        3: ("update", None, "c"),  # NULL -> value is an update
+        4: ("delete", "d", None),
+        5: ("update", "e", None),  # value -> NULL is an update
+        6: ("insert", None, "f"),
+    }  # key 1 unchanged: absent
+
+
+def test_scd2_as_of_picks_covering_interval(spark):
+    from github_etl_spark.operators.scd import scd2_as_of
+
+    dim = spark.createDataFrame(
+        [
+            (1, "x", "2020-01-01 00:00:00", "2021-01-01 00:00:00", False),
+            (1, "y", "2021-01-01 00:00:00", "2200-01-01 00:00:00", True),
+            (2, "z", "2022-01-01 00:00:00", "2200-01-01 00:00:00", True),
+        ],
+        "k long, v string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "v",
+        "CAST(valid_from AS TIMESTAMP) valid_from",
+        "CAST(valid_to AS TIMESTAMP) valid_to",
+        "is_current",
+    )
+    # Probe inside key 1's first interval; key 2 doesn't exist yet.
+    got = {(r.k, r.v) for r in scd2_as_of(dim, "2020-06-01 00:00:00").collect()}
+    assert got == {(1, "x")}
+    # Probe at an interval BOUNDARY: half-open [from, to) — new version wins.
+    got = {(r.k, r.v) for r in scd2_as_of(dim, "2021-01-01 00:00:00").collect()}
+    assert got == {(1, "y")}
