@@ -220,6 +220,11 @@ def train_ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        # Empty (or all-degenerate) corpus: no cells to train. Callers
+        # treat [] as "no index" and produce empty, correctly-typed
+        # results rather than crashing on a 0-row matmul.
+        return []
     x = np.array([r.v for r in sample], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
@@ -316,6 +321,12 @@ def ivf_assign(
     Vectors must be fixed-dimension and non-null (the embeddings
     contract) on the arrow path.
     """
+    if not centroids:
+        return corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("c_vec"),
+            F.lit(None).cast("int").alias("cell"),
+        ).filter(F.lit(False))
     if arrow:
         cell = _nearest_cells_udf(centroids, None)(
             _as_double(F.col(vec_col))
@@ -377,6 +388,12 @@ def _probed_queries(
     Shared by the inline and materialized-index paths so their probe
     selection cannot diverge (the index roundtrip test asserts exact
     equality of results)."""
+    if not centroids:
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+            F.lit(None).cast("int").alias("cell"),
+        ).filter(F.lit(False))
     if arrow:
         probe_cells = _nearest_cells_udf(centroids, nprobe)(
             _as_double(F.col(vec_col))
