@@ -259,3 +259,81 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         contact.alias("contact"),
         redact_pii_expr(contact).alias("redacted"),
     )
+
+
+@query(
+    "pipeline_filter_dedup_split",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(len({_SQL_WORDS}) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter({_SQL_WORDS},
+                  x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS DOUBLE) AS n_stop,
+             len(list_filter({_SQL_WORDS},
+                  x -> list_contains(['el','la','de','que','y','en','un','una','los','por'], x))) AS es,
+             len(list_filter({_SQL_WORDS},
+                  x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS de,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_nz
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             CASE WHEN n_stop >= es AND n_stop >= de AND n_stop > 0 THEN 'en'
+                  WHEN es >= de AND es > 0 THEN 'es'
+                  WHEN de > 0 THEN 'de'
+                  ELSE 'und' END AS pred_lang,
+             (floor((0.4 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (1.0 - n_punct / n_chars_nz)
+                 + 0.3 * least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0)) * 10000 + 0.5) / 10000)
+               AS quality_score
+      FROM base
+    ),
+    kept AS (
+      SELECT * FROM scored WHERE pred_lang = 'en' AND quality_score >= 0.5
+    ),
+    dedup AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(quality_score) AS quality_score
+      FROM kept GROUP BY text
+    ),
+    bucketed AS (
+      SELECT doc_id, quality_score,
+             {{bucket}} AS bucket
+      FROM dedup
+    )
+    SELECT doc_id, quality_score, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """.format(bucket=sql_hash_bucket("doc_id")),
+)
+def pipeline_filter_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT composite: the canonical pretraining-corpus pipeline as ONE
+    oracle-checked unit — language filter (derived n-gram lang-id, not
+    the labeled column) → quality gate (score ≥ 0.5) → exact-dedup
+    keeper (min doc_id per text) → deterministic hash split. Each stage
+    is individually verified elsewhere; this query pins their
+    COMPOSITION (filter-before-dedup ordering, score rounding at the
+    gate boundary, split stability on the deduped survivor set).
+    Shuffle shape: one groupBy(text); everything else is per-row."""
+    from ..functions.rounding import round_det
+    from ..functions.text import lang_id_expr, quality_score_expr
+
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        "doc_id",
+        "text",
+        lang_id_expr(F.col("text")).alias("pred_lang"),
+        round_det(quality_score_expr(F.col("text")), 4).alias("quality_score"),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.5)
+    )
+    dedup = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("quality_score").alias("quality_score"),
+    )
+    return hash_split(dedup, "doc_id").select(
+        "doc_id", "quality_score", "bucket", "split"
+    )

@@ -187,3 +187,42 @@ def test_scd2_as_of_picks_covering_interval(spark):
     # Probe at an interval BOUNDARY: half-open [from, to) — new version wins.
     got = {(r.k, r.v) for r in scd2_as_of(dim, "2021-01-01 00:00:00").collect()}
     assert got == {(1, "y")}
+
+
+def test_snapshot_diff_random_property(spark):
+    """Differential: snapshot_diff vs a dict-based reference on random
+    old/new snapshots (seeded, 20 trials batched into one roundtrip)."""
+    import random
+
+    from github_etl_spark.operators.scd import snapshot_diff
+
+    rng = random.Random(7)
+    vals = [None, "a", "b", "c"]
+    old_rows, new_rows, expected = [], [], {}
+    for trial in range(20):
+        base = trial * 100
+        old = {base + k: rng.choice(vals) for k in range(rng.randrange(0, 12))}
+        new_keys = set(old) | {base + rng.randrange(0, 15) for _ in range(6)}
+        new = {
+            k: rng.choice(vals)
+            for k in new_keys
+            if rng.random() > 0.25  # some keys deleted
+        }
+        old_rows += [(k, v) for k, v in old.items()]
+        new_rows += [(k, v) for k, v in new.items()]
+        for k in set(old) | set(new):
+            if k not in old:
+                expected[k] = ("insert", None, new[k])
+            elif k not in new:
+                expected[k] = ("delete", old[k], None)
+            elif old[k] != new[k]:
+                expected[k] = ("update", old[k], new[k])
+
+    mk = lambda rows: spark.createDataFrame(rows or [(None, None)], "k long, v string")
+    got = {
+        r.k: (r.change_type, r.old_v, r.new_v)
+        for r in snapshot_diff(mk(old_rows), mk(new_rows), "k", ["v"]).collect()
+        if r.k is not None
+    }
+    expected.pop(None, None)
+    assert got == expected
