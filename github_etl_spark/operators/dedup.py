@@ -203,28 +203,50 @@ def minhash_lsh_candidates(
     return pairs.select("id_a", "id_b", round_det(est, 4).alias("est_jaccard"))
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document, pure DataFrame ops.
 
     Explode tokens, hash each to 64 bits, and for every bit position sum
     (+1 / −1); the signature bit is 1 where the sum is positive. The
     bit unpacking stays JVM-side via shiftright/bitwise-and over a
     posexploded 0..63 sequence — no Python in the loop.
+
+    ``hash`` selects the per-token bit source:
+    - ``xxhash64`` (default): fastest, JVM-native — but engine-specific,
+      so signatures are verifiable only by property tests;
+    - ``md5_portable``: bit i = bit (i mod 4) of hex digit (i div 4) of
+      md5(token). md5 is shared with DuckDB, so the ENTIRE bit-vote
+      pipeline is oracle-checkable cross-engine (the catalog query uses
+      this); the vote/packing logic is identical for both sources.
     """
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
     )
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
-    bits = hashed.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-    ).select(
-        id_col,
-        "bit",
-        # shiftright with a column shift amount only exists in SQL form
-        F.expr("CAST(shiftright(h, bit) & 1 AS INT) * 2 - 1").alias("v"),
-    )
+    bit_seq = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
+    if hash == "md5_portable":
+        hashed = toks.select(id_col, F.md5("tok").alias("hx"))
+        # hex-digit value via instr on the digit alphabet — the one
+        # spelling both engines share (no hex-literal casts needed).
+        v = (
+            "(shiftright(instr('0123456789abcdef',"
+            " substring(hx, (bit div 4) + 1, 1)) - 1, bit % 4) & 1)"
+            " * 2 - 1"
+        )
+        bits = hashed.select(id_col, "hx", bit_seq).select(
+            id_col, "bit", F.expr(v).alias("v")
+        )
+    elif hash == "xxhash64":
+        hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+        bits = hashed.select(id_col, "h", bit_seq).select(
+            id_col,
+            "bit",
+            # shiftright with a column shift amount only exists in SQL form
+            F.expr("CAST(shiftright(h, bit) & 1 AS INT) * 2 - 1").alias("v"),
+        )
+    else:
+        raise ValueError(f"unknown simhash bit source: {hash!r}")
     votes = bits.groupBy(id_col, "bit").agg(F.sum("v").alias("vote"))
     return votes.groupBy(id_col).agg(
         F.sum(

@@ -189,12 +189,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(t["documents"], "text", "doc_id")
 
 
-@query("dedup_simhash")  # xxhash64-based → rows-only check
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    hx AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    bits AS (
+      SELECT doc_id, b.bit,
+             (((instr('0123456789abcdef', substr(hx, (b.bit // 4) + 1, 1)) - 1)
+               >> (b.bit % 4)) & 1) * 2 - 1 AS v
+      FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, SUM(v) AS vote FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN
+                      CASE WHEN bit = 63 THEN -9223372036854775808
+                           ELSE CAST(1 AS BIGINT) << bit END
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT: 64-bit SimHash signatures (near-dup = small hamming distance;
-    property-tested against token overlap in tests/test_dedup.py)."""
+    """EXT: 64-bit SimHash signatures (near-dup = small hamming
+    distance). The catalog query uses the md5-portable bit source so
+    the full bit-vote pipeline — per-bit ±1 votes, majority, packing
+    (bit 63 is the sign bit in both engines) — is oracle-checked;
+    the xxhash64 production default keeps its property tests in
+    tests/test_dedup.py."""
     t = load_tables(spark, sf_dir)
-    return simhash_signatures(t["documents"], "text", "doc_id")
+    return simhash_signatures(t["documents"], "text", "doc_id", hash="md5_portable")
 
 
 @query(
