@@ -70,7 +70,12 @@ def _shingles(text_col, n: int = 3):
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """One row per doc with a minhash signature array<long>[num_hashes].
 
@@ -86,16 +91,34 @@ def minhash_signatures(
     narrow scan, and their interpreted lambda towers evaluate off the
     codegen path. Docs with fewer tokens than the shingle width have no
     shingles and drop out (they can't near-dup under this family).
+
+    ``hash``: ``xxhash64`` (default, fastest, engine-specific →
+    property-tested) or ``md5_portable`` (h_i = md5 prefix of
+    ``"{i}:" + shingle`` as a hex STRING, min = lexicographic — shared
+    with DuckDB so the whole signature pipeline is oracle-checkable;
+    signature becomes array<string>).
     """
     # Hash cost is shingles × num_hashes per row — widen a narrow scan
     # before it (no-op when the input already has enough partitions).
     exploded = ensure_parallelism(df).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("shingle")
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash == "md5_portable":
+        aggs = [
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16
+                )
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown minhash family: {hash!r}")
     sig = exploded.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
@@ -111,6 +134,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle: int = 3,
     max_bucket_size: int = 64,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over minhash sigs.
 
@@ -142,19 +166,26 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     max_bucket_size = max(2, int(max_bucket_size))
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, hash=hash)
 
+    def _band_slice(b):
+        return [
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+
+    # Bucket key per band: xxhash64 of the band's signature slice on
+    # the fast path; on the portable path the CONCATENATED hex strings
+    # ARE the key (exact, hash-free, and reproducible in SQL).
+    if hash == "md5_portable":
+        bucket_of = lambda b: F.concat_ws("", *_band_slice(b))  # noqa: E731
+    else:
+        bucket_of = lambda b: F.xxhash64(F.lit(b), *_band_slice(b))  # noqa: E731
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b),
-                    *[
-                        F.element_at("signature", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("bucket"),
+                bucket_of(b).alias("bucket"),
             )
             for b in range(bands)
         ]

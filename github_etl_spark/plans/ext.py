@@ -190,6 +190,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_lsh_portable",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+      FROM toks
+    ),
+    hm AS (
+      SELECT doc_id, i.i AS i,
+             MIN(substr(md5(CAST(i.i AS VARCHAR) || ':' || s), 1, 16)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hm GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sig, b.b AS band,
+             array_to_string(sig[b.b*4+1 : b.b*4+4], '') AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+    ),
+    capped AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+      FROM bands
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE a.rn <= 64 AND b.rn <= 64
+    )
+    SELECT id_a, id_b,
+           (floor((len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0)
+                  * 10000 + 0.5) / 10000) AS est_jaccard
+    FROM pairs
+    """,
+)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the FULL MinHash+LSH candidate pipeline — shingling, 32
+    permutation minima, 8-band bucketing, deterministic 64-member skew
+    cap, in-row pair expansion, signature-agreement jaccard estimate —
+    verified value-for-value against DuckDB via the md5-portable hash
+    family (h_i = md5 prefix of "i:"+shingle, lexicographic minima,
+    band key = concatenated hex slice). The headline dedup_minhash_lsh
+    keeps the faster engine-specific xxhash64 family; only the hash
+    differs between the two paths (same code, `hash=` switch)."""
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_candidates(
+        t["documents"], "text", "doc_id", hash="md5_portable"
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (
