@@ -396,7 +396,10 @@ def pack_greedy(
     shard = portable_hash_bucket(F.col(id_col), n_shards)
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(size_col).cast("long").alias("n_tokens"),
+        # NULL size (e.g. a NULL-text doc whose token count is NULL)
+        # packs as zero tokens — it must not poison the shard's pandas
+        # batch with NaN (ints become floats, the FFD loop crashes).
+        F.coalesce(F.col(size_col).cast("long"), F.lit(0)).alias("n_tokens"),
         shard.cast("int").alias("shard"),
     )
 

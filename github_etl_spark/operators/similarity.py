@@ -327,6 +327,11 @@ def ivf_assign(
             _as_double(F.col(vec_col)).alias("c_vec"),
             F.lit(None).cast("int").alias("cell"),
         ).filter(F.lit(False))
+    # Degenerate vectors (NULL / empty) can't be assigned a cell — drop
+    # them instead of letting a single bad row crash the Arrow matmul.
+    corpus = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
     if arrow:
         cell = _nearest_cells_udf(centroids, None)(
             _as_double(F.col(vec_col))
@@ -394,6 +399,11 @@ def _probed_queries(
             _as_double(F.col(vec_col)).alias("q_vec"),
             F.lit(None).cast("int").alias("cell"),
         ).filter(F.lit(False))
+    # A NULL/empty query vector can't rank cells — it contributes no
+    # probes (mirrors the corpus-side degenerate-vector drop).
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
     if arrow:
         probe_cells = _nearest_cells_udf(centroids, nprobe)(
             _as_double(F.col(vec_col))

@@ -1,11 +1,12 @@
-"""Every catalog query must run (to a 0-row result, not a crash) on
-EMPTY input tables.
+"""Degenerate-input sweeps: every catalog query must run — not crash —
+on EMPTY tables and on NULL-riddled text/embedding columns.
 
-At 100 TB this is not a corner case: partition pruning, a filter-heavy
-day, or a brand-new tenant routinely hands an operator zero rows, and
-an AnalysisException/numpy crash there takes down the whole job. The
-round-4 sweep caught exactly one such bug (IVF k-means on an empty
-sample); this test keeps the property."""
+At 100 TB neither is a corner case: partition pruning or a
+filter-heavy day hands an operator zero rows, and real corpora carry
+NULL documents; an AnalysisException or a numpy crash there takes down
+the whole job. The round-4 sweeps caught three such bugs (IVF k-means
+on an empty sample; the Arrow cell-assignment matmul and the FFD
+packing loop on NULL rows); these tests keep the property."""
 
 from __future__ import annotations
 
@@ -46,4 +47,43 @@ GLOBAL_AGG_ROWS = {
 def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     df = QUERIES[name].fn(spark, empty_sf_dir)
     assert df.count() == GLOBAL_AGG_ROWS.get(name, 0)
+    assert len(df.schema.fields) > 0
+
+
+@pytest.fixture(scope="session")
+def null_sf_dir(tmp_path_factory):
+    """Fixture mirror with every other text/embedding (and every third
+    lang) NULLed out."""
+    import duckdb
+
+    dst = str(tmp_path_factory.mktemp("sf_nulls"))
+    con = duckdb.connect()
+    for fn in os.listdir(SRC):
+        if not fn.endswith(".parquet"):
+            continue
+        table = fn[:-8]
+        if table == "documents":
+            sel = (
+                "SELECT doc_id,"
+                " CASE WHEN doc_id%2=0 THEN NULL ELSE text END AS text,"
+                " CASE WHEN doc_id%3=0 THEN NULL ELSE lang END AS lang,"
+                " source, n_chars"
+            )
+        elif table == "embeddings":
+            sel = (
+                "SELECT * REPLACE (CASE WHEN vec_id%2=0 THEN NULL"
+                " ELSE embedding END AS embedding)"
+            )
+        else:
+            sel = "SELECT *"
+        con.execute(
+            f"COPY ({sel} FROM '{SRC}/{fn}') TO '{dst}/{fn}' (FORMAT PARQUET)"
+        )
+    return dst
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_null_columns(spark, null_sf_dir, name):
+    df = QUERIES[name].fn(spark, null_sf_dir)
+    assert df.count() >= 0
     assert len(df.schema.fields) > 0
