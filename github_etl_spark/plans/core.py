@@ -821,6 +821,47 @@ def o4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o4_except_all",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def o4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: multiset EXCEPT ALL — duplicates survive by multiplicity
+    (a customer with 5 orders, 2 open, keeps 3 rows), the bag
+    semantics `subtract`'s set form erases."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    b = t["orders"].filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.exceptAll(b)
+
+
+@query(
+    "o4_intersect_all",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def o4_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: multiset INTERSECT ALL — each key appears min(count_left,
+    count_right) times."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    b = t["orders"].filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersectAll(b)
+
+
+@query(
     "s8_param_sql_probe",
     oracle="""
     SELECT o_orderkey AS pull_request_id, o_orderdate AS date_created

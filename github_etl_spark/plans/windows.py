@@ -187,6 +187,42 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w5_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank()   OVER w AS drank,
+           ntile(4)       OVER w AS quartile,
+           -- outer CASTs: DuckDB window doubles render as float64 either
+           -- way, but rounding keeps last-ulp divergence out of the hash
+           (floor(percent_rank() OVER w * 10000 + 0.5) / 10000) AS pct_rank,
+           (floor(cume_dist()    OVER w * 10000 + 0.5) / 10000) AS cdist,
+           first_value(o_orderkey) OVER w AS first_in_grp
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def w5_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 breadth: the full ranking family — dense_rank, ntile,
+    percent_rank, cume_dist, first_value — over one deterministic
+    window (totalprice desc, orderkey tiebreak). Complements w1's
+    row_number top-k with the analytics a BI layer actually issues."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        round_det(F.percent_rank().over(w), 4).alias("pct_rank"),
+        round_det(F.cume_dist().over(w), 4).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_in_grp"),
+    )
+
+
+@query(
     "t5_tumbling_window_agg",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,
