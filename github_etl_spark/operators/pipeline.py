@@ -147,6 +147,34 @@ def winnow_fingerprints_expr(text_col, k: int = 3, w: int = 4) -> Column:
     return F.array_sort(F.array_distinct(wins))
 
 
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own unigram model — the simplest member of the KenLM-style
+    perplexity-gate family: gibberish and boilerplate-stuffed documents
+    score far from the corpus mode and can be thresholded.
+
+    p(tok) = corpus_count(tok) / corpus_tokens; score = mean over the
+    doc's tokens of ln p(tok). Shape: one token-frequency aggregation
+    (vocabulary-sized — bounded by distinct tokens, not corpus rows),
+    one single-row total joined in as a broadcast literal, one join of
+    tokens against the vocabulary, one per-doc aggregation. Documents
+    with zero tokens drop out (no model support)."""
+    toks = df.select(F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col, (F.log(F.col("c") / F.col("n").cast("double"))).alias("logp")
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        round_det(F.avg("logp"), 4).alias("avg_logprob"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str,

@@ -966,3 +966,40 @@ def a4_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate"),
         )
     )
+
+
+@query(
+    "c12_fuzzy_match_levenshtein",
+    oracle="""
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           levenshtein(a.s_name, b.s_name) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey
+     AND a.s_suppkey < b.s_suppkey
+     AND levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def c12_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution primitive: near-identical name pairs within a
+    blocking key (nation), edit distance ≤ 2. Both engines implement
+    plain Levenshtein identically, so the oracle is exact. Blocked
+    self-join — the block bound is what keeps this O(Σ block²), never
+    corpus²; at 100 TB add a cheap length/prefix pre-filter inside the
+    block before paying the O(mn) distance."""
+    t = load_tables(spark, sf_dir)
+    a = t["supplier"].select(
+        F.col("s_suppkey").alias("key_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = t["supplier"].select(
+        F.col("s_suppkey").alias("key_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "nk")
+        .filter((F.col("key_a") < F.col("key_b")) & (dist <= 2))
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+    )

@@ -337,3 +337,29 @@ def pipeline_filter_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(dedup, "doc_id").select(
         "doc_id", "quality_score", "bucket", "split"
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_WORDS}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           (floor(avg(ln(c / CAST(n.n AS DOUBLE))) * 10000 + 0.5) / 10000)
+             AS avg_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: corpus-self unigram log-probability per document
+    (operators/pipeline.unigram_logprob) — the simplest
+    perplexity-style quality gate: outlier documents sit far from the
+    corpus mode. Exact cross-engine check: counts are integers and the
+    short per-doc ln-sums round stably at 4 decimals."""
+    from ..operators.pipeline import unigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    return unigram_logprob(t["documents"], "text", "doc_id")
