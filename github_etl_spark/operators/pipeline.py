@@ -156,12 +156,18 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     p(tok) = corpus_count(tok) / corpus_tokens; score = mean over the
     doc's tokens of ln p(tok). Shape: one token-frequency aggregation
     (vocabulary-sized — bounded by distinct tokens, not corpus rows),
-    one single-row total joined in as a broadcast literal, one join of
-    tokens against the vocabulary, one per-doc aggregation. Documents
-    with zero tokens drop out (no model support)."""
+    the corpus total derived from it (sum of counts — no second corpus
+    scan), one join of tokens against the vocabulary, one per-doc
+    aggregation. The vocabulary is materialized once (localCheckpoint)
+    because Spark has no automatic subplan reuse — without it the
+    corpus would be re-tokenized for the frequency table, the total,
+    AND the join side. Documents with zero tokens drop out (no model
+    support)."""
     toks = df.select(F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = toks.agg(F.count("*").alias("n"))
+    freq = (
+        toks.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
+    total = freq.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(freq, "tok")
         .crossJoin(F.broadcast(total))

@@ -153,8 +153,11 @@ def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
     [valid_from, valid_to)). Keys whose first version starts after
     ``ts`` simply don't appear — time travel, not imputation.
 
-    Pure filter — no shuffle; on a dimension partitioned by is_current
-    a current-timestamp probe prunes to the current partition."""
+    Pure filter — no shuffle. The filter touches only valid_from /
+    valid_to, so an is_current partition layout is NOT pruned by it;
+    for current-timestamp probes add `.filter("is_current")` yourself
+    (equivalent for ts >= max(valid_from), and it prunes), or rely on
+    parquet min/max zone maps over valid_to to skip history files."""
     ts_lit = F.lit(ts).cast("timestamp")
     return dim.filter((F.col("valid_from") <= ts_lit) & (F.col("valid_to") > ts_lit))
 
@@ -183,10 +186,11 @@ def snapshot_diff(
         F.col(key), *[F.col(c).alias(f"new_{c}") for c in tracked]
     ).withColumn("_in_new", F.lit(True))
     joined = o.join(n, key, "full_outer")
-    same = None
+    # Empty `tracked` degrades to a key-presence diff: insert/delete
+    # only, never update (True is the identity of the conjunction).
+    same = F.lit(True)
     for c in tracked:
-        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("insert"))
         .when(F.col("_in_new").isNull(), F.lit("delete"))

@@ -475,7 +475,15 @@ def ivf_build_index(
         corpus, vec_col, n_centroids, sample_size, seed=seed
     )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, arrow=arrow)
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    writer = assigned.write.mode("overwrite")
+    if centroids:
+        writer = writer.partitionBy("cell")
+    # Empty corpus → no centroids → skip partitionBy: a partitioned
+    # write of a 0-row frame emits only _SUCCESS (no parquet footer)
+    # and a later read fails UNABLE_TO_INFER_SCHEMA. Writing it
+    # unpartitioned keeps `cell` as a (schema-bearing) data column, so
+    # ivf_query_index still reads, filters and returns 0 rows cleanly.
+    writer.parquet(path)
     spark = corpus.sparkSession
     spark.createDataFrame([(json.dumps(centroids),)], "value string").coalesce(
         1

@@ -38,6 +38,20 @@ from .registry import query
 _SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 # Whitespace words, lockstep with functions.text.words_expr.
 _SQL_WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+# Stopword list literals, lockstep with functions.text.{EN,ES,DE}_STOPWORDS.
+# Single source for every oracle that scores language or quality — a list
+# edited in one oracle but not another would silently diverge from the
+# stage oracles.
+_SQL_STOPS_EN = "['the','a','and','of','to','in','is','it','for','on']"
+_SQL_STOPS_ES = "['el','la','de','que','y','en','un','una','los','por']"
+_SQL_STOPS_DE = "['der','die','das','und','ist','ein','eine','zu','mit','von']"
+# Quality formula over the standard base columns (n_tok, n_stop, n_punct,
+# n_chars_nz) — lockstep with functions.text.quality_score_expr.
+_SQL_QUALITY = (
+    "(floor((0.4 * least(n_tok / 100.0, 1.0)"
+    " + 0.3 * (1.0 - n_punct / n_chars_nz)"
+    " + 0.3 * least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0)) * 10000 + 0.5) / 10000)"
+)
 
 
 @query(
@@ -357,7 +371,7 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(len({_SQL_WORDS}) AS DOUBLE) AS n_tok,
              CAST(len(list_filter({_SQL_WORDS},
-                  x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS DOUBLE) AS n_stop,
+                  x -> list_contains({_SQL_STOPS_EN}, x))) AS DOUBLE) AS n_stop,
              CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
              CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_nz
       FROM documents
@@ -365,9 +379,7 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            (floor((n_punct / n_chars_nz) * 10000 + 0.5) / 10000) AS punct_ratio,
            (floor((n_stop / greatest(n_tok, 1)) * 10000 + 0.5) / 10000) AS stopword_ratio,
-           (floor((0.4 * least(n_tok / 100.0, 1.0)
-               + 0.3 * (1.0 - n_punct / n_chars_nz)
-               + 0.3 * least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0)) * 10000 + 0.5) / 10000) AS quality_score
+           {_SQL_QUALITY} AS quality_score
     FROM base
     """,
 )
@@ -387,9 +399,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
-             len(list_filter({_SQL_WORDS}, x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS en,
-             len(list_filter({_SQL_WORDS}, x -> list_contains(['el','la','de','que','y','en','un','una','los','por'], x))) AS es,
-             len(list_filter({_SQL_WORDS}, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS de
+             len(list_filter({_SQL_WORDS}, x -> list_contains({_SQL_STOPS_EN}, x))) AS en,
+             len(list_filter({_SQL_WORDS}, x -> list_contains({_SQL_STOPS_ES}, x))) AS es,
+             len(list_filter({_SQL_WORDS}, x -> list_contains({_SQL_STOPS_DE}, x))) AS de
       FROM documents
     )
     SELECT doc_id, lang AS labeled_lang,

@@ -25,7 +25,13 @@ from ..operators.pipeline import (
     stratified_sample,
 )
 from ..tables import load_tables
-from .ext import _SQL_WORDS
+from .ext import (
+    _SQL_QUALITY,
+    _SQL_STOPS_DE,
+    _SQL_STOPS_EN,
+    _SQL_STOPS_ES,
+    _SQL_WORDS,
+)
 from .registry import query
 
 
@@ -268,11 +274,11 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              CAST(len({_SQL_WORDS}) AS DOUBLE) AS n_tok,
              CAST(len(list_filter({_SQL_WORDS},
-                  x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS DOUBLE) AS n_stop,
+                  x -> list_contains({_SQL_STOPS_EN}, x))) AS DOUBLE) AS n_stop,
              len(list_filter({_SQL_WORDS},
-                  x -> list_contains(['el','la','de','que','y','en','un','una','los','por'], x))) AS es,
+                  x -> list_contains({_SQL_STOPS_ES}, x))) AS es,
              len(list_filter({_SQL_WORDS},
-                  x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS de,
+                  x -> list_contains({_SQL_STOPS_DE}, x))) AS de,
              CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
              CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_nz
       FROM documents
@@ -283,10 +289,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN es >= de AND es > 0 THEN 'es'
                   WHEN de > 0 THEN 'de'
                   ELSE 'und' END AS pred_lang,
-             (floor((0.4 * least(n_tok / 100.0, 1.0)
-                 + 0.3 * (1.0 - n_punct / n_chars_nz)
-                 + 0.3 * least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0)) * 10000 + 0.5) / 10000)
-               AS quality_score
+             {_SQL_QUALITY} AS quality_score
       FROM base
     ),
     kept AS (
@@ -317,7 +320,6 @@ def pipeline_filter_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPOSITION (filter-before-dedup ordering, score rounding at the
     gate boundary, split stability on the deduped survivor set).
     Shuffle shape: one groupBy(text); everything else is per-row."""
-    from ..functions.rounding import round_det
     from ..functions.text import lang_id_expr, quality_score_expr
 
     t = load_tables(spark, sf_dir)
@@ -325,7 +327,9 @@ def pipeline_filter_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         lang_id_expr(F.col("text")).alias("pred_lang"),
-        round_det(quality_score_expr(F.col("text")), 4).alias("quality_score"),
+        # quality_score_expr rounds internally (round_det at 4) — no
+        # second wrapper, same contract as the text_quality query.
+        quality_score_expr(F.col("text")).alias("quality_score"),
     )
     kept = scored.filter(
         (F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.5)

@@ -357,3 +357,23 @@ def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
     assert m, plan[:2000]
     probed = m.group(1).split(",")
     assert 0 < len(probed) <= 4  # ≤ queries × nprobe, < all 16 cells
+
+
+def test_ivf_index_empty_corpus_roundtrip(spark, tmp_path):
+    """Building an index from an empty corpus must still produce a
+    readable layout, and querying it returns 0 rows (not an
+    UNABLE_TO_INFER_SCHEMA crash)."""
+    from github_etl_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb, queries = _emb_tables(spark)
+    empty = emb.filter("false")
+    path = str(tmp_path / "ivf_empty")
+    assert ivf_build_index(empty, path) == []
+    out = ivf_query_index(spark, path, queries, k=5, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cosine",
+    ]

@@ -226,3 +226,14 @@ def test_snapshot_diff_random_property(spark):
     }
     expected.pop(None, None)
     assert got == expected
+
+
+def test_snapshot_diff_empty_tracked_is_presence_diff(spark):
+    """No tracked columns → pure key-presence diff: inserts and
+    deletes only, never updates."""
+    from github_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    rows = {r.k: r.change_type for r in snapshot_diff(old, new, "k", []).collect()}
+    assert rows == {1: "delete", 3: "insert"}
