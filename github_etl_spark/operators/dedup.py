@@ -75,7 +75,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     shingle: int = 3,
-    hash: str = "xxhash64",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """One row per doc with a minhash signature array<long>[num_hashes].
 
@@ -92,7 +92,7 @@ def minhash_signatures(
     codegen path. Docs with fewer tokens than the shingle width have no
     shingles and drop out (they can't near-dup under this family).
 
-    ``hash``: ``xxhash64`` (default, fastest, engine-specific →
+    ``hash_family``: ``xxhash64`` (default, fastest, engine-specific →
     property-tested) or ``md5_portable`` (h_i = md5 prefix of
     ``"{i}:" + shingle`` as a hex STRING, min = lexicographic — shared
     with DuckDB so the whole signature pipeline is oracle-checkable;
@@ -103,7 +103,7 @@ def minhash_signatures(
     exploded = ensure_parallelism(df).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("shingle")
     )
-    if hash == "md5_portable":
+    if hash_family == "md5_portable":
         aggs = [
             F.min(
                 F.substring(
@@ -112,13 +112,13 @@ def minhash_signatures(
             ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    elif hash == "xxhash64":
+    elif hash_family == "xxhash64":
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
-        raise ValueError(f"unknown minhash family: {hash!r}")
+        raise ValueError(f"unknown minhash family: {hash_family!r}")
     sig = exploded.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
@@ -134,7 +134,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle: int = 3,
     max_bucket_size: int = 64,
-    hash: str = "xxhash64",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over minhash sigs.
 
@@ -166,7 +166,7 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     max_bucket_size = max(2, int(max_bucket_size))
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, hash=hash)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, hash_family=hash_family)
 
     def _band_slice(b):
         return [
@@ -177,7 +177,7 @@ def minhash_lsh_candidates(
     # Bucket key per band: xxhash64 of the band's signature slice on
     # the fast path; on the portable path the CONCATENATED hex strings
     # ARE the key (exact, hash-free, and reproducible in SQL).
-    if hash == "md5_portable":
+    if hash_family == "md5_portable":
         bucket_of = lambda b: F.concat_ws("", *_band_slice(b))  # noqa: E731
     else:
         bucket_of = lambda b: F.xxhash64(F.lit(b), *_band_slice(b))  # noqa: E731
@@ -235,7 +235,7 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, hash: str = "xxhash64"
+    df: DataFrame, text_col: str, id_col: str, hash_family: str = "xxhash64"
 ) -> DataFrame:
     """64-bit SimHash per document, pure DataFrame ops.
 
@@ -244,7 +244,7 @@ def simhash_signatures(
     bit unpacking stays JVM-side via shiftright/bitwise-and over a
     posexploded 0..63 sequence — no Python in the loop.
 
-    ``hash`` selects the per-token bit source:
+    ``hash_family`` selects the per-token bit source:
     - ``xxhash64`` (default): fastest, JVM-native — but engine-specific,
       so signatures are verifiable only by property tests;
     - ``md5_portable``: bit i = bit (i mod 4) of hex digit (i div 4) of
@@ -256,7 +256,7 @@ def simhash_signatures(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
     )
     bit_seq = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
-    if hash == "md5_portable":
+    if hash_family == "md5_portable":
         hashed = toks.select(id_col, F.md5("tok").alias("hx"))
         # hex-digit value via instr on the digit alphabet — the one
         # spelling both engines share (no hex-literal casts needed).
@@ -268,7 +268,7 @@ def simhash_signatures(
         bits = hashed.select(id_col, "hx", bit_seq).select(
             id_col, "bit", F.expr(v).alias("v")
         )
-    elif hash == "xxhash64":
+    elif hash_family == "xxhash64":
         hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
         bits = hashed.select(id_col, "h", bit_seq).select(
             id_col,
@@ -277,7 +277,7 @@ def simhash_signatures(
             F.expr("CAST(shiftright(h, bit) & 1 AS INT) * 2 - 1").alias("v"),
         )
     else:
-        raise ValueError(f"unknown simhash bit source: {hash!r}")
+        raise ValueError(f"unknown simhash bit source: {hash_family!r}")
     votes = bits.groupBy(id_col, "bit").agg(F.sum("v").alias("vote"))
     return votes.groupBy(id_col).agg(
         F.sum(

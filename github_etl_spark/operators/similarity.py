@@ -371,6 +371,12 @@ def ivf_topk(
     stays a JVM expression in both modes (cosine_expr's NULL-for-
     zero-norm ranking semantics); ``arrow`` only switches the
     centroid-scoring step (see ivf_assign).
+
+    Degenerate vectors (NULL / empty array) are silently dropped on
+    BOTH sides: a corpus row without a vector can't be assigned a cell
+    and a query row without a vector can't rank cells, so such queries
+    are simply absent from the result (fewer groups, not an error).
+    Pre-filter and fail upstream if that should be a hard error.
     """
     centroids = train_ivf_centroids(
         corpus, vec_col, n_centroids, sample_size, seed=seed
@@ -467,14 +473,29 @@ def ivf_build_index(
     (static partition pruning, see `ivf_query_index`) instead of
     re-scoring the corpus. Both artifacts go through Spark writers, so
     the layout works on any supported filesystem, not just local disk.
-    Returns the trained centroids.
+
+    The two artifacts are stitched by a build fingerprint (md5 of the
+    centroid list) embedded in BOTH: a `build_id` column in the
+    assignment parquet and a `build_id` field in the sidecar JSON.
+    `ivf_query_index` asserts they match, so a crash between the two
+    writes (or a rebuild racing a reader) surfaces as a clear error
+    instead of silently probing the wrong cells. Degenerate corpus
+    vectors (NULL / empty) are dropped before assignment — they cannot
+    be placed in a cell (see `ivf_assign`). Returns the trained
+    centroids.
     """
+    import hashlib
     import json
 
     centroids = train_ivf_centroids(
         corpus, vec_col, n_centroids, sample_size, seed=seed
     )
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, arrow=arrow)
+    build_id = hashlib.md5(
+        json.dumps(centroids).encode("utf-8")
+    ).hexdigest()
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, arrow=arrow).withColumn(
+        "build_id", F.lit(build_id)
+    )
     writer = assigned.write.mode("overwrite")
     if centroids:
         writer = writer.partitionBy("cell")
@@ -485,7 +506,8 @@ def ivf_build_index(
     # ivf_query_index still reads, filters and returns 0 rows cleanly.
     writer.parquet(path)
     spark = corpus.sparkSession
-    spark.createDataFrame([(json.dumps(centroids),)], "value string").coalesce(
+    sidecar = json.dumps({"build_id": build_id, "centroids": centroids})
+    spark.createDataFrame([(sidecar,)], "value string").coalesce(
         1
     ).write.mode("overwrite").text(path + "_centroids")
     return centroids
@@ -510,12 +532,33 @@ def ivf_query_index(
     plan's PartitionFilters in tests). Probe selection and the scoring
     tail are the same helpers `ivf_topk` uses, so for the same
     centroids the results are identical to the inline path.
+
+    Queries with NULL / empty vectors contribute no probes and are
+    silently absent from the result (same contract as `ivf_topk`);
+    pre-filter upstream if that should be an error. The sidecar and
+    parquet `build_id` fingerprints must agree (see `ivf_build_index`)
+    — a mismatch raises instead of probing against the wrong centroids.
     """
     import json
 
-    centroids = json.loads(
-        spark.read.text(path + "_centroids").head()[0]
-    )
+    sidecar_path = path + "_centroids"
+    try:
+        head = spark.read.text(sidecar_path).head()
+    except Exception as e:  # AnalysisException — sidecar dir missing
+        raise FileNotFoundError(
+            f"IVF centroid sidecar not found at {sidecar_path!r} — "
+            "was ivf_build_index run (and did it finish)?"
+        ) from e
+    if head is None:
+        raise ValueError(
+            f"IVF centroid sidecar at {sidecar_path!r} is empty — "
+            "partial/failed ivf_build_index write; rebuild the index."
+        )
+    meta = json.loads(head[0])
+    if isinstance(meta, dict):
+        centroids, build_id = meta["centroids"], meta.get("build_id")
+    else:  # legacy bare-list sidecar (pre-fingerprint builds)
+        centroids, build_id = meta, None
     # Materialize the probed query set once (bounded: queries×nprobe
     # rows): it is consumed twice — the IN-list below and the scoring
     # join — and would otherwise re-run the centroid-scoring UDF per
@@ -528,4 +571,17 @@ def ivf_query_index(
     # would also work but depends on join planning).
     cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     assigned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    if build_id is not None and "build_id" in assigned.columns:
+        # One tiny limit(1) probe per query batch (reads a single row
+        # group): assignments and sidecar must come from the SAME
+        # training run, else the probed cells are meaningless.
+        row = assigned.select("build_id").limit(1).head()
+        if row is not None and row[0] != build_id:
+            raise ValueError(
+                f"IVF index at {path!r} is inconsistent: assignment "
+                f"parquet build_id={row[0]!r} != sidecar build_id="
+                f"{build_id!r}. A rebuild crashed between the two "
+                "writes or raced this reader; rebuild the index."
+            )
+        assigned = assigned.drop("build_id")
     return _score_probed(assigned, q, k)

@@ -8,6 +8,7 @@ an equivalent DuckDB oracle SQL string. The driver's correctness gate
 import glob as _glob
 import json as _json
 import os as _os
+import re as _re
 
 from .registry import QUERIES, Query, query  # noqa: F401
 
@@ -30,9 +31,15 @@ def _check_history() -> tuple[dict[str, int], dict[str, bool]]:
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
     last_round: dict[str, int] = {}
     last_green: dict[str, bool] = {}
-    for rnd, path in enumerate(
-        sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))), start=1
-    ):
+    # Round number comes from the FILENAME, not enumerate() position:
+    # a deleted/renamed ledger must not silently renumber later rounds,
+    # and the ordering must survive r100 / mixed zero-padding.
+    paths = []
+    for path in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", _os.path.basename(path))
+        if m:
+            paths.append((int(m.group(1)), path))
+    for rnd, path in sorted(paths):
         try:
             with open(path) as f:
                 rows = _json.load(f)

@@ -251,10 +251,10 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (h_i = md5 prefix of "i:"+shingle, lexicographic minima,
     band key = concatenated hex slice). The headline dedup_minhash_lsh
     keeps the faster engine-specific xxhash64 family; only the hash
-    differs between the two paths (same code, `hash=` switch)."""
+    differs between the two paths (same code, `hash_family=` switch)."""
     t = load_tables(spark, sf_dir)
     return minhash_lsh_candidates(
-        t["documents"], "text", "doc_id", hash="md5_portable"
+        t["documents"], "text", "doc_id", hash_family="md5_portable"
     )
 
 
@@ -288,7 +288,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the xxhash64 production default keeps its property tests in
     tests/test_dedup.py."""
     t = load_tables(spark, sf_dir)
-    return simhash_signatures(t["documents"], "text", "doc_id", hash="md5_portable")
+    return simhash_signatures(t["documents"], "text", "doc_id", hash_family="md5_portable")
 
 
 @query(

@@ -377,3 +377,45 @@ def test_ivf_index_empty_corpus_roundtrip(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "rank", "cosine",
     ]
+
+
+def test_ivf_index_build_id_mismatch_raises(spark, tmp_path):
+    """A sidecar from one training run paired with assignments from
+    another must raise, not silently probe wrong cells (the two writes
+    in ivf_build_index are not atomic)."""
+    import json
+
+    from github_etl_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb, queries = _emb_tables(spark)
+    path = str(tmp_path / "ivf_torn")
+    centroids = ivf_build_index(emb, path, n_centroids=16)
+    # Simulate a torn rebuild: same centroids, foreign build_id (as a
+    # rebuild racing this reader would leave behind).
+    sidecar = json.dumps({"build_id": "deadbeef" * 4, "centroids": centroids})
+    spark.createDataFrame([(sidecar,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path + "_centroids")
+    with pytest.raises(ValueError, match="inconsistent"):
+        ivf_query_index(spark, path, queries, k=5, nprobe=4).collect()
+
+
+def test_ivf_index_missing_sidecar_raises(spark, tmp_path):
+    """Missing sidecar → clear FileNotFoundError naming the path, not
+    an opaque NoneType TypeError."""
+    from github_etl_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb, queries = _emb_tables(spark)
+    path = str(tmp_path / "ivf_nosidecar")
+    ivf_build_index(emb, path, n_centroids=8)
+    import shutil
+
+    shutil.rmtree(path + "_centroids")
+    with pytest.raises(FileNotFoundError, match="_centroids"):
+        ivf_query_index(spark, path, queries, k=5, nprobe=2)
