@@ -128,6 +128,61 @@ def signs_expr(vec, planes: list[list[float]]):
     return total.cast("long")
 
 
+def md5_int_planes(
+    dim: int, n_planes: int, table: int = 0
+) -> list[list[int]]:
+    """Integer hyperplane components derived from md5 — the portable
+    sibling of `random_hyperplanes`.
+
+    Component (p, i) = first 4 hex digits of md5("lsh:{table}:{p}:{i}")
+    as an int, recentered to [-32768, 32767]. md5 is the one hash Spark,
+    DuckDB and Python's hashlib all share, so an oracle can inline the
+    SAME constants (or re-derive them in SQL) and replay bucket
+    assignment bit-for-bit — the trick the MinHash/SimHash portable
+    variants use (see operators/dedup.py), applied to cosine LSH.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"lsh:{table}:{p}:{i}".encode()).hexdigest()[:4], 16)
+            - 32768
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def portable_bucket_expr(vec, planes: list[list[int]], quant: int = 1000):
+    """Cross-engine-exact LSH bucket id.
+
+    The float-hyperplane path (`signs_expr`) is unverifiable across
+    engines: a dot product near zero can flip sign under a different
+    float summation order, silently moving a vector to another bucket.
+    This path quantizes the vector to integers (floor(v*quant + 0.5) —
+    one double multiply + add, bit-identical under IEEE in any engine)
+    and dots it against INTEGER plane components, so the sign decision
+    is exact integer arithmetic: associativity-free, overflow-safe
+    (|component| < 2^15, |qv_i| ~ quant, dims ~ 10^2 → sums ≪ 2^63),
+    and reproducible in plain SQL.
+    """
+    qv = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * quant + F.lit(0.5))
+    )
+    bits = []
+    for p_idx, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(qv, F.array(*[F.lit(c) for c in p]), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("long")
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,6 +193,8 @@ def lsh_bucketed_topk(
     dim: int = 64,
     seed: int = 42,
     n_tables: int = 1,
+    hash_family: str = "lcg",
+    quant: int = 1000,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing a query's LSH
     bucket are scored. 2^n_planes buckets → expected candidate fraction
@@ -151,13 +208,38 @@ def lsh_bucketed_topk(
     per-side bucket ARRAYS and an `exists(zip_with(=))` join predicate,
     so each pair is scored once (no union + distinct pass), and the
     query side stays a single broadcast.
+
+    ``hash_family``: ``lcg`` (default) keeps the float hyperplanes from
+    `random_hyperplanes` — engine-specific, so only property-testable.
+    ``md5_portable`` derives INTEGER plane components from md5 and
+    quantizes vectors to integers (`portable_bucket_expr`), making
+    bucket assignment exact and replayable in DuckDB — the catalog's
+    `sim_lsh_topk_portable` oracle-checks the full bucket → candidate
+    → cosine → top-k pipeline value-for-value. The portable path drops
+    NULL/empty vectors on both sides (they have no meaningful bucket;
+    same contract as `ivf_topk`), the default path keeps its historical
+    bucket-0 placement for them.
     """
-    tables = [
-        random_hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
-    ]
-    bucket_arr = lambda vec: F.array(  # noqa: E731
-        *[signs_expr(vec, planes) for planes in tables]
-    )
+    if hash_family == "md5_portable":
+        int_tables = [
+            md5_int_planes(dim, n_planes, table=t) for t in range(n_tables)
+        ]
+        bucket_arr = lambda vec: F.array(  # noqa: E731
+            *[portable_bucket_expr(vec, planes, quant) for planes in int_tables]
+        )
+        valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+        corpus = corpus.where(valid)
+        queries = queries.where(valid)
+    elif hash_family == "lcg":
+        tables = [
+            random_hyperplanes(dim, n_planes, seed + 7919 * t)
+            for t in range(n_tables)
+        ]
+        bucket_arr = lambda vec: F.array(  # noqa: E731
+            *[signs_expr(vec, planes) for planes in tables]
+        )
+    else:
+        raise ValueError(f"unknown LSH hash family: {hash_family!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),

@@ -477,6 +477,83 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_portable_bucket_sql(planes: list[list[int]]) -> str:
+    """DuckDB expression for `portable_bucket_expr` over a `qv` column
+    (the quantized integer vector): per plane, exact integer dot
+    product sign → bit, bits packed into the bucket id. The plane
+    constants are the same md5-derived integers the Spark side uses
+    (`md5_int_planes`), inlined as list literals."""
+    terms = []
+    for p_idx, p in enumerate(planes):
+        lit = "[" + ",".join(str(c) for c in p) + "]"
+        terms.append(
+            f"(CASE WHEN (SELECT SUM(x.a * x.b) FROM "
+            f"(SELECT UNNEST(qv) AS a, UNNEST({lit}) AS b) x) >= 0 "
+            f"THEN {1 << p_idx} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sim_lsh_portable_oracle() -> str:
+    from ..operators.similarity import md5_int_planes
+
+    bucket = _lsh_portable_bucket_sql(md5_int_planes(dim=64, n_planes=4, table=0))
+    return f"""
+    WITH emb_q AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    emb_b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM emb_q
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, bucket
+      FROM emb_b WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+                FROM (SELECT UNNEST(q.q_vec) AS a, UNNEST(e.embedding) AS b) x)
+             / (sqrt((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                        FROM (SELECT UNNEST(q.q_vec) AS a) y))
+              * sqrt((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                        FROM (SELECT UNNEST(e.embedding) AS b) z))) AS cosine_raw
+      FROM q JOIN emb_b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_raw DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("sim_lsh_topk_portable", oracle=_sim_lsh_portable_oracle())
+def sim_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: LSH ANN with the md5-portable integer hash family — DuckDB
+    replays bucket assignment (exact integer dot-product signs over
+    quantized vectors), candidate generation, cosine scoring and the
+    top-k window value-for-value, closing the verification gap on the
+    retrieval path (the headline sim_lsh_topk keeps the faster float
+    family; only the bucket-bit source differs)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return lsh_bucketed_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_planes=4,
+        hash_family="md5_portable",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 @query(
     "sim_cosine_neardup",
     oracle="""

@@ -419,3 +419,57 @@ def test_ivf_index_missing_sidecar_raises(spark, tmp_path):
     shutil.rmtree(path + "_centroids")
     with pytest.raises(FileNotFoundError, match="_centroids"):
         ivf_query_index(spark, path, queries, k=5, nprobe=2)
+
+
+def test_lsh_portable_family_contract(spark):
+    """md5_portable LSH: ≤k rows per query, decent recall vs brute
+    force (same bar as the float family), and NULL/empty vectors are
+    dropped on both sides rather than bucketed or crashed."""
+    from github_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb, queries = _emb_tables(spark)
+    got = lsh_bucketed_topk(
+        emb, queries, k=5, n_planes=4, hash_family="md5_portable"
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    # A single 16-bucket table is a coarse filter — recall here only
+    # guards against a broken bucket expression (e.g. all-distinct or
+    # all-equal buckets), not retrieval quality (the multi-table
+    # monotonicity test owns that).
+    assert len(exact & approx) / len(exact) >= 0.1
+
+    # Degenerate vectors: present in neither query groups nor neighbors.
+    bad = spark.createDataFrame(
+        [(10_000_000, None), (10_000_001, [])],
+        "vec_id long, embedding array<float>",
+    )
+    got2 = lsh_bucketed_topk(
+        emb.unionByName(bad.withColumn("label", F.lit(0))
+                        if "label" in emb.columns else bad,
+                        allowMissingColumns=True),
+        queries.unionByName(bad, allowMissingColumns=True),
+        k=5,
+        n_planes=4,
+        hash_family="md5_portable",
+    ).collect()
+    ids = {r.query_id for r in got2} | {r.neighbor_id for r in got2}
+    assert not ids & {10_000_000, 10_000_001}
+
+
+def test_lsh_unknown_family_raises(spark):
+    from github_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    emb, queries = _emb_tables(spark)
+    with pytest.raises(ValueError, match="hash family"):
+        lsh_bucketed_topk(emb, queries, hash_family="sha9000")
