@@ -26,11 +26,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from github_etl_spark.operators.dedup import minhash_lsh_candidates
-from github_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+from github_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_build_index,
+    ivf_query_index,
+    ivf_topk,
+)
 from github_etl_spark.session import get_spark
 from github_etl_spark.tables import load_tables
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def probe_ivf_index(spark, emb, queries, k_factor, index_root):
+    """Materialized IVF path at corpus scale K: build (train + assign +
+    partitioned write) once, query with static cell pruning.
+
+    Cells scale WITH the corpus (n_centroids = 16·K) — the 100 TB
+    sizing rule that keeps per-cell row counts bounded, so the probed
+    scan (nprobe=4 cells) reads a ~constant number of rows at every K
+    and query wall-time stays flat while build time tracks corpus
+    size. Asserts PartitionFilters on the executed plan at every K:
+    if pruning ever regresses to a full index scan this probe fails,
+    not just slows down.
+    """
+    import re
+
+    path = os.path.join(index_root, f"ivf_k{k_factor}")
+    t0 = time.perf_counter()
+    ivf_build_index(emb, path, n_centroids=16 * k_factor)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = ivf_query_index(spark, path, queries, k=5, nprobe=4)
+    out.count()
+    t_query = time.perf_counter() - t0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # >spark.sql.optimizer.inSetConversionThreshold probed cells →
+    # the optimizer rewrites `cell IN (...)` to `cell INSET ...`;
+    # both spellings are a pruned partition filter.
+    if not re.search(r"PartitionFilters: \[cell#\d+ IN(SET)?[ (]", plan):
+        raise AssertionError(
+            f"IVF index scan at K={k_factor} lost partition pruning:\n"
+            + plan[:2000]
+        )
+    return t_build, t_query
 
 
 def replicate(df, id_col, k):
@@ -106,9 +145,12 @@ def main():
         "Near-linear growth = healthy; superlinear flags candidate-pair",
         "explosion. Regenerate: `python tools/scale_probe.py`.",
         "",
-        "| K | docs | minhash+LSH sec | pairs | vecs | brute ANN sec | IVF ANN sec | CC cluster sec |",
-        "|---|---|---|---|---|---|---|---|",
+        "| K | docs | minhash+LSH sec | pairs | vecs | brute ANN sec | IVF ANN sec | CC cluster sec | IVF build sec | IVF query sec |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
+    import tempfile
+
+    index_root = tempfile.mkdtemp(prefix="scale_probe_ivf_")
     for k in ks:
         d = replicate(docs, "doc_id", k)
         n_docs = d.count()
@@ -135,9 +177,11 @@ def main():
         t0 = time.perf_counter()
         ivf_topk(e, queries, k=5).count()
         t_ivf = time.perf_counter() - t0
+        t_build, t_query = probe_ivf_index(spark, e, queries, k, index_root)
         lines.append(
             f"| {k} | {n_docs} | {t_lsh:.1f} | {pairs} | {n_vec} "
-            f"| {t_ann:.1f} | {t_ivf:.1f} | {t_cc:.1f} |"
+            f"| {t_ann:.1f} | {t_ivf:.1f} | {t_cc:.1f} "
+            f"| {t_build:.1f} | {t_query:.1f} |"
         )
         print(lines[-1], flush=True)
     skew_rows = skew_probe(spark, docs)
@@ -173,7 +217,15 @@ def main():
         "crossover sits where per-query scoring dominates the fixed",
         "pass \u2014 and at real scale the assignment is materialized once",
         "as a cell-partitioned staging table (similarity.py design",
-        "note), so queries pay only the pruned scoring term. CC",
+        "note), so queries pay only the pruned scoring term. The",
+        "last two columns measure exactly that materialized path",
+        "(ivf_build_index / ivf_query_index) with the 100 TB sizing",
+        "rule applied: cell COUNT scales with the corpus (16·K",
+        "centroids), keeping per-cell rows bounded — the build pass",
+        "tracks corpus size, but the pruned query (nprobe=4 cell",
+        "directories, PartitionFilters asserted in the executed plan",
+        "at every K) reads a ~constant row count and its wall-time",
+        "stays flat across the whole K range. CC",
         "cluster covers the iterative connected-components job over",
         "the LSH candidate graph: below the 200k-edge bound it",
         "finishes driver-side; above it the distributed star rounds",
