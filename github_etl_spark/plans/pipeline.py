@@ -216,12 +216,76 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_sequences")  # greedy bin packing — procedural, rows-only check
+def _pack_sequences_oracle() -> str:
+    """DuckDB replay of the sharded FFD in pack_greedy: a recursive CTE
+    per shard walks documents in (n_tokens DESC, doc_id ASC) order
+    carrying the open-bin remaining-capacity list, first fit = lowest
+    surviving index of `list_min` over candidate bin indexes. Depth =
+    max docs per shard (~rows/32), so the recursion stays shallow at
+    any sf. This upgrades the catalog's one procedural rows-only entry
+    to a full value-for-value check of the packing itself."""
+    from ..operators.pipeline import sql_hash_bucket
+
+    bucket = sql_hash_bucket("doc_id", 32)
+    return f"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id,
+             COALESCE(CAST(len({_SQL_WORDS}) AS BIGINT), 0) AS n_tokens,
+             CAST({bucket} AS INTEGER) AS shard
+      FROM documents
+    ),
+    ranked AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, doc_id ASC) AS r
+      FROM sized
+    ),
+    ffd AS (
+      SELECT shard, CAST(0 AS BIGINT) AS r,
+             CAST([] AS BIGINT[]) AS bins,
+             CAST([] AS INTEGER[]) AS placed
+      FROM (SELECT DISTINCT shard FROM ranked)
+      UNION ALL
+      SELECT shard, r,
+             CASE WHEN fit IS NULL THEN list_append(bins, 256 - n_tokens)
+                  ELSE list_transform(bins, (rem, i) ->
+                         CASE WHEN i = fit THEN rem - n_tokens ELSE rem END)
+             END AS bins,
+             list_append(placed,
+               CAST(CASE WHEN fit IS NULL THEN len(bins) ELSE fit - 1 END
+                    AS INTEGER)) AS placed
+      FROM (
+        SELECT s.shard, s.r + 1 AS r, s.bins, s.placed, d.n_tokens,
+               list_min(list_transform(s.bins, (rem, i) ->
+                  CASE WHEN d.n_tokens <= 256 AND rem >= d.n_tokens
+                       THEN i ELSE NULL END)) AS fit
+        FROM ffd s JOIN ranked d ON d.shard = s.shard AND d.r = s.r + 1
+      ) t
+    ),
+    final AS (
+      SELECT shard, placed, r,
+             row_number() OVER (PARTITION BY shard ORDER BY r DESC) AS rn
+      FROM ffd
+    )
+    SELECT d.doc_id, d.shard, d.n_tokens,
+           CAST(d.shard AS BIGINT) * 4294967296
+             + f.placed[CAST(d.r AS INTEGER)] AS pack_id,
+           d.n_tokens > 256 AS overflow
+    FROM final f JOIN ranked d ON d.shard = f.shard
+    WHERE f.rn = 1
+    """
+
+
+@query("pack_sequences", oracle=_pack_sequences_oracle())
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: greedy sequence packing — shard by portable hash, first-fit-
-    decreasing per shard in applyInPandas, capacity 256 tokens. Packing
-    is procedural (no SQL form); invariants (every doc exactly once, no
-    pack over capacity, deterministic repack) are pytest-asserted."""
+    decreasing per shard in applyInPandas, capacity 256 tokens. The
+    packing is procedural on the Spark side (sequential FFD per shard)
+    but replayable in SQL: the DuckDB oracle runs the same FFD as a
+    recursive CTE over the same shard/order keys, so doc→pack
+    assignments hash-match value-for-value. Invariants (every doc
+    exactly once, no pack over capacity, deterministic repack) stay
+    pytest-asserted."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select(
         "doc_id", token_count_expr(F.col("text")).alias("n_tokens")

@@ -316,3 +316,43 @@ def test_pack_greedy_oversize_flagged(spark):
     rows = {r.doc_id: r for r in pack_greedy(df, "doc_id", "n_tokens", 256, 1).collect()}
     assert rows[1].overflow and not rows[2].overflow
     assert rows[2].pack_id == rows[3].pack_id != rows[1].pack_id
+
+
+def test_pack_greedy_all_docs_at_capacity(spark):
+    """Every doc exactly at capacity: one doc per pack, none overflow."""
+    from github_etl_spark.operators.pipeline import pack_greedy
+
+    df = spark.createDataFrame([(i, 256) for i in range(40)], ["doc_id", "n_tokens"])
+    rows = pack_greedy(df, "doc_id", "n_tokens", capacity=256, n_shards=4).collect()
+    assert len(rows) == 40
+    assert not any(r.overflow for r in rows)
+    assert len({r.pack_id for r in rows}) == 40  # no two fit together
+
+
+def test_pack_greedy_capacity_one(spark):
+    """capacity=1 degenerate: size-1 docs pack alone, size-0 docs all
+    share bins (any rem >= 0 fits), oversize flagged."""
+    from github_etl_spark.operators.pipeline import pack_greedy
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 0), (4, 0), (5, 2)], ["doc_id", "n_tokens"]
+    )
+    rows = {r.doc_id: r for r in pack_greedy(df, "doc_id", "n_tokens", 1, 1).collect()}
+    assert rows[5].overflow and not rows[1].overflow
+    assert rows[1].pack_id != rows[2].pack_id  # 1+1 > capacity
+    # zero-size docs first-fit into the first bin with rem >= 0
+    assert rows[3].pack_id == rows[4].pack_id
+    assert rows[5].pack_id not in {rows[3].pack_id, rows[1].pack_id, rows[2].pack_id}
+
+
+def test_pack_greedy_singleton_shards(spark):
+    """n_shards ≫ docs: most shards empty, each doc still packed once
+    with a shard-disambiguated pack id."""
+    from github_etl_spark.operators.pipeline import pack_greedy
+
+    df = spark.createDataFrame([(i, 10) for i in range(5)], ["doc_id", "n_tokens"])
+    rows = pack_greedy(df, "doc_id", "n_tokens", capacity=256, n_shards=1000).collect()
+    assert len(rows) == 5
+    assert len({r.doc_id for r in rows}) == 5
+    for r in rows:
+        assert r.pack_id >> 32 == r.shard
