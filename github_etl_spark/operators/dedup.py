@@ -302,6 +302,7 @@ def ngram_jaccard_pairs(
     shingle: int = 3,
     max_df: int | None = None,
     persist: bool = False,
+    tokens_path: str | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle-set Jaccard over blocked candidate pairs.
 
@@ -335,7 +336,12 @@ def ngram_jaccard_pairs(
     caches the token relation (MEMORY_AND_DISK) so the corpus is
     scanned once; use it when the tokenized intermediate fits the
     cluster's storage tier — at extreme scale prefer materializing
-    tokens as a staging table instead.
+    tokens as a staging table instead: ``tokens_path`` writes the
+    exploded token relation to parquet ONCE (the only corpus scan)
+    and feeds the hot-gram count and both join sides from the staging
+    table, so the downstream plan never touches the corpus again and
+    survives executor loss (unlike persist/localCheckpoint blocks).
+    ``tokens_path`` takes precedence over ``persist``.
     """
     grams = _shingles(F.col(text_col), shingle) if shingle > 1 else F.array_distinct(
         tokens_expr(F.col(text_col))
@@ -346,7 +352,13 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.explode(grams).alias("tok"),
     )
-    if persist:
+    if tokens_path is not None:
+        # One corpus scan total: the staging write. Every downstream
+        # consumer (hot-gram count, set sizes, both join sides) reads
+        # the parquet staging table instead of re-deriving the tokens.
+        toks.write.mode("overwrite").parquet(tokens_path)
+        toks = df.sparkSession.read.parquet(tokens_path)
+    elif persist:
         from pyspark import StorageLevel
 
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)

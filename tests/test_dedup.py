@@ -473,3 +473,32 @@ def test_lsh_unknown_family_raises(spark):
     emb, queries = _emb_tables(spark)
     with pytest.raises(ValueError, match="hash family"):
         lsh_bucketed_topk(emb, queries, hash_family="sha9000")
+
+
+def test_jaccard_tokens_staging_table(spark, tmp_path):
+    """tokens_path: results identical to the unstaged run, and the
+    downstream plan reads ONLY the staging parquet — the corpus is
+    scanned exactly once (by the staging write), the fault-tolerant
+    shape for extreme scale."""
+    from github_etl_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", register=False)[
+        "documents"
+    ].withColumn("blk", F.lit(1))
+    plain = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["blk"], threshold=0.5, max_df=100
+        ).collect()
+    }
+    staged_path = str(tmp_path / "tokens_staging")
+    staged_df = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["blk"], threshold=0.5, max_df=100,
+        tokens_path=staged_path,
+    )
+    staged = {(r.id_a, r.id_b, r.jaccard) for r in staged_df.collect()}
+    assert staged == plain and staged
+
+    plan = staged_df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, plan[:2000]
+    assert "tokens_staging" in plan
