@@ -154,6 +154,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     local_finish_edges: int = 200_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Component label (= minimum member id) for every node that appears
     in ``edges``. Returns (node: long, component: long); roots are
@@ -170,12 +171,27 @@ def connected_components(
     regime is untouched: star rounds run distributed until the edge
     set actually shrinks under the bound (GraphFrames/GraphX apply the
     same small-graph cutover). 0 disables.
+
+    ``checkpoint_dir``: by default each round localCheckpoints the edge
+    set — executor-local blocks, so an executor loss mid-job kills the
+    computation (acceptable for an O(log n)-round job at moderate
+    scale). Passing a cluster-visible directory switches every round
+    to a RELIABLE checkpoint() written there, making the iteration
+    survive executor loss at the cost of a filesystem round-trip per
+    round; files persist under the directory until the application
+    exits (set spark.cleaner.referenceTracking.cleanCheckpoints to
+    reap them eagerly on a long-running driver).
     """
-    # localCheckpoint truncates the per-round lineage doubling; the
-    # blocks are executor-local (not fault-tolerant under executor
-    # loss — acceptable for an O(log n)-round job; use checkpoint()
-    # with a cluster checkpoint dir if that guarantee is needed).
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            # localCheckpoint truncates the per-round lineage doubling
+            # with executor-local blocks (fast, not fault-tolerant).
+            return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True)
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    e = _ckpt(_canonical_edges(edges, src, dst))
     sig = _signature(e)
     for _ in range(max_iterations):
         if local_finish_edges and sig[0] <= local_finish_edges:
@@ -183,7 +199,7 @@ def connected_components(
             spark = e.sparkSession
             e.unpersist()  # drop the checkpoint blocks we just drained
             return _local_components(spark, rows)
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _ckpt(_small_star(_large_star(e)))
         sig2 = _signature(e2)
         e.unpersist()  # drop the previous round's checkpoint blocks now
         e = e2
@@ -209,6 +225,7 @@ def cluster_assignment(
     id_a: str = "id_a",
     id_b: str = "id_b",
     broadcast_components: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Canonical-document assignment for EVERY row of ``df`` given
     near-dup ``pairs``: docs in some pair get their component's min id,
@@ -223,9 +240,9 @@ def cluster_assignment(
     size), pass ``broadcast_components=False`` to fall back to a
     shuffle join instead of forcing an over-sized broadcast.
     """
-    comp = connected_components(pairs, src=id_a, dst=id_b).withColumnRenamed(
-        "node", id_col
-    )
+    comp = connected_components(
+        pairs, src=id_a, dst=id_b, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("node", id_col)
     if broadcast_components:
         comp = F.broadcast(comp)
     return df.join(comp, id_col, "left").select(

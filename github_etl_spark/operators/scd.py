@@ -34,6 +34,7 @@ def scd2_apply(
     key: str,
     ts_col: str,
     tracked: list[str],
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Apply an update batch to an SCD2 dimension.
 
@@ -54,6 +55,14 @@ def scd2_apply(
     row's `valid_from` (late-arriving updates older than the open
     interval would produce inverted intervals; handling retroactive
     history rewrites is out of scope).
+
+    ``checkpoint_dir``: the survivor batch is materialized once and
+    consumed by three branches; by default that is a localCheckpoint
+    (executor-local blocks — an executor loss mid-merge kills the
+    job). Passing a cluster-visible directory switches to a RELIABLE
+    checkpoint() so the merge survives executor loss — worth it when
+    the merge is the tail step of a long pipeline whose re-run cost
+    dwarfs one small filesystem round-trip.
     """
     # Order the batch per key (tracked columns break timestamp ties
     # deterministically); collapse exact duplicate rows first.
@@ -101,7 +110,11 @@ def scd2_apply(
     # stages race and recompute the subtree before any partition is
     # cached (measured 2.8s vs 1.7s cold at sf0.1), so pay the batch
     # computation once, up front.
-    survivors = survivors.localCheckpoint(eager=True)
+    if checkpoint_dir is not None:
+        dim.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        survivors = survivors.checkpoint(eager=True)
+    else:
+        survivors = survivors.localCheckpoint(eager=True)
 
     versions = survivors.withColumn(
         "valid_to",

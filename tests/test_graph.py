@@ -131,3 +131,16 @@ def test_cluster_assignment_no_broadcast_path(spark):
     out = cluster_assignment(docs, pairs, "doc_id", broadcast_components=False)
     rows = {r["doc_id"]: r["component_id"] for r in out.collect()}
     assert rows == {1: 1, 2: 2, 3: 1, 4: 4}
+
+
+def test_reliable_checkpoint_identical_labels(spark, tmp_path):
+    """checkpoint_dir= switches the per-round lineage truncation to a
+    reliable checkpoint(); labels must be identical to the default
+    localCheckpoint path, with the distributed star rounds forced."""
+    edges = [(i, i + 1) for i in range(1, 64)] + [(100, 101), (101, 102)]
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = run_cc(spark, edges, local_finish_edges=0, checkpoint_dir=ckpt)
+    assert got == run_cc(spark, edges, local_finish_edges=0)
+    import os
+
+    assert os.path.isdir(ckpt)  # rounds actually wrote there

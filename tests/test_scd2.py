@@ -237,3 +237,29 @@ def test_snapshot_diff_empty_tracked_is_presence_diff(spark):
     new = spark.createDataFrame([(2,), (3,)], "k long")
     rows = {r.k: r.change_type for r in snapshot_diff(old, new, "k", []).collect()}
     assert rows == {1: "delete", 3: "insert"}
+
+
+def test_reliable_checkpoint_identical_merge(spark, tmp_path):
+    """checkpoint_dir= must not change merge semantics."""
+    dim_rows = [
+        (1, "a", dt.datetime(2024, 1, 1), EOT, True),
+        (2, "b", dt.datetime(2024, 1, 1), EOT, True),
+    ]
+    upd_rows = [
+        (1, "a2", dt.datetime(2024, 2, 1)),
+        (3, "c", dt.datetime(2024, 2, 2)),
+    ]
+    base = _apply(spark, dim_rows, upd_rows)
+    ckpt = scd2_apply(
+        _dim(spark, dim_rows),
+        _upd(spark, upd_rows),
+        "k",
+        "ts",
+        ["v"],
+        checkpoint_dir=str(tmp_path / "scd_ckpt"),
+    ).collect()
+    got = sorted(
+        ((r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in ckpt),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == base
