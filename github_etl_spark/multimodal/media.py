@@ -18,6 +18,17 @@ container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
 batch shape, partitioning, null handling — real and testable. Swapping
 in a real codec changes ONLY the inside of the per-batch function.
 
+SCOPE NOTE (permanent for this build environment): the sandbox has no
+installable image/audio/video libraries (`pip install` is unavailable;
+PIL, cv2, soundfile and av are all absent), so the
+`_HAVE_REAL_CODECS=True` branches are dormant seams by design: they
+cannot be executed or tested here, only exercised by deployments that
+ship a codec. The contract a real codec must satisfy is exactly the
+fallback's: consume `payload` bytes per batch row, honor NULL/empty
+payloads (emit NULL stats, never raise), and emit the declared output
+schema — the fallback-path tests in tests/test_multimodal.py are the
+executable specification of that contract.
+
 Scale notes:
 - Payload skew is the hazard: a 4 GB video next to 4 KB thumbnails.
   `repartition_by_payload` salts rows into even-sized partitions by
