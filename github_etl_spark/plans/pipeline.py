@@ -333,6 +333,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_filter_dedup_split",
+    headline=True,
     oracle=f"""
     WITH base AS (
       SELECT doc_id, text,

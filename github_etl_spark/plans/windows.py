@@ -523,6 +523,7 @@ _AS_OF_TS = "1995-06-01 00:00:00"
 
 @query(
     "scd2_point_in_time",
+    headline=True,
     oracle=f"""
     WITH merged AS ({_SCD2_ORACLE})
     SELECT c_custkey, segment, valid_from, valid_to
@@ -547,6 +548,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_cdc_diff",
+    headline=True,
     oracle="""
     WITH old AS (
       SELECT c_custkey, c_mktsegment AS segment
