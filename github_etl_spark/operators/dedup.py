@@ -126,6 +126,51 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(doc, signature, band, bucket) — one row per document × band.
+
+    The LSH bucket relation both the batch self-dedup
+    (`minhash_lsh_candidates`) and the incremental batch-vs-index check
+    (operators/incremental.py) are built from; extracting it keeps the
+    two paths' bucket assignment definitionally identical. Bucket key
+    per band: xxhash64 of the band's signature slice on the fast path;
+    on the portable path the CONCATENATED hex strings ARE the key
+    (exact, hash-free, and reproducible in SQL).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle, hash_family=hash_family
+    )
+
+    def _band_slice(b):
+        return [
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+
+    if hash_family == "md5_portable":
+        bucket_of = lambda b: F.concat_ws("", *_band_slice(b))  # noqa: E731
+    else:
+        bucket_of = lambda b: F.xxhash64(F.lit(b), *_band_slice(b))  # noqa: E731
+    band_cols = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col).alias("doc"), "signature", F.explode(band_cols).alias("bb")
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -164,35 +209,10 @@ def minhash_lsh_candidates(
     reuses that distribution — the cap adds a per-partition sort, not
     a shuffle.
     """
-    rows_per_band = num_hashes // bands
     max_bucket_size = max(2, int(max_bucket_size))
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle, hash_family=hash_family)
-
-    def _band_slice(b):
-        return [
-            F.element_at("signature", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-
-    # Bucket key per band: xxhash64 of the band's signature slice on
-    # the fast path; on the portable path the CONCATENATED hex strings
-    # ARE the key (exact, hash-free, and reproducible in SQL).
-    if hash_family == "md5_portable":
-        bucket_of = lambda b: F.concat_ws("", *_band_slice(b))  # noqa: E731
-    else:
-        bucket_of = lambda b: F.xxhash64(F.lit(b), *_band_slice(b))  # noqa: E731
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                bucket_of(b).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sigs.select(
-        F.col(id_col).alias("doc"), "signature", F.explode(band_cols).alias("bb")
-    )
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle, hash_family
+    ).select("doc", "signature", F.struct("band", "bucket").alias("bb"))
     # Skew cap: deterministic first-N members per bucket BEFORE the
     # collect_list, so no single row ever materializes an unbounded
     # member array (window and groupBy share the bb hash distribution).
@@ -225,13 +245,20 @@ def minhash_lsh_candidates(
         .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
+    est = signature_agreement_expr("sig_a", "sig_b", num_hashes)
+    return pairs.select("id_a", "id_b", round_det(est, 4).alias("est_jaccard"))
+
+
+def signature_agreement_expr(sig_a, sig_b, num_hashes: int):
+    """Estimated jaccard = fraction of agreeing minhash positions.
+    Exact k/num_hashes ratios (binary fractions for power-of-two
+    num_hashes), so threshold comparisons replay exactly in SQL."""
+    return F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     ) / F.lit(float(num_hashes))
-    return pairs.select("id_a", "id_b", round_det(est, 4).alias("est_jaccard"))
 
 
 def simhash_signatures(

@@ -667,3 +667,134 @@ def ivf_query_index(
             )
         assigned = assigned.drop("build_id")
     return _score_probed(assigned, q, k)
+
+
+# ---------------------------------------------------------------------------
+# Portable (cross-engine-exact) IVF variant
+# ---------------------------------------------------------------------------
+
+
+def quantize_expr(vec, quant: int = 1000):
+    """vec → array<long>: floor(v*quant + 0.5) per component. One double
+    multiply + add then floor — bit-identical under IEEE in any engine,
+    so integer arithmetic downstream is exactly replayable in SQL (the
+    same quantization `portable_bucket_expr` uses)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * quant + F.lit(0.5))
+    )
+
+
+def ivf_portable_seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    quant: int = 1000,
+) -> list[list[int]]:
+    """Deterministic, cross-engine-replayable coarse-quantizer seeds:
+    the `n_centroids` corpus vectors ranked first by
+    ``(md5(cast(id as string)), id)``, quantized to integers.
+
+    No Lloyd iterations and no normalization — the whole selection is
+    discrete (md5 hex ordering + integer quantization), so DuckDB can
+    re-derive the SAME centroids from the same table with
+    ``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`` and replay cell
+    assignment exactly (`sim_ivf_topk_portable` in plans/ext.py). The
+    headline `ivf_topk` keeps the k-means quantizer; this variant
+    trades cell quality for bit-for-bit verifiability of the IVF
+    retrieval pipeline (assignment → probe → score → top-k), the same
+    bar `portable_bucket_expr` sets for LSH.
+
+    orderBy+limit plans as a distributed top-k (no full sort); the
+    driver transfer is bounded at `n_centroids` rows.
+    """
+    rows = (
+        corpus.where(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+        )
+        .select(
+            F.col(id_col).alias("i"),
+            quantize_expr(F.col(vec_col), quant).alias("qv"),
+        )
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r.qv) for r in rows]
+
+
+def _int_cell_rank_expr(qv, centroids: list[list[int]]):
+    """array<struct<neg_dot:long, cell:int>> sorted ascending — i.e.
+    cells ranked by EXACT integer dot product desc, lowest cell on
+    ties. Overflow-safe: |qv_i| ~ quant, |cv_i| ~ quant, dims ~ 10^2 →
+    |dot| ≪ 2^63."""
+    sims = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qv, F.array(*[F.lit(c) for c in cent]), lambda a, b: a * b
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for cent in centroids
+        ]
+    )
+    return F.array_sort(
+        F.transform(
+            sims,
+            lambda s, i: F.struct(
+                (-s).alias("neg_dot"), i.cast("int").alias("cell")
+            ),
+        )
+    )
+
+
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    quant: int = 1000,
+) -> DataFrame:
+    """IVF top-k with the portable seed quantizer: every branch of the
+    pipeline (centroid selection, cell assignment, probe ranking) is
+    exact integer / hash arithmetic a SQL oracle can replay, and only
+    the final cosine scores are floats (rounded to 4 decimals by the
+    shared `_topk_per_query` tail, same as every sim query).
+
+    Same plan shape as `ivf_topk`: one corpus pass to assign, probed
+    queries broadcast, per-query top-k window — so verifying THIS
+    variant value-for-value also exercises the join/score/rank tail the
+    headline k-means variant shares (`_score_probed`).
+    """
+    cents = ivf_portable_seed_centroids(
+        corpus, id_col, vec_col, n_centroids, quant
+    )
+    if not cents:
+        return ivf_assign(corpus, [], id_col, vec_col).select(
+            F.col("neighbor_id").alias("query_id"),
+            "neighbor_id",
+            F.lit(0).alias("rank"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    live = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ranked = _int_cell_rank_expr(
+        quantize_expr(F.col(vec_col), quant), cents
+    )
+    assigned = corpus.where(live).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        ranked[0]["cell"].alias("cell"),
+    )
+    q = queries.where(live).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    return _score_probed(assigned, q, k)

@@ -628,3 +628,82 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     queries = emb.orderBy("vec_id").limit(10)
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+_SIM_IVF_PORTABLE_ORACLE = """
+WITH emb_q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+cents AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
+           AS cell,
+         qv AS cv
+  FROM emb_q
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         (SELECT SUM(x.a * x.b)
+            FROM (SELECT UNNEST(e.qv) AS a, UNNEST(c.cv) AS b) x) AS dot
+  FROM emb_q e CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, embedding, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cell ASC) AS rn
+  FROM sims
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, cell
+  FROM ranked_cells WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, cell
+  FROM ranked_cells WHERE vec_id < 10 AND rn <= 4
+),
+scored AS (
+  SELECT p.query_id, n.neighbor_id,
+         (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+            FROM (SELECT UNNEST(p.q_vec) AS a, UNNEST(n.c_vec) AS b) x)
+         / (sqrt((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                    FROM (SELECT UNNEST(p.q_vec) AS a) y))
+          * sqrt((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                    FROM (SELECT UNNEST(n.c_vec) AS b) z))) AS cosine_raw
+  FROM probes p JOIN assigned n
+    ON n.cell = p.cell AND n.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("sim_ivf_topk_portable", oracle=_SIM_IVF_PORTABLE_ORACLE)
+def sim_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: IVF ANN with the portable seed quantizer — centroid
+    selection is an md5-ordered top-K (discrete), cell assignment and
+    probe ranking are exact integer dot products over quantized
+    vectors, so DuckDB re-derives the centroids from the same table and
+    replays assignment → probe → cosine → top-k value-for-value. This
+    closes the cross-engine check on the IVF retrieval pipeline; the
+    headline sim_ivf_topk keeps the k-means-trained quantizer (recall
+    asserted in tests) and shares the scoring tail verified here."""
+    from ..operators.similarity import ivf_topk_portable
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return ivf_topk_portable(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+    ).withColumn("rank", F.col("rank").cast("int"))

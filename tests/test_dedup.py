@@ -502,3 +502,67 @@ def test_jaccard_tokens_staging_table(spark, tmp_path):
     plan = staged_df._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan, plan[:2000]
     assert "tokens_staging" in plan
+
+
+def test_ivf_portable_seed_centroids_deterministic(spark):
+    """Portable centroid selection is a pure function of the table:
+    same result across calls and across a repartitioned input (the
+    md5 ordering is data-derived, not partitioning-derived)."""
+    from github_etl_spark.operators.similarity import (
+        ivf_portable_seed_centroids,
+    )
+
+    emb, _ = _emb_tables(spark)
+    a = ivf_portable_seed_centroids(emb, n_centroids=8)
+    b = ivf_portable_seed_centroids(emb.repartition(7), n_centroids=8)
+    assert a == b
+    assert len(a) == 8
+    assert all(isinstance(x, int) for c in a for x in c)
+
+
+def test_ivf_portable_recall_vs_brute_force(spark):
+    from github_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_portable,
+    )
+
+    emb, queries = _emb_tables(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_portable(
+            emb, queries, k=5, n_centroids=16, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # Seed centroids are unclustered (no Lloyd rounds), so the bar is
+    # lower than the trained quantizer's — but probing 4/16 cells must
+    # still recover a meaningful fraction of true neighbors.
+    assert recall >= 0.3, recall
+
+
+def test_ivf_portable_full_probe_equals_brute_force(spark):
+    """With nprobe == n_centroids every cell is probed, so the portable
+    IVF pipeline must reduce to exact brute force — pins the
+    assignment/probe plumbing against dropped or double-counted
+    candidates."""
+    from github_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_portable,
+    )
+
+    emb, queries = _emb_tables(spark)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    )
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk_portable(
+            emb, queries, k=5, n_centroids=8, nprobe=8
+        ).collect()
+    )
+    assert exact == full
