@@ -259,6 +259,84 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+      FROM toks
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+      FROM toks
+    ),
+    hm AS (
+      SELECT doc_id, i.i AS i,
+             MIN(substr(md5(CAST(i.i AS VARCHAR) || ':' || s), 1, 16)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hm GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sig, b.b AS band,
+             array_to_string(sig[b.b*4+1 : b.b*4+4], '') AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS batch_doc, o.doc_id AS corpus_doc,
+                      n.sig AS sn, o.sig AS so
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bucket = o.bucket
+       AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+    ),
+    near AS (
+      SELECT batch_doc, COUNT(*) AS n_near
+      FROM cand
+      WHERE len(list_filter(range(1, 33), i -> sn[i] = so[i])) / 32.0 >= 0.5
+      GROUP BY batch_doc
+    ),
+    exact AS (
+      SELECT DISTINCT nf.doc_id
+      FROM fp nf JOIN fp cf
+        ON nf.fingerprint = cf.fingerprint
+       AND nf.doc_id % 5 = 0 AND cf.doc_id % 5 <> 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN COALESCE(nr.n_near, 0) > 0 THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near
+    FROM documents d
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN near nr ON nr.batch_doc = d.doc_id
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: incremental batch-vs-corpus dedup — the 100 TB crawl-ingest
+    shape (operators/incremental.py). Documents split into a corpus
+    (doc_id % 5 != 0) and an ingest batch (doc_id % 5 == 0); each batch
+    doc is classified exact_dup (fingerprint already in corpus),
+    near_dup (MinHash LSH candidate vs a corpus doc with signature
+    agreement >= 0.5) or new. md5-portable hash family, so the oracle
+    replays fingerprinting, signatures, banding, the candidate join and
+    the verdict CASE value-for-value. The corpus side is scanned, never
+    shuffled (batch broadcast on both probe joins)."""
+    from ..operators.incremental import incremental_dedup_verdicts
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_dedup_verdicts(
+        corpus, batch, threshold=0.5, hash_family="md5_portable"
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (

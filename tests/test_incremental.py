@@ -1,0 +1,112 @@
+"""Incremental dedup index: inline-vs-materialized equality, append
+semantics, crash-consistency errors (operators/incremental.py). The
+inline path's VALUES are oracle-checked by the driver
+(`dedup_incremental`); these tests pin the index lifecycle around it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_spark.operators.incremental import (
+    dedup_index_append,
+    dedup_index_build,
+    dedup_index_check,
+    incremental_dedup_verdicts,
+)
+from github_etl_spark.tables import load_tables
+
+
+def _split(spark):
+    docs = load_tables(spark, "/root/testdata/sf0.001", register=False)[
+        "documents"
+    ]
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return corpus, batch
+
+
+def test_index_check_matches_inline(spark, tmp_path):
+    """The materialized index path must classify identically to the
+    inline path — same stores, same joins, shared `_verdicts` core."""
+    corpus, batch = _split(spark)
+    inline = sorted(
+        (r.doc_id, r.verdict, r.n_near)
+        for r in incremental_dedup_verdicts(corpus, batch).collect()
+    )
+    path = str(tmp_path / "dedup_index")
+    dedup_index_build(corpus, path)
+    indexed = sorted(
+        (r.doc_id, r.verdict, r.n_near)
+        for r in dedup_index_check(spark, path, batch).collect()
+    )
+    assert inline == indexed
+    verdicts = {v for _, v, _ in indexed}
+    # The synthetic corpus contains dup families — all three classes
+    # must actually occur or the test proves nothing.
+    assert "new" in verdicts and ("exact_dup" in verdicts or "near_dup" in verdicts)
+
+
+def test_append_survivors_then_recheck(spark, tmp_path):
+    """After appending the batch's 'new' docs, rechecking the SAME
+    batch finds every former-new doc exact_dup (its own fingerprint is
+    now in the store) and no doc downgraded to 'new'."""
+    corpus, batch = _split(spark)
+    path = str(tmp_path / "dedup_index")
+    dedup_index_build(corpus, path)
+    first = dedup_index_check(spark, path, batch)
+    new_ids = {r.doc_id for r in first.filter("verdict = 'new'").collect()}
+    assert new_ids, "fixture must produce survivors"
+    survivors = batch.join(
+        F.broadcast(first.filter("verdict = 'new'").select("doc_id")), "doc_id"
+    )
+    dedup_index_append(spark, path, survivors)
+    second = {r.doc_id: r.verdict for r in dedup_index_check(spark, path, batch).collect()}
+    for i in new_ids:
+        assert second[i] == "exact_dup", (i, second[i])
+    assert "new" not in second.values()
+
+
+def test_check_missing_meta_raises(spark, tmp_path):
+    corpus, batch = _split(spark)
+    with pytest.raises(ValueError, match="meta sidecar"):
+        dedup_index_check(spark, str(tmp_path / "nowhere"), batch)
+
+
+def test_build_applies_bucket_cap(spark, tmp_path):
+    """A boilerplate corpus (many identical docs) must not materialize
+    unbounded store buckets: the build cap keeps ≤ max_bucket_size
+    members per (band, bucket)."""
+    rows = [(i, "exactly the same boilerplate text repeated verbatim many times over")
+            for i in range(50)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "boiler_index")
+    dedup_index_build(corpus, path, max_bucket_size=8)
+    sizes = (
+        spark.read.parquet(f"{path}/bands")
+        .groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .head()[0]
+    )
+    assert sizes <= 8, sizes
+    # And a fresh identical doc is still caught despite the cap.
+    batch = spark.createDataFrame(
+        [(1000, rows[0][1])], "doc_id long, text string"
+    )
+    out = dedup_index_check(spark, path, batch).head()
+    assert out.verdict == "exact_dup"
+
+
+def test_short_docs_are_new_not_crash(spark, tmp_path):
+    """Docs too short to shingle (and NULL text) produce no bands and
+    no fingerprint match — classified 'new', present in the output."""
+    corpus, _ = _split(spark)
+    path = str(tmp_path / "short_index")
+    dedup_index_build(corpus, path)
+    batch = spark.createDataFrame(
+        [(9001, "hi"), (9002, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.verdict for r in dedup_index_check(spark, path, batch).collect()}
+    assert out == {9001: "new", 9002: "new"}
