@@ -1,0 +1,93 @@
+"""Keyword search over the documents table: BM25 top-k (EXT).
+
+A training-data pipeline needs keyword retrieval for contamination
+audits, targeted corpus slicing, and eval-set leakage hunts — BM25 is
+the standard lexical ranking (the Lucene/Okapi formula).
+
+Scale shape (the inverted-index probe, expressed relationally):
+
+- tokens are exploded and filtered to the query terms FIRST — the
+  filter is a literal IN-list (broadcast), so the corpus-wide explode
+  feeds the one shuffle (tf groupBy) only rows matching query terms:
+  shuffle volume ∝ matching postings, not corpus tokens;
+- document frequency / idf are computed from that same filtered
+  relation (term cardinality = |query|, a tiny broadcast join back);
+- corpus stats (N, avgdl) are one scalar aggregate, crossJoin-broadcast
+  into the scoring expression;
+- final top-k is orderBy+limit → TakeOrderedAndProject, never a full
+  sort.
+
+Every arithmetic step mirrors the DuckDB oracle textually (same
+literal order of operations, ln on both sides — the pattern
+text_unigram_logprob proved cross-engine), and ranking is on the
+ROUNDED score so the window order replays exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_det
+from ..functions.text import dedup_tokens_expr as tokens_expr
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  — the Lucene variant,
+    never negative. Ties rank by doc id ascending on the 4-decimal
+    rounded score. Documents matching no query term are absent (their
+    score is 0; a LIMIT over them would be arbitrary).
+
+    `terms` is a Python list (a user query — small by nature); for
+    programmatic term sets join a broadcast DataFrame instead of the
+    IN-list, same plan shape.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokens_expr(F.col(text_col)).alias("toks"),
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.size("toks"), F.lit(0)).alias("dl"),
+        F.col("toks"),
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = toks.select(
+        F.col(id_col), "dl", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(list(terms)))
+    tf = postings.groupBy(id_col, "dl", "term").agg(
+        F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf_part).alias("score_raw"))
+        .select(F.col(id_col), round_det("score_raw", 4).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    # Rank over the k surviving rows only (single tiny partition).
+    w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -370,6 +370,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(COALESCE(len(w), 0)) AS avgdl FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, COALESCE(len(w), 0) AS dl, unnest(w) AS term FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM ex WHERE term IN ('dup', 'vector', 'stream')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * (tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+             ) AS score_raw
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    r AS (
+      SELECT doc_id, (floor((score_raw) * 10000 + 0.5) / 10000) AS score
+      FROM scored
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS INTEGER) AS rank
+      FROM r
+    )
+    SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: BM25 keyword retrieval (operators/search.py) — top-10 docs
+    for the query {dup, vector, stream} under the Lucene idf variant.
+    The explode is filtered to query terms before the tf shuffle (the
+    inverted-index probe expressed relationally); corpus stats are one
+    scalar agg broadcast into the scoring expression; ranking is on the
+    rounded score so the oracle's window replays exactly."""
+    from ..operators.search import bm25_topk
+
+    t = load_tables(spark, sf_dir)
+    return bm25_topk(t["documents"], ["dup", "vector", "stream"], k=10)
+
+
+@query(
     "text_stats",
     oracle=f"""
     SELECT doc_id,

@@ -1,0 +1,65 @@
+"""BM25 retrieval properties (operators/search.py). Values are
+oracle-checked by the driver (`search_bm25_topk`); these tests pin the
+ranking semantics and the plan shape."""
+
+from __future__ import annotations
+
+from github_etl_spark.operators.search import bm25_topk
+
+
+def _corpus(spark):
+    rows = [
+        (1, "quantum flux capacitor design notes"),          # rare terms
+        (2, "the common words appear here again and again"),
+        (3, "common words and more common words repeated"),
+        (4, "flux measurements with common words"),
+        (5, "entirely unrelated text about gardening tulips"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_rare_term_outranks_common(spark):
+    """A doc matching the rare query term scores above docs matching
+    only the common one (idf dominates at equal tf)."""
+    docs = _corpus(spark)
+    out = bm25_topk(docs, ["flux", "common"], k=5)
+    ranks = {r.doc_id: r.rank for r in out.collect()}
+    # docs 1 and 4 contain 'flux' (df=2); 2,3 only 'common' (df=3).
+    assert ranks[4] < ranks[2] and ranks[4] < ranks[3]
+    assert 5 not in ranks  # no matching term → absent, not rank 5
+
+
+def test_higher_tf_scores_higher_same_length(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha alpha gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score for r in bm25_topk(docs, ["alpha"], k=2).collect()}
+    assert out[2] > out[1]
+
+
+def test_no_matches_is_empty(spark):
+    assert bm25_topk(_corpus(spark), ["zzzznope"], k=5).count() == 0
+
+
+def test_partitioning_invariant(spark):
+    docs = _corpus(spark)
+    a = sorted(map(tuple, bm25_topk(docs, ["flux", "common"], k=5).collect()))
+    b = sorted(
+        map(tuple, bm25_topk(docs.repartition(7), ["flux", "common"], k=5).collect())
+    )
+    assert a == b
+
+
+def test_topk_plan_is_take_ordered(spark):
+    """The final top-k must plan as TakeOrderedAndProject, never a full
+    global sort."""
+    docs = _corpus(spark)
+    plan = (
+        bm25_topk(docs, ["flux"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
