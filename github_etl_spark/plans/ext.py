@@ -258,8 +258,26 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_incremental", headline=True)  # xxhash64 → rows-only check
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: incremental batch-vs-corpus dedup on the fast xxhash64
+    family (production default; the band-bucket values are
+    engine-specific, so the driver checks rows/schema only). The
+    md5-portable sibling `dedup_incremental_portable` oracle-checks the
+    full verdict pipeline value-for-value, and
+    tests/test_incremental.py pins that the two families agree on
+    every family-independent verdict (exact_dup)."""
+    from ..operators.incremental import incremental_dedup_verdicts
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_dedup_verdicts(corpus, batch, threshold=0.5)
+
+
 @query(
-    "dedup_incremental",
+    "dedup_incremental_portable",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     fp AS (
@@ -315,7 +333,7 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.doc_id % 5 = 0
     """,
 )
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_incremental_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: incremental batch-vs-corpus dedup — the 100 TB crawl-ingest
     shape (operators/incremental.py). Documents split into a corpus
     (doc_id % 5 != 0) and an ingest batch (doc_id % 5 == 0); each batch
@@ -371,6 +389,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "search_bm25_topk",
+    headline=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     stats AS (

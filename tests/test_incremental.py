@@ -110,3 +110,23 @@ def test_short_docs_are_new_not_crash(spark, tmp_path):
     )
     out = {r.doc_id: r.verdict for r in dedup_index_check(spark, path, batch).collect()}
     assert out == {9001: "new", 9002: "new"}
+
+
+def test_hash_families_agree_on_exact_dups(spark):
+    """exact_dup verdicts come from the md5 fingerprint store, which is
+    hash-family-independent — the xxhash64 production family and the
+    md5-portable (oracle) family must flag the identical doc set. The
+    near-dup sets may differ (different LSH band keys) but both must
+    classify every batch doc."""
+    corpus, batch = _split(spark)
+    fast = {r.doc_id: r.verdict for r in incremental_dedup_verdicts(corpus, batch).collect()}
+    portable = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup_verdicts(
+            corpus, batch, hash_family="md5_portable"
+        ).collect()
+    }
+    assert set(fast) == set(portable)
+    assert {i for i, v in fast.items() if v == "exact_dup"} == {
+        i for i, v in portable.items() if v == "exact_dup"
+    }
