@@ -36,10 +36,17 @@ additionally applies the same deterministic `max_bucket_size` cap as
 
 Crash consistency: `dedup_index_build` stamps a JSON meta sidecar
 (hash parameters) that `dedup_index_check`/`dedup_index_append` reuse,
-so check-time parameters cannot drift from build-time. Appends are
-plain parquet appends — at real scale wrap them in the snapshot
-transaction log (sinks/txnlog.py) for atomic publish; the seam is the
-`append` call, kept separate for that reason.
+so check-time parameters cannot drift from build-time. Both stores are
+partitioned by an `ingest_batch` column (build writes batch −1): a
+streaming ingest passes its micro-batch id to `dedup_index_append`,
+which then DYNAMIC-OVERWRITES exactly partition `ingest_batch=N` —
+replaying a crashed batch rewrites its own store partition instead of
+double-appending, and `dedup_index_check(..., exclude_batch=N)` masks
+the failed attempt's rows so replayed verdicts are identical to the
+first attempt's (see streaming/dedup_gate.py for the full exactly-once
+argument). Batch-less appends land in partition −1 with plain append
+semantics; wrap those in the snapshot transaction log (sinks/txnlog.py)
+where a reader racing a crashed append matters.
 """
 
 from __future__ import annotations
@@ -222,13 +229,17 @@ def dedup_index_build(
     spark.createDataFrame(
         [(json.dumps(meta),)], "value string"
     ).coalesce(1).write.mode("overwrite").text(path + _META_SUFFIX)
-    _fingerprints(corpus, text_col, id_col).write.mode("overwrite").parquet(
+    _fingerprints(corpus, text_col, id_col).withColumn(
+        "ingest_batch", F.lit(-1).cast("long")
+    ).write.mode("overwrite").partitionBy("ingest_batch").parquet(
         f"{path}/fingerprints"
     )
     bands_df = minhash_band_buckets(
         corpus, text_col, id_col, num_hashes, bands, shingle, hash_family
     )
-    _capped_bands(bands_df, max_bucket_size).write.mode("overwrite").parquet(
+    _capped_bands(bands_df, max_bucket_size).withColumn(
+        "ingest_batch", F.lit(-1).cast("long")
+    ).write.mode("overwrite").partitionBy("ingest_batch").parquet(
         f"{path}/bands"
     )
 
@@ -256,13 +267,25 @@ def dedup_index_check(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    exclude_batch: int | None = None,
 ) -> DataFrame:
     """Classify a batch against a materialized index. Hash parameters
     come from the index's meta sidecar — check-time code cannot drift
-    from build-time bucketing."""
+    from build-time bucketing.
+
+    `exclude_batch` masks store rows from one `ingest_batch` partition
+    (a partition-pruned filter, not a scan): a replayed streaming batch
+    excludes its OWN id so a prior crashed attempt's half-published
+    rows can't flip its verdicts (streaming/dedup_gate.py).
+    """
     meta = _read_meta(spark, path)
     corpus_fp = spark.read.parquet(f"{path}/fingerprints")
     corpus_bands = spark.read.parquet(f"{path}/bands")
+    if exclude_batch is not None:
+        corpus_fp = corpus_fp.where(F.col("ingest_batch") != exclude_batch)
+        corpus_bands = corpus_bands.where(
+            F.col("ingest_batch") != exclude_batch
+        )
     batch_fp = _fingerprints(batch, text_col, id_col)
     batch_bands = minhash_band_buckets(
         batch, text_col, id_col,
@@ -281,20 +304,41 @@ def dedup_index_append(
     survivors: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ingest_batch: int | None = None,
 ) -> None:
     """Append surviving (verdict == 'new') documents to both stores so
-    the next batch dedups against them. Plain parquet appends — wrap in
-    the snapshot transaction log (sinks/txnlog.py) where a reader
-    racing a crashed append matters. The append is NOT re-capped: a cap
-    is a per-build bound; appended buckets stay bounded because
-    survivors are, by definition, not near-dups of existing members.
+    the next batch dedups against them.
+
+    With an `ingest_batch` id the write DYNAMIC-OVERWRITES exactly the
+    `ingest_batch=N` partition of each store — a replayed streaming
+    batch republishes its own partition instead of double-appending
+    (idempotent under foreachBatch's at-least-once delivery). Without
+    one, rows land in the build partition (−1) with plain append
+    semantics — wrap in the snapshot transaction log (sinks/txnlog.py)
+    where a reader racing a crashed append matters. The append is NOT
+    re-capped: a cap is a per-build bound; appended buckets stay
+    bounded because survivors are, by definition, not near-dups of
+    existing members.
     """
     meta = _read_meta(spark, path)
-    _fingerprints(survivors, text_col, id_col).write.mode("append").parquet(
-        f"{path}/fingerprints"
+    batch_id = -1 if ingest_batch is None else int(ingest_batch)
+    mode = "append" if ingest_batch is None else "overwrite"
+
+    def _write(df: DataFrame, sub: str) -> None:
+        (
+            df.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            .write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(f"{path}/{sub}")
+        )
+
+    _write(_fingerprints(survivors, text_col, id_col), "fingerprints")
+    _write(
+        minhash_band_buckets(
+            survivors, text_col, id_col,
+            meta["num_hashes"], meta["bands"], meta["shingle"],
+            meta["hash_family"],
+        ),
+        "bands",
     )
-    minhash_band_buckets(
-        survivors, text_col, id_col,
-        meta["num_hashes"], meta["bands"], meta["shingle"],
-        meta["hash_family"],
-    ).write.mode("append").parquet(f"{path}/bands")

@@ -130,3 +130,71 @@ def test_hash_families_agree_on_exact_dups(spark):
     assert {i for i, v in fast.items() if v == "exact_dup"} == {
         i for i, v in portable.items() if v == "exact_dup"
     }
+
+
+def _write_docs_json(path, rows):
+    import json as _json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, f"part-{abs(hash(str(rows))) % 10**8}.json"), "w") as f:
+        for doc_id, text in rows:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_stream_dedup_gate_end_to_end(spark, tmp_path):
+    """Two landing files → two micro-batches (maxFilesPerTrigger=1).
+    A doc duplicated across the batches is admitted once: the second
+    batch dedups against the first batch's index appends."""
+    from github_etl_spark.streaming.dedup_gate import stream_dedup_gated
+
+    corpus, _ = _split(spark)
+    index = str(tmp_path / "index")
+    dedup_index_build(corpus, index)
+    land = str(tmp_path / "landing")
+    dup_text = "a genuinely novel document about amphibious rovers crossing dunes"
+    _write_docs_json(land, [(9001, dup_text), (9002, "fresh words entirely unrelated to anything beforehand xylophone")])
+    _write_docs_json(land, [(9003, dup_text), (9004, "another wholly original piece regarding glacier acoustics survey")])
+    out = str(tmp_path / "admitted")
+    q = stream_dedup_gated(
+        spark, land, index, out, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 9001 in admitted or 9003 in admitted
+    assert not (9001 in admitted and 9003 in admitted), admitted
+    assert {9002, 9004} <= admitted
+    # The index now contains the admitted docs' fingerprints.
+    re = dedup_index_check(
+        spark,
+        index,
+        spark.createDataFrame([(9100, dup_text)], "doc_id long, text string"),
+    ).head()
+    assert re.verdict == "exact_dup"
+
+
+def test_gate_replay_is_idempotent(spark, tmp_path):
+    """Calling the gate twice with the same batch id (the foreachBatch
+    at-least-once replay) leaves output and index with exactly one
+    copy: the replay excludes its own index partition, so verdicts are
+    unchanged and every write republishes the same partitions."""
+    from github_etl_spark.streaming.dedup_gate import make_dedup_gate
+
+    corpus, _ = _split(spark)
+    index = str(tmp_path / "index")
+    dedup_index_build(corpus, index)
+    out = str(tmp_path / "admitted")
+    gate = make_dedup_gate(spark, index, out)
+    batch = spark.createDataFrame(
+        [(9001, "one of a kind sentence about orbital kelp farming logistics")],
+        "doc_id long, text string",
+    )
+    gate(batch, 7)
+    first_out = sorted(map(tuple, spark.read.parquet(out).collect()))
+    first_fp = spark.read.parquet(f"{index}/fingerprints").count()
+    gate(batch, 7)  # replay
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == first_out
+    assert spark.read.parquet(f"{index}/fingerprints").count() == first_fp
+    # And a LATER batch does see batch 7's rows (exclusion is per-id).
+    v = dedup_index_check(spark, index, batch, exclude_batch=8).head()
+    assert v.verdict == "exact_dup"
