@@ -440,6 +440,49 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, COALESCE(len({_SQL_WORDS}), 0) AS dl FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens,
+           (floor((avg(dl)) * 10000 + 0.5) / 10000) AS avg_tokens,
+           (floor((quantile_cont(dl, 0.5)) * 10000 + 0.5) / 10000) AS p50_tokens,
+           (floor((quantile_cont(dl, 0.9)) * 10000 + 0.5) / 10000) AS p90_tokens,
+           CAST(MIN(dl) AS BIGINT) AS min_tokens,
+           CAST(MAX(dl) AS BIGINT) AS max_tokens
+    FROM toks GROUP BY lang
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: per-language corpus profile — the first audit any training
+    corpus gets: document counts, token budget, and the token-length
+    distribution (EXACT percentiles: one pass, partial agg pre-shuffle;
+    at 100 TB swap `percentile` for `percentile_approx` — same plan
+    shape, bounded state — and the A4 family already oracle-checks the
+    approx variants' contract)."""
+    from ..functions.text import token_count_expr
+
+    t = load_tables(spark, sf_dir)
+    dl = token_count_expr(F.col("text")).cast("long").alias("dl")
+    return (
+        t["documents"].select("lang", dl)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+            round_det(F.avg("dl"), 4).alias("avg_tokens"),
+            round_det(F.percentile("dl", 0.5), 4).alias("p50_tokens"),
+            round_det(F.percentile("dl", 0.9), 4).alias("p90_tokens"),
+            F.min("dl").cast("long").alias("min_tokens"),
+            F.max("dl").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+@query(
     "text_stats",
     oracle=f"""
     SELECT doc_id,
