@@ -440,6 +440,40 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shards_manifest",
+    oracle="""
+    SELECT doc_id,
+           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 8) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 8)
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the canonical training-shard permutation as a manifest —
+    every document's shard (portable md5 bucket, zero-shuffle) and its
+    position within the shard (row_number over the md5 shuffle key —
+    a PARTITIONED window, so the sort is per-shard, never global).
+    `operators/shards.write_shuffled_shards` materializes exactly this
+    layout as `shard=K/` parquet directories; the oracle replays both
+    the bucket and the in-shard order."""
+    from pyspark.sql import Window as W
+
+    from ..operators.shards import SHUFFLE_KEY, shard_assignment
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("shard").orderBy(SHUFFLE_KEY, "doc_id")
+    return (
+        shard_assignment(t["documents"].select("doc_id"), n_shards=8)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@query(
     "corpus_profile",
     oracle=f"""
     WITH toks AS (
