@@ -440,6 +440,71 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    g0 AS (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(len(w) - 8 + 1, 0) + 1)) AS i
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(w[i:i+7], ' ') AS gram
+      FROM g0
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY gram) AS c
+      FROM grams
+    ),
+    hit AS (SELECT doc_id, pos FROM occ WHERE c > 1 AND rn > 1),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hit
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: substring-level dedup — maximal spans of corpus-wide
+    duplicated 8-gram occurrences (all but each gram's first
+    occurrence), merged per document with a gaps-and-islands window.
+    The relational approximation of suffix-array substring dedup (Lee
+    et al. ACL'22); operators/spans.py carries the scale argument (one
+    gram-keyed shuffle; span merge and removal are doc-partitioned /
+    in-row). String grams here so the oracle replays the ranking
+    exactly; production uses hash_grams=True."""
+    from ..operators.spans import duplicated_spans
+
+    t = load_tables(spark, sf_dir)
+    return (
+        duplicated_spans(t["documents"], k=8, keep_first=True, hash_grams=False)
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            F.col("span_tokens").cast("long"),
+        )
+    )
+
+
+@query(
     "shards_manifest",
     oracle="""
     SELECT doc_id,
