@@ -685,6 +685,63 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_decile_binning",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS}) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter({_SQL_WORDS},
+                  x -> list_contains({_SQL_STOPS_EN}, x))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_nz
+      FROM documents
+    ),
+    scored AS (SELECT doc_id, {_SQL_QUALITY} AS quality_score FROM base),
+    bounds AS (
+      SELECT list_transform(
+               quantile_cont(quality_score,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               b -> floor(b * 10000 + 0.5) / 10000) AS bs
+      FROM scored
+    )
+    SELECT doc_id, quality_score,
+           CAST(1 + len(list_filter(bs, b -> quality_score > b)) AS INTEGER)
+             AS decile
+    FROM scored CROSS JOIN bounds
+    """,
+)
+def quality_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: quality-decile labeling — the quantile-cut form of
+    importance filtering ("keep the top 3 deciles"). Boundaries are ONE
+    exact-percentile aggregate broadcast back over the corpus (never a
+    global ntile window, which would funnel every row through one
+    partition); each doc's decile is an in-row comparison against the
+    9 rounded cut points. Both the score and the cuts are 4-decimal
+    rounded, so the bin edges replay exactly in the oracle."""
+    from ..functions.text import quality_score_expr
+
+    t = load_tables(spark, sf_dir)
+    scores = t["documents"].select(
+        "doc_id", quality_score_expr(F.col("text")).alias("quality_score")
+    )
+    bounds = scores.agg(
+        F.percentile("quality_score", [i / 10.0 for i in range(1, 10)]).alias(
+            "bs"
+        )
+    ).select(F.transform("bs", lambda b: round_det(b, 4)).alias("bs"))
+    return scores.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "quality_score",
+        (
+            1
+            + F.size(
+                F.filter("bs", lambda b: F.col("quality_score") > b)
+            )
+        ).cast("int").alias("decile"),
+    )
+
+
+@query(
     "text_lang_id",
     oracle=f"""
     WITH scored AS (
