@@ -67,6 +67,14 @@ def duplicated_spans(
     `False` flags every occurrence (strip boilerplate everywhere).
     """
     grams = _positioned_grams(docs, text_col, id_col, k, hash_grams)
+    # One gram-keyed window (shuffle + sort, ONE corpus pass). Two
+    # measured-and-rejected alternatives at sf0.1: (a) groupBy gram
+    # stats + join back re-executes the gram pipeline for both sides
+    # (no plan reuse) — 7.1 s vs 3.1 s; (b) same with an eager
+    # localCheckpoint of the gram relation wins slightly (2.6 s with
+    # hashed grams) but materializes a corpus-sized relation in
+    # executor memory — exactly what must not happen at 100 TB. The
+    # window form streams through one spillable sort instead.
     wg = W.partitionBy("gram").orderBy("doc", "pos")
     occ = grams.select(
         "doc",
