@@ -798,3 +798,64 @@ def ivf_topk_portable(
         ).alias("cell"),
     )
     return _score_probed(assigned, q, k)
+
+
+def semantic_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    quant: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    arXiv:2303.09540): cluster embeddings with the coarse quantizer,
+    compare pairs only WITHIN a cell, keep cosine ≥ threshold.
+
+    The relational form of the paper's k-means + within-cluster
+    pairwise screen: cell assignment is one corpus pass (no shuffle of
+    pair space), the pair join is cell-blocked — candidate volume is
+    Σ cell_size², never corpus² — and raising `n_centroids` shrinks
+    cells (the paper's k ≈ corpus/10k rule). Uses the PORTABLE seed
+    quantizer (`ivf_portable_seed_centroids`) so cell assignment is
+    exact integer arithmetic and the whole pipeline — centroids,
+    assignment, pair generation, cosine screen — replays in the DuckDB
+    oracle (`dedup_semantic`). Emits (id_a < id_b, cosine) edges;
+    feed operators/graph.cluster_assignment for canonical keepers,
+    exactly like the Jaccard pair family.
+    """
+    cents = ivf_portable_seed_centroids(
+        corpus, id_col, vec_col, n_centroids, quant
+    )
+    live = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    if not cents:
+        return corpus.where(F.lit(False)).select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    ranked = _int_cell_rank_expr(
+        quantize_expr(F.col(vec_col), quant), cents
+    )
+    assigned = corpus.where(live).select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        ranked[0]["cell"].alias("cell"),
+    )
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    return (
+        a.join(b, ["cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine_raw"),
+        )
+        .where(F.col("cosine_raw") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", round_det("cosine_raw", 4).alias("cosine"))
+    )

@@ -916,7 +916,7 @@ def sim_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
-    FROM pairs WHERE cosine_raw >= 0.95
+    FROM pairs WHERE cosine_raw >= 0.4
     """,
 )
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,8 +939,72 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine_raw"))
-        .filter(F.col("cosine_raw") >= 0.95)
+        .filter(F.col("cosine_raw") >= 0.4)
         .select("id_a", "id_b", round_det("cosine_raw", 4).alias("cosine"))
+    )
+
+
+@query(
+    "dedup_semantic",
+    oracle="""
+    WITH emb_q AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
+               AS cell,
+             qv AS cv
+      FROM emb_q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    sims AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             (SELECT SUM(x.a * x.b)
+                FROM (SELECT UNNEST(e.qv) AS a, UNNEST(c.cv) AS b) x) AS dot
+      FROM emb_q e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cell ASC) AS rn
+        FROM sims) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (SELECT SUM(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+                FROM (SELECT UNNEST(a.embedding) AS u, UNNEST(b.embedding) AS v) x)
+             / ((sqrt((SELECT SUM(CAST(y.u AS DOUBLE) * CAST(y.u AS DOUBLE))
+                        FROM (SELECT UNNEST(a.embedding) AS u) y))
+               * sqrt((SELECT SUM(CAST(z.v AS DOUBLE) * CAST(z.v AS DOUBLE))
+                        FROM (SELECT UNNEST(b.embedding) AS v) z))))
+               AS cosine_raw
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
+    FROM pairs WHERE cosine_raw >= 0.4
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: SemDeDup — embedding-space near-duplicate pairs blocked by
+    quantizer cell (supervision-free, unlike sim_cosine_neardup's
+    label blocking): candidate volume is Σ cell_size², never corpus².
+    The portable seed quantizer makes centroid selection and cell
+    assignment exact integer arithmetic, so the oracle replays the
+    whole screen. See operators/similarity.semantic_neardup_pairs."""
+    from ..operators.similarity import semantic_neardup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return semantic_neardup_pairs(
+        t["embeddings"], threshold=0.4, n_centroids=16
     )
 
 

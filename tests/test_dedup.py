@@ -566,3 +566,50 @@ def test_ivf_portable_full_probe_equals_brute_force(spark):
         ).collect()
     )
     assert exact == full
+
+
+def _bruteforce_pairs(spark, emb, threshold=0.4):
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.similarity import _as_double, cosine_expr
+
+    a = emb.select(F.col("vec_id").alias("id_a"), _as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), _as_double("embedding").alias("vb"))
+    return {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .collect()
+    }
+
+
+def test_semantic_neardup_single_cell_equals_bruteforce(spark):
+    """n_centroids=1 puts everything in one cell — the screen must
+    degenerate to the exact all-pairs result."""
+    from github_etl_spark.operators.similarity import semantic_neardup_pairs
+
+    emb, _ = _emb_tables(spark)
+    exact = _bruteforce_pairs(spark, emb)
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs(emb, threshold=0.4, n_centroids=1).collect()
+    }
+    assert got == exact and exact
+
+
+def test_semantic_neardup_cells_bound_candidates_with_recall(spark):
+    """Cell blocking only compares within-cell, so every returned pair
+    is a true near-dup (precision 1 by construction); with few, coarse
+    cells recall on the fixture stays meaningful (seed centroids are
+    untrained — the verifiability trade; production would raise
+    n_centroids only with the k-means quantizer)."""
+    from github_etl_spark.operators.similarity import semantic_neardup_pairs
+
+    emb, _ = _emb_tables(spark)
+    exact = _bruteforce_pairs(spark, emb)
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs(emb, threshold=0.4, n_centroids=4).collect()
+    }
+    assert got <= exact
+    assert len(got) / len(exact) >= 0.3, (len(got), len(exact))
