@@ -284,15 +284,23 @@ def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: NOT EXISTS as a left-anti join (IMPLIED — free join shape)."""
+    """J5: NOT EXISTS as a left-anti join (IMPLIED — free join shape):
+    customers with no urgent order. The unfiltered form (customers with
+    no orders at all) returns ZERO rows at every test SF — a vacuous
+    check that would hash-match even with a broken join — so the
+    filtered right side keeps the result non-empty (18 / 203 / 1986
+    rows at sf0.001/0.01/0.1) while exercising the same plan shape."""
     t = load_tables(spark, sf_dir)
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
