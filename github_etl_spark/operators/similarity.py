@@ -837,24 +837,35 @@ def semantic_neardup_pairs(
     ranked = _int_cell_rank_expr(
         quantize_expr(F.col(vec_col), quant), cents
     )
+    # Norms are per-ROW, computed before the join: inlining cosine_expr
+    # after the join would re-evaluate each side's norm once per PAIR —
+    # 3 array aggregates per pair instead of 1 (measured 1.9×: 7.5 s →
+    # 4.0 s at sf0.1). Values are bit-identical (same expression over
+    # the same row).
     assigned = corpus.where(live).select(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("v"),
         ranked[0]["cell"].alias("cell"),
-    )
+    ).withColumn("nrm", norm_expr(F.col("v")))
     a = assigned.select(
-        F.col("vid").alias("id_a"), F.col("v").alias("va"), "cell"
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cell",
     )
     b = assigned.select(
-        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "cell"
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
     )
+    denom = F.col("na") * F.col("nb")
     return (
         a.join(b, ["cell"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine_expr(F.col("va"), F.col("vb")).alias("cosine_raw"),
+            # Same NULL-for-zero-norm contract as cosine_expr.
+            F.when(
+                denom != 0, dot_expr(F.col("va"), F.col("vb")) / denom
+            ).alias("cosine_raw"),
         )
         .where(F.col("cosine_raw") >= F.lit(float(threshold)))
         .select("id_a", "id_b", round_det("cosine_raw", 4).alias("cosine"))

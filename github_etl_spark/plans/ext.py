@@ -441,6 +441,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "span_dedup",
+    headline=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     g0 AS (
@@ -506,6 +507,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shards_manifest",
+    headline=True,
     oracle="""
     SELECT doc_id,
            (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -540,6 +542,7 @@ def shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_profile",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT lang, COALESCE(len({_SQL_WORDS}), 0) AS dl FROM documents
@@ -686,6 +689,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_decile_binning",
+    headline=True,
     oracle=f"""
     WITH base AS (
       SELECT doc_id,
@@ -946,6 +950,7 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_semantic",
+    headline=True,
     oracle="""
     WITH emb_q AS (
       SELECT vec_id, embedding,

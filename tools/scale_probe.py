@@ -184,6 +184,61 @@ def main():
             f"| {t_build:.1f} | {t_query:.1f} |"
         )
         print(lines[-1], flush=True)
+    # Round-5 operators: span dedup, BM25, incremental dedup index.
+    # The incremental check uses a FIXED 100-doc batch at every K — the
+    # design claim is that per-ingest cost is dominated by the store
+    # scan (slow growth), not by corpus-sized shuffles, while the
+    # one-time index build tracks corpus size.
+    from github_etl_spark.operators.incremental import (
+        dedup_index_build,
+        dedup_index_check,
+    )
+    from github_etl_spark.operators.search import bm25_topk
+    from github_etl_spark.operators.spans import duplicated_spans
+
+    lines += [
+        "",
+        "## Ingest-path probe — span dedup, BM25, incremental index",
+        "",
+        "| K | docs | span_dedup sec | bm25 sec | index build sec | batch check sec (100 docs) |",
+        "|---|---|---|---|---|---|",
+    ]
+    batch = (
+        docs.limit(100)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    for k in ks:
+        d = replicate(docs, "doc_id", k)
+        n_docs = d.count()
+        t0 = time.perf_counter()
+        duplicated_spans(d, k=8, hash_grams=True).count()
+        t_span = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        bm25_topk(d, ["dup", "vector", "stream"], k=10).count()
+        t_bm25 = time.perf_counter() - t0
+        idx = os.path.join(index_root, f"dedup_idx_k{k}")
+        t0 = time.perf_counter()
+        dedup_index_build(d, idx)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dedup_index_check(spark, idx, batch).count()
+        t_check = time.perf_counter() - t0
+        lines.append(
+            f"| {k} | {n_docs} | {t_span:.1f} | {t_bm25:.1f} "
+            f"| {t_build:.1f} | {t_check:.1f} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Span dedup is one gram-keyed window (shuffle + spillable sort):",
+        "near-linear in corpus tokens. BM25 is a corpus scan whose",
+        "shuffle carries only query-term postings. The index build pays",
+        "the signature pipeline once per corpus; the fixed-size batch",
+        "check then grows only with the store SCAN term (batch-side",
+        "joins are broadcast), which is the incremental-ingest design",
+        "claim — compare the check column's slope against the build",
+        "column's.",
+    ]
     skew_rows = skew_probe(spark, docs)
     lines += [
         "",
