@@ -949,6 +949,95 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_pq_topk",
+    oracle="""
+    WITH emb_q AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
+               AS j,
+             qv AS cv
+      FROM emb_q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+    cw AS (
+      SELECT subs.s, c.j, c.cv[subs.s*8+1 : subs.s*8+8] AS w
+      FROM cents c CROSS JOIN subs
+    ),
+    sv AS (
+      SELECT e.vec_id, subs.s, e.qv[subs.s*8+1 : subs.s*8+8] AS v
+      FROM emb_q e CROSS JOIN subs
+    ),
+    enc0 AS (
+      SELECT sv.vec_id, sv.s, cw.j,
+             (SELECT SUM((x.a - x.b) * (x.a - x.b))
+                FROM (SELECT UNNEST(sv.v) AS a, UNNEST(cw.w) AS b) x) AS d
+      FROM sv JOIN cw ON cw.s = sv.s
+    ),
+    codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, j ASC) AS rn
+        FROM enc0) WHERE rn = 1
+    ),
+    qs AS (
+      SELECT e.vec_id AS query_id, subs.s,
+             list_transform(e.embedding[subs.s*8+1 : subs.s*8+8],
+                            v -> CAST(v AS DOUBLE)) AS q8
+      FROM emb_q e CROSS JOIN subs
+      WHERE e.vec_id < 10
+    ),
+    lut AS (
+      SELECT qs.query_id, qs.s, cw.j,
+             (SELECT SUM(x.a * (x.b / 1000.0))
+                FROM (SELECT UNNEST(qs.q8) AS a, UNNEST(cw.w) AS b) x) AS dot
+      FROM qs JOIN cw ON cw.s = qs.s
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.dot) AS score_raw
+      FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT query_id, neighbor_id,
+             (floor((score_raw) * 10000 + 0.5) / 10000) AS score
+      FROM scored
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM r
+    )
+    SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: product-quantization ANN (Jégou et al. TPAMI'11, the FAISS
+    PQ shape) — 64-dim vectors compressed to 8 nibble codes (16
+    codewords per subspace); queries score the corpus through per-query
+    lookup tables (asymmetric distance). Portable seed codebooks +
+    exact integer encoding make compression AND scoring replayable in
+    the oracle; recall vs brute force asserted in tests. See
+    operators/similarity.pq_topk."""
+    from ..operators.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
     "dedup_semantic",
     headline=True,
     oracle="""

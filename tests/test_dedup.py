@@ -613,3 +613,71 @@ def test_semantic_neardup_cells_bound_candidates_with_recall(spark):
     }
     assert got <= exact
     assert len(got) / len(exact) >= 0.3, (len(got), len(exact))
+
+
+def test_pq_codes_are_bounded_and_deterministic(spark):
+    from github_etl_spark.operators.similarity import (
+        pq_codebooks_portable,
+        pq_encode,
+    )
+
+    emb, _ = _emb_tables(spark)
+    books = pq_codebooks_portable(emb, m=8, ksub=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    a = {r.neighbor_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    b = {
+        r.neighbor_id: list(r.codes)
+        for r in pq_encode(emb.repartition(7), books).collect()
+    }
+    assert a == b
+    assert all(0 <= c < 16 for codes in a.values() for c in codes)
+    assert all(len(codes) == 8 for codes in a.values())
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """PQ is lossy twice over here: 8 nibble codes for 64 dims AND the
+    portable seed codebooks the oracle can replay (untrained). The
+    compressed ranking must still beat noise; the trained/reranked
+    production path carries the real recall bar (next test)."""
+    from github_etl_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb, queries = _emb_tables(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, recall
+
+
+def test_pq_trained_rerank_recall(spark):
+    """The production serving shape — per-subspace k-means codebooks
+    (ksub=64) + exact re-rank of the PQ top-20 shortlist — must reach
+    real recall (numpy replay of this config measures 0.74)."""
+    from github_etl_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb, queries = _emb_tables(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    books = pq_train_codebooks(emb, ksub=64)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(
+            emb, queries, k=5, codebooks=books, rerank=20
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
