@@ -914,6 +914,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 1000,
+    extra: dict | None = None,
 ) -> DataFrame:
     """(id, codes array<int>[m]) — each vector compressed to m nibble
     codes: per subspace, the codeword minimizing EXACT integer squared
@@ -956,9 +957,13 @@ def pq_encode(
         )
         return ranked[0]["j"]
 
+    # `extra` carries additional per-row expressions through the same
+    # pass (e.g. the IVF cell in ivfpq_topk) — one corpus scan instead
+    # of a self-join that would re-execute the encoding pipeline.
     return corpus.where(live).select(
         F.col(id_col).alias("neighbor_id"),
         F.array(*[code_of(s) for s in range(m)]).alias("codes"),
+        *[expr.alias(name) for name, expr in (extra or {}).items()],
     )
 
 
@@ -1147,3 +1152,112 @@ def pq_rerank_exact(
         cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
     )
     return _topk_per_query(scored, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    quant: int = 1000,
+    codebooks: list | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS serving composition — coarse quantizer
+    prunes to `nprobe` cells per query, PQ codes score ONLY the
+    surviving cells' rows, optional exact re-rank of the shortlist.
+
+    Per-query cost ≈ (nprobe/n_centroids) × corpus CODE rows (4-byte
+    payloads, not 256-byte vectors) + R full-vector reads when
+    reranking — the shape that serves billions of vectors. Cell
+    assignment and probe ranking reuse the portable seed quantizer
+    verbatim (`_int_cell_rank_expr`), so with the default portable
+    codebooks every discrete branch is the one the oracle-checked
+    sim_ivf_topk_portable / sim_pq_topk queries already verify; with
+    nprobe == n_centroids this reduces exactly to `pq_topk` (asserted
+    in tests).
+    """
+    cents = ivf_portable_seed_centroids(
+        corpus, id_col, vec_col, n_centroids, quant
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks_portable(
+            corpus, id_col, vec_col, m, ksub, quant
+        )
+    if not cents or not codebooks:
+        return corpus.where(F.lit(False)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    live = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ranked = _int_cell_rank_expr(quantize_expr(F.col(vec_col), quant), cents)
+    codes = pq_encode(
+        corpus, codebooks, id_col, vec_col, quant,
+        extra={"cell": ranked[0]["cell"]},
+    )
+    int_family = _pq_is_int_family(codebooks)
+    qf = _as_double(F.col(vec_col))
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    dot_expr(
+                        F.slice(qf, s * sub + 1, sub),
+                        F.array(
+                            *[
+                                F.lit(c / float(quant) if int_family else c)
+                                for c in cw
+                            ]
+                        ),
+                    )
+                    for cw in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.where(live).select(
+        F.col(id_col).alias("query_id"),
+        lut.alias("lut"),
+        qf.alias("q_vec"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("lut"),
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_det(score, 4).alias("score"),
+            "q_vec",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    topped = scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= (rerank if rerank else k))
+    if rerank:
+        return pq_rerank_exact(corpus, topped, id_col, vec_col, k)
+    return topped.select("query_id", "neighbor_id", "rank", "score")

@@ -681,3 +681,48 @@ def test_pq_trained_rerank_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With nprobe == n_centroids every cell survives, so IVF-PQ must
+    reduce exactly to plain PQ — pins the cell plumbing."""
+    from github_etl_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    emb, queries = _emb_tables(spark)
+    a = sorted(map(tuple, pq_topk(emb, queries, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, queries, k=5, n_centroids=8, nprobe=8
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_ivfpq_trained_rerank_recall(spark):
+    """The full serving composition — trained codebooks, cell pruning,
+    exact re-rank — keeps meaningful recall while scoring only
+    nprobe/n_centroids of the code rows."""
+    from github_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+
+    emb, queries = _emb_tables(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    books = pq_train_codebooks(emb, ksub=64)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=4,
+            codebooks=books, rerank=20,
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.3, recall
