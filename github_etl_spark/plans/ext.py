@@ -948,10 +948,7 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_pq_topk",
-    oracle="""
-    WITH emb_q AS (
+_PQ_CTES = """    WITH emb_q AS (
       SELECT vec_id, embedding,
              list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
@@ -1019,6 +1016,12 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
       FROM r
     )
+"""
+
+
+@query(
+    "sim_pq_topk",
+    oracle=_PQ_CTES + """
     SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
     """,
 )
@@ -1035,6 +1038,48 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "sim_pq_rerank_topk",
+    oracle=_PQ_CTES + """,
+    short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 20),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+                FROM (SELECT UNNEST(q.embedding) AS a, UNNEST(n.embedding) AS b) x)
+             / (sqrt((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                        FROM (SELECT UNNEST(q.embedding) AS a) y))
+              * sqrt((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                        FROM (SELECT UNNEST(n.embedding) AS b) z))) AS cosine_raw
+      FROM short s
+      JOIN emb_q q ON q.vec_id = s.query_id
+      JOIN emb_q n ON n.vec_id = s.neighbor_id
+    ),
+    final AS (
+      SELECT query_id, neighbor_id, cosine_raw,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_raw DESC, neighbor_id ASC) AS rank
+      FROM ex
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
+    FROM final WHERE rank <= 5
+    """,
+)
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the two-stage PQ serving shape — PQ shortlists the top 20
+    per query through codes alone, then the exact cosine re-ranks ONLY
+    those rows (full vectors read for queries×20 ids, not the corpus).
+    Shares every CTE with sim_pq_topk's oracle, so the shortlist the
+    exact stage consumes is itself the verified PQ ranking."""
+    from ..operators.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=20
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 @query(
