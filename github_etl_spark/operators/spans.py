@@ -30,7 +30,7 @@ the standard trade, same as MinHash's hash family).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import dedup_tokens_expr as tokens_expr
