@@ -505,6 +505,40 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_spread_bits(expr: str, bits: int, offset: int) -> str:
+    """DuckDB replay of operators.zorder._spread_bits: bit i of `expr`
+    lands on position 2i+offset. Fully parenthesized — SQL bitwise
+    precedence differs from Python's."""
+    return " | ".join(
+        f"(((({expr}) >> {i}) & 1) << {2 * i + offset})" for i in range(bits)
+    )
+
+
+@query(
+    "zorder_key",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(({_sql_spread_bits("o_custkey & 65535", 16, 0)})
+              | ({_sql_spread_bits("o_orderkey & 65535", 16, 1)})
+              AS BIGINT) AS z
+    FROM orders
+    """,
+)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: Morton (Z-order) key over two integer columns — the
+    clustering key behind multi-column data skipping
+    (operators/zorder.py; layout benefit measured in
+    tests/test_zorder.py). Pure bit arithmetic, replayed exactly by
+    the oracle's generated shift/or tower."""
+    from ..operators.zorder import zorder_key_expr
+
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        zorder_key_expr(F.col("o_custkey"), F.col("o_orderkey")).alias("z"),
+    )
+
+
 @query(
     "shards_manifest",
     headline=True,
