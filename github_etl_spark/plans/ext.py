@@ -1181,6 +1181,57 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_decode_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+               AS media_type,
+             hex(encode(COALESCE(text, ''))) AS h,
+             octet_length(encode(COALESCE(text, ''))) AS n_bytes
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id,
+             CAST(concat('0x', substr(h, i.i * 2 + 1, 2)) AS INT) AS v
+      FROM (SELECT media_id, h, unnest(range(0, n_bytes)) AS i FROM m) i
+    ),
+    stats AS (
+      SELECT media_id, AVG(v) AS mean_raw,
+             MIN(v) AS min_value, MAX(v) AS max_value
+      FROM b GROUP BY media_id
+    )
+    SELECT m.media_id, m.media_type, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+           (floor((s.mean_raw) * 10000 + 0.5) / 10000) AS mean_value,
+           s.min_value, s.max_value
+    FROM m LEFT JOIN stats s USING (media_id)
+    """,
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the decode/integrity pass of the multimodal pipeline,
+    oracle-checked — the payload synthesis is deterministic (UTF-8
+    bytes), so DuckDB re-derives every byte via hex() and replays the
+    Arrow mapInPandas decode-stats kernel value-for-value: byte means
+    of integer payloads are exact in float64 (sum ≤ 255·len ≪ 2^53),
+    empty/NULL payloads report n_bytes=0 with NULL stats. This turns
+    "binary payloads are unverifiable in SQL" into a checked claim for
+    the stats half; the float32 feature kernel stays rows-only
+    (mm_media_pipeline) with its Arrow-vs-expression identity tests."""
+    from ..multimodal.media import decode_stats, synthesize_media
+
+    t = load_tables(spark, sf_dir)
+    stats = decode_stats(synthesize_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 @query("mm_media_pipeline")  # binary payloads — rows-only check (no SQL form)
 def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: multimodal pipeline — synthesize binary media from
