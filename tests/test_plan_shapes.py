@@ -1,0 +1,70 @@
+"""Plan-shape regression gate for the headline queries.
+
+docs/PLANS.md records the shapes for humans; this test pins the two
+properties that silently rot: no accidental cartesian product, and no
+NEW exchanges (each exchange is a full shuffle of the subtree — the
+unit of cost that matters at 100 TB). Budgets are the measured
+exchange counts at the time each query's plan was last reviewed;
+lowering one is an improvement (update the budget), exceeding one
+fails until the regression is explained or the budget is consciously
+raised.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from github_etl_spark.plans import headline_queries
+
+SF = "/root/testdata/sf0.001"
+
+# Reviewed exchange budgets (see docs/PLANS.md for the narrative).
+EXCHANGE_BUDGET = {
+    "a4_group_agg": 1,
+    "corpus_profile": 1,
+    "dedup_cluster_canonical": 1,
+    "dedup_exact": 1,
+    "dedup_incremental": 9,
+    "dedup_minhash_lsh": 4,
+    "dedup_ngram_jaccard": 22,
+    "dedup_semantic": 1,
+    "flagship_pr_snapshot": 3,
+    "j1_broadcast_lookup_join": 1,
+    "pipeline_filter_dedup_split": 1,
+    "quality_decile_binning": 2,
+    "scd2_merge": 5,
+    "scd2_point_in_time": 5,
+    "search_bm25_topk": 7,
+    "shards_manifest": 1,
+    "sim_bruteforce_topk": 3,
+    "sim_ivf_topk": 2,
+    "snapshot_cdc_diff": 2,
+    "span_dedup": 2,
+    "t5_sliding_window_agg": 1,
+    "text_repetition": 0,
+    "w1_row_number_topk_per_group": 1,
+}
+
+
+def _plan(spark, name):
+    fn = headline_queries()[name]
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_headline_plan_shape(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    exchanges = len(re.findall(r"Exchange", plan))
+    assert exchanges <= EXCHANGE_BUDGET[name], (
+        f"{name}: {exchanges} exchanges > reviewed budget "
+        f"{EXCHANGE_BUDGET[name]} — a new shuffle crept into the plan"
+    )
+
+
+def test_budget_covers_every_headline_query(spark):
+    """A new headline query must get a reviewed budget — otherwise the
+    gate silently ignores it."""
+    assert set(EXCHANGE_BUDGET) == set(headline_queries())
