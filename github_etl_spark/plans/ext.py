@@ -195,6 +195,64 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_assignment(docs.select("doc_id"), pairs, "doc_id")
 
 
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.5
+    ),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ),
+    reach(node, other) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.other
+    ),
+    comp AS (
+      SELECT node AS doc_id, LEAST(node, MIN(other)) AS component FROM reach GROUP BY node
+    ),
+    labeled AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component_id,
+           CASE WHEN (CAST(concat('0x', substr(md5(CAST(component_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 80 THEN 'train'
+                WHEN (CAST(concat('0x', substr(md5(CAST(component_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: dedup-aware train/val/test split — the split key is the
+    near-dup COMPONENT id, not the document id, so two near-duplicate
+    documents can never straddle train and test (the eval-leakage mode
+    a plain hash split silently permits; asserted pair-by-pair in
+    tests). Composition of three verified operators: Jaccard pairs →
+    connected components → portable hash split."""
+    from ..operators.graph import cluster_assignment
+    from ..operators.pipeline import hash_split
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang"], threshold=0.5,
+        shingle=3, max_df=100,
+    )
+    labeled = cluster_assignment(docs.select("doc_id"), pairs, "doc_id")
+    return hash_split(labeled, "component_id").select(
+        "doc_id", "component_id", "split"
+    )
+
+
 @query("dedup_minhash_lsh", headline=True)  # xxhash64-based → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: MinHash+LSH near-dup candidates (32 hashes, 8 bands × 4 rows).

@@ -356,3 +356,49 @@ def test_pack_greedy_singleton_shards(spark):
     assert len({r.doc_id for r in rows}) == 5
     for r in rows:
         assert r.pack_id >> 32 == r.shard
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    """The property the query exists for: no near-dup PAIR straddles
+    two splits (a plain doc-id hash split violates this on the same
+    fixture — asserted as the counterfactual)."""
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from github_etl_spark.operators.graph import cluster_assignment
+    from github_etl_spark.operators.pipeline import hash_split
+    from github_etl_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", register=False)[
+        "documents"
+    ]
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang"], threshold=0.5,
+        shingle=3, max_df=100,
+    ).select("id_a", "id_b")
+    assert pairs.count() > 0, "fixture must contain near-dups"
+    labeled = cluster_assignment(docs.select("doc_id"), pairs, "doc_id")
+    safe = hash_split(labeled, "component_id").select("doc_id", "split")
+
+    def straddlers(split_df):
+        a = split_df.select(
+            F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+        )
+        b = split_df.select(
+            F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+        )
+        return (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .where(F.col("sa") != F.col("sb"))
+            .count()
+        )
+
+    assert straddlers(safe) == 0
+    # Counterfactual: splitting by DOC id does leak on this fixture.
+    naive = hash_split(docs.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    assert straddlers(naive) > 0
+    # And the split is still a real split (every class non-empty).
+    sizes = {r.split: r.c for r in safe.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(sizes) == {"train", "val", "test"} and all(v > 0 for v in sizes.values())
