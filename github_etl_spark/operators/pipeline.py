@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -496,3 +497,35 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
     )
+
+
+def compression_ratio_col(text_col: str = "text", level: int = 6) -> Column:
+    """zlib-compressed-size / raw-size of the UTF-8 text — the classic
+    corpus-quality signal (Gopher/RefinedWeb family): templated or
+    repetitive documents compress far below ~0.4, high-entropy junk
+    sits near 1.0, natural prose in between.
+
+    Necessarily a Python kernel (no JVM zlib expression), so it is a
+    pandas_udf over Arrow batches — the vectorized slow path, never
+    row-at-a-time. zlib at a fixed level is deterministic, so the
+    column is reproducible across runs and partitionings (asserted in
+    tests, alongside a per-row differential check against direct
+    zlib). NULL and empty texts yield NULL (no bytes to measure).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return texts.map(one)
+
+    return _ratio(F.col(text_col))

@@ -676,6 +676,23 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_compression_ratio")  # zlib kernel — no SQL form, rows-only
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: zlib compression-ratio quality signal (Gopher/RefinedWeb
+    family). No SQL twin exists (DuckDB has no zlib expression), so the
+    driver checks rows/schema only; the kernel itself is verified by a
+    per-row differential test against direct zlib plus
+    partitioning-invariance and repetition-ordering properties
+    (tests/test_pipeline_ops.py)."""
+    from ..operators.pipeline import compression_ratio_col
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        round_det(compression_ratio_col("text"), 4).alias("compression_ratio"),
+    )
+
+
 @query(
     "text_stats",
     oracle=f"""

@@ -402,3 +402,44 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     # And the split is still a real split (every class non-empty).
     sizes = {r.split: r.c for r in safe.groupBy("split").agg(F.count("*").alias("c")).collect()}
     assert set(sizes) == {"train", "val", "test"} and all(v > 0 for v in sizes.values())
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """Per-row differential check: the Arrow kernel must equal direct
+    zlib exactly (it IS zlib — this pins the batching/NULL plumbing)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.pipeline import compression_ratio_col
+
+    rows = [
+        (1, "abc abc abc abc abc abc abc abc"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),
+        (4, ""),
+        (5, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cr
+        for r in df.select(
+            "doc_id", compression_ratio_col("text").alias("cr")
+        ).collect()
+    }
+    for i, t in rows:
+        if t:
+            b = t.encode()
+            assert got[i] == len(zlib.compress(b, 6)) / len(b), i
+        else:
+            assert got[i] is None, i
+    # Repetitive text compresses far better than prose.
+    assert got[5] < got[2]
+    # Partitioning invariance.
+    again = {
+        r.doc_id: r.cr
+        for r in df.repartition(4)
+        .select("doc_id", compression_ratio_col("text").alias("cr"))
+        .collect()
+    }
+    assert again == got
