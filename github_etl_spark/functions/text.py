@@ -89,6 +89,41 @@ def quality_score_expr(text_col):
     return round_det(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 4)
 
 
+def mean_word_len_expr(text_col):
+    """Mean token length in characters (0.0 for token-less text)."""
+    words = words_expr(text_col)
+    total = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return total / F.greatest(F.size(words), F.lit(1)).cast("double")
+
+
+def model_quality_expr(text_col):
+    """Model-based quality score in (0,1): sigmoid of a fixed-weight
+    linear model over the engine's text features — the deterministic
+    stand-in for a trained quality classifier (the fastText /
+    FineWeb-Edu filtering pattern). The weights are frozen constants,
+    so the score is reproducible and cross-engine checkable; swapping
+    in trained weights changes no plan shape (still one pass of pure
+    JVM expressions, no shuffle, no UDF).
+
+    z = -2 + 3·min(tokens/100,1) + 2·min(stop_ratio·5,1)
+        − 4·punct_ratio + 1·min(mean_word_len/8,1)
+    """
+    length_term = F.least(token_count_expr(text_col) / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio_expr(text_col) * 5.0, F.lit(1.0))
+    punct_term = punct_ratio_expr(text_col)
+    wlen_term = F.least(mean_word_len_expr(text_col) / F.lit(8.0), F.lit(1.0))
+    z = (
+        F.lit(-2.0)
+        + 3.0 * length_term
+        + 2.0 * stop_term
+        - 4.0 * punct_term
+        + 1.0 * wlen_term
+    )
+    return round_det(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+
+
 def lang_id_expr(text_col):
     """n-gram/stopword language-ID heuristic → 'en' | 'es' | 'de' | 'und'.
 

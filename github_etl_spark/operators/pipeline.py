@@ -499,6 +499,90 @@ def stratified_sample(
     )
 
 
+def vocab_induce(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 200,
+    min_df: int = 2,
+) -> DataFrame:
+    """Frequency-ranked vocabulary induction over the corpus — the
+    tokenizer-training precursor every LLM pipeline runs (BPE/unigram
+    trainers all start from exactly this table): per-token corpus term
+    count and document frequency, rare tokens dropped (``min_df``),
+    the top ``k`` kept, and a dense ``vocab_id`` assigned by rank
+    (ties broken lexicographically so the id assignment is total and
+    reproducible).
+
+    Scale shape: one explode → one keyed aggregation whose output is
+    bounded by the DISTINCT-token count (vocabulary-sized, not
+    corpus-sized) with map-side partial combine; the top-k is
+    ``orderBy().limit(k)`` which Spark plans as TakeOrderedAndProject
+    (per-partition heaps + driver merge — no global sort); the
+    ``row_number`` window then runs over only the k survivors, so its
+    single-partition frame is bounded by k, never by data volume.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(words_expr(F.col(text_col))).alias("tok"),
+    )
+    agg = toks.groupBy("tok").agg(
+        F.count("*").alias("term_count"),
+        F.countDistinct("__doc").alias("doc_count"),
+    )
+    rank_order = [F.col("term_count").desc(), F.col("tok").asc()]
+    top = agg.filter(F.col("doc_count") >= min_df).orderBy(*rank_order).limit(k)
+    w = Window.orderBy(*rank_order)  # bounded: ≤ k rows reach this window
+    return top.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+
+
+def tokenize_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 200,
+    min_df: int = 2,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Token-id encoding: map each document to its ``array<long>`` of
+    vocabulary ids (out-of-vocabulary tokens → ``unk_id``) — the final
+    text→ids step before sequence packing in a training-data pipeline.
+
+    Scale shape: the vocabulary (≤ k rows) is broadcast, so encoding
+    is a map-side-only left join on the exploded token stream — no
+    shuffle of the corpus on token values. Document reassembly sorts
+    (pos, id) structs *inside* each collected array
+    (``array_sort(collect_list(struct(pos, tid)))``), which needs no
+    global order — one groupBy on the document id is the only
+    corpus-sized exchange. The corpus is scanned twice (once to build
+    the vocabulary, once to encode); in production the vocabulary is
+    built once and reused across encode runs, so the steady-state cost
+    is a single scan.
+
+    Documents with zero tokens produce no rows (nothing to encode) —
+    same semantics as the oracle's group-over-exploded-tokens.
+    """
+    vocab = vocab_induce(df, text_col, id_col, k=k, min_df=min_df).select(
+        "tok", "vocab_id"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words_expr(F.col(text_col))).alias("pos", "tok"),
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("vocab_id"), F.lit(unk_id)).cast("long").alias("tid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("input_ids"),
+    )
+
+
 def compression_ratio_col(text_col: str = "text", level: int = 6) -> Column:
     """zlib-compressed-size / raw-size of the UTF-8 text — the classic
     corpus-quality signal (Gopher/RefinedWeb family): templated or

@@ -432,3 +432,122 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return unigram_logprob(t["documents"], "text", "doc_id")
+
+
+# Shared oracle fragment: the frequency-ranked top-k vocabulary
+# (mirrors operators/pipeline.vocab_induce — k=200, min_df=2, ties
+# broken lexicographically). Kept as ONE string so the vocab_topk and
+# tokenize_encode oracles can never drift apart.
+_SQL_VOCAB_TOPK = f"""
+    toks AS (SELECT doc_id, unnest({_SQL_WORDS}) AS tok FROM documents),
+    vocab_agg AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS term_count,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
+      FROM toks GROUP BY tok HAVING count(DISTINCT doc_id) >= 2
+    ),
+    vocab_top AS (
+      SELECT * FROM vocab_agg ORDER BY term_count DESC, tok ASC LIMIT 200
+    ),
+    vocab AS (
+      SELECT tok, term_count, doc_count,
+             CAST(row_number() OVER (ORDER BY term_count DESC, tok ASC)
+                  AS BIGINT) AS vocab_id
+      FROM vocab_top
+    )
+"""
+
+
+@query(
+    "vocab_topk",
+    oracle=f"WITH {_SQL_VOCAB_TOPK} SELECT tok, term_count, doc_count, vocab_id FROM vocab",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: tokenizer-training vocabulary induction
+    (operators/pipeline.vocab_induce): corpus term counts + document
+    frequencies, min_df floor, top-200 by frequency with dense rank
+    ids. The aggregation output is vocabulary-sized, the top-k is
+    TakeOrderedAndProject, and the rank window sees only k rows."""
+    from ..operators.pipeline import vocab_induce
+
+    t = load_tables(spark, sf_dir)
+    return vocab_induce(t["documents"], "text", "doc_id", k=200, min_df=2)
+
+
+@query(
+    "tokenize_encode",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    ptoks AS (
+      SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS pos FROM words
+    ),
+    {_SQL_VOCAB_TOPK},
+    enc AS (
+      SELECT p.doc_id, p.pos, COALESCE(v.vocab_id, 0) AS tid
+      FROM ptoks p LEFT JOIN vocab v USING (tok)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           list(tid ORDER BY pos) AS input_ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def tokenize_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: text → token-id arrays under the induced vocabulary
+    (operators/pipeline.tokenize_encode), OOV → 0 — the step feeding
+    sequence packing. Vocabulary broadcast (map-side join); the only
+    corpus-sized shuffle is the per-document reassembly groupBy, with
+    in-array (pos,id) sorting instead of a global order."""
+    from ..operators.pipeline import tokenize_encode
+
+    t = load_tables(spark, sf_dir)
+    return tokenize_encode(t["documents"], "text", "doc_id", k=200, min_df=2)
+
+
+@query(
+    "quality_model_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS}) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter({_SQL_WORDS},
+                  x -> list_contains({_SQL_STOPS_EN}, x))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+               AS n_punct,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_nz,
+             COALESCE(list_sum(list_transform({_SQL_WORDS}, x -> length(x))), 0)
+               AS n_wchars
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             -2.0 + 3.0 * least(n_tok / 100.0, 1.0)
+                  + 2.0 * least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0)
+                  - 4.0 * (n_punct / n_chars_nz)
+                  + 1.0 * least((n_wchars / greatest(n_tok, 1)) / 8.0, 1.0)
+               AS z
+      FROM base
+    )
+    SELECT doc_id,
+           (floor((1.0 / (1.0 + exp(-z))) * 10000 + 0.5) / 10000)
+             AS model_score,
+           (floor((1.0 / (1.0 + exp(-z))) * 10000 + 0.5) / 10000) >= 0.5 AS keep
+    FROM z
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: model-based quality filtering
+    (functions/text.model_quality_expr) — sigmoid of a frozen-weight
+    linear model over the text features (the fastText / FineWeb-Edu
+    classifier-filter pattern with a deterministic stand-in model).
+    One pass of pure JVM expressions; the keep flag is the filter a
+    production pipeline would apply."""
+    from ..functions.text import model_quality_expr
+
+    t = load_tables(spark, sf_dir)
+    score = model_quality_expr(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        score.alias("model_score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -443,3 +443,85 @@ def test_compression_ratio_matches_direct_zlib(spark):
         .collect()
     }
     assert again == got
+
+
+# ------------------------------------------------- vocab / encode / model
+
+
+def test_vocab_induce_rank_and_min_df(spark):
+    from github_etl_spark.operators.pipeline import vocab_induce
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "apple banana banana"),
+            (3, "apple date"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.tok: r for r in vocab_induce(df, "text", "doc_id", k=10, min_df=2).collect()}
+    # cherry (df=1) and date (df=1) fall below min_df
+    assert set(rows) == {"apple", "banana"}
+    assert rows["apple"].term_count == 4 and rows["apple"].doc_count == 3
+    assert rows["banana"].term_count == 3 and rows["banana"].doc_count == 2
+    # dense frequency-rank ids starting at 1
+    assert rows["apple"].vocab_id == 1 and rows["banana"].vocab_id == 2
+
+
+def test_vocab_induce_tie_break_lexicographic(spark):
+    from github_etl_spark.operators.pipeline import vocab_induce
+
+    df = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "zeta alpha")], ["doc_id", "text"]
+    )
+    rows = {r.tok: r.vocab_id for r in vocab_induce(df, "text", "doc_id").collect()}
+    assert rows == {"alpha": 1, "zeta": 2}  # equal counts → lexicographic
+
+
+def test_tokenize_encode_roundtrip(spark):
+    from github_etl_spark.operators.pipeline import tokenize_encode, vocab_induce
+
+    docs = _docs(spark)
+    vocab = {
+        r.vocab_id: r.tok
+        for r in vocab_induce(docs, "text", "doc_id", k=200, min_df=2).collect()
+    }
+    enc = {r.doc_id: r for r in tokenize_encode(docs, "text", "doc_id").collect()}
+    sample = docs.limit(20).collect()
+    assert sample
+    for d in sample:
+        toks = [w for w in d.text.lower().split() if w]
+        if not toks:
+            assert d.doc_id not in enc
+            continue
+        row = enc[d.doc_id]
+        assert row.n_tokens == len(toks) == len(row.input_ids)
+        for tok, tid in zip(toks, row.input_ids):
+            if tid == 0:
+                assert tok not in vocab.values()  # genuine OOV
+            else:
+                assert vocab[tid] == tok  # id decodes back to the token
+
+
+def test_tokenize_encode_partitioning_invariant(spark):
+    from github_etl_spark.operators.pipeline import tokenize_encode
+
+    docs = _docs(spark)
+    a = tokenize_encode(docs, "text", "doc_id")
+    b = tokenize_encode(docs.repartition(13), "text", "doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_model_quality_score_bounds_and_signal(spark):
+    from github_etl_spark.functions.text import model_quality_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a fine day for all of us"),
+            (2, "!!!! ???? ;;;; ::: ,,,, .... !!!"),
+        ],
+        ["doc_id", "text"],
+    ).select("doc_id", model_quality_expr(F.col("text")).alias("s"))
+    got = {r.doc_id: r.s for r in df.collect()}
+    assert 0.0 < got[1] < 1.0 and 0.0 < got[2] < 1.0
+    assert got[1] > got[2]  # fluent prose outranks punctuation junk
