@@ -182,6 +182,74 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document average INTERPOLATED bigram log-probability under
+    the corpus's own n-gram model — one rung up the KenLM ladder from
+    ``unigram_logprob``:
+
+        p(w_i | w_{i-1}) = α·c(w_{i-1} w_i)/c(w_{i-1}) + (1−α)·c(w_i)/N
+
+    Interpolation (Jelinek-Mercer) keeps every conditional nonzero, so
+    the ln never sees 0 and unseen continuations degrade to the
+    unigram floor instead of −∞.
+
+    Scale shape: bigrams come straight from the token ARRAY
+    (zip-with-shifted-self), not from a lag() window — no per-document
+    window shuffle. The two frequency tables are keyed aggregations
+    bounded by (bi)gram vocabulary size with map-side partial combine,
+    each materialized once (localCheckpoint) because three consumers
+    would otherwise re-tokenize the corpus. The scoring joins shuffle
+    on gram keys — the correct shape at 100 TB, where a bigram table
+    is far beyond broadcast size. Documents with < 2 tokens have no
+    bigrams and drop out (no model support), same as the oracle.
+    """
+    words = words_expr(F.col(text_col))
+    # bigram array: zip words[0..n-2] with words[1..n-1]
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
+    )
+    stream = df.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    toks = df.select(F.explode(words).alias("tok"))
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=True)
+    )
+    total = uni.agg(F.sum("cu").alias("n"))
+    bi = (
+        stream.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    scored = (
+        stream.join(bi, ["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(
+                F.lit(float(alpha)) * F.col("cb") / F.col("c1")
+                + F.lit(1.0 - float(alpha)) * F.col("c2") / F.col("n").cast("double")
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        round_det(F.avg("logp"), 4).alias("avg_logprob"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str,

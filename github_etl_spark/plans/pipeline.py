@@ -551,3 +551,50 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("model_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    stream AS (
+      SELECT doc_id,
+             unnest(w[1:len(w) - 1]) AS w1,
+             unnest(w[2:len(w)]) AS w2
+      FROM words WHERE len(w) >= 2
+    ),
+    uni AS (
+      SELECT tok, count(*) AS cu
+      FROM (SELECT unnest(w) AS tok FROM words) GROUP BY tok
+    ),
+    n AS (SELECT sum(cu) AS n FROM uni),
+    bi AS (SELECT w1, w2, count(*) AS cb FROM stream GROUP BY w1, w2),
+    scored AS (
+      SELECT s.doc_id,
+             ln(0.5 * b.cb / u1.cu
+                + 0.5 * u2.cu / CAST(n.n AS DOUBLE)) AS logp
+      FROM stream s
+      JOIN bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+      JOIN uni u1 ON s.w1 = u1.tok
+      JOIN uni u2 ON s.w2 = u2.tok
+      CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           (floor(avg(logp) * 10000 + 0.5) / 10000) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: interpolated (Jelinek-Mercer, α=0.5) bigram
+    log-probability per document under the corpus's own n-gram model
+    (operators/pipeline.bigram_logprob) — the KenLM-family perplexity
+    gate one rung above the unigram query. Bigrams are built from the
+    token array (no lag window); frequency tables are
+    vocabulary-bounded aggregations; scoring joins shuffle on gram
+    keys (the only shape that survives a bigram table too large to
+    broadcast)."""
+    from ..operators.pipeline import bigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    return bigram_logprob(t["documents"], "text", "doc_id")

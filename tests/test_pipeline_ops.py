@@ -525,3 +525,21 @@ def test_model_quality_score_bounds_and_signal(spark):
     got = {r.doc_id: r.s for r in df.collect()}
     assert 0.0 < got[1] < 1.0 and 0.0 < got[2] < 1.0
     assert got[1] > got[2]  # fluent prose outranks punctuation junk
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from github_etl_spark.operators.pipeline import bigram_logprob
+
+    # corpus tokens: a×3 b×2 c×1 solo×1 (N=7); bigrams: (a,b)×2, (a,c)×1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in bigram_logprob(df, "text", "doc_id").collect()}
+    assert 4 not in got  # single-token doc has no bigrams
+    # doc1/doc2: p(b|a) = .5*(2/3) + .5*(2/7) = 10/21
+    assert got[1].n_bigrams == 1
+    assert abs(got[1].avg_logprob - math.log(10 / 21)) < 5e-4
+    # doc3: p(c|a) = .5*(1/3) + .5*(1/7) = 5/21
+    assert abs(got[3].avg_logprob - math.log(5 / 21)) < 5e-4
