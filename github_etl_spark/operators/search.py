@@ -91,3 +91,63 @@ def bm25_topk(
     # Rank over the k surviving rows only (single tiny partition).
     w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k_each: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused with Reciprocal Rank
+    Fusion (Cormack et al., SIGIR'09): each retriever contributes
+    1/(c + rank), documents missing from one list contribute 0 from
+    it. RRF is the standard production hybrid because it needs no
+    score calibration between BM25 and cosine — only ranks.
+
+    Scale shape: the two retrievals are the scale-bearing parts and
+    keep their own shapes (BM25's filtered-postings probe, the
+    broadcast-query corpus scan); the fusion layer sees only
+    2·k_each rows, so its full-outer join, RRF arithmetic, and final
+    ranking window are all constant-size regardless of corpus scale.
+    Ranking is on the ROUNDED (6 dp) fused score with doc-id
+    tiebreak, so an oracle replays the order exactly.
+
+    The documents and embeddings tables are joined by position
+    (doc_id = vec_id), the fixture contract documented in
+    TESTDATA.md.
+    """
+    from .similarity import brute_force_topk
+
+    lex = bm25_topk(docs, terms, text_col, id_col, k=k_each).select(
+        F.col(id_col), F.col("rank").alias("rank_lex")
+    )
+    sem = brute_force_topk(
+        corpus=embeddings,
+        queries=embeddings.filter(F.col("vec_id") == query_vec_id),
+        k=k_each,
+    ).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("rank").cast("int").alias("rank_sem"),
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(c)) + r), F.lit(0.0)
+    )
+    fused = lex.join(sem, id_col, "full_outer").select(
+        F.col(id_col),
+        "rank_lex",
+        "rank_sem",
+        round_det(
+            contrib(F.col("rank_lex")) + contrib(F.col("rank_sem")), 6
+        ).alias("rrf_score"),
+    )
+    order = [F.col("rrf_score").desc(), F.col(id_col).asc()]
+    top = fused.orderBy(*order).limit(k)
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(*order)).cast("int")
+    )

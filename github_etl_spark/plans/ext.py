@@ -1417,3 +1417,94 @@ def sim_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_portable(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(COALESCE(len(w), 0)) AS avgdl FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, COALESCE(len(w), 0) AS dl, unnest(w) AS term FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM ex WHERE term IN ('dup', 'vector', 'stream')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    lscored AS (
+      SELECT tf.doc_id,
+             SUM( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * (tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+             ) AS score_raw
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    lr AS (
+      SELECT doc_id, (floor((score_raw) * 10000 + 0.5) / 10000) AS score
+      FROM lscored
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rank_lex AS INTEGER) AS rank_lex FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+        FROM lr
+      ) WHERE rank_lex <= 20
+    ),
+    q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    sscored AS (
+      SELECT e.vec_id AS doc_id,
+             (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+                FROM (SELECT UNNEST(q.q_vec) AS a, UNNEST(e.embedding) AS b) x)
+             / (sqrt((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                        FROM (SELECT UNNEST(q.q_vec) AS a) y))
+              * sqrt((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                        FROM (SELECT UNNEST(e.embedding) AS b) z))) AS cosine_raw
+      FROM q, embeddings e
+      WHERE e.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, CAST(rank_sem AS INTEGER) AS rank_sem FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine_raw DESC, doc_id ASC)
+                 AS rank_sem
+        FROM sscored
+      ) WHERE rank_sem <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.rank_lex, s.rank_sem,
+             (floor((COALESCE(1.0 / (60 + l.rank_lex), 0)
+                     + COALESCE(1.0 / (60 + s.rank_sem), 0)) * 1000000 + 0.5)
+              / 1000000) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, rank_lex, rank_sem, rrf_score,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                  AS INTEGER) AS rank
+      FROM fused
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_score, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: hybrid retrieval (operators/search.hybrid_rrf_topk) —
+    BM25 top-20 for {dup, vector, stream} fused with the exact cosine
+    top-20 for query vector 0 via Reciprocal Rank Fusion
+    (1/(60+rank)), top-10 overall. The two retrievals keep their
+    scale shapes; the fusion layer is constant-size (2·k_each rows),
+    and ranking is on the rounded fused score so the oracle replays
+    the order exactly."""
+    from ..operators.search import hybrid_rrf_topk
+
+    t = load_tables(spark, sf_dir)
+    return hybrid_rrf_topk(
+        t["documents"], t["embeddings"], ["dup", "vector", "stream"],
+        query_vec_id=0, k=10, k_each=20,
+    )

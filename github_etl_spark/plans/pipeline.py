@@ -476,6 +476,7 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tokenize_encode",
+    headline=True,
     oracle=f"""
     WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
     ptoks AS (
@@ -555,6 +556,7 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bigram_logprob",
+    headline=True,
     oracle=f"""
     WITH words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
     stream AS (

@@ -43,7 +43,9 @@ EXCHANGE_BUDGET = {
     "snapshot_cdc_diff": 2,
     "span_dedup": 2,
     "t5_sliding_window_agg": 1,
+    "text_bigram_logprob": 6,
     "text_repetition": 0,
+    "tokenize_encode": 4,
     "w1_row_number_topk_per_group": 1,
 }
 
