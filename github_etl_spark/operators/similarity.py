@@ -842,7 +842,15 @@ def semantic_neardup_pairs(
     # 3 array aggregates per pair instead of 1 (measured 1.9×: 7.5 s →
     # 4.0 s at sf0.1). Values are bit-identical (same expression over
     # the same row).
-    assigned = corpus.where(live).select(
+    #
+    # ensure_parallelism: the cell join broadcasts the small side, so
+    # the B² pair explosion executes in the PROBE side's partitions —
+    # and a compact corpus arrives as one input split (AQE's byte-based
+    # sizing can't see that join OUTPUT ≫ join input here), serializing
+    # the whole screen on one core. Widening the probe side spread it
+    # over the cluster: measured 4.4 s → 2.8 s at sf0.1, identical
+    # rows; no-op when the input is already wide (the 100 TB case).
+    assigned = ensure_parallelism(corpus.where(live)).select(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("v"),
         ranked[0]["cell"].alias("cell"),

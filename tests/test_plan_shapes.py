@@ -29,7 +29,11 @@ EXCHANGE_BUDGET = {
     "dedup_incremental": 9,
     "dedup_minhash_lsh": 4,
     "dedup_ngram_jaccard": 22,
-    "dedup_semantic": 1,
+    # 3 = the probe-side widening repartition appears in both join
+    # subtrees (the broadcast side re-derives `assigned`) + the original
+    # exchange; consciously raised when the widening fix landed
+    # (4.4 s -> 2.8 s at sf0.1, identical rows).
+    "dedup_semantic": 3,
     "flagship_pr_snapshot": 3,
     "j1_broadcast_lookup_join": 1,
     "pipeline_filter_dedup_split": 1,
