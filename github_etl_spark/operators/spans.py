@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import dedup_tokens_expr as tokens_expr
+from .partitioning import ensure_parallelism
 from .pipeline import ngrams_expr
 
 
@@ -66,7 +67,7 @@ def duplicated_spans(
     (doc, pos) order — the Lee et al. policy (one copy survives);
     `False` flags every occurrence (strip boilerplate everywhere).
     """
-    grams = _positioned_grams(docs, text_col, id_col, k, hash_grams)
+    grams = _positioned_grams(ensure_parallelism(docs), text_col, id_col, k, hash_grams)
     # One gram-keyed window (shuffle + sort, ONE corpus pass). Two
     # measured-and-rejected alternatives at sf0.1: (a) groupBy gram
     # stats + join back re-executes the gram pipeline for both sides
@@ -75,6 +76,16 @@ def duplicated_spans(
     # hashed grams) but materializes a corpus-sized relation in
     # executor memory — exactly what must not happen at 100 TB. The
     # window form streams through one spillable sort instead.
+    #
+    # The explicit-width repartition keeps the window exchange at
+    # cluster parallelism: AQE sizes post-shuffle partitions by BYTES,
+    # and a hashed-gram exchange is narrow enough (~8 B/gram) that the
+    # whole window sort would otherwise coalesce onto one core
+    # (measured 2.35 s → 1.14 s at sf0.1, identical rows). The window
+    # reuses this partitioning (same key), so no exchange is added —
+    # the shuffle just keeps its width.
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    grams = grams.repartition(width, "gram")
     wg = W.partitionBy("gram").orderBy("doc", "pos")
     occ = grams.select(
         "doc",
