@@ -151,3 +151,29 @@ def hybrid_rrf_topk(
     return top.withColumn(
         "rank", F.row_number().over(W.orderBy(*order)).cast("int")
     )
+
+
+def phrase_count_expr(text_col, phrase: list[str]):
+    """Occurrences of the exact consecutive token phrase in the
+    document — relational phrase grep, the positional-match primitive
+    behind contamination audits and quote detection.
+
+    Pure in-row expression: slide a window of len(phrase) over the
+    token array and compare slices. Zero shuffle at any scale (a
+    map-only corpus scan that Catalyst pushes column pruning through);
+    O(L·m) per document like any positional-postings intersection.
+    """
+    m = len(phrase)
+    if m == 0:
+        raise ValueError("empty phrase")
+    toks = tokens_expr(text_col)
+    lits = F.array(*[F.lit(w) for w in phrase])
+    hits = F.size(
+        F.filter(
+            # 1-based slice starts; sequence() is guarded because
+            # sequence(1, 0) runs DESCENDING in Spark, not empty.
+            F.sequence(F.lit(1), F.size(toks) - m + 1),
+            lambda i: F.slice(toks, i, m) == lits,
+        )
+    )
+    return F.when(F.size(toks) >= m, hits).otherwise(F.lit(0)).cast("long")

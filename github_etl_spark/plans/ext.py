@@ -1508,3 +1508,145 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], t["embeddings"], ["dup", "vector", "stream"],
         query_vec_id=0, k=10, k_each=20,
     )
+
+
+@query(
+    "search_phrase_match",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    counted AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN
+               CAST(len(list_filter(range(1, len(w)),
+                        i -> w[i:i+1] = ['table', 'hash'])) AS BIGINT)
+             ELSE 0 END AS n_occurrences
+      FROM toks
+    )
+    SELECT doc_id, n_occurrences FROM counted WHERE n_occurrences > 0
+    """,
+)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: exact consecutive-phrase matching
+    (operators/search.phrase_count_expr) — the positional-postings
+    primitive behind contamination audits and quote detection,
+    expressed as a pure in-row slice comparison: a zero-shuffle
+    map-only corpus scan at any scale."""
+    from ..operators.search import phrase_count_expr
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        phrase_count_expr(F.col("text"), ["table", "hash"]).alias(
+            "n_occurrences"
+        ),
+    ).where(F.col("n_occurrences") > 0)
+
+
+@query(
+    "source_quota_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100000), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS source_seq
+    FROM ranked WHERE rn <= 15
+    """,
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: per-source quota capping — keep at most 15 documents per
+    source, chosen by the portable md5 hash order (deterministic,
+    repartition-stable, engine-replayable), the source-balancing step
+    that stops one crawl dump from dominating a mixture. One window
+    shuffle keyed on source; the hash order makes the kept subset a
+    uniform sample of each source rather than a prefix of its storage
+    order."""
+    from pyspark.sql import Window as W
+
+    from ..operators.pipeline import portable_hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(
+        portable_hash_bucket(F.col("doc_id"), 100000), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("source_seq"),
+        )
+        .where(F.col("source_seq") <= 15)
+    )
+
+
+@query(
+    "quality_importance_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS}) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter({_SQL_WORDS},
+                  x -> list_contains({_SQL_STOPS_EN}, x))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+               AS n_punct,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars_nz,
+             COALESCE(list_sum(list_transform({_SQL_WORDS}, x -> length(x))), 0)
+               AS n_wchars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             (floor((1.0 / (1.0 + exp(-(
+                -2.0 + 3.0 * least(n_tok / 100.0, 1.0)
+                     + 2.0 * least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0)
+                     - 4.0 * (n_punct / n_chars_nz)
+                     + 1.0 * least((n_wchars / greatest(n_tok, 1)) / 8.0, 1.0)
+             )))) * 10000 + 0.5) / 10000) AS model_score
+      FROM base
+    ),
+    weighted AS (
+      SELECT doc_id, model_score,
+             (floor(least(exp(4.0 * (model_score - 0.5)), 1.0) * 10000 + 0.5)
+              / 10000) AS p_accept,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000) AS draw
+      FROM scored
+    )
+    SELECT doc_id, model_score, p_accept
+    FROM weighted WHERE draw < p_accept * 10000
+    """,
+)
+def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: quality-temperature importance resampling (the DSIR-shaped
+    accept/reject step): p_accept = min(exp(λ·(score − 0.5)), 1) under
+    the frozen-weight quality model, decided by the portable md5 draw
+    — so high-quality documents are kept, low-quality ones are kept
+    with exponentially decaying probability, and the subsample is
+    deterministic, repartition-stable, and engine-replayable. Pure
+    map-side expressions: zero shuffle at any scale."""
+    from ..functions.text import model_quality_expr
+    from ..operators.pipeline import portable_hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    score = model_quality_expr(F.col("text"))
+    p_accept = round_det(
+        F.least(F.exp(4.0 * (score - 0.5)), F.lit(1.0)), 4
+    )
+    draw = portable_hash_bucket(F.col("doc_id"), 10000)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            score.alias("model_score"),
+            p_accept.alias("p_accept"),
+            draw.alias("draw"),
+        )
+        .where(F.col("draw") < F.col("p_accept") * 10000)
+        .drop("draw")
+    )

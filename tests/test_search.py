@@ -63,3 +63,40 @@ def test_topk_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_phrase_count_expr_exact_matches(spark):
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.search import phrase_count_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox the quick fox jumps"),
+            (2, "quick the fox"),
+            (3, "the quick"),
+            (4, "the"),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    ).select(
+        "doc_id",
+        phrase_count_expr(F.col("text"), ["the", "quick", "fox"]).alias("n"),
+    )
+    got = {r.doc_id: r.n for r in df.collect()}
+    assert got[1] == 2  # two non-overlapping occurrences
+    assert got[2] == 0  # right words, wrong order
+    assert got[3] == 0  # shorter than the phrase (sequence guard)
+    assert got[4] == 0
+    assert got[5] == 0 or got[5] is None  # NULL text has no tokens
+
+
+def test_phrase_count_overlapping(spark):
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.search import phrase_count_expr
+
+    df = spark.createDataFrame([(1, "a a a a")], ["doc_id", "text"]).select(
+        phrase_count_expr(F.col("text"), ["a", "a"]).alias("n")
+    )
+    assert df.collect()[0].n == 3  # sliding window counts overlaps
