@@ -750,6 +750,55 @@ def _int_cell_rank_expr(qv, centroids: list[list[int]]):
     )
 
 
+# Above this cell count the per-ROW cost and generated-code size of the
+# literal-expression assignment (O(cells·dim) literals inlined into the
+# plan) dominate: measured at 512 cells it OOM'd a 32-thread local JVM
+# on a 64k-vector corpus, while the Arrow matmul form runs in seconds.
+_ARROW_ASSIGN_CELLS = 64
+
+
+def _int_cell_assign_arrow(qv, centroids: list[list[int]]):
+    """cell = argmax_c (qv · centroid_c), ties → LOWEST cell — the same
+    top cell `_int_cell_rank_expr(...)[0]["cell"]` yields, computed as
+    one Arrow-batched int64 matrix multiply instead of an inlined
+    literal expression tree.
+
+    Both forms are EXACT integer arithmetic (|dot| ≪ 2^63), so they are
+    bit-identical — asserted against each other in tests — and numpy's
+    argmax picks the first (lowest-index) maximum, matching the
+    expression form's (neg_dot, cell) ascending sort. The expression
+    form inlines cells·dim literals into the generated code, which is
+    fine for a 16-cell oracle-checked quantizer but explodes at the
+    100 TB sizing rule (cells ∝ corpus); this form ships one (cells ×
+    dim) int64 matrix to each task and pays a BLAS-shaped batch matmul
+    per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.int64)
+
+    @pandas_udf("int")
+    def assign(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype="int32")
+        m = np.stack(batch.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(np.argmax(m @ cmat.T, axis=1).astype(np.int32))
+
+    return assign(qv)
+
+
+def _top_cell_expr(qv, centroids: list[list[int]]):
+    """Top-cell assignment, auto-switching representation: the
+    inlined-literal expression below `_ARROW_ASSIGN_CELLS` cells (pure
+    JVM, oracle-replayable at catalog sizes), the Arrow int64 matmul
+    above it (identical values, scales in cell count)."""
+    if len(centroids) > _ARROW_ASSIGN_CELLS:
+        return _int_cell_assign_arrow(qv, centroids)
+    return _int_cell_rank_expr(qv, centroids)[0]["cell"]
+
+
 def ivf_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -788,7 +837,9 @@ def ivf_topk_portable(
     assigned = corpus.where(live).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
-        ranked[0]["cell"].alias("cell"),
+        _top_cell_expr(quantize_expr(F.col(vec_col), quant), cents).alias(
+            "cell"
+        ),
     )
     q = queries.where(live).select(
         F.col(id_col).alias("query_id"),
@@ -834,9 +885,6 @@ def semantic_neardup_pairs(
             F.col(id_col).alias("id_b"),
             F.lit(None).cast("double").alias("cosine"),
         )
-    ranked = _int_cell_rank_expr(
-        quantize_expr(F.col(vec_col), quant), cents
-    )
     # Norms are per-ROW, computed before the join: inlining cosine_expr
     # after the join would re-evaluate each side's norm once per PAIR —
     # 3 array aggregates per pair instead of 1 (measured 1.9×: 7.5 s →
@@ -853,7 +901,9 @@ def semantic_neardup_pairs(
     assigned = ensure_parallelism(corpus.where(live)).select(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("v"),
-        ranked[0]["cell"].alias("cell"),
+        _top_cell_expr(quantize_expr(F.col(vec_col), quant), cents).alias(
+            "cell"
+        ),
     ).withColumn("nrm", norm_expr(F.col("v")))
     a = assigned.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"),

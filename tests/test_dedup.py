@@ -726,3 +726,52 @@ def test_ivfpq_trained_rerank_recall(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_arrow_cell_assignment_matches_expression(spark):
+    """The Arrow int64-matmul top-cell assignment (used above
+    _ARROW_ASSIGN_CELLS) is bit-identical to the inlined-expression
+    form — both are exact integer arithmetic with ties to the lowest
+    cell."""
+    from github_etl_spark.operators.similarity import (
+        _int_cell_assign_arrow,
+        _int_cell_rank_expr,
+        ivf_portable_seed_centroids,
+        quantize_expr,
+    )
+    from github_etl_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cents = ivf_portable_seed_centroids(emb, "vec_id", "embedding", 96, 1000)
+    assert len(cents) == 96  # forces the Arrow path in production code
+    qv = quantize_expr(F.col("embedding"), 1000)
+    live = F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    both = emb.where(live).select(
+        "vec_id",
+        _int_cell_rank_expr(qv, cents)[0]["cell"].alias("cell_expr"),
+        _int_cell_assign_arrow(qv, cents).alias("cell_arrow"),
+    )
+    assert both.where(F.col("cell_expr") != F.col("cell_arrow")).count() == 0
+    assert both.count() > 0
+
+
+def test_semantic_pairs_arrow_threshold_consistency(spark):
+    """semantic_neardup_pairs emits the same pairs whether the cell
+    count sits below or above the Arrow switch, when the quantizer is
+    held fixed by construction (centroids are the md5-ranked seeds, so
+    n_centroids=17 vs 65 differ; instead compare the SAME n_centroids
+    run against a monkey-lowered switch)."""
+    import github_etl_spark.operators.similarity as sim
+    from github_etl_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    base = sim.semantic_neardup_pairs(emb, threshold=0.0, n_centroids=16)
+    old = sim._ARROW_ASSIGN_CELLS
+    try:
+        sim._ARROW_ASSIGN_CELLS = 1  # force Arrow path at 16 cells
+        forced = sim.semantic_neardup_pairs(emb, threshold=0.0, n_centroids=16)
+        assert base.exceptAll(forced).count() == 0
+        assert forced.exceptAll(base).count() == 0
+        assert base.count() > 0
+    finally:
+        sim._ARROW_ASSIGN_CELLS = old
