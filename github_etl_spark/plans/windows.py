@@ -591,3 +591,85 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("segment"),
     )
     return snapshot_diff(old, new, "c_custkey", ["segment"])
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM base
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT b.user_id, min(b.ts) AS t2
+      FROM base b JOIN s1 USING (user_id)
+      WHERE b.event_type = 'click' AND b.ts > s1.t1
+      GROUP BY b.user_id
+    ),
+    s3 AS (
+      SELECT b.user_id, min(b.ts) AS t3
+      FROM base b JOIN s2 USING (user_id)
+      WHERE b.event_type = 'purchase' AND b.ts > s2.t2
+      GROUP BY b.user_id
+    ),
+    users AS (SELECT DISTINCT user_id FROM base)
+    SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM users u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: strictly-ordered conversion funnel view → click → purchase
+    (operators/funnel.funnel_stages). Spark-first shape: ONE shuffle —
+    per-user sorted event array + pure-JVM state-machine fold — where
+    the SQL form (what the oracle runs) is a 3-CTE min-join cascade
+    re-scanning the event table per step; value equality between the
+    two shapes is exactly what the driver hash checks."""
+    from ..operators.funnel import funnel_stages
+
+    t = load_tables(spark, sf_dir)
+    return funnel_stages(t["events"], ["view", "click", "purchase"])
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    offs AS (
+      SELECT a.user_id, f.cohort_week,
+             CAST((CAST(a.week AS DATE) - CAST(f.cohort_week AS DATE)) / 7
+                  AS INTEGER) AS week_offset
+      FROM active a JOIN first f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM offs WHERE week_offset >= 0
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: weekly cohort-retention triangle
+    (operators/funnel.cohort_retention): users cohorted by the ISO
+    week of first signup, counted distinct per activity-week offset.
+    Two keyed aggregations (user-bounded and (user,week)-distinct)
+    plus one join — every aggregate partial-combined map-side."""
+    from ..operators.funnel import cohort_retention
+
+    t = load_tables(spark, sf_dir)
+    return cohort_retention(t["events"], "signup")

@@ -1,0 +1,89 @@
+"""Funnel / cohort-retention operators (operators/funnel.py).
+
+Edge semantics pinned by hand: strict > between steps (equal
+timestamps cannot chain), out-of-order events don't count, unreached
+steps are NULL; cross-engine value parity is the driver-sim oracle's
+job (funnel_conversion / cohort_retention)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from github_etl_spark.operators.funnel import cohort_retention, funnel_stages
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+def T(s):
+    return datetime.fromisoformat(s)
+
+
+def test_funnel_ordered_and_unordered(spark):
+    df = _ev(
+        spark,
+        [
+            # full ordered funnel
+            (1, T("2024-01-01T10:00"), "view"),
+            (1, T("2024-01-01T11:00"), "click"),
+            (1, T("2024-01-01T12:00"), "purchase"),
+            # purchase BEFORE view: only stage 1 reached
+            (2, T("2024-01-01T09:00"), "purchase"),
+            (2, T("2024-01-01T10:00"), "view"),
+            # click with no prior view: stage 0 (present but unconverted)
+            (3, T("2024-01-01T10:00"), "click"),
+        ],
+    )
+    got = {r.user_id: r for r in funnel_stages(df, ["view", "click", "purchase"]).collect()}
+    assert got[1].funnel_stage == 3 and got[1].t3 == T("2024-01-01T12:00")
+    assert got[2].funnel_stage == 1 and got[2].t2 is None and got[2].t3 is None
+    assert got[3].funnel_stage == 0 and got[3].t1 is None
+
+
+def test_funnel_equal_timestamps_do_not_chain(spark):
+    df = _ev(
+        spark,
+        [
+            (1, T("2024-01-01T10:00"), "view"),
+            (1, T("2024-01-01T10:00"), "click"),  # same instant: no chain
+            (1, T("2024-01-01T11:00"), "click"),
+        ],
+    )
+    row = funnel_stages(df, ["view", "click", "purchase"]).collect()[0]
+    assert row.funnel_stage == 2
+    assert row.t2 == T("2024-01-01T11:00")  # the LATER click, not the tie
+
+
+def test_funnel_takes_earliest_qualifying_step(spark):
+    df = _ev(
+        spark,
+        [
+            (1, T("2024-01-01T10:00"), "view"),
+            (1, T("2024-01-01T12:00"), "view"),  # later view ignored
+            (1, T("2024-01-01T11:00"), "click"),
+            (1, T("2024-01-01T13:00"), "click"),  # later click ignored
+        ],
+    )
+    row = funnel_stages(df, ["view", "click", "purchase"]).collect()[0]
+    assert row.t1 == T("2024-01-01T10:00") and row.t2 == T("2024-01-01T11:00")
+
+
+def test_cohort_retention_offsets(spark):
+    df = _ev(
+        spark,
+        [
+            (1, T("2024-01-01T10:00"), "signup"),  # Mon week 0
+            (1, T("2024-01-10T10:00"), "click"),   # next week → offset 1
+            (2, T("2024-01-03T10:00"), "signup"),  # same cohort week
+            (2, T("2023-12-25T10:00"), "view"),    # BEFORE signup → dropped
+        ],
+    )
+    rows = {
+        (r.cohort_week, r.week_offset): r.n_active
+        for r in cohort_retention(df, "signup").collect()
+    }
+    wk = T("2024-01-01T00:00")
+    assert rows[(wk, 0)] == 2  # both active in cohort week (the signup itself)
+    assert rows[(wk, 1)] == 1  # only user 1 returned
+    assert all(off >= 0 for (_, off) in rows)
