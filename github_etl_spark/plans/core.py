@@ -1011,3 +1011,104 @@ def c12_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("key_a") < F.col("key_b")) & (dist <= 2))
         .select("key_a", "key_b", dist.alias("edit_dist"))
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    WITH agg AS (
+      SELECT l.l_orderkey,
+             (floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5)
+              / 100) AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    SELECT * FROM agg
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter →
+    3-way join → hash aggregate → top-10. Catalyst broadcasts the
+    filtered customer side under AQE, both date filters reach the
+    parquet scans (PushedFilters), and the top-10 is
+    TakeOrderedAndProject on the ROUNDED revenue (deterministic
+    cross-engine rank, same contract as the BM25/RRF rankings)."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1997-03-15 00:00:00").cast("timestamp")
+    agg = (
+        t["customer"]
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            round_det(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           (floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5)
+            / 100) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-way join with the
+    same-nation customer↔supplier constraint. region/nation/supplier/
+    customer are broadcast-sized dims (AQE picks broadcast joins);
+    the only big-side shuffles are the orders↔lineitem equi-join keys.
+    Revenue rounded for cross-engine float stability (sum order
+    differs between engines)."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            round_det(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
