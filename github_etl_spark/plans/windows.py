@@ -673,3 +673,45 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return cohort_retention(t["events"], "signup")
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS from_event
+      FROM events
+    )
+    SELECT from_event, event_type AS to_event,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ordered WHERE from_event IS NOT NULL
+    GROUP BY from_event, event_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: event-to-event transition matrix (the path-analysis /
+    Markov-chain primitive that complements the funnel and retention
+    queries): adjacent event pairs per user in (ts, event_id) order —
+    the id tiebreak makes the sequence total, so both engines see the
+    SAME neighbor for simultaneous events — aggregated to transition
+    and distinct-user counts. One user-keyed window shuffle + one
+    pair-keyed aggregation with map-side combine."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("to_event"),
+        F.lag("event_type").over(w).alias("from_event"),
+    )
+    return (
+        ordered.where(F.col("from_event").isNotNull())
+        .groupBy("from_event", "to_event")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
