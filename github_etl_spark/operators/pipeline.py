@@ -231,19 +231,26 @@ def bigram_logprob(
         .agg(F.count("*").alias("cb"))
         .localCheckpoint(eager=True)
     )
-    scored = (
-        stream.join(bi, ["w1", "w2"])
-        .join(uni.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")), "w1")
+    # Attach the unigram counts and total to the BIGRAM-VOCAB-sized
+    # relation, not the corpus-sized stream: p(w2|w1) depends only on
+    # the bigram type, so scoring it once per distinct bigram replaces
+    # two corpus-sized shuffle joins with two vocabulary-sized ones —
+    # the stream then shuffles exactly once, on (w1, w2). Identical
+    # arithmetic per row (same expression over the same counts).
+    bi_scored = (
+        bi.join(uni.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")), "w1")
         .join(uni.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")), "w2")
         .crossJoin(F.broadcast(total))
         .select(
-            id_col,
+            "w1",
+            "w2",
             F.log(
                 F.lit(float(alpha)) * F.col("cb") / F.col("c1")
                 + F.lit(1.0 - float(alpha)) * F.col("c2") / F.col("n").cast("double")
             ).alias("logp"),
         )
     )
+    scored = stream.join(bi_scored, ["w1", "w2"]).select(id_col, "logp")
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         round_det(F.avg("logp"), 4).alias("avg_logprob"),
