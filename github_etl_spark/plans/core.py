@@ -1015,6 +1015,7 @@ def c12_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q3_shipping_priority",
+    headline=True,
     oracle="""
     WITH agg AS (
       SELECT l.l_orderkey,

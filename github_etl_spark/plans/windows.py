@@ -595,6 +595,7 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "funnel_conversion",
+    headline=True,
     oracle="""
     WITH base AS (
       SELECT user_id, ts, event_type FROM events
@@ -677,6 +678,7 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "event_transition_matrix",
+    headline=True,
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,

@@ -34,7 +34,9 @@ EXCHANGE_BUDGET = {
     # exchange; consciously raised when the widening fix landed
     # (4.4 s -> 2.8 s at sf0.1, identical rows).
     "dedup_semantic": 3,
+    "event_transition_matrix": 2,
     "flagship_pr_snapshot": 3,
+    "funnel_conversion": 1,
     "j1_broadcast_lookup_join": 1,
     "pipeline_filter_dedup_split": 1,
     "quality_decile_binning": 2,
@@ -53,6 +55,7 @@ EXCHANGE_BUDGET = {
     "t5_sliding_window_agg": 1,
     "text_bigram_logprob": 6,
     "text_repetition": 0,
+    "tpch_q3_shipping_priority": 3,
     "tokenize_encode": 4,
     "w1_row_number_topk_per_group": 1,
 }
