@@ -646,7 +646,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_retention",
     oracle="""
     WITH first AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
       FROM events WHERE event_type = 'signup' GROUP BY user_id
     ),
     active AS (
