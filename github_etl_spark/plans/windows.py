@@ -718,3 +718,54 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "metric_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             (floor((SUM(value)) * 100 + 0.5) / 100) AS daily_value
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    stats AS (
+      SELECT event_type, day, daily_value,
+             avg(daily_value) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(daily_value) OVER (PARTITION BY event_type) AS sigma
+      FROM daily
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, daily_value,
+           (floor(((daily_value - mu) / sigma) * 10000 + 0.5) / 10000)
+             AS zscore,
+           abs((daily_value - mu) / sigma) > 2.0 AS is_anomaly
+    FROM stats WHERE sigma > 0
+    """,
+)
+def metric_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: time-series anomaly flagging — each event type's daily
+    value z-scored against that type's own distribution (the
+    monitoring-table pattern: one keyed daily rollup, one
+    per-type window for the moments, flag |z| > 2). The rollup is
+    partial-aggregated; the window partitions by type (days per type
+    is bounded), never globally. Daily sums rounded before the moments
+    so both engines aggregate identical inputs."""
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(round_det(F.sum("value"), 2).alias("daily_value"))
+    w = W.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.avg("daily_value").over(w).alias("mu"),
+        F.stddev_samp("daily_value").over(w).alias("sigma"),
+    )
+    z = (F.col("daily_value") - F.col("mu")) / F.col("sigma")
+    return stats.where(F.col("sigma") > 0).select(
+        "event_type",
+        "day",
+        "daily_value",
+        round_det(z, 4).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

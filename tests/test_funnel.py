@@ -87,3 +87,55 @@ def test_cohort_retention_offsets(spark):
     assert rows[(wk, 0)] == 2  # both active in cohort week (the signup itself)
     assert rows[(wk, 1)] == 1  # only user 1 returned
     assert all(off >= 0 for (_, off) in rows)
+
+
+# ---------------------------------------------------------- differential
+
+
+def _funnel_reference(events, steps):
+    """Brute-force per-user reference: walk time-sorted events, take
+    step k's first occurrence strictly after step k-1's time."""
+    by_user = {}
+    for uid, ts, et in events:
+        if et in steps:
+            by_user.setdefault(uid, []).append((ts, et))
+    out = {}
+    for uid, evs in by_user.items():
+        t = [None] * len(steps)
+        for ts, et in sorted(evs):
+            for k, s in enumerate(steps):
+                if t[k] is None and et == s and (k == 0 or (t[k - 1] is not None and ts > t[k - 1])):
+                    # only the NEXT unreached step may fire, and only once
+                    if k == 0 or t[k - 1] is not None:
+                        t[k] = ts
+                    break
+        stage = 0
+        for k in range(len(steps)):
+            if t[k] is not None:
+                stage = k + 1
+        out[uid] = (tuple(t), stage)
+    return out
+
+
+def test_funnel_differential_random_streams(spark):
+    from hypothesis import given, settings, strategies as st
+
+    steps = ["view", "click", "purchase"]
+    ev = st.tuples(
+        st.integers(min_value=1, max_value=5),                      # user
+        st.integers(min_value=0, max_value=20),                     # coarse ts → ties likely
+        st.sampled_from(steps + ["error"]),                         # noise type too
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=40))
+    def run(rows):
+        data = [(u, T("2024-01-01T00:00") .replace(minute=m), et) for u, m, et in rows]
+        got = {
+            r.user_id: ((r.t1, r.t2, r.t3), r.funnel_stage)
+            for r in funnel_stages(_ev(spark, data), steps).collect()
+        }
+        want = _funnel_reference(data, steps)
+        assert got == want
+
+    run()
