@@ -72,3 +72,42 @@ def test_compact_target_size_splits_files(spark, tmp_path):
     stats2 = _stats_by_part(path)
     assert 2 <= stats2[(("part", "a"),)]["n_files"] <= 8
     assert spark.read.parquet(path).where("part = 'a'").count() == 400
+
+
+def test_compaction_after_streaming_gate_ingest(spark, tmp_path):
+    """Ops composition: the streaming dedup gate lands one partition
+    per batch (many small files over time); compaction then rewrites
+    the fragmented table while preserving every admitted row and the
+    per-batch partition values — the maintenance pass a long-lived
+    ingest table needs."""
+    from github_etl_spark.operators.incremental import dedup_index_build
+    from github_etl_spark.streaming.dedup_gate import make_dedup_gate
+
+    corpus = spark.createDataFrame(
+        [(i, f"seed document number {i} with unique words w{i} x{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "index")
+    dedup_index_build(corpus, index)
+    out = str(tmp_path / "admitted")
+    gate = make_dedup_gate(spark, index, out)
+    for b in range(6):  # 6 micro-batches → 6 partitions of tiny files
+        batch = spark.createDataFrame(
+            [
+                (1000 + b * 10 + i, f"novel text {b}-{i} about topic t{b} item i{i}")
+                for i in range(5)
+            ],
+            "doc_id long, text string",
+        ).repartition(4)  # force several files per batch partition
+        gate(batch, b)
+
+    rows_before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    stats_before = partition_stats(out)
+    assert sum(p["n_files"] for p in stats_before) > len(stats_before)
+
+    rewritten = compact_partitions(spark, out, max_files=1)
+    assert rewritten  # something was fragmented
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == rows_before
+    stats_after = {tuple(sorted(p["partition"].items())): p for p in partition_stats(out)}
+    for p in rewritten:
+        assert stats_after[tuple(sorted(p["partition"].items()))]["n_files"] == 1
