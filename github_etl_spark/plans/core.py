@@ -1113,3 +1113,158 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): a date-sliced fact
+    scan probed by an EXISTS with a non-equi residual (l_shipdate >
+    o_orderdate — the fixtures carry no commit/receipt dates, so the
+    reference's late-shipment predicate is expressed on shipdate).
+    Spark plans the correlated EXISTS as a left-semi hash join on
+    l_orderkey with the residual as a join condition; the quarter
+    filter reaches the orders scan (PushedFilters)."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late = orders.join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a predicate in the ON clause (customers keep their row
+    even when every order is filtered away), per-customer count, then a
+    second aggregation over the counts. Two shuffles by design — the
+    first keyed on c_custkey, the second on the (tiny-cardinality)
+    count value; the second aggregate's input is one row per customer,
+    so the distribution agg is broadcast-light at any scale."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, SUM(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-subquery →
+    semi-join → enrich → re-aggregate. The big-order key set is a
+    pre-aggregation of lineitem (map-side partial sums fold each order
+    to one row before the shuffle); the IN becomes a left-semi join
+    that prunes lineitem AND orders before the customer join, so the
+    expensive re-aggregation runs only over qualifying orders (~2% of
+    the fact at the TPC-H quantity skew)."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = t["orders"].join(
+        big, t["orders"]["o_orderkey"] == big["l_orderkey"], "left_semi"
+    )
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "j7_bloom_prefilter_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS order_count,
+           (floor(SUM(o.o_totalprice) * 100 + 0.5) / 100) AS total_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j7_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloom.py): the probe side's
+    key FINGERPRINT (an 8 KiB bitmap, not its rows) pre-filters the
+    fact scan before the shuffle, then the exact semi join removes the
+    false positives — final rows identical to the plain EXISTS oracle.
+
+    100 TB shape: when the dimension outgrows the broadcast threshold,
+    a plain semi join shuffles the full fact table; the bloom keeps the
+    exchange at (selectivity + fpp) of the fact bytes. Same mechanism
+    as Spark's runtime row-level filtering (SPARK-32268), explicit and
+    deterministic so it is oracle-verifiable."""
+    from ..operators.bloom import bloom_prefilter_join
+
+    t = load_tables(spark, sf_dir)
+    probe = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    joined = bloom_prefilter_join(
+        t["orders"], probe, "o_custkey", "c_custkey", "semi", num_bits=1 << 16
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        round_det(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

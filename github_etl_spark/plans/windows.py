@@ -769,3 +769,43 @@ def metric_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(z, 4).alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "w6_rolling_interval_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           (floor(SUM(o_totalprice) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+            ) * 100 + 0.5) / 100) AS rolling_7d_price,
+           COUNT(*) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+            ) AS rolling_7d_orders
+    FROM orders
+    """,
+)
+def w6_rolling_interval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval rolling window (RANGE frame): trailing-7-day spend
+    and order count per customer. The RANGE frame is tie-correct — all
+    orders sharing a timestamp are frame peers, so the result is
+    deterministic under any sort-order tie-break (unlike a ROWS frame,
+    which this catalog uses only with a unique total order).
+
+    Scale: one hash exchange on o_custkey, then an in-partition sort;
+    the frame evaluator is a sliding two-pointer over each partition —
+    no per-row rescans, no Python. Skewed customers are bounded by the
+    per-key order count, not corpus size."""
+    t = load_tables(spark, sf_dir)
+    # Parquet TIMESTAMP_NTZ → session-TZ timestamp (UTC session) before
+    # unix_seconds; the RANGE frame then runs on integer epoch seconds.
+    epoch_s = F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+    w = W.partitionBy("o_custkey").orderBy(epoch_s).rangeBetween(-7 * 86400, 0)
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        round_det(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_price"),
+        F.count(F.lit(1)).over(w).alias("rolling_7d_orders"),
+    )
