@@ -252,3 +252,56 @@ def cluster_assignment(
             "is_canonical"
         ),
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the undirected graph (one row:
+    ``n_triangles``, ``n_edges``, ``n_nodes``).
+
+    Compact-forward orientation (Latapy 2008; the same trick every
+    distributed triangle counter uses — e.g. Cohen's MapReduce
+    formulation): orient each undirected edge from the (degree, id)-
+    SMALLER endpoint to the larger, so every triangle is generated
+    exactly once from its lowest-degree corner and — the scale-critical
+    property — the wedge join's fan-out per vertex is bounded by its
+    OUT-degree ≤ O(sqrt(edges)) even on power-law graphs, instead of
+    the hub's full degree squared. A hub of degree d contributes
+    O(sqrt(m)) wedges, not O(d²).
+
+    Three shuffles total: degree agg, wedge join (oriented edges
+    self-joined on the middle vertex), closing-edge semi join.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: keep (lo -> hi) by (deg, id) order
+    da = deg.select(F.col("v").alias("src"), F.col("deg").alias("deg_src"))
+    db = deg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_dst"))
+    ranked = e.join(da, "src").join(db, "dst")
+    fwd = ranked.select(
+        F.when(
+            (F.col("deg_src") < F.col("deg_dst"))
+            | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))),
+            F.struct(F.col("src").alias("u"), F.col("dst").alias("w")),
+        )
+        .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("w")))
+        .alias("o")
+    ).select("o.u", "o.w")
+    # wedges centered on u: pairs of out-neighbors (w1 < w2 by orientation rank
+    # is not preserved, so order by id to count each wedge once)
+    a = fwd.select(F.col("u"), F.col("w").alias("w1"))
+    b = fwd.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = a.join(b, "u").where(F.col("w1") < F.col("w2"))
+    # a wedge closes iff the UNDIRECTED edge (w1, w2) exists; w1 < w2
+    # matches the canonical (src < dst) form directly
+    closing = e.select(F.col("src").alias("w1"), F.col("dst").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"], "left_semi")
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )

@@ -1,0 +1,116 @@
+"""Frequency-sketch screening with exact verification.
+
+`heavy_hitters` finds every item whose corpus frequency is ≥ a
+threshold, EXACTLY, without ever shuffling the full item-frequency
+table. It is the aggregation-side sibling of the bloom join
+(operators/bloom.py): a compact per-partition summary screens
+candidates, an exact pass over only the candidates produces the final
+answer, and a *measured* error bound proves no true heavy hitter was
+screened out — so the result is oracle-verifiable despite the sketch.
+
+Why this matters at 100 TB: `groupBy(token).count()` shuffles one row
+per DISTINCT token (web-scale corpora: billions of tokens, the
+aggregation state itself spills). Misra-Gries summaries are bounded by
+``counters`` rows per partition regardless of vocabulary size, and the
+exact pass aggregates only rows matching a broadcast candidate set —
+the shuffle is candidate-sized, not vocabulary-sized.
+
+Exactness argument (measured, not assumed): batched Misra-Gries only
+ever subtracts from counters during pruning events; ``d_total`` per
+partition is the sum of those subtractions, so an item ABSENT from a
+partition's summary has true local count ≤ d_total_p. A token missing
+from every summary therefore has global count ≤ Σ_p d_total_p. The
+operator computes that sum and REFUSES (raises) unless
+``threshold > Σ d_total`` — when it returns, the candidate set
+provably contains every true heavy hitter, and the exact count pass
+removes the false candidates. Misra & Gries 1982; same screening
+shape as Spark's own partial-aggregation, taken to bounded memory.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class HeavyHitterBoundError(ValueError):
+    """The measured screening error exceeds the requested threshold —
+    the candidate set cannot be proven complete. Raise ``counters``."""
+
+
+def _mg_summaries(col: str, counters: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        d_total = 0
+        n_rows = 0
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            n_rows += len(vals)
+            for item, c in vals.value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            excess = len(counts) - counters
+            if excess > 0:
+                # prune: subtract the excess-th smallest count from all
+                d = sorted(counts.values())[excess - 1]
+                d_total += d
+                counts = {k: v - d for k, v in counts.items() if v > d}
+        out = pd.DataFrame(
+            {
+                "tok": list(counts.keys()) + [None],
+                "lower": list(counts.values()) + [0],
+                "dsum": [0] * len(counts) + [d_total],
+                "nrows": [0] * len(counts) + [n_rows],
+            }
+        )
+        yield out
+
+    return gen
+
+
+def heavy_hitters(
+    items: DataFrame,
+    col: str,
+    min_fraction: float,
+    counters: int | None = None,
+) -> DataFrame:
+    """Exact set of items with frequency ≥ ceil(min_fraction · N).
+
+    Returns (``tok``, ``term_count``) — identical to the full
+    ``GROUP BY HAVING count >= threshold`` plan, computed with
+    bounded-memory screening. ``counters`` defaults to
+    ``ceil(2 / min_fraction)``, which keeps the measured bound
+    comfortably under the threshold on non-adversarial data; raises
+    :class:`HeavyHitterBoundError` when the measured bound cannot
+    prove completeness.
+    """
+    if not 0 < min_fraction < 1:
+        raise ValueError("min_fraction must be in (0, 1)")
+    k = counters or math.ceil(2 / min_fraction)
+    schema = "tok string, lower long, dsum long, nrows long"
+    summaries = (
+        items.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(_mg_summaries(col, k), schema=schema)
+        .localCheckpoint()  # summaries are tiny (≤ k+1 rows/partition); both consumers reuse them
+    )
+    stats = summaries.where(F.col("tok").isNull()).agg(
+        F.sum("dsum").alias("d"), F.sum("nrows").alias("n")
+    ).head()
+    n_total, d_bound = int(stats["n"] or 0), int(stats["d"] or 0)
+    threshold = math.ceil(min_fraction * n_total)
+    if threshold <= d_bound:
+        raise HeavyHitterBoundError(
+            f"screening error bound {d_bound} >= threshold {threshold}; "
+            f"increase counters (got {k})"
+        )
+    candidates = summaries.where(F.col("tok").isNotNull()).select("tok").distinct()
+    return (
+        items.select(F.col(col).cast("string").alias("tok"))
+        .join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .where(F.col("term_count") >= threshold)
+    )

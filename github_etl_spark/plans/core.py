@@ -1268,3 +1268,80 @@ def j7_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("order_count"),
         round_det(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "a5_regression_agg",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch(ts) AS DOUBLE) / 86400.0 AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (floor(regr_slope(y, x) * 10000 + 0.5) / 10000) AS slope,
+           (floor(AVG(y) * 100 + 0.5) / 100) AS avg_y,
+           (floor(corr(y, x) * 10000 + 0.5) / 10000) AS corr_xy
+    FROM pts GROUP BY event_type
+    """,
+)
+def a5_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression aggregates (trend per event type):
+    regr_slope / regr_intercept / corr over (epoch-day, value) pairs.
+    Single hash aggregate with map-side partial moments — the moment
+    sketches (n, Σx, Σy, Σxy, Σx², Σy²) merge associatively, so this
+    is one shuffle of 6 doubles per key regardless of data size.
+    x is rescaled to DAYS so slope magnitudes survive the deterministic
+    4-digit rounding both engines apply. regr_intercept is deliberately
+    NOT exposed: it extrapolates to epoch day 0, ~19k days outside the
+    data, amplifying engine-specific moment-accumulation ulps past any
+    stable rounding (observed: cent-level flips vs DuckDB)."""
+    t = load_tables(spark, sf_dir)
+    pts = t["events"].where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.unix_seconds(F.col("ts").cast("timestamp")).cast("double") / 86400.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_det(F.regr_slope("y", "x"), 4).alias("slope"),
+        round_det(F.avg("y"), 2).alias("avg_y"),
+        round_det(F.corr("y", "x"), 4).alias("corr_xy"),
+    )
+
+
+@query(
+    "a6_value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                  WHEN o_totalprice >= 600000.0 THEN 25
+                  ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
+             END AS bucket
+      FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY bucket
+    """,
+)
+def a6_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — the deterministic
+    histogram shape (histogram_numeric's adaptive bins are
+    engine-specific; fixed-width bucketing replays exactly — the
+    oracle spells it as floor arithmetic since DuckDB lacks
+    width_bucket). One aggregation whose
+    output is bucket-count-sized; at any scale the shuffle carries at
+    most buckets+2 rows per map partition."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(24)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -1650,3 +1650,43 @@ def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw") < F.col("p_accept") * 10000)
         .drop("draw")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    w AS (SELECT x.src AS u, x.dst AS w1, y.dst AS w2
+          FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w
+            JOIN e ON w.w1 = e.src AND w.w2 = e.dst) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: triangle count of the co-purchase graph (parts linked when
+    some order contains both) via compact-forward degree orientation
+    (operators/graph.triangle_count). The oracle enumerates wedges from
+    the id-canonical edge list — correct but hub-quadratic; the engine
+    orients every edge by (degree, id) first, so a hub of degree d
+    contributes O(sqrt(m)) wedges instead of O(d^2) — the difference
+    between finishing and not on a power-law co-purchase graph."""
+    from ..operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return triangle_count(edges, "pa", "pb")

@@ -600,3 +600,32 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return bigram_logprob(t["documents"], "text", "doc_id")
+
+
+@query(
+    "hh_token_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_SQL_WORDS}) AS tok FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS term_count
+    FROM toks, tot
+    GROUP BY tok, tot.n
+    HAVING COUNT(*) >= ceil(0.002 * n)
+    """,
+)
+def hh_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: exact heavy hitters (≥0.2% of corpus tokens) via
+    Misra-Gries screening + exact verification
+    (operators/sketches.heavy_hitters). The full GROUP BY the oracle
+    runs shuffles one row per DISTINCT token; the engine's plan
+    shuffles only broadcast-screened candidates, with a MEASURED
+    decrement bound proving no true heavy hitter was screened out —
+    the sketch accelerates, the result stays exact."""
+    from ..functions.text import words_expr
+    from ..operators.sketches import heavy_hitters
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(words_expr(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", min_fraction=0.002)

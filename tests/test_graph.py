@@ -144,3 +144,50 @@ def test_reliable_checkpoint_identical_labels(spark, tmp_path):
     import os
 
     assert os.path.isdir(ckpt)  # rounds actually wrote there
+
+
+def test_triangle_count_k4(spark):
+    from github_etl_spark.operators.graph import triangle_count
+
+    # K4: every pair of 4 nodes — C(4,3)=4 triangles, 6 edges
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    row = triangle_count(edges).head()
+    assert (row.n_triangles, row.n_edges, row.n_nodes) == (4, 6, 4)
+
+
+def test_triangle_count_triangle_free(spark):
+    from github_etl_spark.operators.graph import triangle_count
+
+    # star + path: no triangles
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (12, 13)],
+        "src long, dst long",
+    )
+    row = triangle_count(edges).head()
+    assert row.n_triangles == 0
+    assert row.n_edges == 8
+
+
+def test_triangle_count_dedups_and_orientation(spark):
+    from github_etl_spark.operators.graph import triangle_count
+
+    # one triangle given with duplicated / reversed edges and a self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)], "src long, dst long"
+    )
+    row = triangle_count(edges).head()
+    assert (row.n_triangles, row.n_edges, row.n_nodes) == (1, 3, 3)
+
+
+def test_triangle_count_hub_graph(spark):
+    from github_etl_spark.operators.graph import triangle_count
+    from pyspark.sql import functions as F
+
+    # hub 0 connected to 1..50, plus ring edges i—(i+1): triangle (0,i,i+1)
+    hub = [(0, i) for i in range(1, 51)]
+    ring = [(i, i + 1) for i in range(1, 50)]
+    edges = spark.createDataFrame(hub + ring, "src long, dst long")
+    row = triangle_count(edges).head()
+    assert row.n_triangles == 49
