@@ -27,7 +27,10 @@ Shape, all JVM-side expressions (no Python in the row path):
 - probe: the word array is inlined as a literal (a few KB broadcast in
   the task closure); membership = ``k`` constant-time bit tests
   ``element_at(words, pos >> 6) & (1 << (pos & 63)) != 0`` — no
-  per-row array scan.
+  per-row array scan. The big literal makes the PLAN large, which
+  costs a one-time codegen compile (~0.6 s measured for 2¹⁶ bits;
+  flat in k, cached on re-use) — amortized to nothing over a real
+  scan, and the per-row path stays whole-stage-codegen'd.
 
 Sizing: for n distinct keys and false-positive rate p, the classic
 m = -n·ln p / (ln 2)² bits, k = (m/n)·ln 2 hashes. The default

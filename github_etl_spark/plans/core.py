@@ -1192,6 +1192,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "tpch_q18_large_volume_customer",
+    headline=True,
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
            o.o_totalprice, SUM(l.l_quantity) AS sum_qty
@@ -1235,6 +1236,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "j7_bloom_prefilter_join",
+    headline=True,
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS order_count,

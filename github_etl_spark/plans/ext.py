@@ -1654,6 +1654,7 @@ def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_triangle_count",
+    headline=True,
     oracle="""
     WITH e AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -1677,16 +1678,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orients every edge by (degree, id) first, so a hub of degree d
     contributes O(sqrt(m)) wedges instead of O(d^2) — the difference
     between finishing and not on a power-law co-purchase graph."""
-    from ..operators.graph import triangle_count
+    from ..operators.graph import cooccurrence_edges, triangle_count
 
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
-    return triangle_count(edges, "pa", "pb")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges)

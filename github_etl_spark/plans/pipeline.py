@@ -604,6 +604,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hh_token_heavy_hitters",
+    headline=True,
     oracle=f"""
     WITH toks AS (SELECT unnest({_SQL_WORDS}) AS tok FROM documents),
     tot AS (SELECT COUNT(*) AS n FROM toks)

@@ -773,6 +773,7 @@ def metric_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w6_rolling_interval_sum",
+    headline=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
            (floor(SUM(o_totalprice) OVER (

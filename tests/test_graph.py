@@ -191,3 +191,30 @@ def test_triangle_count_hub_graph(spark):
     edges = spark.createDataFrame(hub + ring, "src long, dst long")
     row = triangle_count(edges).head()
     assert row.n_triangles == 49
+
+
+def test_cooccurrence_edges_matches_self_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.graph import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    got = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    want = a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_cooccurrence_edges_group_cap(spark):
+    from github_etl_spark.operators.graph import cooccurrence_edges
+
+    rows = [(1, i) for i in range(10)] + [(2, 100), (2, 101), (2, 102)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    capped = cooccurrence_edges(df, "g", "item", max_group_size=5)
+    # group 1 (10 items) dropped, group 2 keeps its 3 pairs
+    assert sorted(map(tuple, capped.collect())) == [
+        (100, 101), (100, 102), (101, 102),
+    ]
