@@ -630,3 +630,65 @@ def hh_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(words_expr(F.col("text"))).alias("tok")
     )
     return heavy_hitters(toks, "tok", min_fraction=0.002)
+
+
+@query(
+    "udtf_doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    c AS (
+      SELECT doc_id, len(w) AS n_tok,
+             unnest(range(0,
+               CASE WHEN len(w) <= 0 THEN 0
+                    WHEN len(w) <= 32 THEN 1
+                    ELSE 1 + CAST(ceil((len(w) - 32) / 24.0) AS INT) END)) AS chunk_id,
+             w
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(w[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n_tok)]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(w[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n_tok)], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def udtf_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: the same 32/24 context-window chunking as `doc_chunking`,
+    expressed as a Python UDTF + LATERAL join instead of slice/explode
+    expressions — completing the UDF surface (scalar pandas_udf,
+    grouped applyInPandas(WithState), mapInPandas, and now table
+    functions). Same oracle as doc_chunking, so the UDTF and the
+    expression pipeline are pinned value-for-value to each other.
+
+    Scale stance: a UDTF runs row-at-a-time in Python — the right tool
+    when per-row logic is genuinely procedural and emits a VARIABLE
+    number of rows (parsers, tokenizers with carry-over state); when
+    the expansion is expressible as array slices, the expression form
+    (`doc_chunking`) stays JVM-side and wins. Shipping both, pinned to
+    one oracle, documents that trade-off executably."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id long, n_chunk_tokens long, chunk_text string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [w for w in text.lower().split() if w]
+            if not toks:
+                return
+            window, stride = 32, 24
+            n = len(toks)
+            n_chunks = 1 if n <= window else 1 + -(-(n - window) // stride)
+            for i in range(n_chunks):
+                chunk = toks[i * stride : min(i * stride + window, n)]
+                yield i, len(chunk), " ".join(chunk)
+
+    t = load_tables(spark, sf_dir)
+    t["documents"].createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text "
+        "FROM __udtf_docs d, LATERAL chunk_doc(d.text) c"
+    )

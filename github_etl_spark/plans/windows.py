@@ -810,3 +810,113 @@ def w6_rolling_interval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_price"),
         F.count(F.lit(1)).over(w).alias("rolling_7d_orders"),
     )
+
+
+@query(
+    "ts_gap_fill_ffill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             (floor(SUM(value) * 100 + 0.5) / 100) AS hourly_value
+      FROM events WHERE value > 200 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+    grid AS (
+      SELECT k.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hr
+      FROM (SELECT DISTINCT event_type FROM hourly) k CROSS JOIN bounds b
+    )
+    SELECT g.event_type, g.hr,
+           h.hourly_value,
+           last_value(h.hourly_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           (h.hourly_value IS NULL) AS is_gap
+    FROM grid g
+    LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
+    """,
+)
+def ts_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify a sparse hourly aggregate onto a
+    complete per-key hour grid and forward-fill the holes — the
+    resample/ffill step every metrics pipeline runs before charting or
+    anomaly scoring.
+
+    Scale shape: the grid is keys × hours built by an in-row
+    ``sequence`` explode from a BROADCAST 1-row bounds aggregate (no
+    driver round-trip for the bounds, no grid materialization on the
+    driver); the fill is one ``last(ignorenulls)`` running window per
+    key — Spark evaluates it in a single pass over each key's sorted
+    partition, and the partition is bounded by the grid length, not the
+    event count."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .where(F.col("value") > 200)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(round_det(F.sum("value"), 2).alias("hourly_value"))
+    )
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hr",
+        "hourly_value",
+        F.last("hourly_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("hourly_value").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "user_growth_accumulation",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS hr FROM events GROUP BY 1
+    ),
+    hourly AS (SELECT hr, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY 1)
+    SELECT hr, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM hourly
+    """,
+)
+def user_growth_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct growth curve (hourly new + cumulative users)
+    WITHOUT a distinct-over-expanding-window: first-seen hour per user
+    (one keyed agg), hourly new-user counts (second agg, bucket-sized
+    output), then a running sum over buckets. The naive
+    count(DISTINCT) OVER (ORDER BY hr) form re-scans every prefix;
+    this shape is two map-side-combined aggregations plus a window
+    whose single partition is bounded by the number of TIME BUCKETS —
+    the only correct way to compute retention-style growth at corpus
+    scale."""
+    t = load_tables(spark, sf_dir)
+    first_seen = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("hour", "ts")).alias("hr"))
+    )
+    hourly = first_seen.groupBy("hr").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("hr").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hourly.select(
+        "hr",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

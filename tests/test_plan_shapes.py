@@ -37,7 +37,18 @@ EXCHANGE_BUDGET = {
     "event_transition_matrix": 2,
     "flagship_pr_snapshot": 3,
     "funnel_conversion": 1,
+    # 10 = edge dedup + degree agg + stat aggs + the explicit width pin
+    # + adjacency build/joins; the wedge work itself never shuffles
+    # (in-row array_intersect) — reviewed with the 8.3 s -> 4.1 s fix.
+    "graph_triangle_count": 10,
+    # 3 = MG summary exchange + candidate broadcast build + final agg;
+    # the token stream itself crosses one exchange only after the
+    # broadcast-semi candidate screen.
+    "hh_token_heavy_hitters": 3,
     "j1_broadcast_lookup_join": 1,
+    # 3 = bloom-bitmap build agg + probe-side distinct + final agg; the
+    # fact scan reaches the semi join without an exchange (broadcast).
+    "j7_bloom_prefilter_join": 3,
     "pipeline_filter_dedup_split": 1,
     "quality_decile_binning": 2,
     "scd2_merge": 5,
@@ -56,8 +67,12 @@ EXCHANGE_BUDGET = {
     "text_bigram_logprob": 6,
     "text_repetition": 0,
     "tpch_q3_shipping_priority": 3,
+    # 5 = lineitem pre-agg, the semi join's two sides, customer join,
+    # final re-aggregation — every one keyed; dims broadcast under AQE.
+    "tpch_q18_large_volume_customer": 5,
     "tokenize_encode": 4,
     "w1_row_number_topk_per_group": 1,
+    "w6_rolling_interval_sum": 1,
 }
 
 
