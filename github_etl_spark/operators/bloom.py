@@ -73,23 +73,7 @@ def build_bloom(
     driver collect are both bounded by the bitmap size (m/64 rows),
     independent of row count.
     """
-    if num_bits % 64:
-        raise ValueError("num_bits must be a multiple of 64")
-    positions = [
-        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(num_bits)).cast("long")
-        for i in range(num_hashes)
-    ]
-    words = (
-        df.where(F.col(key).isNotNull())
-        .select(F.explode(F.array(*positions)).alias("pos"))
-        .select(
-            (F.col("pos") / 64).cast("long").alias("word_idx"),
-            _shiftleft_1(F.col("pos")).alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bit").alias("bits"))
-        .collect()
-    )
+    words = build_bloom_df(df, key, num_bits, num_hashes).collect()
     out = [0] * (num_bits // 64)
     for row in words:
         out[row["word_idx"]] = row["bits"]
@@ -116,6 +100,78 @@ def bloom_might_contain(
     return cond
 
 
+def build_bloom_df(
+    df: DataFrame, key: str, num_bits: int, num_hashes: int = 5
+) -> DataFrame:
+    """The bloom bitmap as a (word_idx, bits) DataFrame — at most
+    ``num_bits/64`` rows, nothing on the driver. Shared by
+    :func:`build_bloom` (which collects it) and the broadcast probe
+    path (which joins it)."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    positions = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(num_bits)).cast("long")
+        for i in range(num_hashes)
+    ]
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(F.explode(F.array(*positions)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            _shiftleft_1(F.col("pos")).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_broadcast_filter(
+    fact: DataFrame,
+    fact_key: str,
+    words_df: DataFrame,
+    num_bits: int,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter ``fact`` against a bitmap held as a BROADCAST table
+    instead of a plan literal — the large-bitmap regime.
+
+    k map-side broadcast hash joins on the word index, each followed by
+    a bit test; an inner join drops rows whose word has no set bits at
+    all (correctly: absent word = member impossible). No shuffle of the
+    fact side, no giant literal in the plan (a literal bitmap is
+    re-compiled into EVERY union branch of the fact scan and its
+    codegen cost scales with bitmap size; the broadcast table ships
+    once per executor like any runtime filter).
+    """
+    out = fact
+    for i in range(num_hashes):
+        pos = F.pmod(
+            F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(num_bits)
+        ).cast("long")
+        w = words_df.select(
+            F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = (
+            out.join(
+                F.broadcast(w),
+                (pos / 64).cast("long") == F.col(f"__w{i}"),
+                "inner",
+            )
+            .where(F.col(f"__b{i}").bitwiseAND(_shiftleft_1(pos)) != 0)
+            .drop(f"__w{i}", f"__b{i}")
+        )
+    return out
+
+
+# Bitmap size (in 64-bit words) above which the inlined-literal probe
+# is replaced by the broadcast-table probe. Measured: the literal is
+# re-compiled per codegen subtree (one per union branch of the fact
+# plan), so a 35k-word literal on a 32-branch union cost ~80 s of
+# pure compile time; 4096 words (32 KiB, ~10^5 keys at 3% fpp) keeps
+# compile negligible while covering the fingerprint regime.
+MAX_LITERAL_WORDS = 4096
+
+
 def bloom_prefilter_join(
     fact: DataFrame,
     probe: DataFrame,
@@ -125,6 +181,7 @@ def bloom_prefilter_join(
     num_bits: int | None = None,
     num_hashes: int = 5,
     fpp: float = 0.03,
+    max_literal_words: int = MAX_LITERAL_WORDS,
 ) -> DataFrame:
     """Exact equi-join with a bloom pre-filter on the fact side.
 
@@ -134,6 +191,11 @@ def bloom_prefilter_join(
     At scale the win is that discarded rows never enter the shuffle:
     for a 1%-selective probe side, the exchange moves ~1% (+fpp) of the
     fact bytes instead of all of them.
+
+    The bitmap is sized from the probe side's distinct-key count unless
+    ``num_bits`` is given, and probes as a plan literal up to
+    ``max_literal_words`` (cheapest: pure codegen, zero joins) or as a
+    broadcast table beyond it (see :func:`bloom_broadcast_filter`).
     """
     if how not in ("inner", "semi", "left_semi", "leftsemi"):
         raise ValueError(
@@ -143,8 +205,16 @@ def bloom_prefilter_join(
     if num_bits is None:
         n = probe.select(probe_key).distinct().count()
         num_bits = optimal_bits(n, fpp)
-    words = build_bloom(probe, probe_key, num_bits, num_hashes)
-    pruned = fact.where(bloom_might_contain(F.col(fact_key), words, num_hashes))
+    if num_bits // 64 <= max_literal_words:
+        words = build_bloom(probe, probe_key, num_bits, num_hashes)
+        pruned = fact.where(
+            bloom_might_contain(F.col(fact_key), words, num_hashes)
+        )
+    else:
+        words_df = build_bloom_df(probe, probe_key, num_bits, num_hashes)
+        pruned = bloom_broadcast_filter(
+            fact, fact_key, words_df, num_bits, num_hashes
+        )
     if how in ("semi", "left_semi", "leftsemi"):
         return pruned.join(
             probe.select(probe_key).distinct(),

@@ -101,6 +101,15 @@ def heavy_hitters(
     ).head()
     n_total, d_bound = int(stats["n"] or 0), int(stats["d"] or 0)
     threshold = math.ceil(min_fraction * n_total)
+    if n_total == 0:
+        # empty input: no items, trivially no heavy hitters (the bound
+        # check below would otherwise reject threshold 0 <= d 0)
+        return (
+            items.select(F.col(col).cast("string").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("term_count"))
+            .limit(0)
+        )
     if threshold <= d_bound:
         raise HeavyHitterBoundError(
             f"screening error bound {d_bound} >= threshold {threshold}; "

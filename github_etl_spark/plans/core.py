@@ -1347,3 +1347,39 @@ def a6_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "j7_bloom_broadcast_regime",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_acctbal > 5000)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def j7_bloom_broadcast_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom pre-filter's LARGE-bitmap regime (operators/bloom.py:
+    bloom_broadcast_filter), forced via max_literal_words=0: the bitmap
+    probes as a broadcast (word_idx, bits) table through k map-side
+    joins instead of a plan literal — the shape that stays viable when
+    the dimension's key count pushes the bitmap past what a codegen
+    literal tolerates (the literal is recompiled per union branch of
+    the fact plan; measured ~80 s at 35k words x 32 branches). Exact
+    semi join after the screen keeps the result row-identical to the
+    plain EXISTS oracle, so BOTH probe regimes carry an oracle check
+    (the literal regime is j7_bloom_prefilter_join)."""
+    from ..operators.bloom import bloom_prefilter_join
+
+    t = load_tables(spark, sf_dir)
+    probe = t["customer"].where(F.col("c_acctbal") > 5000)
+    joined = bloom_prefilter_join(
+        t["orders"], probe, "o_custkey", "c_custkey", "semi",
+        num_bits=1 << 16, max_literal_words=0,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )

@@ -97,3 +97,49 @@ def test_bitmap_size_independent_of_rows(spark):
     big = spark.range(0, 50_000).select(F.col("id").alias("k"))
     words = build_bloom(big, "k", num_bits=1 << 12, num_hashes=3)
     assert len(words) == (1 << 12) // 64
+
+
+def test_broadcast_path_matches_literal_path(spark, sf_dir):
+    from github_etl_spark.operators.bloom import (
+        bloom_broadcast_filter,
+        build_bloom_df,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probe = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    num_bits = 1 << 14
+    words = build_bloom(probe, "c_custkey", num_bits, 5)
+    lit_rows = sorted(
+        r.o_orderkey
+        for r in orders.where(
+            bloom_might_contain(F.col("o_custkey"), words, 5)
+        ).collect()
+    )
+    wdf = build_bloom_df(probe, "c_custkey", num_bits, 5)
+    bc_rows = sorted(
+        r.o_orderkey
+        for r in bloom_broadcast_filter(orders, "o_custkey", wdf, num_bits, 5).collect()
+    )
+    assert lit_rows == bc_rows
+
+
+def test_prefilter_join_large_bitmap_uses_broadcast(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probe = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    # force the broadcast regime with a tiny literal cap
+    got = bloom_prefilter_join(
+        orders, probe, "o_custkey", "c_custkey", "semi",
+        num_bits=1 << 14, max_literal_words=4,
+    )
+    want = orders.join(
+        probe.select("c_custkey").distinct(),
+        orders["o_custkey"] == probe["c_custkey"],
+        "left_semi",
+    )
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    )

@@ -40,6 +40,7 @@ def empty_sf_dir(tmp_path_factory):
 GLOBAL_AGG_ROWS = {
     "s8_existence_probe": 1,  # the probe's answer IS "snapshot_exists=0"
     "a4_hll_sketch": 1,  # the cross-group "ALL" union row
+    "graph_triangle_count": 1,  # global (n_triangles=0, n_edges=0, n_nodes=0)
 }
 
 

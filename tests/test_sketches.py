@@ -77,3 +77,10 @@ def test_all_same_item(spark):
     items = spark.range(0, 5000).select(F.lit("only").alias("item"))
     got = heavy_hitters(items, "item", 0.9, counters=4).collect()
     assert {(r["tok"], r["term_count"]) for r in got} == {("only", 5000)}
+
+
+def test_empty_input_returns_empty(spark):
+    items = spark.range(0).select(F.col("id").alias("item"))
+    got = heavy_hitters(items, "item", 0.01)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["tok", "term_count"]

@@ -133,8 +133,131 @@ def skew_probe(spark, docs):
     return rows
 
 
+def relational_probe(spark, t, ks):
+    """Round-5 additions: triangle counting, bloom join pruning, exact
+    heavy hitters. The graph is replicated DISJOINTLY (both endpoints
+    offset), so edges and triangles grow exactly K-fold — any
+    superlinear time growth is the operator, never the data."""
+    from github_etl_spark.operators.bloom import (
+        bloom_might_contain,
+        bloom_prefilter_join,
+        build_bloom,
+    )
+    from github_etl_spark.operators.graph import cooccurrence_edges, triangle_count
+    from github_etl_spark.operators.sketches import heavy_hitters
+    from github_etl_spark.functions.text import words_expr
+
+    lines = [
+        "",
+        "## Relational & graph probe — triangles, bloom join, heavy hitters",
+        "",
+        "| K | edges | triangles | triangle sec | bloom join sec | plain semi sec | bloom-pruned rows | fact rows | HH tokens | HH sec |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    orders, cust, docs = t["orders"], t["customer"], t["documents"]
+    # Bloom probe design: the PROBE dimension stays FIXED (the bloom
+    # use case is a bounded-cardinality dim against a growing fact);
+    # the fact is replicated on its own row id so selectivity is
+    # constant in K. Bitmap sizing is the operator's adaptive default.
+    probe_dim = cust.where(F.col("c_mktsegment") == "BUILDING")
+    for k in ks:
+        # disjoint graph replication: offset BOTH group and item keys
+        parts_k = [
+            li.select(
+                (F.col("l_orderkey") * k + i).alias("l_orderkey"),
+                (F.col("l_partkey") * k + i).alias("l_partkey"),
+            )
+            for i in range(k)
+        ]
+        from functools import reduce
+
+        li_k = reduce(lambda a, b: a.unionByName(b), parts_k)
+        edges = cooccurrence_edges(li_k, "l_orderkey", "l_partkey")
+        t0 = time.perf_counter()
+        row = triangle_count(edges).head()
+        t_tri = time.perf_counter() - t0
+
+        o_k = replicate(orders, "o_orderkey", k)
+        t0 = time.perf_counter()
+        bloom_prefilter_join(o_k, probe_dim, "o_custkey", "c_custkey", "semi").count()
+        t_bloom = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        o_k.join(
+            probe_dim.select("c_custkey").distinct(),
+            o_k["o_custkey"] == probe_dim["c_custkey"],
+            "left_semi",
+        ).count()
+        t_plain = time.perf_counter() - t0
+        from github_etl_spark.operators.bloom import optimal_bits
+
+        nb = optimal_bits(probe_dim.count())
+        words = build_bloom(probe_dim, "c_custkey", nb, 5)
+        n_fact = o_k.count()
+        n_pruned = o_k.where(
+            bloom_might_contain(F.col("o_custkey"), words, 5)
+        ).count()
+
+        d_k = replicate(docs, "doc_id", k)
+        toks = d_k.select(F.explode(words_expr(F.col("text"))).alias("tok"))
+        t0 = time.perf_counter()
+        heavy_hitters(toks, "tok", min_fraction=0.002).count()
+        t_hh = time.perf_counter() - t0
+        n_tok = toks.count()
+        lines.append(
+            f"| {k} | {row['n_edges']} | {row['n_triangles']} | {t_tri:.1f} "
+            f"| {t_bloom:.1f} | {t_plain:.1f} | {n_pruned} | {n_fact} "
+            f"| {n_tok} | {t_hh:.1f} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Triangles: disjoint replication fixes triangles/edge, so the",
+        "triangle column growing ~K-linearly while per-edge adjacency",
+        "stays bounded is the compact-forward design claim. Bloom join:",
+        "fixed dimension vs K-growing fact (the runtime-filter use",
+        "case); the pruned-rows column is the exchange the bitmap",
+        "avoids — fact minus pruned rows never shuffle. At THIS scale",
+        "the plain semi join broadcasts the small dim and wins on wall",
+        "clock; the bloom's value begins where the dim exceeds the",
+        "broadcast threshold (then the plain form must shuffle the",
+        "whole fact, the bloom form ~selectivity+fpp of it). Past",
+        "MAX_LITERAL_WORDS the probe switches from a plan literal to",
+        "a broadcast bitmap table (k map-side joins) — the literal is",
+        "recompiled per union branch and measured ~80 s at 35k words",
+        "on a 32-branch fact before the cutover existed. Heavy",
+        "hitters: Misra-Gries screening keeps the exact pass",
+        "candidate-bounded; time should track token count",
+        "near-linearly with a vocabulary-independent shuffle.",
+    ]
+    return lines
+
+
+def splice_relational(lines: list[str]) -> None:
+    """Replace the relational section of an existing SCALE_PROBE.md in
+    place (regenerating only the cheap round-5 section)."""
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "SCALE_PROBE.md",
+    )
+    with open(out) as f:
+        existing = f.read().splitlines()
+    marker = "## Relational & graph probe — triangles, bloom join, heavy hitters"
+    idx = existing.index(marker) - 1 if marker in existing else len(existing)
+    with open(out, "w") as f:
+        f.write("\n".join(existing[:idx] + lines) + "\n")
+
+
 def main():
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 32]
+    args = [a for a in sys.argv[1:] if a != "--relational-only"]
+    relational_only = "--relational-only" in sys.argv[1:]
+    ks = [int(a) for a in args] or [1, 4, 16, 32]
+    if relational_only:
+        spark = get_spark("scale_probe")
+        t = load_tables(spark, SF_DIR, register=False)
+        splice_relational(relational_probe(spark, t, ks))
+        return
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
     docs, emb = t["documents"], t["embeddings"]
@@ -306,6 +429,7 @@ def main():
         "structure, with per-round work linear in the shrinking edge",
         "set) \u2014 the property that keeps a 10^11-edge graph tractable.",
     ]
+    lines += relational_probe(spark, t, ks)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "SCALE_PROBE.md")
     with open(out, "w") as f:
