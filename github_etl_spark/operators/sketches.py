@@ -90,10 +90,9 @@ def heavy_hitters(
     if not 0 < min_fraction < 1:
         raise ValueError("min_fraction must be in (0, 1)")
     k = counters or math.ceil(2 / min_fraction)
-    schema = "tok string, lower long, dsum long, nrows long"
     summaries = (
         items.select(F.col(col).cast("string").alias(col))
-        .mapInPandas(_mg_summaries(col, k), schema=schema)
+        .mapInPandas(_mg_summaries(col, k), schema=SUMMARY_SCHEMA)
         .localCheckpoint()  # summaries are tiny (≤ k+1 rows/partition); both consumers reuse them
     )
     stats = summaries.where(F.col("tok").isNull()).agg(
@@ -122,4 +121,104 @@ def heavy_hitters(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("term_count"))
         .where(F.col("term_count") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable MG summaries — incremental heavy hitters across ingests
+# ---------------------------------------------------------------------------
+
+SUMMARY_SCHEMA = "tok string, lower long, dsum long, nrows long"
+
+
+def mg_summarize(items: DataFrame, col: str, counters: int) -> DataFrame:
+    """ONE Misra-Gries summary of ``items[col]`` as a small DataFrame:
+    ≤ ``counters`` (tok, lower) rows plus a stats row (tok NULL,
+    dsum = total decrement, nrows = items seen).
+
+    This is the PER-INGEST artifact of the incremental heavy-hitters
+    pattern: summarize each ingest batch once (its only full scan),
+    persist the summary (counters-bounded, trivially small), and fold
+    summaries with :func:`mg_merge` — history is never rescanned. MG
+    summaries are mergeable with additive error (Agarwal et al.,
+    "Mergeable Summaries", PODS'12): any item's true count t satisfies
+    lower ≤ t ≤ lower + dsum, with absent items ≤ dsum.
+    """
+    per_part = (
+        items.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(_mg_summaries(col, counters), schema=SUMMARY_SCHEMA)
+    )
+    return _prune_summary(per_part, counters)
+
+
+def mg_merge(a: DataFrame, b: DataFrame, counters: int) -> DataFrame:
+    """Fold two MG summaries into one (same schema, same bound
+    semantics; dsum adds across inputs plus any merge-prune)."""
+    return _prune_summary(a.unionByName(b), counters)
+
+
+def _prune_summary(parts: DataFrame, counters: int) -> DataFrame:
+    """Combine summary fragments: sum counters per token, then apply
+    one MG prune so the result is ≤ ``counters`` rows. The prune
+    subtracts the (excess)-th smallest combined count from every
+    counter (dropping ≤0) and adds it to the decrement total —
+    distributed as one small aggregation + window over ≤ fragments ×
+    counters rows, never over item data."""
+    cand = (
+        parts.where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("lower").alias("lower"))
+    )
+    stats = parts.where(F.col("tok").isNull()).agg(
+        F.coalesce(F.sum("dsum"), F.lit(0)).alias("dsum"),
+        F.coalesce(F.sum("nrows"), F.lit(0)).alias("nrows"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = cand.withColumn(
+        "__rk", F.row_number().over(W.orderBy(F.col("lower").asc(), F.col("tok").asc()))
+    ).withColumn("__n", F.count(F.lit(1)).over(W.partitionBy()))
+    # d = the (n - counters)-th smallest count when n > counters, else 0
+    d_row = (
+        ranked.where(F.col("__n") > counters)
+        .where(F.col("__rk") == F.col("__n") - counters)
+        .select(F.col("lower").alias("d"))
+    )
+    d_df = d_row.unionByName(
+        ranked.limit(0).select(F.lit(0).cast("long").alias("d"))
+    ).agg(F.coalesce(F.max("d"), F.lit(0)).alias("d"))
+    kept = (
+        cand.crossJoin(F.broadcast(d_df))
+        .where(F.col("lower") > F.col("d"))
+        .select(
+            "tok",
+            (F.col("lower") - F.col("d")).alias("lower"),
+            F.lit(0).cast("long").alias("dsum"),
+            F.lit(0).cast("long").alias("nrows"),
+        )
+    )
+    stats_row = stats.crossJoin(F.broadcast(d_df)).select(
+        F.lit(None).cast("string").alias("tok"),
+        F.lit(0).cast("long").alias("lower"),
+        (F.col("dsum") + F.col("d")).cast("long").alias("dsum"),
+        F.col("nrows").cast("long").alias("nrows"),
+    )
+    return kept.unionByName(stats_row)
+
+
+def mg_estimate(summary: DataFrame) -> DataFrame:
+    """Point estimates with certified bounds from a summary:
+    (tok, count_lower, count_upper). Any item absent from the summary
+    has true count ≤ the summary's dsum."""
+    d = summary.where(F.col("tok").isNull()).select(
+        F.col("dsum").alias("__d")
+    )
+    return (
+        summary.where(F.col("tok").isNotNull())
+        .crossJoin(F.broadcast(d))
+        .select(
+            "tok",
+            F.col("lower").alias("count_lower"),
+            (F.col("lower") + F.col("__d")).alias("count_upper"),
+        )
     )

@@ -14,8 +14,10 @@ Contract: each delta must be disjoint from rows already folded in
 (the snapshot sink's dynamic-partition-overwrite idempotence provides
 exactly that unit — one `(repo, date)` partition = one delta).
 Holistic aggregates (exact distinct counts, medians) do NOT merge
-this way; for those keep the sketch family (HLL `a4_hll_sketch`)
-whose states are mergeable by design.
+this way; for those keep the sketch family whose states are mergeable
+by design: HLL (`a4_hll_sketch`, hll_union_agg) for distincts,
+Misra-Gries summaries (operators/sketches.mg_summarize / mg_merge)
+for per-ingest heavy-hitter maintenance with certified bounds.
 
 The rollup table itself is rollup-sized (group-key cardinality), so
 the rewrite-on-update is cheap; crash-safety between read and rewrite

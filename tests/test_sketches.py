@@ -84,3 +84,68 @@ def test_empty_input_returns_empty(spark):
     got = heavy_hitters(items, "item", 0.01)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["tok", "term_count"]
+
+
+def _true_counts(rows):
+    from collections import Counter
+
+    return Counter(str(x) for x in rows)
+
+
+def test_mg_summarize_bounds_hold(spark):
+    from github_etl_spark.operators.sketches import mg_estimate, mg_summarize
+
+    data = [i % 7 for i in range(3000)] + [0] * 500  # item "0" is hot
+    df = spark.createDataFrame([(x,) for x in data], "item long")
+    summ = mg_summarize(df, "item", counters=4)
+    assert summ.where(F.col("tok").isNotNull()).count() <= 4 + 3  # ties tolerated
+    true = _true_counts(data)
+    for r in mg_estimate(summ).collect():
+        assert r.count_lower <= true[r.tok] <= r.count_upper
+
+
+def test_mg_merge_matches_union_bounds(spark):
+    from github_etl_spark.operators.sketches import (
+        mg_estimate,
+        mg_merge,
+        mg_summarize,
+    )
+
+    a_data = [i % 5 for i in range(1000)] + [1] * 300
+    b_data = [i % 9 for i in range(1500)] + [1] * 400
+    a = spark.createDataFrame([(x,) for x in a_data], "item long")
+    b = spark.createDataFrame([(x,) for x in b_data], "item long")
+    merged = mg_merge(
+        mg_summarize(a, "item", 8), mg_summarize(b, "item", 8), 8
+    )
+    stats = merged.where(F.col("tok").isNull()).head()
+    assert stats.nrows == len(a_data) + len(b_data)
+    true = _true_counts(a_data + b_data)
+    est = {r.tok: r for r in mg_estimate(merged).collect()}
+    # the hottest item must survive the merge with valid bounds
+    assert "1" in est
+    for tok, r in est.items():
+        assert r.count_lower <= true[tok] <= r.count_upper
+    # absent items are bounded by dsum
+    for tok, c in true.items():
+        if tok not in est:
+            assert c <= stats.dsum
+
+
+def test_mg_merge_empty_is_identity(spark):
+    from github_etl_spark.operators.sketches import mg_merge, mg_summarize
+
+    data = [1, 1, 1, 2, 2, 3]
+    df = spark.createDataFrame([(x,) for x in data], "item long")
+    empty = spark.createDataFrame([], "item long")
+    s = mg_summarize(df, "item", 8)
+    m = mg_merge(s, mg_summarize(empty, "item", 8), 8)
+    got = {
+        (r.tok, r.lower)
+        for r in m.where(F.col("tok").isNotNull()).collect()
+    }
+    want = {
+        (r.tok, r.lower)
+        for r in s.where(F.col("tok").isNotNull()).collect()
+    }
+    assert got == want
