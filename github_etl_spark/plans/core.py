@@ -1383,3 +1383,42 @@ def j7_bloom_broadcast_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("order_count")
     )
+
+
+@query(
+    "tpch_q12_priority_classes",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): pivoted
+    conditional counting — CASE inside SUM turns one pass over the
+    join into two priority-class tallies per group (the fixtures carry
+    no l_shipmode/l_commitdate, so the class predicate rides on
+    o_orderpriority and the group on l_returnflag; the operator shape —
+    join + conditional aggregate — is Q12's). The year filter reaches
+    the lineitem scan; partial aggregation folds each map task to ≤
+    |groups| rows before the single exchange."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )

@@ -66,3 +66,89 @@ def running_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: sharded Misra-Gries state across micro-batches
+# ---------------------------------------------------------------------------
+
+MG_OUTPUT_SCHEMA = "shard int, tok string, lower long, dsum long, nrows long"
+MG_STATE_SCHEMA = (
+    "toks array<string>, counts array<long>, dsum long, nrows long"
+)
+
+
+def _mg_update_fn(counters: int):
+    def update(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            toks, counts, dsum, nrows = state.get
+            mg = dict(zip(toks or [], counts or []))
+            dsum, nrows = dsum or 0, nrows or 0
+        else:
+            mg, dsum, nrows = {}, 0, 0
+        for pdf in pdf_iter:
+            vals = pdf["tok"].dropna()
+            nrows += len(vals)
+            for item, c in vals.value_counts().items():
+                mg[item] = mg.get(item, 0) + int(c)
+            excess = len(mg) - counters
+            if excess > 0:
+                d = sorted(mg.values())[excess - 1]
+                dsum += d
+                mg = {t: v - d for t, v in mg.items() if v > d}
+        state.update((list(mg.keys()), list(mg.values()), dsum, nrows))
+        state.setTimeoutDuration(IDLE_EVICT_MS)
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(mg),
+                "tok": list(mg.keys()),
+                "lower": list(mg.values()),
+                "dsum": [dsum] * len(mg),
+                "nrows": [nrows] * len(mg),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(
+    tokens: DataFrame,
+    col: str = "tok",
+    counters: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Heavy-hitter tracking over an unbounded token stream: tokens are
+    consistently hashed onto ``shards`` independent Misra-Gries states
+    (one shuffle to co-locate a shard's tokens; each shard's state is
+    ≤ ``counters`` entries regardless of vocabulary), and every
+    micro-batch emits each updated shard's current summary with its
+    certified error terms.
+
+    The emitted rows ARE `operators/sketches.py` summary fragments:
+    downstream folds them with ``mg_merge``/``mg_estimate`` for global
+    bounds (a token's true stream count t satisfies
+    lower_shard ≤ t ≤ lower_shard + dsum_shard — consistent hashing
+    sends all its occurrences to one shard, so per-shard MG semantics
+    are exact for it). State is bounded by shards × counters entries;
+    idle shards evict after six hours like `running_totals`.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = tokens.select(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(shards)).cast("int").alias("shard"),
+        F.col(col).cast("string").alias("tok"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _mg_update_fn(counters),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

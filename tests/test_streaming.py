@@ -12,6 +12,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from github_etl_spark.sinks.snapshot import read_snapshot
 from github_etl_spark.streaming import (
@@ -351,3 +352,54 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     ]
     assert rows == [(1, 1, 100)]  # only the in-window pair for user 1
+
+
+def test_streaming_heavy_hitters_state_and_bounds(spark, stream_dir, tmp_path):
+    from collections import Counter
+
+    from github_etl_spark.streaming.stateful import streaming_heavy_hitters
+
+    now = time.time()
+    # two micro-batches of word events; "hot" dominates across both
+    b1 = ["hot"] * 30 + ["warm"] * 10 + ["a", "b", "c"] * 2
+    b2 = ["hot"] * 25 + ["cool"] * 12 + ["d", "e"] * 3
+    _write_file(
+        stream_dir / "w1.json",
+        [{"event_id": i, "user_id": 0, "ts": "2026-03-01T10:00:00Z", "event_type": w}
+         for i, w in enumerate(b1)],
+        now - 10,
+    )
+    _write_file(
+        stream_dir / "w2.json",
+        [{"event_id": 1000 + i, "user_id": 0, "ts": "2026-03-01T10:01:00Z", "event_type": w}
+         for i, w in enumerate(b2)],
+        now,
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(stream_dir))
+        .select(F.col("event_type").alias("tok"))
+    )
+    out = streaming_heavy_hitters(stream, "tok", counters=4, shards=4)
+    _drain(out, "hh_stream_out", str(tmp_path / "ck_hh"))
+    rows = spark.sql("SELECT * FROM hh_stream_out").collect()
+    assert rows, "stream emitted no summaries"
+    # Cumulative truth over both batches; per-token shard is consistent,
+    # so the LAST summary row for a token's shard certifies its bounds.
+    true = Counter(b1 + b2)
+    latest = {}
+    for r in rows:  # memory sink appends in batch order
+        latest[(r.shard, r.tok)] = r
+    # group the final state per shard: nrows identifies the last emission
+    final_per_shard = {}
+    for (shard, tok), r in latest.items():
+        final_per_shard.setdefault(shard, []).append(r)
+    seen_hot = False
+    for shard, rs in final_per_shard.items():
+        dsum = max(r.dsum for r in rs)
+        for r in rs:
+            if r.tok == "hot":
+                seen_hot = True
+                assert r.lower <= true["hot"] <= r.lower + dsum
+    assert seen_hot, "dominant token must survive MG state across batches"
