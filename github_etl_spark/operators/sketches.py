@@ -222,3 +222,94 @@ def mg_estimate(summary: DataFrame) -> DataFrame:
             (F.col("lower") + F.col("__d")).alias("count_upper"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample — the mergeable quantile member of the sketch family
+# ---------------------------------------------------------------------------
+
+
+def _sample_hash(id_col: str, hash_family: str):
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.col(id_col))
+    if hash_family == "md5_portable":
+        # 60 bits of md5 (15 hex digits fit a signed long) — engine-
+        # portable, so DuckDB replays the SAME sample row-for-row.
+        return F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash family: {hash_family!r}")
+
+
+def bottomk_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic uniform row sample of size ≤ k: the rows whose
+    hashed ids are globally smallest. Returns (hkey, ``id_col``,
+    ``value_col``).
+
+    This is the quantile member of the mergeable-sketch family (HLL →
+    distincts, Misra-Gries → heavy hitters): a bottom-k sample is a
+    MERGEABLE summary — bottom-k of a union equals bottom-k of the
+    concatenated per-ingest bottom-k's (ids are globally unique, the
+    hash is deterministic), so per-ingest samples fold with
+    :func:`bottomk_merge` and history is never rescanned. Sample
+    quantiles then estimate population quantiles with O(1/√k) error.
+
+    Scale shape: ``orderBy(h).limit(k)`` plans as
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, no global sort, no shuffle of non-surviving rows. The
+    ``md5_portable`` family makes the sample itself replayable in SQL
+    (the catalog query's DuckDB oracle re-derives the identical sample
+    and quantiles).
+    """
+    h = _sample_hash(id_col, hash_family)
+    return (
+        df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(h.alias("hkey"), F.col(id_col), F.col(value_col))
+        .orderBy("hkey", id_col)
+        .limit(k)
+    )
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Fold two bottom-k samples (same schema): union, re-take the k
+    globally smallest. Exactly equals the sample of the combined input
+    when ids are disjoint across the inputs."""
+    cols = a.columns
+    return a.unionByName(b).orderBy(cols[0], cols[1]).limit(k)
+
+
+def sample_quantiles(
+    sample: DataFrame, value_col: str, qs: list[float]) -> DataFrame:
+    """One row of DISCRETE quantiles (q_XX columns: the sample value at
+    index floor(q·(n−1)) of the sorted sample) plus ``sample_n``.
+
+    Discrete selection, not interpolation: both engines pick the SAME
+    sample element, so the result is bit-identical cross-engine — a
+    lerp's last-ulp float differences would flip any rounding. Sorting
+    k rows in one window partition is bounded by the SKETCH size, never
+    by data size.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = sample.select(
+        F.col(value_col),
+        F.row_number().over(W.orderBy(value_col)).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("__n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.floor(F.lit(q) * (F.col("__n") - 1)).cast("int") + 1,
+                F.col(value_col),
+            )
+        ).alias(f"q_{int(q * 100):02d}")
+        for q in qs
+    ]
+    return ranked.agg(*aggs, F.max("__n").cast("long").alias("sample_n"))

@@ -1684,3 +1684,54 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].select("l_orderkey", "l_partkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return triangle_count(edges)
+
+
+@query(
+    "quantile_sketch_bottomk",
+    oracle="""
+    WITH sample AS (
+      SELECT o_totalprice FROM (
+        SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS hkey,
+               o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        ORDER BY hkey, o_orderkey LIMIT 500
+      )
+    ),
+    ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice) AS rn,
+             count(*) OVER () AS n
+      FROM sample
+    )
+    SELECT MAX(CASE WHEN rn = CAST(floor(0.10 * (n - 1)) AS INT) + 1
+                    THEN o_totalprice END) AS q_10,
+           MAX(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS INT) + 1
+                    THEN o_totalprice END) AS q_50,
+           MAX(CASE WHEN rn = CAST(floor(0.90 * (n - 1)) AS INT) + 1
+                    THEN o_totalprice END) AS q_90,
+           MAX(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS INT) + 1
+                    THEN o_totalprice END) AS q_99,
+           CAST(MAX(n) AS BIGINT) AS sample_n
+    FROM ranked
+    """,
+)
+def quantile_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: mergeable quantile sketch (operators/sketches.py): the
+    bottom-k-by-portable-hash row sample — the quantile member of the
+    mergeable-summary family (HLL → distincts, Misra-Gries → heavy
+    hitters). The md5 hash family lets DuckDB re-derive the IDENTICAL
+    sample; discrete index selection (no interpolation) makes the
+    quantiles bit-equal. Spark plans the sample as
+    TakeOrderedAndProject: per-partition bottom-k heaps, no global
+    sort, shuffle bounded by k — and per-ingest samples fold with
+    bottomk_merge, so maintained quantiles never rescan history."""
+    from ..operators.sketches import bottomk_sample, sample_quantiles
+
+    t = load_tables(spark, sf_dir)
+    sample = bottomk_sample(
+        t["orders"], "o_totalprice", "o_orderkey", k=500,
+        hash_family="md5_portable",
+    )
+    return sample_quantiles(sample, "o_totalprice", [0.10, 0.50, 0.90, 0.99])

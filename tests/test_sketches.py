@@ -149,3 +149,45 @@ def test_mg_merge_empty_is_identity(spark):
         for r in s.where(F.col("tok").isNotNull()).collect()
     }
     assert got == want
+
+
+def test_bottomk_merge_equals_whole(spark):
+    from github_etl_spark.operators.sketches import bottomk_merge, bottomk_sample
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("rid"), (F.col("id") * 7 % 1000).cast("double").alias("v")
+    )
+    a = df.where(F.col("rid") < 5000)
+    b = df.where(F.col("rid") >= 5000)
+    whole = bottomk_sample(df, "v", "rid", 200)
+    merged = bottomk_merge(
+        bottomk_sample(a, "v", "rid", 200), bottomk_sample(b, "v", "rid", 200), 200
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_bottomk_quantile_accuracy(spark):
+    from github_etl_spark.operators.sketches import bottomk_sample, sample_quantiles
+
+    # uniform values 0..9999: true median 5000
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("rid"), F.col("id").cast("double").alias("v")
+    )
+    s = bottomk_sample(df, "v", "rid", 400)
+    row = sample_quantiles(s, "v", [0.5]).head()
+    assert row.sample_n == 400
+    assert abs(row.q_50 - 5000) < 800  # O(1/sqrt(k)) tolerance
+
+
+def test_bottomk_portable_matches_xxhash_size(spark):
+    from github_etl_spark.operators.sketches import bottomk_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("rid"), F.col("id").cast("double").alias("v")
+    )
+    for fam in ("xxhash64", "md5_portable"):
+        assert bottomk_sample(df, "v", "rid", 100, hash_family=fam).count() == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash family"):
+        bottomk_sample(df, "v", "rid", 100, hash_family="nope")
