@@ -1422,3 +1422,55 @@ def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@query(
+    "a7_share_of_total",
+    oracle="""
+    WITH nation_rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             SUM(o.o_totalprice) AS rev
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, region,
+           (floor(rev * 100 + 0.5) / 100) AS revenue,
+           (floor(rev / SUM(rev) OVER (PARTITION BY region) * 1000000 + 0.5)
+            / 1000000) AS share_of_region,
+           (floor(rev / SUM(rev) OVER () * 1000000 + 0.5)
+            / 1000000) AS share_of_total
+    FROM nation_rev
+    """,
+)
+def a7_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-group / percent-of-total — the ratio-to-report window
+    shape every BI layer generates. One keyed aggregation first (the
+    window then runs over NATION-sized rows, not the fact table), a
+    region-partitioned window sum and an unpartitioned one on top.
+    The single-partition global window is safe exactly because its
+    input is the aggregate's group cardinality, not data volume."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return rev.select(
+        "nation",
+        "region",
+        round_det(F.col("rev"), 2).alias("revenue"),
+        round_det(
+            F.col("rev") / F.sum("rev").over(W.partitionBy("region")), 6
+        ).alias("share_of_region"),
+        round_det(F.col("rev") / F.sum("rev").over(W.partitionBy()), 6).alias(
+            "share_of_total"
+        ),
+    )
