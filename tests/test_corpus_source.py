@@ -6,8 +6,6 @@ from __future__ import annotations
 import gzip
 import json
 
-from pyspark.sql import functions as F
-
 from github_etl_spark.sources.corpus import read_jsonl_corpus
 
 SCHEMA = "doc_id bigint, text string, lang string"

@@ -41,6 +41,7 @@ GLOBAL_AGG_ROWS = {
     "s8_existence_probe": 1,  # the probe's answer IS "snapshot_exists=0"
     "a4_hll_sketch": 1,  # the cross-group "ALL" union row
     "graph_triangle_count": 1,  # global (n_triangles=0, n_edges=0, n_nodes=0)
+    "quantile_sketch_bottomk": 1,  # global agg: NULL quantiles over an empty sample
 }
 
 
