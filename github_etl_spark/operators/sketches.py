@@ -313,3 +313,67 @@ def sample_quantiles(
         for q in qs
     ]
     return ranked.agg(*aggs, F.max("__n").cast("long").alias("sample_n"))
+
+
+def bottomk_sample_grouped(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    k: int,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-group bottom-k samples: for every combination of
+    ``group_cols``, the k rows with smallest hashed ids — the grouped
+    form of :func:`bottomk_sample`, maintaining a quantile sketch PER
+    SEGMENT (per language, per source, per day) in one pass.
+
+    One hash exchange on the group key, then a per-partition rank
+    filter; the output is ≤ groups × k rows. Merges exactly like the
+    global sample: union per-ingest grouped samples and re-rank (ids
+    unique across ingests ⇒ merge equals the sample of the union).
+    """
+    from pyspark.sql import Window as W
+
+    h = _sample_hash(id_col, hash_family)
+    w = W.partitionBy(*group_cols).orderBy("hkey", id_col)
+    return (
+        df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(*group_cols, h.alias("hkey"), F.col(id_col), F.col(value_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def grouped_sample_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[float],
+) -> DataFrame:
+    """Discrete quantiles per group from a grouped sample (same
+    index-selection contract as :func:`sample_quantiles` — both engines
+    pick identical sample elements, no interpolation float risk)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(value_col)
+    ranked = sample.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy(*group_cols)).alias("__n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.floor(F.lit(q) * (F.col("__n") - 1)).cast("int") + 1,
+                F.col(value_col),
+            )
+        ).alias(f"q_{int(q * 100):02d}")
+        for q in qs
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        *aggs, F.max("__n").cast("long").alias("sample_n")
+    )

@@ -1474,3 +1474,95 @@ def a7_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           -- per-ROW cents then integer sum: a double SUM's engine-
+           -- specific accumulation order flips cent rounding right at
+           -- a .5 boundary (observed on one customer at sf0.01)
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter-sliced orders
+    joined to R-flagged lineitems, customer+nation enrichment, top-20
+    by revenue. Both selective predicates reach their scans; nation
+    broadcasts; the top-20 is TakeOrderedAndProject on the rounded
+    revenue with a custkey tiebreak (deterministic cross-engine)."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    agg = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(
+            t["lineitem"].where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    return agg.orderBy(
+        F.col("revenue_cents").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT (floor(
+             100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5)
+            / 10000) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional revenue share in
+    one pass — CASE-gated numerator and full denominator in the same
+    aggregate, so the month of lineitems is scanned once, the part
+    dimension broadcasts, and the output is a single global ratio."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-03-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round_det(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )

@@ -1735,3 +1735,62 @@ def quantile_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_family="md5_portable",
     )
     return sample_quantiles(sample, "o_totalprice", [0.10, 0.50, 0.90, 0.99])
+
+
+@query(
+    "quantile_sketch_grouped",
+    oracle="""
+    WITH sample AS (
+      SELECT c_mktsegment, o_totalprice FROM (
+        SELECT c.c_mktsegment,
+               CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS hkey,
+               o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                 PARTITION BY c.c_mktsegment
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15))
+                            AS BIGINT), o.o_orderkey
+               ) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice IS NOT NULL AND o.o_orderkey IS NOT NULL
+      ) WHERE rn <= 200
+    ),
+    ranked AS (
+      SELECT c_mktsegment, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM sample
+    )
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS INT) + 1
+                    THEN o_totalprice END) AS q_50,
+           MAX(CASE WHEN rn = CAST(floor(0.90 * (n - 1)) AS INT) + 1
+                    THEN o_totalprice END) AS q_90,
+           CAST(MAX(n) AS BIGINT) AS sample_n
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: PER-SEGMENT quantile sketches (operators/sketches.py
+    grouped bottom-k): one pass maintains a portable-hash sample per
+    market segment; discrete index selection reads off per-segment
+    medians/p90s bit-identically in both engines. The per-group window
+    ranks only hash keys (16 B/row through the one group exchange);
+    output is segments × k rows, merged across ingests exactly like
+    the global sample."""
+    from ..operators.sketches import (
+        bottomk_sample_grouped,
+        grouped_sample_quantiles,
+    )
+
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    sample = bottomk_sample_grouped(
+        joined, "o_totalprice", "o_orderkey", ["c_mktsegment"], k=200,
+        hash_family="md5_portable",
+    )
+    return grouped_sample_quantiles(
+        sample, "o_totalprice", ["c_mktsegment"], [0.50, 0.90]
+    )

@@ -191,3 +191,46 @@ def test_bottomk_portable_matches_xxhash_size(spark):
 
     with _pytest.raises(ValueError, match="hash family"):
         bottomk_sample(df, "v", "rid", 100, hash_family="nope")
+
+
+def test_grouped_bottomk_merge_equals_whole(spark):
+    from github_etl_spark.operators.sketches import bottomk_sample_grouped
+
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 13 % 997).cast("double").alias("v"),
+    )
+    a, b = df.where(F.col("rid") < 3000), df.where(F.col("rid") >= 3000)
+    whole = bottomk_sample_grouped(df, "v", "rid", ["g"], 50)
+    halves = bottomk_sample_grouped(
+        bottomk_sample_grouped(a, "v", "rid", ["g"], 50).unionByName(
+            bottomk_sample_grouped(b, "v", "rid", ["g"], 50)
+        ),
+        "v",
+        "rid",
+        ["g"],
+        50,
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, halves.collect()))
+
+
+def test_grouped_quantiles_per_segment(spark):
+    from github_etl_spark.operators.sketches import (
+        bottomk_sample_grouped,
+        grouped_sample_quantiles,
+    )
+
+    # group "0": values 0..999; group "1": values 10000..10999
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") / 2).cast("int") + F.when(F.col("id") % 2 == 1, 10000).otherwise(0))
+        .cast("double")
+        .alias("v"),
+    )
+    s = bottomk_sample_grouped(df, "v", "rid", ["g"], 200)
+    rows = {r.g: r for r in grouped_sample_quantiles(s, "v", ["g"], [0.5]).collect()}
+    assert rows["0"].sample_n == 200 and rows["1"].sample_n == 200
+    assert 0 <= rows["0"].q_50 < 1000
+    assert 10000 <= rows["1"].q_50 < 11000
