@@ -1794,3 +1794,107 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_sample_quantiles(
         sample, "o_totalprice", ["c_mktsegment"], [0.50, 0.90]
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets FROM baskets),
+    expl AS (SELECT l_orderkey, unnest(items) AS item FROM baskets),
+    pairs AS (
+      SELECT a.item AS pa, b.item AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM expl a JOIN expl b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    item_supp AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM expl GROUP BY item
+    )
+    SELECT p.pa, p.pb, p.c_ab,
+           (floor(p.c_ab / n.n_baskets * 1000000 + 0.5) / 1000000) AS support,
+           (floor(CAST(p.c_ab AS DOUBLE) / sa.c * 1000000 + 0.5) / 1000000)
+             AS conf_a_to_b,
+           (floor(CAST(p.c_ab AS DOUBLE) / sb.c * 1000000 + 0.5) / 1000000)
+             AS conf_b_to_a,
+           (floor(n.n_baskets * p.c_ab / (CAST(sa.c AS DOUBLE) * sb.c)
+                  * 10000 + 0.5) / 10000) AS lift
+    FROM pairs p
+    JOIN item_supp sa ON sa.item = p.pa
+    JOIN item_supp sb ON sb.item = p.pb
+    CROSS JOIN n
+    WHERE p.c_ab >= 3
+    ORDER BY lift DESC, p.pa ASC, p.pb ASC
+    LIMIT 50
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: market-basket association rules (support / confidence /
+    lift) over co-purchase pairs. Pair counts come from in-row pair
+    expansion of per-basket distinct item arrays (one groupBy — the
+    cooccurrence_edges shape, keeping COUNTS instead of dedup), item
+    supports from one explode+agg bounded by item cardinality, and the
+    basket total is a broadcast 1-row aggregate. The min-support floor
+    prunes the rule table before the ranking top-k
+    (TakeOrderedAndProject on rounded lift with a pair tiebreak)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    ps = F.col("items")
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ps,
+                        lambda x, i: F.transform(
+                            F.slice(ps, i + 2, F.size(ps)),
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    item_supp = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    sa = item_supp.select(F.col("item").alias("pa"), F.col("c").alias("ca"))
+    sb = item_supp.select(F.col("item").alias("pb"), F.col("c").alias("cb"))
+    rules = (
+        pairs.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "c_ab",
+            round_det(F.col("c_ab") / F.col("n_baskets"), 6).alias("support"),
+            round_det(
+                F.col("c_ab").cast("double") / F.col("ca"), 6
+            ).alias("conf_a_to_b"),
+            round_det(
+                F.col("c_ab").cast("double") / F.col("cb"), 6
+            ).alias("conf_b_to_a"),
+            round_det(
+                F.col("n_baskets")
+                * F.col("c_ab")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(50)

@@ -42,6 +42,7 @@ GLOBAL_AGG_ROWS = {
     "a4_hll_sketch": 1,  # the cross-group "ALL" union row
     "graph_triangle_count": 1,  # global (n_triangles=0, n_edges=0, n_nodes=0)
     "quantile_sketch_bottomk": 1,  # global agg: NULL quantiles over an empty sample
+    "tpch_q14_promo_share": 1,  # global ratio: one NULL row over zero revenue
 }
 
 
