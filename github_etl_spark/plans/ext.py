@@ -1688,6 +1688,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quantile_sketch_bottomk",
+    headline=True,
     oracle="""
     WITH sample AS (
       SELECT o_totalprice FROM (
@@ -1798,6 +1799,7 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "basket_association_rules",
+    headline=True,
     oracle="""
     WITH baskets AS (
       SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS items

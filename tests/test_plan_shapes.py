@@ -23,6 +23,10 @@ SF = "/root/testdata/sf0.001"
 # Reviewed exchange budgets (see docs/PLANS.md for the narrative).
 EXCHANGE_BUDGET = {
     "a4_group_agg": 1,
+    # 11 = basket build + pair agg (+AQE subtrees for the three
+    # broadcast stat sides) + min-support prune + TakeOrdered; the
+    # basket arrays shuffle once, pairs expand in-row
+    "basket_association_rules": 11,
     "corpus_profile": 1,
     "dedup_cluster_canonical": 1,
     "dedup_exact": 1,
@@ -51,6 +55,8 @@ EXCHANGE_BUDGET = {
     "j7_bloom_prefilter_join": 3,
     "pipeline_filter_dedup_split": 1,
     "quality_decile_binning": 2,
+    # 0 = pure TakeOrderedAndProject sample + single-partition readout
+    "quantile_sketch_bottomk": 0,
     "scd2_merge": 5,
     "scd2_point_in_time": 5,
     "search_bm25_topk": 7,
