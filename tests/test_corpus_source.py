@@ -58,3 +58,39 @@ def test_no_rows_lost(spark, tmp_path):
     _write(tmp_path / "d.jsonl", lines)
     docs, bad = read_jsonl_corpus(spark, str(tmp_path), SCHEMA)
     assert docs.count() + bad.count() == len(lines)
+
+
+def test_corpus_to_training_pipeline_end_to_end(spark, tmp_path):
+    """Raw JSONL (with junk lines) → quarantine → dedup → split →
+    partitioned parquet: the new ingest front door composed with the
+    existing training-pipeline operators."""
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.dedup import exact_dedup
+    from github_etl_spark.operators.pipeline import hash_split
+
+    lines = (
+        [_doc(i, text=f"document number {i}") for i in range(30)]
+        + [_doc(100 + i, text="duplicated body") for i in range(5)]
+        + ["not json at all", '{"doc_id": {}}']
+    )
+    _write(tmp_path / "crawl.jsonl", lines)
+    docs, bad = read_jsonl_corpus(spark, str(tmp_path), SCHEMA)
+    assert bad.count() == 2
+
+    keepers = exact_dedup(docs, ["text"], "doc_id")
+    assert keepers.count() == 31  # 30 uniques + 1 keeper of the 5 dups
+    # deterministic keeper: smallest doc_id of the duplicate group
+    grp = keepers.where(F.col("text") == "duplicated body").head()
+    assert (grp.keep_id, grp.n_dupes) == (100, 5)
+    deduped = docs.join(
+        keepers.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    split = hash_split(deduped, "doc_id")
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 31 and counts.get("train", 0) > 0
+
+    out = str(tmp_path / "landed")
+    split.write.partitionBy("split").mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == 31
