@@ -152,3 +152,94 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k sample: quantile maintenance across micro-batches
+# ---------------------------------------------------------------------------
+
+BK_OUTPUT_SCHEMA = "shard int, hkey long, rid long, value double"
+BK_STATE_SCHEMA = "hkeys array<long>, rids array<long>, vals array<double>"
+
+
+def _bk_update_fn(k: int):
+    def update(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            hkeys, rids, vals = state.get
+            rows = list(zip(hkeys or [], rids or [], vals or []))
+        else:
+            rows = []
+        for pdf in pdf_iter:
+            batch = pdf.dropna(subset=["hkey", "rid", "value"])
+            rows.extend(
+                zip(
+                    batch["hkey"].astype("int64"),
+                    batch["rid"].astype("int64"),
+                    batch["value"].astype("float64"),
+                )
+            )
+            rows.sort()
+            del rows[k:]
+        state.update(
+            (
+                [int(r[0]) for r in rows],
+                [int(r[1]) for r in rows],
+                [float(r[2]) for r in rows],
+            )
+        )
+        state.setTimeoutDuration(IDLE_EVICT_MS)
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(rows),
+                "hkey": [r[0] for r in rows],
+                "rid": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        )
+
+    return update
+
+
+def streaming_bottomk_sample(
+    rows: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 128,
+    shards: int = 8,
+) -> DataFrame:
+    """Quantile-sketch maintenance over an unbounded stream: rows hash
+    onto ``shards`` independent bottom-k states (state = k (hash, id,
+    value) triples per shard, independent of stream length), and every
+    micro-batch emits each updated shard's current sample.
+
+    The union of shard samples is a SUPERSET of the global bottom-k —
+    fold emitted fragments with ``operators/sketches.bottomk_merge``
+    (re-take the k smallest) to recover EXACTLY the sample the batch
+    operator would compute over the whole stream so far; quantiles
+    then come from ``sample_quantiles`` unchanged. The streaming
+    triplet (MG heavy hitters, bottom-k quantiles, plus the built-in
+    HLL/approx aggregates under windowed aggregation) keeps every
+    sketch the batch layer maintains ALSO maintainable on the stream.
+    """
+    import pyspark.sql.functions as F
+
+    keyed = rows.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int").alias("shard"),
+        F.xxhash64(F.col(id_col)).alias("hkey"),
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _bk_update_fn(k),
+        outputStructType=BK_OUTPUT_SCHEMA,
+        stateStructType=BK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

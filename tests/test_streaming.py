@@ -403,3 +403,55 @@ def test_streaming_heavy_hitters_state_and_bounds(spark, stream_dir, tmp_path):
                 seen_hot = True
                 assert r.lower <= true["hot"] <= r.lower + dsum
     assert seen_hot, "dominant token must survive MG state across batches"
+
+
+def test_streaming_bottomk_recovers_batch_sample(spark, stream_dir, tmp_path):
+    from github_etl_spark.streaming.stateful import streaming_bottomk_sample
+
+    now = time.time()
+    # two micro-batches of (event_id -> value) rows
+    rows1 = [{"event_id": i, "user_id": 0, "ts": "2026-03-01T10:00:00Z",
+              "event_type": "x", "value": float(i * 7 % 101)} for i in range(60)]
+    rows2 = [{"event_id": 100 + i, "user_id": 0, "ts": "2026-03-01T10:01:00Z",
+              "event_type": "x", "value": float(i * 13 % 97)} for i in range(60)]
+    import json as _json
+
+    with open(stream_dir / "v1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows1))
+    os.utime(stream_dir / "v1.json", (now - 10, now - 10))
+    with open(stream_dir / "v2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows2))
+    os.utime(stream_dir / "v2.json", (now, now))
+
+    schema = EVENT_SCHEMA + ", value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(stream_dir))
+    )
+    out = streaming_bottomk_sample(stream, "value", "event_id", k=16, shards=4)
+    _drain(out, "bk_stream_out", str(tmp_path / "ck_bk"))
+
+    # fold the FINAL emission per shard, then global bottom-16
+    emitted = spark.sql("SELECT * FROM bk_stream_out").collect()
+    assert emitted
+    # dedup on (shard, rid) keeping the LAST emission (memory sink
+    # appends in batch order), then fold to the global bottom-16
+    seen = {}
+    for r in emitted:
+        seen[(r.shard, r.rid)] = (r.hkey, r.rid, r.value)
+    folded = sorted(seen.values())[:16]
+
+    # ground truth: batch bottom-16 over all rows
+    from pyspark.sql import functions as F2
+
+    all_rows = spark.createDataFrame(
+        [(r["event_id"], r["value"]) for r in rows1 + rows2], "event_id long, value double"
+    )
+    want = sorted(
+        (r.h, r.event_id, r.value)
+        for r in all_rows.select(
+            F2.xxhash64("event_id").alias("h"), "event_id", "value"
+        ).orderBy("h", "event_id").limit(16).collect()
+    )
+    assert folded == want
