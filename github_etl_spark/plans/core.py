@@ -1566,3 +1566,65 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             -- rounded BEFORE the value-equality join: raw-double
+             -- equality across engines is an ulp trap
+             (floor(AVG(l_extendedprice / l_quantity) * 100 + 0.5) / 100)
+               AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_price) AS min_price FROM unit
+      GROUP BY l_partkey
+    )
+    SELECT u.l_partkey,
+           CAST(MIN(u.l_suppkey) AS BIGINT) AS best_suppkey,
+           MIN(b.min_price) AS unit_price
+    FROM unit u JOIN best b
+      ON u.l_partkey = b.l_partkey AND u.unit_price = b.min_price
+    GROUP BY u.l_partkey
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    subquery — aggregate per (part, supplier), take the per-part
+    minimum, join back on VALUE equality to recover which supplier
+    achieves it (ties broken by min suppkey). The equality join runs
+    on the deterministically ROUNDED price: joining raw doubles
+    computed independently by two engines is a correctness trap (an
+    ulp of divergence silently drops the row), so the rounding is part
+    of the shape's cross-engine contract. Both aggregations are
+    map-side-combined; the value join is supplier-cardinality-sized."""
+    t = load_tables(spark, sf_dir)
+    unit = (
+        t["lineitem"]
+        .where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            round_det(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2
+            ).alias("unit_price")
+        )
+    )
+    best = unit.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        unit.join(
+            best,
+            (F.col("l_partkey") == F.col("bp"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").cast("long").alias("best_suppkey"),
+            F.min("min_price").alias("unit_price"),
+        )
+    )
