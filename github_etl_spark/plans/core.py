@@ -1628,3 +1628,43 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_price").alias("unit_price"),
         )
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT (floor(SUM(l_extendedprice * l_discount) * 100 + 0.5) / 100)
+             AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-filter-aggregate — every predicate is scan-pushable
+    (PushedFilters carries all four), no join, no shuffle beyond the
+    single partial-agg exchange; the canonical measure of raw scan
+    throughput."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round_det(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -43,6 +43,7 @@ GLOBAL_AGG_ROWS = {
     "graph_triangle_count": 1,  # global (n_triangles=0, n_edges=0, n_nodes=0)
     "quantile_sketch_bottomk": 1,  # global agg: NULL quantiles over an empty sample
     "tpch_q14_promo_share": 1,  # global ratio: one NULL row over zero revenue
+    "tpch_q6_forecast_revenue": 1,  # global agg: (NULL, 0) over zero lines
 }
 
 
