@@ -1668,3 +1668,91 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue view + scalar-MAX
+    subquery + equality join back — the argmax-against-a-global-scalar
+    form (Q2's per-group argmin, taken global). Revenue is per-row
+    integer cents (engine-stable), so the equality against the scalar
+    max is exact; the supplier join broadcasts. All suppliers tied at
+    the max are returned, exactly like the reference SQL."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).cast("long").alias("total_cents"))
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_cents") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS part_cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_cents
+    FROM rev
+    WHERE part_cents > (SELECT 1.05 * AVG(part_cents) FROM rev)
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-key totals filtered
+    against a FRACTION of the global total — the scalar-subquery
+    threshold form. One keyed aggregation feeds both the per-part rows
+    and (via a second tiny aggregate, broadcast back) the global
+    denominator; integer-cents revenue keeps the > comparison exact
+    across engines (the threshold itself is a double, but an exact
+    integer on one side makes the comparison stable). The threshold
+    is mean-RELATIVE (105% of the average part's revenue) so the query
+    stays non-trivial at every scale factor — the spec's own fraction
+    scales with SF for the same reason."""
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).cast("long").alias("part_cents"))
+        .localCheckpoint()  # feeds both the rows and the global denominator
+    )
+    total = rev.agg((1.05 * F.avg("part_cents")).alias("threshold"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(F.col("part_cents") > F.col("threshold"))
+        .select("l_partkey", "part_cents")
+    )
