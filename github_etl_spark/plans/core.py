@@ -1756,3 +1756,132 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("part_cents") > F.col("threshold"))
         .select("l_partkey", "part_cents")
     )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             (floor(0.5 * AVG(l_quantity) * 10000 + 0.5) / 10000) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT (floor(SUM(l.l_extendedprice) / 7.0 * 100 + 0.5) / 100)
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-group AVG threshold — each lineitem compared against half its
+    part's average quantity. The subquery becomes one keyed aggregate
+    joined back on the part key; the threshold is rounded
+    deterministically BEFORE the comparison (a raw cross-engine double
+    `<` flips rows at ulp distance, same contract as the Q2 equality
+    join). Both the aggregate and the join shuffle once on l_partkey."""
+    t = load_tables(spark, sf_dir)
+    half_avg = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("ap"))
+        .agg(round_det(0.5 * F.avg("l_quantity"), 4).alias("half_avg"))
+    )
+    return (
+        t["lineitem"]
+        .join(half_avg, F.col("l_partkey") == F.col("ap"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            round_det(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle="""
+    SELECT (floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+            / 100) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    OR-of-ANDs spanning both join sides. Catalyst splits the
+    disjunction: the quantity bounds' union (l_quantity <= 30) is
+    derived and PUSHED to the lineitem scan while the residual OR
+    evaluates after the broadcast join — the optimization this shape
+    exists to test."""
+    t = load_tables(spark, sf_dir)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            round_det(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH positive AS (
+      SELECT (floor(AVG(c_acctbal) * 100 + 0.5) / 100) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           (floor(SUM(c.c_acctbal) * 100 + 0.5) / 100) AS total_bal
+    FROM customer c CROSS JOIN positive p
+    WHERE c.c_acctbal > p.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers who never placed an URGENT order (the fixtures' customers
+    almost all ordered, so the spec's never-ordered predicate is
+    vacuous; the urgency filter keeps the identical shape non-trivial
+    at every SF) — scalar-subquery filter (broadcast
+    1-row average, rounded before the comparison) composed with an
+    ANTI join against the fact table, then a nation-level rollup. The
+    anti join is the only fact-sized operation; everything else is
+    dimension-sized."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .agg(round_det(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round_det(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -44,6 +44,8 @@ GLOBAL_AGG_ROWS = {
     "quantile_sketch_bottomk": 1,  # global agg: NULL quantiles over an empty sample
     "tpch_q14_promo_share": 1,  # global ratio: one NULL row over zero revenue
     "tpch_q6_forecast_revenue": 1,  # global agg: (NULL, 0) over zero lines
+    "tpch_q17_small_quantity_revenue": 1,  # global agg over zero matches
+    "tpch_q19_disjunctive_predicates": 1,  # global agg over zero matches
 }
 
 
