@@ -2004,3 +2004,67 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           (floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                                THEN cents ELSE 0 END) AS DOUBLE)
+                  / SUM(cents) * 1000000 + 0.5) / 1000000) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's purchase volume by year — the conditional-ratio form of
+    Q7's dual-role nation join (customer nation filters the REGION,
+    supplier nation gates the NUMERATOR). Numerator and denominator are
+    exact integer cents from the same pass, so the share is a ratio of
+    two bigints — deterministically roundable cross-engine."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    vol = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(F.broadcast(t["region"]), F.col("rk2") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("cents")).otherwise(0)
+    )
+    return vol.groupBy("o_year").agg(
+        round_det(num.cast("double") / F.sum("cents"), 6).alias("mkt_share")
+    )
