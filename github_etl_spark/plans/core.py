@@ -1889,6 +1889,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 @query(
     "tpch_q7_nation_volume",
+    headline=True,
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
@@ -1944,6 +1945,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q21_waiting_supplier",
+    headline=True,
     oracle="""
     WITH late AS (
       SELECT l.l_orderkey, l.l_suppkey

@@ -75,7 +75,13 @@ EXCHANGE_BUDGET = {
     "tpch_q3_shipping_priority": 3,
     # 5 = lineitem pre-agg, the semi join's two sides, customer join,
     # final re-aggregation — every one keyed; dims broadcast under AQE.
+    # 6 = four fact equi-joins' exchanges + final agg under AQE (the
+    # two nation sides broadcast)
+    "tpch_q7_nation_volume": 6,
     "tpch_q18_large_volume_customer": 5,
+    # 4 = late-relation dedup + the semi/anti correlation joins +
+    # supplier agg; the checkpointed late relation feeds all three
+    "tpch_q21_waiting_supplier": 4,
     "tokenize_encode": 4,
     "w1_row_number_topk_per_group": 1,
     "w6_rolling_interval_sum": 1,
