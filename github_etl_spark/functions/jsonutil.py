@@ -37,7 +37,28 @@ def parse_json_quarantine(
     PERMISSIVE mode with an explicit corrupt-record column is the only
     mode that is safe at scale: FAILFAST kills a 1000-executor job for
     one bad byte, DROPMALFORMED erases data with no audit trail.
+
+    Schema field names must be disjoint from ``df``'s columns (the
+    parsed struct is star-expanded next to them — a collision would
+    silently produce duplicate output columns) and must not include
+    ``_corrupt_record`` (reserved for the quarantine split).
     """
+    probe = df.sparkSession.range(0).select(
+        F.from_json(F.lit(None).cast("string"), schema).alias("__s")
+    )
+    fields = set(probe.schema["__s"].dataType.fieldNames())
+    if CORRUPT_COL in fields:
+        raise ValueError(
+            f"schema must not declare the reserved column {CORRUPT_COL!r}; "
+            "it is added internally to detect malformed payloads"
+        )
+    clash = sorted(fields & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"schema fields {clash} collide with input columns; rename them "
+            "in the schema or drop/rename the input columns first "
+            "(star-expansion would otherwise emit duplicate column names)"
+        )
     full_schema = f"{schema}, {CORRUPT_COL} string"
     parsed = df.withColumn(
         "__j",

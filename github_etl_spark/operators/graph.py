@@ -175,22 +175,31 @@ def connected_components(
     ``checkpoint_dir``: by default each round localCheckpoints the edge
     set — executor-local blocks, so an executor loss mid-job kills the
     computation (acceptable for an O(log n)-round job at moderate
-    scale). Passing a cluster-visible directory switches every round
-    to a RELIABLE checkpoint() written there, making the iteration
-    survive executor loss at the cost of a filesystem round-trip per
-    round; files persist under the directory until the application
-    exits (set spark.cleaner.referenceTracking.cleanCheckpoints to
-    reap them eagerly on a long-running driver).
+    scale). Passing a cluster-visible directory — or setting one on
+    the session up front via ``sparkContext.setCheckpointDir`` /
+    the ``spark.checkpoint.dir`` conf, which this operator picks up
+    automatically — switches every round to a RELIABLE checkpoint()
+    written there, making the iteration survive executor loss at the
+    cost of a filesystem round-trip per round; files persist under the
+    directory until the application exits (set
+    spark.cleaner.referenceTracking.cleanCheckpoints to reap them
+    eagerly on a long-running driver). On a production cluster the
+    session-level checkpoint dir should be set, so localCheckpoint is
+    the local-mode fast path, not the default at scale.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    # A session-level checkpoint dir (setCheckpointDir at startup, the
+    # production default) also selects the reliable path — the fragile
+    # executor-local blocks are only used when NO directory is known.
+    reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
+
     def _ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is None:
+        if not reliable:
             # localCheckpoint truncates the per-round lineage doubling
             # with executor-local blocks (fast, not fault-tolerant).
             return df.localCheckpoint(eager=True)
         return df.checkpoint(eager=True)
-
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = _ckpt(_canonical_edges(edges, src, dst))
     sig = _signature(e)
     for _ in range(max_iterations):

@@ -89,7 +89,9 @@ def heavy_hitters(
     """
     if not 0 < min_fraction < 1:
         raise ValueError("min_fraction must be in (0, 1)")
-    k = counters or math.ceil(2 / min_fraction)
+    if counters is not None and counters <= 0:
+        raise ValueError(f"counters must be positive, got {counters}")
+    k = counters if counters is not None else math.ceil(2 / min_fraction)
     summaries = (
         items.select(F.col(col).cast("string").alias(col))
         .mapInPandas(_mg_summaries(col, k), schema=SUMMARY_SCHEMA)

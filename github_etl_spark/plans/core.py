@@ -1726,7 +1726,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, part_cents
     FROM rev
-    WHERE part_cents > (SELECT 1.05 * AVG(part_cents) FROM rev)
+    WHERE part_cents > (SELECT floor(1.05 * AVG(part_cents) * 10000 + 0.5)
+                               / 10000 FROM rev)
     """,
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1734,9 +1735,9 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a FRACTION of the global total — the scalar-subquery
     threshold form. One keyed aggregation feeds both the per-part rows
     and (via a second tiny aggregate, broadcast back) the global
-    denominator; integer-cents revenue keeps the > comparison exact
-    across engines (the threshold itself is a double, but an exact
-    integer on one side makes the comparison stable). The threshold
+    denominator; integer-cents revenue on one side and a
+    deterministically 4dp-rounded threshold on the other keep the >
+    comparison exact across engines. The threshold
     is mean-RELATIVE (105% of the average part's revenue) so the query
     stays non-trivial at every scale factor — the spec's own fraction
     scales with SF for the same reason."""
@@ -1750,7 +1751,11 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).cast("long").alias("part_cents"))
         .localCheckpoint()  # feeds both the rows and the global denominator
     )
-    total = rev.agg((1.05 * F.avg("part_cents")).alias("threshold"))
+    # Threshold rounded to a 4dp grid BEFORE the comparison (same
+    # contract as Q17/Q22): a raw 1.05*AVG double computed
+    # independently by each engine could flip membership at ulp
+    # distance for a part landing exactly on the threshold.
+    total = rev.agg(round_det(1.05 * F.avg("part_cents"), 4).alias("threshold"))
     return (
         rev.crossJoin(F.broadcast(total))
         .where(F.col("part_cents") > F.col("threshold"))

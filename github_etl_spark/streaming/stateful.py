@@ -131,12 +131,16 @@ def streaming_heavy_hitters(
     micro-batch emits each updated shard's current summary with its
     certified error terms.
 
-    The emitted rows ARE `operators/sketches.py` summary fragments:
-    downstream folds them with ``mg_merge``/``mg_estimate`` for global
-    bounds (a token's true stream count t satisfies
+    Each emission is a cumulative SNAPSHOT of that shard's state (the
+    whole stream so far), not a per-batch delta: consumers MUST keep
+    only the latest emission per shard, then fold those latest
+    summaries across shards with ``mg_merge``/``mg_estimate`` for
+    global bounds. Folding multiple emissions of the SAME shard
+    double-counts and breaks the certified lower ≤ t bound. Within one
+    shard's latest snapshot, a token's true stream count t satisfies
     lower_shard ≤ t ≤ lower_shard + dsum_shard — consistent hashing
     sends all its occurrences to one shard, so per-shard MG semantics
-    are exact for it). State is bounded by shards × counters entries;
+    are exact for it. State is bounded by shards × counters entries;
     idle shards evict after six hours like `running_totals`.
     """
     import pyspark.sql.functions as F
@@ -227,9 +231,21 @@ def streaming_bottomk_sample(
     triplet (MG heavy hitters, bottom-k quantiles, plus the built-in
     HLL/approx aggregates under windowed aggregation) keeps every
     sketch the batch layer maintains ALSO maintainable on the stream.
+
+    ``id_col`` must be integral: the fixed state/output schemas carry
+    the id as a long, and a silent cast of e.g. a string id would NULL
+    every row and emit empty samples with no error. Hash non-integer
+    ids through ``xxhash64`` upstream (the batch ``bottomk_sample``
+    keeps the original id column, so it has no such restriction).
     """
     import pyspark.sql.functions as F
 
+    id_type = {f.name: f.dataType.typeName() for f in rows.schema.fields}.get(id_col)
+    if id_type not in {"byte", "short", "integer", "long"}:
+        raise TypeError(
+            f"streaming_bottomk_sample needs an integral id column, got "
+            f"{id_col}: {id_type}; map it through xxhash64(...) first"
+        )
     keyed = rows.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int").alias("shard"),
         F.xxhash64(F.col(id_col)).alias("hkey"),

@@ -146,6 +146,33 @@ def test_reliable_checkpoint_identical_labels(spark, tmp_path):
     assert os.path.isdir(ckpt)  # rounds actually wrote there
 
 
+def test_session_checkpoint_dir_selects_reliable_path(spark, tmp_path):
+    """A checkpoint dir configured on the SESSION (the production
+    default: setCheckpointDir at startup) must switch the rounds to
+    reliable checkpoint() without any per-call argument — the fragile
+    localCheckpoint is only the no-directory-known local fast path."""
+    import os
+
+    sc = spark.sparkContext
+    before = sc.getCheckpointDir()
+    ckpt = str(tmp_path / "session_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        edges = [(i, i + 1) for i in range(1, 64)]
+        got = run_cc(spark, edges, local_finish_edges=0)
+        assert got == run_cc(spark, edges, local_finish_edges=0)
+        # rounds wrote reliable checkpoint files under the session dir
+        assert any(files for _, _, files in os.walk(ckpt))
+    finally:
+        # restore: tests sharing the session must not inherit the dir
+        if before is not None:
+            sc.setCheckpointDir(before)
+        else:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
+
+
 def test_triangle_count_k4(spark):
     from github_etl_spark.operators.graph import triangle_count
 

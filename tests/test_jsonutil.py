@@ -66,3 +66,19 @@ def test_fixture_props_all_conform(spark, sf_dir):
     ok, bad = parse_json_quarantine(events, "props", "k int")
     assert bad.count() == 0
     assert ok.where(F.col("k").isNotNull()).count() > 0
+
+
+def test_schema_field_colliding_with_input_column_rejected(spark):
+    import pytest
+
+    df = _fixture(spark)
+    with pytest.raises(ValueError, match="collide with input columns"):
+        parse_json_quarantine(df, "props", "props string, k int")
+
+
+def test_reserved_corrupt_record_field_rejected(spark):
+    import pytest
+
+    df = _fixture(spark)
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        parse_json_quarantine(df, "props", "k int, _corrupt_record string")

@@ -49,6 +49,14 @@ def test_bound_error_when_counters_too_small(spark):
         heavy_hitters(items, "item", 0.0004, counters=8)
 
 
+def test_zero_counters_rejected(spark):
+    # counters=0 must be an error, not a silent fall-through to the
+    # default budget (`counters or ...` would mask it)
+    items = spark.range(0, 10).select(F.col("id").alias("item"))
+    with pytest.raises(ValueError, match="counters must be positive"):
+        heavy_hitters(items, "item", 0.1, counters=0)
+
+
 def test_partitioning_invariance(spark):
     items = spark.range(0, 30000).select(
         (F.pmod(F.xxhash64("id"), F.lit(50)) * F.pmod(F.xxhash64("id"), F.lit(50)))

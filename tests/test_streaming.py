@@ -455,3 +455,17 @@ def test_streaming_bottomk_recovers_batch_sample(spark, stream_dir, tmp_path):
         ).orderBy("h", "event_id").limit(16).collect()
     )
     assert folded == want
+
+
+def test_streaming_bottomk_rejects_non_integral_id(spark):
+    """A string id would silently NULL under cast('long') and emit
+    empty samples — the operator must fail loudly at plan-build time
+    instead (the batch bottomk_sample keeps the original id column and
+    has no such restriction)."""
+    import pytest
+
+    from github_etl_spark.streaming.stateful import streaming_bottomk_sample
+
+    rows = spark.createDataFrame([("a", 1.0)], "doc string, value double")
+    with pytest.raises(TypeError, match="integral id column"):
+        streaming_bottomk_sample(rows, "value", "doc", k=4)
