@@ -2075,3 +2075,250 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vol.groupBy("o_year").agg(
         round_det(num.cast("double") / F.sum("cents"), 6).alias("mkt_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthesized partsupp: the driver fixtures carry no partsupp table
+# (TESTDATA.md), so the three remaining classic TPC-H shapes — Q9, Q16,
+# Q20 — derive one deterministically from lineitem's distinct
+# (l_partkey, l_suppkey) pairs. ps_supplycost / ps_availqty are pure
+# integer-mod expressions of the keys, so DuckDB replays the synthesis
+# bit-for-bit (same pattern as multimodal.synthesize_media's payloads:
+# the fixture IS an expression, not a file). Deriving pairs from
+# lineitem rather than part × supplier guarantees every lineitem row
+# joins its partsupp row, which is what Q9's 6-way join needs.
+
+_PARTSUPP_CTE = """partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             ((ps_partkey * 37 + ps_suppkey * 13) % 80000) / 100.0 + 100.0
+               AS ps_supplycost,
+             CAST((ps_partkey * 31 + ps_suppkey * 7) % 9999 + 1 AS BIGINT)
+               AS ps_availqty
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey
+            FROM lineitem)
+    )"""
+
+
+def synth_partsupp(lineitem: DataFrame) -> DataFrame:
+    """partsupp from lineitem's distinct (part, supplier) pairs with
+    key-derived cost/quantity columns (see module comment above). One
+    shuffle (the distinct); both derived columns are exact integer
+    arithmetic feeding one double division, identical across engines."""
+    return (
+        lineitem.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                F.pmod(
+                    F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 13,
+                    F.lit(80000),
+                )
+                / 100.0
+                + 100.0
+            ).alias("ps_supplycost"),
+            (
+                F.pmod(
+                    F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7,
+                    F.lit(9999),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("ps_availqty"),
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    headline=True,
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    profit AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                         - ps.ps_supplycost * l.l_quantity) * 100 + 0.5)
+                  AS BIGINT) AS amount_cents
+      FROM lineitem l
+      JOIN part p      ON p.p_partkey = l.l_partkey
+      JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                     AND ps.ps_suppkey = l.l_suppkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN nation n    ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    SELECT nation, o_year,
+           CAST(SUM(amount_cents) AS BIGINT) AS profit_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM profit GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit = revenue minus
+    supply cost, rolled up by supplier nation and order year across a
+    6-way join (lineitem × part × partsupp × supplier × orders ×
+    nation). The part-name filter lands BEFORE the wide joins
+    (predicate pushdown shrinks the probe side ~8×); nation (25 rows)
+    is broadcast; the partsupp and orders joins shuffle on their keys
+    and AQE picks broadcast where the filtered side fits. Profit is
+    summed as per-row integer cents, so the cross-engine aggregate is
+    exact. partsupp itself is the deterministic synthesis above —
+    DuckDB rebuilds it inside the oracle's CTE."""
+    t = load_tables(spark, sf_dir)
+    ps = synth_partsupp(t["lineitem"])
+    amount_cents = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("ps_supplycost") * F.col("l_quantity")
+        )
+        * 100
+        + 0.5
+    ).cast("long")
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].where(F.col("p_name").like("%red%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount_cents.alias("amount_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("amount_cents").cast("long").alias("profit_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) with NOT-IN supplier exclusion.
+    The reference spec excludes complaint suppliers; the fixture's
+    supplier table has no comment column, so negative account balance
+    stands in (deterministic, 6 of 100 suppliers at sf0.01). The NOT IN
+    becomes a broadcast LEFT ANTI join (the exclusion list is a
+    filtered dimension, always tiny relative to partsupp); the
+    countDistinct shuffles once on the 3 group keys."""
+    t = load_tables(spark, sf_dir)
+    ps = synth_partsupp(t["lineitem"])
+    bad_suppliers = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    sized_parts = t["part"].where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(
+            F.broadcast(bad_suppliers),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(sized_parts, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_excess_inventory_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             floor(2000.0 * SUM(l_quantity) * 10000 + 0.5) / 10000
+               AS qty_threshold
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN red_parts rp ON rp.p_partkey = ps.ps_partkey
+      JOIN shipped sh   ON sh.l_partkey = ps.ps_partkey
+                       AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > sh.qty_threshold
+    )
+    """,
+)
+def tpch_q20_excess_inventory_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers holding
+    more stock of a name-filtered part than a multiple of what they
+    shipped in a year — the nested semi-join with a doubly-correlated
+    aggregate threshold. The spec's 0.5 factor becomes 200.0 here
+    because the synthesized ps_availqty is uniform on [1, 9999] while
+    the fixture's per-pair annual quantity is sparse (a 0.5 factor
+    would pass ~every pair and the predicate would be dead); 200.0
+    keeps the comparison discriminative at every SF. The threshold is
+    rounded deterministically BEFORE the > (Q17 contract). The
+    correlated subquery is one keyed aggregate inner-joined back on
+    both keys — a pair with no window shipments is excluded, exactly
+    the spec's NULL-comparison semantics; the final IN is a semi join
+    against the ~100-row supplier dimension."""
+    t = load_tables(spark, sf_dir)
+    ps = synth_partsupp(t["lineitem"])
+    red_parts = t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(round_det(2000.0 * F.sum("l_quantity"), 4).alias("qty_threshold"))
+    )
+    excess = (
+        ps.join(red_parts, F.col("p_partkey") == F.col("ps_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("qty_threshold"))
+        .select("ps_suppkey")
+    )
+    return t["supplier"].join(
+        excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")

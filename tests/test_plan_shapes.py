@@ -78,6 +78,13 @@ EXCHANGE_BUDGET = {
     # 6 = four fact equi-joins' exchanges + final agg under AQE (the
     # two nation sides broadcast)
     "tpch_q7_nation_volume": 6,
+    # 7 = partsupp synthesis distinct + composite-key partsupp join
+    # (both sides) + supplier/orders equi-joins + final rollup — every
+    # exchange keyed; nation broadcast explicitly, small sides AQE-
+    # broadcast at runtime. (The partsupp join could be constant-folded
+    # into expressions — its columns are pure key functions — but the
+    # 6-way join IS the Q9 shape under test.)
+    "tpch_q9_product_type_profit": 7,
     "tpch_q18_large_volume_customer": 5,
     # 4 = late-relation dedup + the semi/anti correlation joins +
     # supplier agg; the checkpointed late relation feeds all three
