@@ -18,12 +18,14 @@ container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
 batch shape, partitioning, null handling — real and testable. Swapping
 in a real codec changes ONLY the inside of the per-batch function.
 
-SCOPE NOTE (permanent for this build environment): the sandbox has no
-installable image/audio/video libraries (`pip install` is unavailable;
-PIL, cv2, soundfile and av are all absent), so the
-`_HAVE_REAL_CODECS=True` branches are dormant seams by design: they
-cannot be executed or tested here, only exercised by deployments that
-ship a codec. The contract a real codec must satisfy is exactly the
+SCOPE NOTE: the IMAGE branch has a real, dependency-free decoder —
+24-bit uncompressed BMP (`encode_bmp24`/`decode_bmp24`, pure numpy),
+exercised end-to-end by the oracle-checked `mm_bmp_roundtrip_stats`
+catalog query and byte-level tests. The sandbox has no installable
+audio/video libraries (`pip install` is unavailable; soundfile, av and
+PIL alike are absent), so the remaining `_HAVE_REAL_CODECS=True`
+branches are dormant seams by design: they cannot be executed or
+tested here, only exercised by deployments that ship a codec. The contract a real codec must satisfy is exactly the
 fallback's: consume `payload` bytes per batch row, honor NULL/empty
 payloads (emit NULL stats, never raise), and emit the declared output
 schema — the fallback-path tests in tests/test_multimodal.py are the
@@ -250,3 +252,146 @@ def repartition_by_payload(media: DataFrame, target_bytes: int = 128 << 20) -> D
         .repartition(n_parts, F.col("_bucket"))
         .drop("_sz", "_bucket")
     )
+
+
+# ----------------------------------------------------------- real codec: BMP
+
+# A REAL image decode path needs no external library: 24-bit
+# uncompressed BMP (BITMAPINFOHEADER, BI_RGB) is a fixed 54-byte header
+# plus bottom-up, 4-byte-padded BGR rows — parseable with numpy alone.
+# This is the production image branch of the codec layer: any 24-bit
+# BMP from any producer decodes here; the fake `raw-u8` codec remains
+# for the formats whose decoders genuinely need PIL/av.
+
+_BMP_HEADER = 54
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up rows, BGR channel order, rows padded to 4 bytes)."""
+    import struct
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", _BMP_HEADER + img_size, 0, 0, _BMP_HEADER,
+        40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0,
+    )
+    bgr = pixels.astype(np.uint8)[::-1, :, ::-1]  # bottom-up, RGB→BGR
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row] = bgr.reshape(h, row)
+    return header + rows.tobytes()
+
+
+def decode_bmp24(content: bytes | bytearray | memoryview) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB
+    array. Validates magic/bpp/compression, honors the header's pixel
+    offset, strips row padding, flips bottom-up storage and swaps
+    BGR→RGB; top-down files (negative height) are handled too. Raises
+    ValueError on anything malformed — a decode error must surface as
+    a quarantinable failure, never as silently-wrong pixels."""
+    b = bytes(content)
+    if len(b) < _BMP_HEADER or b[:2] != b"BM":
+        raise ValueError("not a BMP payload (bad magic or truncated header)")
+    offset = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    hgt = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={comp}")
+    if w <= 0 or hgt == 0:
+        raise ValueError(f"bad BMP dimensions: {w}x{hgt}")
+    topdown = hgt < 0
+    h = abs(hgt)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) < offset + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    data = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
+    bgr = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not topdown:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
+
+
+def synthesize_bmp_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-format image fixtures: each document becomes
+    a (id%5+2) × (id%3+2) 24-bit BMP whose RGB bytes tile the UTF-8
+    text (byte j = text_byte[j mod len]; all-zero pixels for empty
+    text). The pixel rule is SQL-replayable, so a DuckDB oracle can
+    verify the full encode→decode roundtrip without ever parsing BMP —
+    geometry and channel order included (see mm_bmp_roundtrip_stats)."""
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                w, h = mid % 5 + 2, mid % 3 + 2
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                n = w * h * 3
+                if len(tb):
+                    px = tb[np.arange(n) % len(tb)]
+                else:
+                    px = np.zeros(n, dtype=np.uint8)
+                ids.append(mid)
+                payloads.append(encode_bmp24(px.reshape(h, w, 3)))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def bmp_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode-stats over REAL BMP payloads: width/height come from the
+    parsed header (not carried metadata), stats from the decoded RGB
+    array, and `corner_value` is pixel (0, 0) RED — positionally
+    sensitive, so a bottom-up flip or BGR-swap bug changes the answer
+    (a mean alone would hide both). Malformed payloads surface as NULL
+    stats with an error string rather than failing the batch — the
+    quarantine contract of `parse_json_quarantine`, applied to media."""
+    schema = (
+        "media_id long, width int, height int, n_pixel_bytes long, "
+        "mean_value double, min_value int, max_value int, "
+        "corner_value int, decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "n_pixel_bytes", "mean_value",
+                "min_value", "max_value", "corner_value", "decode_error",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(int(mid))
+                try:
+                    px = decode_bmp24(content if content is not None else b"")
+                except ValueError as e:
+                    for k in ("width", "height", "n_pixel_bytes", "mean_value",
+                              "min_value", "max_value", "corner_value"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+                    continue
+                h, w = px.shape[:2]
+                flat = px.reshape(-1)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixel_bytes"].append(int(flat.size))
+                rows["mean_value"].append(float(flat.mean()))
+                rows["min_value"].append(int(flat.min()))
+                rows["max_value"].append(int(flat.max()))
+                rows["corner_value"].append(int(px[0, 0, 0]))
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)

@@ -1327,6 +1327,68 @@ def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_bmp_roundtrip_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 5 + 2 AS INT) AS width,
+             CAST(doc_id % 3 + 2 AS INT) AS height,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS v,
+             i.i AS idx
+      FROM (SELECT media_id, hx, n, width, height,
+                   unnest(range(0, width * height * 3)) AS i FROM m) i
+    ),
+    stats AS (
+      SELECT media_id, AVG(v) AS mean_raw,
+             MIN(v) AS min_value, MAX(v) AS max_value,
+             MAX(CASE WHEN idx = 0 THEN v END) AS corner_value
+      FROM px GROUP BY media_id
+    )
+    SELECT m.media_id, m.width, m.height,
+           CAST(m.width * m.height * 3 AS BIGINT) AS n_pixel_bytes,
+           (floor(s.mean_raw * 10000 + 0.5) / 10000) AS mean_value,
+           s.min_value, s.max_value, s.corner_value
+    FROM m JOIN stats s USING (media_id)
+    """,
+)
+def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the REAL image decode path, oracle-checked end-to-end.
+    Each document becomes an actual 24-bit BMP file (real header,
+    bottom-up padded BGR rows — `encode_bmp24`), then `bmp_decode_stats`
+    parses it back with the dependency-free production decoder:
+    dimensions from the header, stats over the decoded RGB array, and
+    a positional corner probe that a row-flip or channel-swap bug
+    would change. The synthesized pixel rule (text bytes tiled) is
+    SQL-replayable, so DuckDB verifies the whole encode→decode
+    roundtrip value-for-value without parsing BMP itself. This is the
+    image branch of the codec seam made real; audio/video decoders
+    (soundfile/av) remain declared seams."""
+    from ..multimodal.media import bmp_decode_stats, synthesize_bmp_media
+
+    t = load_tables(spark, sf_dir)
+    stats = bmp_decode_stats(synthesize_bmp_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixel_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "corner_value",
+    )
+
+
 @query("sim_ivf_topk", headline=True)  # approximate — recall asserted in tests
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: IVF ANN — sample-trained coarse quantizer (16 cells), probe

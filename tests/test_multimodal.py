@@ -97,3 +97,85 @@ def test_repartition_by_payload_preserves_rows(spark, sf_dir):
     re = repartition_by_payload(m, target_bytes=1 << 12)
     assert sorted(r.media_id for r in re.collect()) == before
     assert [f.name for f in re.schema] == ["media_id", "meta", "content"]
+
+
+# ------------------------------------------------------ real codec: BMP
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import decode_bmp24, encode_bmp24
+
+    rng = np.random.default_rng(7)
+    # widths chosen to exercise every row-padding remainder (w*3 % 4)
+    for h, w in [(1, 1), (2, 2), (3, 5), (4, 4), (7, 3), (2, 8)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp24(encode_bmp24(px)), px)
+
+
+def test_bmp_golden_bytes():
+    """A 1x1 red pixel must serialize to the exact canonical BMP bytes:
+    'BM' magic, 54-byte header, pixel stored as BGR with 1 pad byte."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import encode_bmp24
+
+    b = encode_bmp24(np.array([[[255, 0, 0]]], dtype=np.uint8))
+    assert b[:2] == b"BM"
+    assert len(b) == 54 + 4  # one 3-byte BGR pixel + 1 pad byte
+    assert int.from_bytes(b[10:14], "little") == 54  # pixel offset
+    assert int.from_bytes(b[28:30], "little") == 24  # bpp
+    assert b[54:57] == bytes([0, 0, 255])  # BGR on disk, red last
+
+
+def test_bmp_topdown_variant_decodes():
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import decode_bmp24, encode_bmp24
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    enc = bytearray(encode_bmp24(px))
+    enc[22:26] = (-2).to_bytes(4, "little", signed=True)  # negative height
+    # rows were written bottom-up; a top-down reader sees them flipped
+    assert np.array_equal(decode_bmp24(bytes(enc)), px[::-1])
+
+
+def test_bmp_malformed_raises():
+    import pytest
+
+    from github_etl_spark.multimodal.media import decode_bmp24, encode_bmp24
+
+    with pytest.raises(ValueError, match="magic|truncated"):
+        decode_bmp24(b"")
+    with pytest.raises(ValueError, match="magic|truncated"):
+        decode_bmp24(b"XX" + b"\x00" * 60)
+    import numpy as np
+
+    good = encode_bmp24(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated BMP pixel data"):
+        decode_bmp24(good[:-3])
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        decode_bmp24(bytes(bad_bpp))
+
+
+def test_bmp_decode_stats_quarantines_bad_payloads(spark):
+    """One corrupt payload must yield a decode_error row with NULL
+    stats — never fail the batch, never go missing."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import bmp_decode_stats, encode_bmp24
+
+    good = encode_bmp24(np.full((2, 3, 3), 9, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a bmp"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in bmp_decode_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert rows[1]["mean_value"] == 9.0 and rows[1]["corner_value"] == 9
+    assert rows[2]["decode_error"] is not None
+    assert rows[2]["mean_value"] is None and rows[2]["width"] is None
