@@ -345,7 +345,20 @@ def ngram_jaccard_pairs(
     (wider join rows + double shingle evaluation under projection
     collapse → 2-4× slower) and (b) a collect_list posting-list variant
     with in-row quadratic pair expansion (interpreted higher-order
-    lambdas, hot-shingle arrays → 3× slower). Skew hazard: a stopword
+    lambdas, hot-shingle arrays → 3× slower). A fourth variant — fold
+    the df-cap into a `count().over(Window.partitionBy(block, tok))`
+    on the exploded tokens instead of the groupBy + broadcast-anti —
+    measures 18 exchanges vs 22 and ~1.2× faster at sf0.1 (2.04 s vs
+    2.50 s median, identical 79 rows), but was REJECTED for scale: a
+    window partition with no orderBy buffers every pre-cap occurrence
+    of its gram in ONE task, so a boilerplate shingle shared by B docs
+    funnels B rows through a single sorter — exactly the hot-key
+    blowup max_df exists to prevent, and one AQE cannot split (it
+    splits skewed join partitions, not window partitions). The
+    broadcast-anti shape never shuffles hot-gram rows at all: df
+    counts flow through map-side partial aggregation, and the anti
+    join drops boilerplate before the only token shuffle. The 4
+    extra exchanges are the price of B-independence; 22 is final. Skew hazard: a stopword
     gram shared by B docs yields B² join rows. `max_df` is the
     mitigation: shingles whose per-block document frequency exceeds it
     are dropped BEFORE the join (broadcast anti-join against the tiny

@@ -32,6 +32,10 @@ EXCHANGE_BUDGET = {
     "dedup_exact": 1,
     "dedup_incremental": 9,
     "dedup_minhash_lsh": 4,
+    # 22 reviewed as FINAL: a window-df consolidation measures 18
+    # exchanges / 1.2x faster at sf0.1 but funnels every pre-cap
+    # occurrence of a hot gram through one window task — see the
+    # rejected-variants note in operators/dedup.ngram_jaccard_pairs.
     "dedup_ngram_jaccard": 22,
     # 3 = the probe-side widening repartition appears in both join
     # subtrees (the broadcast side re-derives `assigned`) + the original
