@@ -10,6 +10,18 @@ single-shot timings produced two false 2× "regressions" that were
 pure load noise (VERDICT r03). No caching between queries; the JVM is
 warmed once with a trivial action so the first measured query doesn't
 pay session startup.
+
+Same-host control run: cross-round medians are only comparable if the
+host load is — r05's apparent regressions vanished when the r04 tree
+was re-timed on the same host. That control is now automatic: if
+``bench_control_pin.txt`` names a commit (or ``BENCH_CONTROL_REF`` is
+set), the pinned tree is checked out into a throwaway git worktree
+and ITS bench.py is run in a subprocess on the same host,
+back-to-back; the result lands under ``"control"`` in the same JSON
+line. Control failures degrade to ``"control_error"`` — the primary
+timings always survive. ``BENCH_NO_CONTROL=1`` disables (and is set
+for the subprocess, so a pinned tree that itself carries a pin file
+cannot recurse).
 """
 
 from __future__ import annotations
@@ -24,6 +36,69 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from github_etl_spark.plans import headline_queries  # noqa: E402
 from github_etl_spark.session import get_spark  # noqa: E402
+
+
+def _control_ref(repo: str) -> str | None:
+    """The pinned control commit: env override, else first token of
+    bench_control_pin.txt (rest of the line is a comment)."""
+    if os.environ.get("BENCH_NO_CONTROL"):
+        return None
+    ref = os.environ.get("BENCH_CONTROL_REF")
+    if ref:
+        return ref
+    pin = os.path.join(repo, "bench_control_pin.txt")
+    try:
+        with open(pin) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    return line.split()[0]
+    except OSError:
+        pass
+    return None
+
+
+def _run_control(repo: str, ref: str) -> dict:
+    """Time the pinned tree's own bench.py in a throwaway worktree on
+    this same host, right after the primary run. Returns the parsed
+    JSON result augmented with the ref, or {"error": ...}."""
+    import shutil
+    import subprocess
+
+    wt = f"/tmp/bench_control_{os.getpid()}"
+    try:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
+            check=True, capture_output=True, text=True, timeout=60,
+        )
+    except (subprocess.SubprocessError, OSError) as e:
+        err = getattr(e, "stderr", "") or str(e)
+        return {"ref": ref, "error": f"worktree add failed: {err.strip()}"}
+    try:
+        env = dict(os.environ, BENCH_NO_CONTROL="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            capture_output=True, text=True, timeout=1800, env=env, cwd=wt,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                out = json.loads(line)
+                return {
+                    "ref": ref,
+                    "value": out.get("value"),
+                    "queries": out.get("queries", {}),
+                }
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+        return {"ref": ref, "error": f"no JSON line; tail={tail}"}
+    except (subprocess.SubprocessError, OSError, ValueError) as e:
+        return {"ref": ref, "error": str(e)}
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True, timeout=60,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 def main() -> None:
@@ -81,6 +156,16 @@ def main() -> None:
     }
     if failures:
         result["failed"] = failures
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ref = _control_ref(repo)
+    if ref:
+        print(f"# timing same-host control at {ref} ...", file=sys.stderr)
+        control = _run_control(repo, ref)
+        if "error" in control:
+            result["control_error"] = control
+            print(f"# control failed: {control['error']}", file=sys.stderr)
+        else:
+            result["control"] = control
     print(json.dumps(result))
     sys.exit(1 if failures else 0)
 
