@@ -233,6 +233,114 @@ def relational_probe(spark, t, ks):
     return lines
 
 
+def round6_probe(spark, t, ks):
+    """Round-6 additions: the TPC-H Q9 6-way join with a K-growing
+    fact against FIXED dimensions (the realistic 100 TB shape — facts
+    grow, part/supplier/nation don't), and BMP decode throughput
+    through the Arrow kernel."""
+    from github_etl_spark.multimodal.media import (
+        bmp_decode_stats,
+        synthesize_bmp_media,
+    )
+    from github_etl_spark.plans.core import synth_partsupp
+
+    lines = [
+        "",
+        "## Q9 join tree & BMP decode probe (round 6)",
+        "",
+        "| K | q9 fact rows | q9 groups | q9 sec | bmp images | bmp payload MB | decode sec | MB/s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    li, orders = t["lineitem"], t["orders"]
+    part, supp, nation = t["part"], t["supplier"], t["nation"]
+    amount_cents = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("ps_supplycost") * F.col("l_quantity")
+        )
+        * 100
+        + 0.5
+    ).cast("long")
+    for k in ks:
+        # fact replication offsets ONLY the order key: part/supplier
+        # keys (and therefore the synthesized partsupp) stay fixed, so
+        # dims are constant while the fact grows K-fold.
+        li_k = replicate(li, "l_orderkey", k)
+        o_k = replicate(orders, "o_orderkey", k)
+        ps = synth_partsupp(li_k)
+        q9 = (
+            li_k.join(
+                part.where(F.col("p_name").like("%red%")),
+                F.col("p_partkey") == F.col("l_partkey"),
+            )
+            .join(
+                ps,
+                (F.col("ps_partkey") == F.col("l_partkey"))
+                & (F.col("ps_suppkey") == F.col("l_suppkey")),
+            )
+            .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(o_k, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+            .select(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+                amount_cents.alias("amount_cents"),
+            )
+            .groupBy("nation", "o_year")
+            .agg(F.sum("amount_cents").alias("profit_cents"))
+        )
+        t0 = time.perf_counter()
+        n_groups = q9.count()
+        t_q9 = time.perf_counter() - t0
+        n_fact = li_k.count()
+
+        d_k = replicate(t["documents"], "doc_id", k)
+        media = synthesize_bmp_media(d_k)
+        n_img = d_k.count()
+        mb = (
+            media.agg(F.sum(F.length("content"))).collect()[0][0] or 0
+        ) / 1e6
+        t0 = time.perf_counter()
+        bad = bmp_decode_stats(media).where(
+            F.col("decode_error").isNotNull()
+        ).count()
+        t_bmp = time.perf_counter() - t0
+        assert bad == 0, f"{bad} decode failures at K={k}"
+        lines.append(
+            f"| {k} | {n_fact} | {n_groups} | {t_q9:.1f} | {n_img} "
+            f"| {mb:.1f} | {t_bmp:.1f} | {mb / t_bmp:.0f} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Q9: dims fixed, fact K-fold — near-linear wall time is the",
+        "claim; the partsupp synthesis stays constant-size (distinct",
+        "pairs don't grow with order replication), so the composite-key",
+        "join's build side is scale-independent here, as a real",
+        "partsupp would be relative to a 100 TB lineitem. BMP decode:",
+        "throughput (MB/s) rises to a plateau as per-job startup",
+        "amortizes (the kernel is embarrassingly parallel over Arrow",
+        "batches); a FALLING MB/s at high K would flag a batch-shape",
+        "or GIL artifact.",
+    ]
+    return lines
+
+
+def splice_round6(lines: list[str]) -> None:
+    """Append-or-replace the round-6 section of SCALE_PROBE.md."""
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "SCALE_PROBE.md",
+    )
+    with open(out) as f:
+        existing = f.read().splitlines()
+    marker = "## Q9 join tree & BMP decode probe (round 6)"
+    idx = existing.index(marker) - 1 if marker in existing else len(existing)
+    with open(out, "w") as f:
+        f.write("\n".join(existing[:idx] + lines) + "\n")
+
+
 def splice_relational(lines: list[str]) -> None:
     """Replace the relational section of an existing SCALE_PROBE.md in
     place (regenerating only the cheap round-5 section)."""
@@ -250,13 +358,20 @@ def splice_relational(lines: list[str]) -> None:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--relational-only"]
+    flags = {"--relational-only", "--round6-only"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     relational_only = "--relational-only" in sys.argv[1:]
+    round6_only = "--round6-only" in sys.argv[1:]
     ks = [int(a) for a in args] or [1, 4, 16, 32]
     if relational_only:
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
         splice_relational(relational_probe(spark, t, ks))
+        return
+    if round6_only:
+        spark = get_spark("scale_probe")
+        t = load_tables(spark, SF_DIR, register=False)
+        splice_round6(round6_probe(spark, t, ks))
         return
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
@@ -430,6 +545,7 @@ def main():
         "set) \u2014 the property that keeps a 10^11-edge graph tractable.",
     ]
     lines += relational_probe(spark, t, ks)
+    lines += round6_probe(spark, t, ks)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "SCALE_PROBE.md")
     with open(out, "w") as f:
