@@ -179,3 +179,29 @@ def test_bmp_decode_stats_quarantines_bad_payloads(spark):
     assert rows[1]["mean_value"] == 9.0 and rows[1]["corner_value"] == 9
     assert rows[2]["decode_error"] is not None
     assert rows[2]["mean_value"] is None and rows[2]["width"] is None
+
+
+def test_bmp_roundtrip_property():
+    """Property: decode(encode(px)) == px for arbitrary dimensions and
+    pixel content (no Spark session — pure codec)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        from github_etl_spark.multimodal.media import decode_bmp24, encode_bmp24
+
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        enc = encode_bmp24(px)
+        # size is exactly header + padded rows — no silent growth
+        assert len(enc) == 54 + ((w * 3 + 3) // 4 * 4) * h
+        assert np.array_equal(decode_bmp24(enc), px)
+
+    check()
