@@ -84,11 +84,17 @@ def _run_control(repo: str, ref: str) -> dict:
             line = line.strip()
             if line.startswith("{"):
                 out = json.loads(line)
-                return {
+                control = {
                     "ref": ref,
                     "value": out.get("value"),
                     "queries": out.get("queries", {}),
                 }
+                # A control with failed queries has a PARTIAL total —
+                # carry the list so its value is never read as
+                # comparable to a full primary suite.
+                if out.get("failed"):
+                    control["failed"] = out["failed"]
+                return control
         tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
         return {"ref": ref, "error": f"no JSON line; tail={tail}"}
     except (subprocess.SubprocessError, OSError, ValueError) as e:
@@ -159,6 +165,12 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     ref = _control_ref(repo)
     if ref:
+        # Free the primary session's JVM (8g heap + executor threads)
+        # BEFORE timing the control — two live JVMs would measure the
+        # control under memory pressure the primary never saw, which
+        # is the exact comparability failure this feature exists to
+        # remove.
+        spark.stop()
         print(f"# timing same-host control at {ref} ...", file=sys.stderr)
         control = _run_control(repo, ref)
         if "error" in control:

@@ -43,16 +43,25 @@ def parse_json_quarantine(
     silently produce duplicate output columns) and must not include
     ``_corrupt_record`` (reserved for the quarantine split).
     """
-    probe = df.sparkSession.range(0).select(
+    spark = df.sparkSession
+    probe = spark.range(0).select(
         F.from_json(F.lit(None).cast("string"), schema).alias("__s")
     )
     fields = set(probe.schema["__s"].dataType.fieldNames())
-    if CORRUPT_COL in fields:
+    # Name comparison must follow the session's resolution rules:
+    # under the default spark.sql.caseSensitive=false, 'K' and 'k'
+    # collide too (AMBIGUOUS_REFERENCE downstream).
+    case_sensitive = (
+        str(spark.conf.get("spark.sql.caseSensitive", "false")).lower() == "true"
+    )
+    canon = (lambda n: n) if case_sensitive else str.casefold
+    if any(canon(f) == canon(CORRUPT_COL) for f in fields):
         raise ValueError(
             f"schema must not declare the reserved column {CORRUPT_COL!r}; "
             "it is added internally to detect malformed payloads"
         )
-    clash = sorted(fields & set(df.columns))
+    in_cols = {canon(c) for c in df.columns}
+    clash = sorted(f for f in fields if canon(f) in in_cols)
     if clash:
         raise ValueError(
             f"schema fields {clash} collide with input columns; rename them "

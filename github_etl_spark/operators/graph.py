@@ -187,8 +187,25 @@ def connected_components(
     session-level checkpoint dir should be set, so localCheckpoint is
     the local-mode fast path, not the default at scale.
     """
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    from ..session import scoped_checkpoint_dir
+
+    # A per-call dir is scoped: set for the duration of the iteration,
+    # restored afterward (the checkpoint FILES persist — only the
+    # session-global setting is unwound, so an ad-hoc call never
+    # changes a LATER operator's reliable-vs-local selection).
+    with scoped_checkpoint_dir(edges.sparkSession, checkpoint_dir):
+        return _connected_components_run(
+            edges, src, dst, max_iterations, local_finish_edges
+        )
+
+
+def _connected_components_run(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+    local_finish_edges: int,
+) -> DataFrame:
     # A session-level checkpoint dir (setCheckpointDir at startup, the
     # production default) also selects the reliable path — the fragile
     # executor-local blocks are only used when NO directory is known.

@@ -111,8 +111,13 @@ def scd2_apply(
     # cached (measured 2.8s vs 1.7s cold at sf0.1), so pay the batch
     # computation once, up front.
     if checkpoint_dir is not None:
-        dim.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        survivors = survivors.checkpoint(eager=True)
+        from ..session import scoped_checkpoint_dir
+
+        # Scoped: the eager checkpoint completes inside the context and
+        # the session-global dir is restored, so this per-call choice
+        # never leaks into later operators' checkpoint selection.
+        with scoped_checkpoint_dir(dim.sparkSession, checkpoint_dir):
+            survivors = survivors.checkpoint(eager=True)
     else:
         survivors = survivors.localCheckpoint(eager=True)
 

@@ -2287,11 +2287,11 @@ def tpch_q20_excess_inventory_suppliers(
     """TPC-H Q20 shape (potential part promotion): suppliers holding
     more stock of a name-filtered part than a multiple of what they
     shipped in a year — the nested semi-join with a doubly-correlated
-    aggregate threshold. The spec's 0.5 factor becomes 200.0 here
+    aggregate threshold. The spec's 0.5 factor becomes 2000.0 here
     because the synthesized ps_availqty is uniform on [1, 9999] while
     the fixture's per-pair annual quantity is sparse (a 0.5 factor
-    would pass ~every pair and the predicate would be dead); 200.0
-    keeps the comparison discriminative at every SF. The threshold is
+    would pass every pair and the predicate would be dead); 2000.0
+    selects ~1/3 of suppliers at both sf0.01 and sf0.1. The threshold is
     rounded deterministically BEFORE the > (Q17 contract). The
     correlated subquery is one keyed aggregate inner-joined back on
     both keys — a pair with no window shipments is excluded, exactly

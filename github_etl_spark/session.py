@@ -142,3 +142,37 @@ def get_spark(app_name: str = "github_etl_spark", cpus: int | None = None) -> Sp
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def scoped_checkpoint_dir(spark: SparkSession, path: str | None):
+    """Set the session checkpoint dir for the duration of an EAGER
+    checkpointing operation, restoring the previous state (including
+    "unset") afterward — a per-call directory must not leak into later
+    operators' reliable-vs-local checkpoint selection (they pick the
+    reliable path whenever a session dir is visible).
+
+    ``path=None`` is a no-op. Note: Spark resolves a configured dir to
+    a per-context UUID subdirectory, so "restore" re-points the parent
+    at the previously RESOLVED dir — subsequent checkpoints land one
+    level deeper under the original root, which is harmless (same
+    filesystem, same visibility).
+    """
+    if path is None:
+        yield
+        return
+    sc = spark.sparkContext
+    before = sc.getCheckpointDir()
+    sc.setCheckpointDir(path)
+    try:
+        yield
+    finally:
+        if before is not None:
+            sc.setCheckpointDir(before)
+        else:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )

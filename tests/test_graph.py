@@ -245,3 +245,16 @@ def test_cooccurrence_edges_group_cap(spark):
     assert sorted(map(tuple, capped.collect())) == [
         (100, 101), (100, 102), (101, 102),
     ]
+
+
+def test_per_call_checkpoint_dir_does_not_leak(spark, tmp_path):
+    """A checkpoint_dir= argument is scoped to the call: the session's
+    global checkpoint dir must be restored afterward, so an ad-hoc
+    call cannot silently flip LATER operators onto the reliable path
+    (or point them at a directory they never chose)."""
+    sc = spark.sparkContext
+    before = sc.getCheckpointDir()
+    edges = [(1, 2), (2, 3)]
+    run_cc(spark, edges, local_finish_edges=0,
+           checkpoint_dir=str(tmp_path / "scoped_ckpt"))
+    assert sc.getCheckpointDir() == before

@@ -295,8 +295,11 @@ def round6_probe(spark, t, ks):
         n_fact = li_k.count()
 
         d_k = replicate(t["documents"], "doc_id", k)
-        media = synthesize_bmp_media(d_k)
-        n_img = d_k.count()
+        # Materialize the payloads FIRST: timing an uncached lazy plan
+        # would re-run document scan + pixel synthesis + encode inside
+        # the "decode" measurement and report the wrong kernel.
+        media = synthesize_bmp_media(d_k).localCheckpoint(eager=True)
+        n_img = media.count()
         mb = (
             media.agg(F.sum(F.length("content"))).collect()[0][0] or 0
         ) / 1e6
@@ -305,6 +308,7 @@ def round6_probe(spark, t, ks):
             F.col("decode_error").isNotNull()
         ).count()
         t_bmp = time.perf_counter() - t0
+        media.unpersist()
         assert bad == 0, f"{bad} decode failures at K={k}"
         lines.append(
             f"| {k} | {n_fact} | {n_groups} | {t_q9:.1f} | {n_img} "
@@ -342,8 +346,11 @@ def splice_round6(lines: list[str]) -> None:
 
 
 def splice_relational(lines: list[str]) -> None:
-    """Replace the relational section of an existing SCALE_PROBE.md in
-    place (regenerating only the cheap round-5 section)."""
+    """Replace ONLY the relational section of an existing
+    SCALE_PROBE.md: everything before its marker and everything from
+    the NEXT section marker onward is preserved (the round-6 section
+    follows it now — truncating to end-of-file would silently delete
+    it)."""
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
@@ -352,9 +359,13 @@ def splice_relational(lines: list[str]) -> None:
     with open(out) as f:
         existing = f.read().splitlines()
     marker = "## Relational & graph probe — triangles, bloom join, heavy hitters"
-    idx = existing.index(marker) - 1 if marker in existing else len(existing)
+    start = existing.index(marker) - 1 if marker in existing else len(existing)
+    tail: list[str] = []
+    next_marker = "## Q9 join tree & BMP decode probe (round 6)"
+    if next_marker in existing and existing.index(next_marker) > start:
+        tail = existing[existing.index(next_marker) - 1 :]
     with open(out, "w") as f:
-        f.write("\n".join(existing[:idx] + lines) + "\n")
+        f.write("\n".join(existing[:start] + lines + tail) + "\n")
 
 
 def main():
