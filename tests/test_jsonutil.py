@@ -82,3 +82,13 @@ def test_reserved_corrupt_record_field_rejected(spark):
     df = _fixture(spark)
     with pytest.raises(ValueError, match="_corrupt_record"):
         parse_json_quarantine(df, "props", "k int, _corrupt_record string")
+
+
+def test_schema_collision_detected_case_insensitively(spark):
+    """Spark resolves names case-insensitively by default, so 'PROPS'
+    collides with input column 'props' even though the strings differ."""
+    import pytest
+
+    df = _fixture(spark)
+    with pytest.raises(ValueError, match="collide with input columns"):
+        parse_json_quarantine(df, "props", "PROPS string, k int")
