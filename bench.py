@@ -78,7 +78,7 @@ def _run_control(repo: str, ref: str) -> dict:
         env = dict(os.environ, BENCH_NO_CONTROL="1")
         proc = subprocess.run(
             [sys.executable, os.path.join(wt, "bench.py")],
-            capture_output=True, text=True, timeout=1800, env=env, cwd=wt,
+            capture_output=True, text=True, timeout=900, env=env, cwd=wt,
         )
         for line in reversed(proc.stdout.splitlines()):
             line = line.strip()
@@ -164,6 +164,17 @@ def main() -> None:
         result["failed"] = failures
     repo = os.path.dirname(os.path.abspath(__file__))
     ref = _control_ref(repo)
+    # The control doubles wall time; if the primary suite already ran
+    # long (loaded host, bigger SF), skip it rather than risk an
+    # external timeout killing the process before the JSON line prints
+    # — a missing primary result is worse than a missing control.
+    budget = float(os.environ.get("BENCH_CONTROL_BUDGET", "420"))
+    if ref and total > budget:
+        result["control_error"] = {
+            "ref": ref,
+            "error": f"skipped: primary suite took {total}s > {budget}s budget",
+        }
+        ref = None
     if ref:
         # Free the primary session's JVM (8g heap + executor threads)
         # BEFORE timing the control — two live JVMs would measure the
