@@ -18,14 +18,17 @@ container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
 batch shape, partitioning, null handling — real and testable. Swapping
 in a real codec changes ONLY the inside of the per-batch function.
 
-SCOPE NOTE: the IMAGE branch has a real, dependency-free decoder —
-24-bit uncompressed BMP (`encode_bmp24`/`decode_bmp24`, pure numpy),
-exercised end-to-end by the oracle-checked `mm_bmp_roundtrip_stats`
-catalog query and byte-level tests. The sandbox has no installable
-audio/video libraries (`pip install` is unavailable; soundfile, av and
-PIL alike are absent), so the remaining `_HAVE_REAL_CODECS=True`
-branches are dormant seams by design: they cannot be executed or
-tested here, only exercised by deployments that ship a codec. The contract a real codec must satisfy is exactly the
+SCOPE NOTE: the IMAGE and AUDIO branches have real, dependency-free
+decoders — 24-bit uncompressed BMP (`encode_bmp24`/`decode_bmp24`) and
+RIFF/WAVE PCM-16 (`encode_wav16`/`decode_wav16`), both pure numpy,
+each exercised end-to-end by an oracle-checked roundtrip catalog query
+(`mm_bmp_roundtrip_stats`, `mm_wav_roundtrip_stats`) and byte-level
+tests. Only VIDEO remains a declared seam: no dependency-free video
+container is parseable without a codec library, and the sandbox has no
+installable av/PIL/soundfile (`pip install` unavailable), so the
+remaining `_HAVE_REAL_CODECS=True` branches are dormant by design:
+they cannot be executed or tested here, only exercised by deployments
+that ship a codec. The contract a real codec must satisfy is exactly the
 fallback's: consume `payload` bytes per batch row, honor NULL/empty
 payloads (emit NULL stats, never raise), and emit the declared output
 schema — the fallback-path tests in tests/test_multimodal.py are the
@@ -391,6 +394,169 @@ def bmp_decode_stats(media: DataFrame) -> DataFrame:
                 rows["min_value"].append(int(flat.min()))
                 rows["max_value"].append(int(flat.max()))
                 rows["corner_value"].append(int(px[0, 0, 0]))
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+# ----------------------------------------------------------- real codec: WAV
+
+# The AUDIO branch's real decoder: RIFF/WAVE PCM is a chunked container
+# with int16 little-endian samples — parseable with numpy alone, like
+# BMP for images. Any PCM-16 WAV from any producer decodes here; only
+# the VIDEO branch remains a declared seam (no dependency-free video
+# format exists).
+
+
+def encode_wav16(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Serialize int16 PCM samples — shape (n,) mono or (n, channels)
+    interleaved — as a canonical 44-byte-header RIFF/WAVE file."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, channels) samples, got {s.shape}")
+    n, ch = s.shape
+    data = s.reshape(-1).tobytes()  # interleaved LE
+    block_align = ch * 2
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, ch, sample_rate,
+        sample_rate * block_align, block_align, 16,
+        b"data", len(data),
+    )
+    return header + data
+
+
+def decode_wav16(
+    content: bytes | bytearray | memoryview,
+) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE PCM-16 payload into ((n, channels) int16
+    array, sample_rate). Walks the chunk list (so files with extra
+    LIST/fact chunks decode too), validates the format tag and bit
+    depth, and raises ValueError on anything malformed — decode errors
+    must surface as quarantinable failures, never as garbage samples."""
+    b = bytes(content)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (bad RIFF/WAVE magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant: format={audio_format} bits={bits}"
+        )
+    if channels < 1:
+        raise ValueError(f"bad channel count {channels}")
+    usable = len(data) - len(data) % (2 * channels)
+    if usable == 0:
+        return np.zeros((0, channels), dtype=np.int16), sample_rate
+    arr = np.frombuffer(data, dtype="<i2", count=usable // 2)
+    return arr.reshape(-1, channels).copy(), sample_rate
+
+
+def synthesize_wav_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-format audio fixtures: each document becomes
+    a mono PCM-16 WAV of (id%50+10) samples at 8/12/16 kHz (id%3),
+    sample j = (text_byte[j mod len] - 128) * 257 (all-zero for empty
+    text). The sample rule is SQL-replayable, so a DuckDB oracle
+    verifies the encode→decode roundtrip without parsing WAV (see
+    mm_wav_roundtrip_stats)."""
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                n = mid % 50 + 10
+                rate = 8000 + (mid % 3) * 4000
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                if len(tb):
+                    samples = (
+                        tb[np.arange(n) % len(tb)].astype(np.int16) - 128
+                    ) * 257
+                else:
+                    samples = np.zeros(n, dtype=np.int16)
+                ids.append(mid)
+                payloads.append(encode_wav16(samples, rate))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def wav_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode-stats over REAL WAV payloads: rate/shape from the parsed
+    header, stats over the decoded samples, and `first_sample` as a
+    positional probe (an endianness or interleave bug changes it).
+    Malformed payloads quarantine as decode_error rows — same contract
+    as `bmp_decode_stats`."""
+    schema = (
+        "media_id long, sample_rate int, n_samples long, channels int, "
+        "mean_value double, min_value int, max_value int, "
+        "first_sample int, decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "channels",
+                "mean_value", "min_value", "max_value", "first_sample",
+                "decode_error",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(int(mid))
+                try:
+                    arr, rate = decode_wav16(
+                        content if content is not None else b""
+                    )
+                except ValueError as e:
+                    for k in ("sample_rate", "n_samples", "channels",
+                              "mean_value", "min_value", "max_value",
+                              "first_sample"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+                    continue
+                flat = arr.reshape(-1)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(int(arr.shape[0]))
+                rows["channels"].append(int(arr.shape[1]))
+                rows["mean_value"].append(
+                    float(flat.mean()) if flat.size else None
+                )
+                rows["min_value"].append(int(flat.min()) if flat.size else None)
+                rows["max_value"].append(int(flat.max()) if flat.size else None)
+                rows["first_sample"].append(
+                    int(flat[0]) if flat.size else None
+                )
                 rows["decode_error"].append(None)
             yield pd.DataFrame(rows)
 

@@ -1389,6 +1389,67 @@ def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_wav_roundtrip_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    sm AS (
+      SELECT media_id,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (CAST(concat('0x',
+                          substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+                        - 128) * 257
+             END AS v,
+             i.i AS idx
+      FROM (SELECT media_id, hx, n, n_samples,
+                   unnest(range(0, n_samples)) AS i FROM m) i
+    ),
+    stats AS (
+      SELECT media_id, AVG(v) AS mean_raw,
+             MIN(v) AS min_value, MAX(v) AS max_value,
+             MAX(CASE WHEN idx = 0 THEN v END) AS first_sample
+      FROM sm GROUP BY media_id
+    )
+    SELECT m.media_id, m.sample_rate, m.n_samples, CAST(1 AS INT) AS channels,
+           (floor(s.mean_raw * 10000 + 0.5) / 10000) AS mean_value,
+           s.min_value, s.max_value, s.first_sample
+    FROM m JOIN stats s USING (media_id)
+    """,
+)
+def mm_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the REAL audio decode path, oracle-checked end-to-end.
+    Each document becomes an actual RIFF/WAVE PCM-16 file
+    (`encode_wav16`), then `wav_decode_stats` parses it back with the
+    dependency-free chunk-walking decoder: rate/shape from the header,
+    stats over the decoded int16 samples, and a positional
+    first-sample probe an endianness or interleave bug would change.
+    The synthesized sample rule ((text byte − 128) · 257, tiled) is
+    SQL-replayable, so DuckDB verifies the whole encode→decode
+    roundtrip without parsing WAV. With `mm_bmp_roundtrip_stats` this
+    leaves VIDEO as the only declared codec seam."""
+    from ..multimodal.media import synthesize_wav_media, wav_decode_stats
+
+    t = load_tables(spark, sf_dir)
+    stats = wav_decode_stats(synthesize_wav_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "channels",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "first_sample",
+    )
+
+
 @query("sim_ivf_topk", headline=True)  # approximate — recall asserted in tests
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: IVF ANN — sample-trained coarse quantizer (16 cells), probe

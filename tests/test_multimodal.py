@@ -205,3 +205,118 @@ def test_bmp_roundtrip_property():
         assert np.array_equal(decode_bmp24(enc), px)
 
     check()
+
+
+# ------------------------------------------------------ real codec: WAV
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import decode_wav16, encode_wav16
+
+    rng = np.random.default_rng(3)
+    for n, ch in [(1, 1), (10, 1), (7, 2), (64, 4)]:
+        s = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        arr, rate = decode_wav16(encode_wav16(s, 44100))
+        assert rate == 44100
+        assert np.array_equal(arr, s)
+    # mono convenience shape (n,) round-trips as (n, 1)
+    s = rng.integers(-32768, 32768, 9).astype(np.int16)
+    arr, rate = decode_wav16(encode_wav16(s))
+    assert rate == 16000 and np.array_equal(arr[:, 0], s)
+
+
+def test_wav_golden_header():
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import encode_wav16
+
+    b = encode_wav16(np.array([257], dtype=np.int16), 8000)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    assert int.from_bytes(b[22:24], "little") == 1  # mono
+    assert int.from_bytes(b[24:28], "little") == 8000
+    assert int.from_bytes(b[34:36], "little") == 16  # bits
+    assert len(b) == 44 + 2
+    assert b[44:46] == bytes([1, 1])  # 257 little-endian
+
+
+def test_wav_extra_chunks_and_word_alignment():
+    """Real-world WAVs carry LIST/fact chunks (some odd-sized, padded
+    to word boundaries) before data — the chunk walk must skip them."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import decode_wav16, encode_wav16
+
+    s = np.arange(-4, 4, dtype=np.int16)
+    enc = encode_wav16(s, 22050)
+    # splice an odd-sized chunk (3 bytes + 1 pad) between fmt and data
+    extra = enc[:36] + b"junk" + (3).to_bytes(4, "little") + b"abc\x00" + enc[36:]
+    arr, rate = decode_wav16(extra)
+    assert rate == 22050 and np.array_equal(arr[:, 0], s)
+
+
+def test_wav_malformed_raises():
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import decode_wav16, encode_wav16
+
+    with pytest.raises(ValueError, match="RIFF/WAVE magic"):
+        decode_wav16(b"")
+    with pytest.raises(ValueError, match="RIFF/WAVE magic"):
+        decode_wav16(b"RIFXxxxxWAVE")
+    good = encode_wav16(np.zeros(4, dtype=np.int16))
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav16(good[:-3])
+    bad_bits = bytearray(good)
+    bad_bits[34:36] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        decode_wav16(bytes(bad_bits))
+
+
+def test_wav_decode_stats_quarantines_bad_payloads(spark):
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import encode_wav16, wav_decode_stats
+
+    good = encode_wav16(np.full(6, 100, dtype=np.int16), 12000)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a wav"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in wav_decode_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert (rows[1]["sample_rate"], rows[1]["n_samples"], rows[1]["channels"]) == (
+        12000, 6, 1,
+    )
+    assert rows[1]["mean_value"] == 100.0 and rows[1]["first_sample"] == 100
+    assert rows[2]["decode_error"] is not None
+    assert rows[2]["mean_value"] is None and rows[2]["sample_rate"] is None
+
+
+def test_wav_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=200),
+        ch=st.integers(min_value=1, max_value=6),
+        rate=st.sampled_from([8000, 16000, 44100, 48000]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, ch, rate, seed):
+        from github_etl_spark.multimodal.media import decode_wav16, encode_wav16
+
+        s = (
+            np.random.default_rng(seed)
+            .integers(-32768, 32768, (n, ch))
+            .astype(np.int16)
+        )
+        arr, got_rate = decode_wav16(encode_wav16(s, rate))
+        assert got_rate == rate
+        assert arr.shape == (n, ch)
+        assert np.array_equal(arr, s)
+
+    check()
