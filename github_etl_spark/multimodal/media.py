@@ -18,17 +18,17 @@ container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
 batch shape, partitioning, null handling — real and testable. Swapping
 in a real codec changes ONLY the inside of the per-batch function.
 
-SCOPE NOTE: the IMAGE and AUDIO branches have real, dependency-free
-decoders — 24-bit uncompressed BMP (`encode_bmp24`/`decode_bmp24`) and
-RIFF/WAVE PCM-16 (`encode_wav16`/`decode_wav16`), both pure numpy,
-each exercised end-to-end by an oracle-checked roundtrip catalog query
-(`mm_bmp_roundtrip_stats`, `mm_wav_roundtrip_stats`) and byte-level
-tests. Only VIDEO remains a declared seam: no dependency-free video
-container is parseable without a codec library, and the sandbox has no
-installable av/PIL/soundfile (`pip install` unavailable), so the
-remaining `_HAVE_REAL_CODECS=True` branches are dormant by design:
-they cannot be executed or tested here, only exercised by deployments
-that ship a codec. The contract a real codec must satisfy is exactly the
+SCOPE NOTE: all three media branches have real, dependency-free
+decoders — 24-bit uncompressed BMP for images
+(`encode_bmp24`/`decode_bmp24`), RIFF/WAVE PCM-16 for audio
+(`encode_wav16`/`decode_wav16`), and YUV4MPEG2 for video
+(`encode_y4m`/`decode_y4m`) — pure numpy, each exercised end-to-end
+by an oracle-checked roundtrip catalog query (`mm_bmp_roundtrip_stats`,
+`mm_wav_roundtrip_stats`, `mm_y4m_frame_stats`) and byte-level tests.
+What remains behind `_HAVE_REAL_CODECS` are the COMPRESSED-codec
+branches (JPEG/FLAC/H.264 need PIL/soundfile/av, none installable
+here — `pip install` unavailable): dormant by design, only exercised
+by deployments that ship a codec library. The contract a real codec must satisfy is exactly the
 fallback's: consume `payload` bytes per batch row, honor NULL/empty
 payloads (emit NULL stats, never raise), and emit the declared output
 schema — the fallback-path tests in tests/test_multimodal.py are the
@@ -558,6 +558,190 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
                     int(flat[0]) if flat.size else None
                 )
                 rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+# ----------------------------------------------------------- real codec: Y4M
+
+# The VIDEO branch's real decoder: YUV4MPEG2 ("Y4M") is the standard
+# uncompressed video interchange container (ffmpeg/mjpegtools read and
+# write it): an ASCII parameter header, then per-frame "FRAME\n"
+# markers followed by raw planar pixel data. Dependency-free by
+# construction — with this, all three media branches (image/audio/
+# video) run real formats; the PIL/av seams remain only for
+# COMPRESSED codecs.
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), colorspace: str = "mono"
+) -> bytes:
+    """Serialize (n_frames, h, w) uint8 luma frames as YUV4MPEG2.
+    ``colorspace='mono'`` writes one Y plane per frame; ``'420'``
+    appends flat 128-valued chroma planes (gray video) — both forms
+    are real files any Y4M consumer plays."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 3:
+        raise ValueError(f"expected (n_frames, h, w) luma array, got {f.shape}")
+    n, h, w = f.shape
+    if colorspace == "mono":
+        cs, chroma = b"Cmono", b""
+    elif colorspace == "420":
+        if h % 2 or w % 2:
+            raise ValueError("C420 needs even dimensions")
+        cs = b"C420jpeg"
+        chroma = bytes([128]) * ((h // 2) * (w // 2) * 2)
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    header = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, *fps, cs)
+    out = [header]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(
+    content: bytes | bytearray | memoryview,
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Parse a YUV4MPEG2 stream into ((n_frames, h, w) uint8 LUMA
+    array, (fps_num, fps_den)). Supports Cmono and C420* colorspaces
+    (chroma planes are skipped — the luma is what the analysis
+    kernels consume); raises ValueError on malformed headers, unknown
+    colorspaces, or truncated frames."""
+    b = bytes(content)
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload (bad YUV4MPEG2 signature)")
+    w = h = None
+    fps = (25, 1)
+    cs = "420"
+    for tok in b[:nl].split()[1:]:
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == "C":
+            cs = val
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cs == "mono":
+        chroma_bytes = 0
+    elif cs.startswith("420"):
+        if h % 2 or w % 2:
+            raise ValueError("C420 with odd dimensions")
+        chroma_bytes = (h // 2) * (w // 2) * 2
+    elif cs.startswith("444"):
+        chroma_bytes = h * w * 2
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs!r}")
+    luma_bytes = h * w
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or not b[pos : pos + 5] == b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        pos = fnl + 1
+        end = pos + luma_bytes
+        if end + chroma_bytes > len(b):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(b, dtype=np.uint8, count=luma_bytes, offset=pos).reshape(
+                h, w
+            )
+        )
+        pos = end + chroma_bytes
+    return (
+        np.stack(frames) if frames else np.zeros((0, h, w), dtype=np.uint8),
+        fps,
+    )
+
+
+def synthesize_y4m_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-format video fixtures: each document becomes
+    a (id%4+1)-frame mono Y4M clip of (id%5+2) × (id%3+2) pixels whose
+    luma tiles the UTF-8 text across ALL frames (byte j of the
+    concatenated frame data = text_byte[j mod len]; zeros for empty
+    text). SQL-replayable, so a DuckDB oracle verifies the
+    encode→decode roundtrip (see mm_y4m_roundtrip_stats)."""
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                nf, w, h = mid % 4 + 1, mid % 5 + 2, mid % 3 + 2
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                total = nf * h * w
+                if len(tb):
+                    px = tb[np.arange(total) % len(tb)]
+                else:
+                    px = np.zeros(total, dtype=np.uint8)
+                ids.append(mid)
+                payloads.append(encode_y4m(px.reshape(nf, h, w)))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def y4m_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling: decode each Y4M payload, keep every
+    ``every_n``-th frame, emit one row per KEPT frame with its luma
+    stats — the 1→N mapInPandas fan-out a production keyframe pass
+    has, running an actual container parse. `first_pixel` is the
+    frame's (0,0) luma: positionally sensitive to frame-boundary bugs.
+    Malformed payloads emit a single frame_index=-1 row with
+    decode_error set (the quarantine contract — corrupt clips must
+    be visible, not vanish from a 1→N operator)."""
+    schema = (
+        "media_id long, frame_index int, width int, height int, "
+        "mean_value double, first_pixel int, decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "frame_index", "width", "height",
+                "mean_value", "first_pixel", "decode_error",
+            )}
+
+            def emit(mid, idx, w, h, mean, fp, err):
+                rows["media_id"].append(mid)
+                rows["frame_index"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_value"].append(mean)
+                rows["first_pixel"].append(fp)
+                rows["decode_error"].append(err)
+
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                try:
+                    frames, _fps = decode_y4m(
+                        content if content is not None else b""
+                    )
+                except ValueError as e:
+                    emit(mid, -1, None, None, None, None, str(e))
+                    continue
+                for i in range(0, frames.shape[0], every_n):
+                    fr = frames[i]
+                    emit(
+                        mid, i, fr.shape[1], fr.shape[0],
+                        float(fr.mean()), int(fr[0, 0]), None,
+                    )
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=schema)

@@ -1450,6 +1450,61 @@ def mm_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_y4m_frame_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 4 + 1 AS INT) AS nf,
+             CAST(doc_id % 5 + 2 AS INT) AS w,
+             CAST(doc_id % 3 + 2 AS INT) AS h,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             CAST(i.i // (w * h) AS INT) AS frame_index,
+             i.i % (w * h) AS off,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS v
+      FROM (SELECT media_id, hx, n, w, h,
+                   unnest(range(0, nf * w * h)) AS i FROM m) i
+    )
+    SELECT media_id, frame_index, w AS width, h AS height,
+           (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+           MAX(CASE WHEN off = 0 THEN v END) AS first_pixel
+    FROM px GROUP BY media_id, frame_index, w, h
+    """,
+)
+def mm_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the REAL video decode path, per-frame, oracle-checked.
+    Each document becomes an actual YUV4MPEG2 clip (`encode_y4m` —
+    ASCII parameter header + FRAME markers + raw luma planes, the
+    standard uncompressed-video interchange format), then
+    `y4m_frame_stats` parses it back and fans out ONE ROW PER FRAME
+    with luma stats and a frame-local (0,0) probe — a frame-boundary
+    bug shifts every subsequent frame's first_pixel. The synthesized
+    luma rule (text bytes tiled across all frames) is SQL-replayable,
+    so DuckDB verifies the container roundtrip frame-for-frame. With
+    BMP and WAV this makes all three media branches real formats;
+    only COMPRESSED codecs remain library seams."""
+    from ..multimodal.media import synthesize_y4m_media, y4m_frame_stats
+
+    t = load_tables(spark, sf_dir)
+    stats = y4m_frame_stats(synthesize_y4m_media(t["documents"]), every_n=1)
+    return stats.select(
+        "media_id",
+        "frame_index",
+        "width",
+        "height",
+        round_det("mean_value", 4).alias("mean_value"),
+        "first_pixel",
+    )
+
+
 @query("sim_ivf_topk", headline=True)  # approximate — recall asserted in tests
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: IVF ANN — sample-trained coarse quantizer (16 cells), probe

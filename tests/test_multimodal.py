@@ -320,3 +320,110 @@ def test_wav_roundtrip_property():
         assert np.array_equal(arr, s)
 
     check()
+
+
+# ------------------------------------------------------ real codec: Y4M
+
+
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(11)
+    for n, h, w in [(1, 2, 3), (4, 3, 5), (7, 1, 1), (0, 2, 2)]:
+        f = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        arr, fps = decode_y4m(encode_y4m(f, (30, 1)))
+        assert fps == (30, 1)
+        assert np.array_equal(arr, f)
+
+
+def test_y4m_c420_chroma_skipped():
+    """C420 clips carry chroma planes between frames — the luma must
+    come back exactly, proving the per-frame stride honors chroma."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import decode_y4m, encode_y4m
+
+    f = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+    arr, _ = decode_y4m(encode_y4m(f, colorspace="420"))
+    assert np.array_equal(arr, f)
+
+
+def test_y4m_golden_header():
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import encode_y4m
+
+    b = encode_y4m(np.zeros((1, 2, 3), dtype=np.uint8), (25, 1))
+    head, rest = b.split(b"\n", 1)
+    assert head == b"YUV4MPEG2 W3 H2 F25:1 Ip A1:1 Cmono"
+    assert rest == b"FRAME\n" + bytes(6)
+
+
+def test_y4m_malformed_raises():
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_y4m(b"")
+    with pytest.raises(ValueError, match="signature"):
+        decode_y4m(b"JUNKHEADER\nFRAME\n")
+    good = encode_y4m(np.zeros((2, 2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        decode_y4m(good[:-1])
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C999\nFRAME\n" + bytes(4))
+
+
+def test_y4m_frame_stats_fanout_and_quarantine(spark):
+    """1->N fan-out: every_n=2 keeps frames 0 and 2 of a 4-frame clip;
+    a corrupt payload yields a single frame_index=-1 quarantine row."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import encode_y4m, y4m_frame_stats
+
+    frames = np.stack(
+        [np.full((2, 2), v, dtype=np.uint8) for v in (10, 20, 30, 40)]
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(frames))), (2, bytearray(b"bogus"))],
+        "media_id long, content binary",
+    )
+    rows = y4m_frame_stats(media, every_n=2).collect()
+    ok = sorted(
+        (r.frame_index, r.mean_value, r.first_pixel)
+        for r in rows
+        if r.media_id == 1
+    )
+    assert ok == [(0, 10.0, 10), (2, 30.0, 30)]
+    bad = [r for r in rows if r.media_id == 2]
+    assert len(bad) == 1 and bad[0].frame_index == -1
+    assert bad[0].decode_error is not None and bad[0].mean_value is None
+
+
+def test_y4m_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=8),
+        h=st.integers(min_value=1, max_value=12),
+        w=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, h, w, seed):
+        from github_etl_spark.multimodal.media import decode_y4m, encode_y4m
+
+        f = (
+            np.random.default_rng(seed)
+            .integers(0, 256, (n, h, w))
+            .astype(np.uint8)
+        )
+        arr, fps = decode_y4m(encode_y4m(f))
+        assert fps == (25, 1) and np.array_equal(arr, f)
+
+    check()
