@@ -119,3 +119,26 @@ def test_budget_covers_every_headline_query(spark):
     """A new headline query must get a reviewed budget — otherwise the
     gate silently ignores it."""
     assert set(EXCHANGE_BUDGET) == set(headline_queries())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["mm_bmp_roundtrip_stats", "mm_wav_roundtrip_stats", "mm_y4m_frame_stats"],
+)
+def test_media_roundtrips_are_map_only(spark, name):
+    """The codec roundtrip queries must stay ZERO-exchange: synthesize
+    → decode is a straight mapInPandas chain, so payload bytes never
+    cross a shuffle — the property that makes the media path viable
+    when payloads are GB-scale (any aggregation lives in the DuckDB
+    oracle, not the Spark plan)."""
+    from github_etl_spark.plans import QUERIES
+
+    plan = (
+        QUERIES[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
