@@ -108,6 +108,19 @@ def _run_control(repo: str, ref: str) -> dict:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
+    # Parse the budget knob BEFORE the suite runs: a malformed value
+    # must fail in second 0, not after 20 minutes of measured queries
+    # (which would lose the primary JSON line).
+    try:
+        control_budget = float(os.environ.get("BENCH_CONTROL_BUDGET", "420"))
+    except ValueError:
+        print(
+            f"# bad BENCH_CONTROL_BUDGET "
+            f"{os.environ.get('BENCH_CONTROL_BUDGET')!r}; using 420",
+            file=sys.stderr,
+        )
+        control_budget = 420.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("github_etl_spark_bench")
@@ -164,15 +177,21 @@ def main() -> None:
         result["failed"] = failures
     repo = os.path.dirname(os.path.abspath(__file__))
     ref = _control_ref(repo)
-    # The control doubles wall time; if the primary suite already ran
-    # long (loaded host, bigger SF), skip it rather than risk an
+    # The control roughly doubles wall time; if the primary already ran
+    # long (loaded host, bigger SF, reps), skip it rather than risk an
     # external timeout killing the process before the JSON line prints
-    # — a missing primary result is worse than a missing control.
-    budget = float(os.environ.get("BENCH_CONTROL_BUDGET", "420"))
-    if ref and total > budget:
+    # — a missing primary result is worse than a missing control. The
+    # comparison is actual ELAPSED WALL TIME (warmup + all reps), not
+    # the sum of per-query medians, which under-counts by the rep
+    # factor.
+    elapsed = round(time.perf_counter() - t_start, 1)
+    if ref and elapsed > control_budget:
         result["control_error"] = {
             "ref": ref,
-            "error": f"skipped: primary suite took {total}s > {budget}s budget",
+            "error": (
+                f"skipped: primary bench took {elapsed}s wall "
+                f"> {control_budget}s budget"
+            ),
         }
         ref = None
     if ref:

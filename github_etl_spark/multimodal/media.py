@@ -404,9 +404,8 @@ def bmp_decode_stats(media: DataFrame) -> DataFrame:
 
 # The AUDIO branch's real decoder: RIFF/WAVE PCM is a chunked container
 # with int16 little-endian samples — parseable with numpy alone, like
-# BMP for images. Any PCM-16 WAV from any producer decodes here; only
-# the VIDEO branch remains a declared seam (no dependency-free video
-# format exists).
+# BMP for images (and Y4M for video, below). Any PCM-16 WAV from any
+# producer decodes here.
 
 
 def encode_wav16(
@@ -471,10 +470,14 @@ def decode_wav16(
         )
     if channels < 1:
         raise ValueError(f"bad channel count {channels}")
-    usable = len(data) - len(data) % (2 * channels)
-    if usable == 0:
+    if len(data) % (2 * channels):
+        raise ValueError(
+            f"WAV data length {len(data)} is not a whole number of "
+            f"{channels}-channel PCM-16 frames (trailing partial frame)"
+        )
+    if len(data) == 0:
         return np.zeros((0, channels), dtype=np.int16), sample_rate
-    arr = np.frombuffer(data, dtype="<i2", count=usable // 2)
+    arr = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     return arr.reshape(-1, channels).copy(), sample_rate
 
 
@@ -483,10 +486,11 @@ def synthesize_wav_media(
 ) -> DataFrame:
     """Deterministic REAL-format audio fixtures: each document becomes
     a mono PCM-16 WAV of (id%50+10) samples at 8/12/16 kHz (id%3),
-    sample j = (text_byte[j mod len] - 128) * 257 (all-zero for empty
-    text). The sample rule is SQL-replayable, so a DuckDB oracle
-    verifies the encode→decode roundtrip without parsing WAV (see
-    mm_wav_roundtrip_stats)."""
+    sample j = (text_byte[j mod len] - 128) * 256 (all-zero for empty
+    text; the 256 scale keeps every value inside int16 — byte 0 maps
+    to -32768 exactly). The sample rule is SQL-replayable, so a DuckDB
+    oracle verifies the encode→decode roundtrip without parsing WAV
+    (see mm_wav_roundtrip_stats)."""
     schema = "media_id long, content binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -502,8 +506,9 @@ def synthesize_wav_media(
                 )
                 if len(tb):
                     samples = (
-                        tb[np.arange(n) % len(tb)].astype(np.int16) - 128
-                    ) * 257
+                        (tb[np.arange(n) % len(tb)].astype(np.int32) - 128)
+                        * 256
+                    ).astype(np.int16)
                 else:
                     samples = np.zeros(n, dtype=np.int16)
                 ids.append(mid)
@@ -672,7 +677,7 @@ def synthesize_y4m_media(
     luma tiles the UTF-8 text across ALL frames (byte j of the
     concatenated frame data = text_byte[j mod len]; zeros for empty
     text). SQL-replayable, so a DuckDB oracle verifies the
-    encode→decode roundtrip (see mm_y4m_roundtrip_stats)."""
+    encode→decode roundtrip (see mm_y4m_frame_stats)."""
     schema = "media_id long, content binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

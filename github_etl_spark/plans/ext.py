@@ -1371,8 +1371,9 @@ def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     would change. The synthesized pixel rule (text bytes tiled) is
     SQL-replayable, so DuckDB verifies the whole encode→decode
     roundtrip value-for-value without parsing BMP itself. This is the
-    image branch of the codec seam made real; audio/video decoders
-    (soundfile/av) remain declared seams."""
+    image branch of the codec seam made real; WAV (audio) and Y4M
+    (video) have equivalent real paths — compressed codecs
+    (JPEG/FLAC/H.264) remain library seams."""
     from ..multimodal.media import bmp_decode_stats, synthesize_bmp_media
 
     t = load_tables(spark, sf_dir)
@@ -1405,7 +1406,7 @@ def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN n = 0 THEN 0
                   ELSE (CAST(concat('0x',
                           substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
-                        - 128) * 257
+                        - 128) * 256
              END AS v,
              i.i AS idx
       FROM (SELECT media_id, hx, n, n_samples,
@@ -1430,10 +1431,12 @@ def mm_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependency-free chunk-walking decoder: rate/shape from the header,
     stats over the decoded int16 samples, and a positional
     first-sample probe an endianness or interleave bug would change.
-    The synthesized sample rule ((text byte − 128) · 257, tiled) is
-    SQL-replayable, so DuckDB verifies the whole encode→decode
-    roundtrip without parsing WAV. With `mm_bmp_roundtrip_stats` this
-    leaves VIDEO as the only declared codec seam."""
+    The synthesized sample rule ((text byte − 128) · 256, tiled —
+    always inside int16) is SQL-replayable, so DuckDB verifies the
+    whole encode→decode roundtrip without parsing WAV. With
+    `mm_bmp_roundtrip_stats` and `mm_y4m_frame_stats` all three media
+    branches run real formats; compressed codecs remain library
+    seams."""
     from ..multimodal.media import synthesize_wav_media, wav_decode_stats
 
     t = load_tables(spark, sf_dir)

@@ -427,3 +427,40 @@ def test_y4m_roundtrip_property():
         assert fps == (25, 1) and np.array_equal(arr, f)
 
     check()
+
+
+def test_wav_synthesis_nul_byte_stays_in_int16(spark):
+    """A NUL text byte must map to exactly -32768 ((0-128)*256), not
+    wrap: the old *257 scale overflowed int16 at byte 0 and silently
+    diverged from the SQL oracle's exact arithmetic."""
+    from github_etl_spark.multimodal.media import (
+        synthesize_wav_media,
+        wav_decode_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "\x00A")], "doc_id long, text string"
+    )
+    row = wav_decode_stats(synthesize_wav_media(docs)).head()
+    assert row.decode_error is None
+    assert row.first_sample == -32768  # byte 0x00
+    assert row.min_value == -32768
+    assert row.max_value == (ord("A") - 128) * 256
+
+
+def test_wav_partial_frame_raises():
+    """Header-consistent but truncated stereo data (2.5 frames) must
+    quarantine, not silently decode as shorter audio."""
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import decode_wav16, encode_wav16
+
+    s = np.arange(-6, 6, dtype=np.int16).reshape(6, 2)
+    enc = bytearray(encode_wav16(s, 8000))
+    # chop 2 bytes off data AND shrink the data-chunk size field so the
+    # chunk itself stays consistent (10 bytes = 2.5 stereo frames)
+    enc = enc[:-2]
+    enc[40:44] = (len(enc) - 44).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="partial frame"):
+        decode_wav16(bytes(enc))
