@@ -750,3 +750,95 @@ def y4m_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=schema)
+
+
+def resize_bmp(media: DataFrame, out_width: int, out_height: int) -> DataFrame:
+    """REAL image resize: decode each BMP, nearest-neighbor resample
+    the RGB grid to (out_height, out_width), re-encode as BMP — the
+    output payloads are themselves valid BMP files, so this composes
+    with every other real-path operator (decode-stats the output,
+    re-resize it, ship it). Vectorized per image (one fancy-index per
+    axis); corrupt inputs quarantine as NULL content + decode_error,
+    mirroring `bmp_decode_stats`."""
+    if out_width <= 0 or out_height <= 0:
+        raise ValueError(f"bad target size {out_width}x{out_height}")
+    schema = "media_id long, width int, height int, content binary, decode_error string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, outs, errs = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(int(mid))
+                try:
+                    px = decode_bmp24(content if content is not None else b"")
+                except ValueError as e:
+                    ws.append(None); hs.append(None)
+                    outs.append(None); errs.append(str(e))
+                    continue
+                h, w = px.shape[:2]
+                # nearest-neighbor index maps (PIL's NEAREST uses the
+                # same floor((i+0.5)*src/dst) center-sampling rule)
+                ri = np.minimum(
+                    ((np.arange(out_height) + 0.5) * h / out_height).astype(np.int64),
+                    h - 1,
+                )
+                ci = np.minimum(
+                    ((np.arange(out_width) + 0.5) * w / out_width).astype(np.int64),
+                    w - 1,
+                )
+                resized = px[ri][:, ci]
+                ws.append(out_width); hs.append(out_height)
+                outs.append(encode_bmp24(resized)); errs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs,
+                 "content": outs, "decode_error": errs}
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
+    """REAL audio resample (nearest-sample / zero-order hold): decode
+    each WAV, pick source frames at the target grid's time centers,
+    re-encode at ``target_rate``. Output payloads are valid WAV files.
+    No interpolation — nearest-sample keeps the kernel exact-integer
+    (deterministic across platforms) and is the standard cheap path
+    for feature pipelines that only need a uniform rate."""
+    if target_rate <= 0:
+        raise ValueError(f"bad target_rate {target_rate}")
+    schema = (
+        "media_id long, sample_rate int, n_samples long, content binary, "
+        "decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, ns, outs, errs = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(int(mid))
+                try:
+                    arr, rate = decode_wav16(
+                        content if content is not None else b""
+                    )
+                except ValueError as e:
+                    rates.append(None); ns.append(None)
+                    outs.append(None); errs.append(str(e))
+                    continue
+                n = arr.shape[0]
+                out_n = max(int(round(n * target_rate / rate)), 0) if n else 0
+                if out_n:
+                    idx = np.minimum(
+                        ((np.arange(out_n) + 0.5) * n / out_n).astype(np.int64),
+                        n - 1,
+                    )
+                    res = arr[idx]
+                else:
+                    res = arr[:0]
+                rates.append(target_rate); ns.append(int(res.shape[0]))
+                outs.append(encode_wav16(res, target_rate)); errs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "sample_rate": rates, "n_samples": ns,
+                 "content": outs, "decode_error": errs}
+            )
+
+    return media.mapInPandas(batches, schema=schema)

@@ -464,3 +464,58 @@ def test_wav_partial_frame_raises():
     enc[40:44] = (len(enc) - 44).to_bytes(4, "little")
     with pytest.raises(ValueError, match="partial frame"):
         decode_wav16(bytes(enc))
+
+
+def test_resize_bmp_real_path(spark):
+    """Real resize: a 2x2 checkerboard upsampled to 4x4 must replicate
+    each source pixel into a 2x2 block (nearest-neighbor), and the
+    output payload must itself be a decodable BMP."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        decode_bmp24,
+        encode_bmp24,
+        resize_bmp,
+    )
+
+    src = np.zeros((2, 2, 3), dtype=np.uint8)
+    src[0, 0] = src[1, 1] = 255
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(src))), (2, bytearray(b"junk"))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in resize_bmp(media, 4, 4).collect()}
+    out = decode_bmp24(bytes(rows[1].content))
+    assert out.shape == (4, 4, 3)
+    expect = np.repeat(np.repeat(src, 2, axis=0), 2, axis=1)
+    assert np.array_equal(out, expect)
+    assert rows[2].content is None and rows[2].decode_error is not None
+    # identity resize round-trips exactly
+    same = {r.media_id: r for r in resize_bmp(media, 2, 2).collect()}
+    assert np.array_equal(decode_bmp24(bytes(same[1].content)), src)
+
+
+def test_resample_wav_real_path(spark):
+    """Halving the rate of a 16 kHz clip keeps every 2nd sample (ZOH
+    at grid centers) and emits a valid WAV at the new rate."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        decode_wav16,
+        encode_wav16,
+        resample_wav,
+    )
+
+    s = np.arange(0, 1600, dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav16(s, 16000)))], "media_id long, content binary"
+    )
+    row = resample_wav(media, 8000).head()
+    assert (row.sample_rate, row.n_samples) == (8000, 800)
+    arr, rate = decode_wav16(bytes(row.content))
+    assert rate == 8000
+    assert np.array_equal(arr[:, 0], s[1::2])  # center sampling picks odds
+    # identity rate round-trips exactly
+    row = resample_wav(media, 16000).head()
+    arr, _ = decode_wav16(bytes(row.content))
+    assert np.array_equal(arr[:, 0], s)
