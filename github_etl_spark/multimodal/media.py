@@ -842,3 +842,89 @@ def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=schema)
+
+
+def y4m_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video → image bridge: decode each Y4M clip, keep every
+    ``every_n``-th frame, emit each as a standalone 24-bit BMP
+    (grayscale luma replicated across RGB). The 1→N output rows feed
+    the IMAGE pipeline unchanged — `bmp_decode_stats`, `resize_bmp`,
+    `bmp_features` — because the payloads are real BMP files, not an
+    internal representation. Corrupt clips quarantine as a
+    frame_index=-1 row."""
+    schema = (
+        "media_id long, frame_index int, width int, height int, "
+        "content binary, decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "frame_index", "width", "height",
+                "content", "decode_error",
+            )}
+
+            def emit(mid, idx, w, h, content, err):
+                rows["media_id"].append(mid)
+                rows["frame_index"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["content"].append(content)
+                rows["decode_error"].append(err)
+
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                try:
+                    frames, _fps = decode_y4m(
+                        content if content is not None else b""
+                    )
+                except ValueError as e:
+                    emit(mid, -1, None, None, None, str(e))
+                    continue
+                for i in range(0, frames.shape[0], every_n):
+                    luma = frames[i]
+                    rgb = np.repeat(luma[:, :, None], 3, axis=2)
+                    emit(
+                        mid, i, luma.shape[1], luma.shape[0],
+                        encode_bmp24(rgb), None,
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL image featurizer: decode each BMP, split the luma
+    (mean-of-RGB) scanline order into ``dim`` buckets, emit the
+    L2-normalized bucket means as `array<float>` — shaped exactly like
+    `extract_features` so the output drops into the similarity-search
+    operators (brute_force_topk / LSH / IVF) as an embedding column.
+    Corrupt payloads emit NULL features + decode_error (NULL-embedding
+    rows are filtered by the ANN operators' existing degenerate-row
+    handling)."""
+    schema = "media_id long, features array<float>, decode_error string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, feats, errs = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(int(mid))
+                try:
+                    px = decode_bmp24(content if content is not None else b"")
+                except ValueError as e:
+                    feats.append(None)
+                    errs.append(str(e))
+                    continue
+                luma = px.astype(np.float32).mean(axis=2).reshape(-1)
+                buckets = np.array(
+                    [b.mean() if len(b) else 0.0 for b in np.array_split(luma, dim)],
+                    dtype=np.float32,
+                )
+                norm = float(np.linalg.norm(buckets))
+                feats.append((buckets / norm if norm else buckets).tolist())
+                errs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "features": feats, "decode_error": errs}
+            )
+
+    return media.mapInPandas(batches, schema=schema)

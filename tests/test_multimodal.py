@@ -519,3 +519,62 @@ def test_resample_wav_real_path(spark):
     row = resample_wav(media, 16000).head()
     arr, _ = decode_wav16(bytes(row.content))
     assert np.array_equal(arr[:, 0], s)
+
+
+def test_y4m_frames_to_bmp_bridge(spark):
+    """Video→image bridge: every exported frame is a standalone valid
+    BMP whose RGB replicates the source luma."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        decode_bmp24,
+        encode_y4m,
+        y4m_frames_to_bmp,
+    )
+
+    frames = np.stack(
+        [np.full((2, 3), v, dtype=np.uint8) for v in (7, 70, 170)]
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(frames))), (2, bytearray(b"nope"))],
+        "media_id long, content binary",
+    )
+    rows = y4m_frames_to_bmp(media, every_n=2).collect()
+    ok = {r.frame_index: r for r in rows if r.media_id == 1}
+    assert sorted(ok) == [0, 2]
+    for i in (0, 2):
+        px = decode_bmp24(bytes(ok[i].content))
+        assert px.shape == (2, 3, 3)
+        assert np.array_equal(px, np.repeat(frames[i][:, :, None], 3, axis=2))
+    bad = [r for r in rows if r.media_id == 2]
+    assert len(bad) == 1 and bad[0].frame_index == -1 and bad[0].content is None
+
+
+def test_bmp_features_feed_similarity_search(spark):
+    """e2e composition: real BMP decode -> luma features -> cosine
+    top-k. Two near-identical images must rank each other first."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import bmp_features, encode_bmp24
+    from github_etl_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]  # one-pixel change
+    far = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(base))),
+         (2, bytearray(encode_bmp24(near))),
+         (3, bytearray(encode_bmp24(far))),
+         (4, bytearray(b"corrupt"))],
+        "media_id long, content binary",
+    )
+    feats = bmp_features(media, dim=16)
+    assert feats.where(feats.decode_error.isNotNull()).count() == 1
+    emb = feats.where(feats.decode_error.isNull()).selectExpr(
+        "media_id as vec_id", "features as embedding"
+    )
+    q = emb.where("vec_id = 1")
+    top = brute_force_topk(emb.where("vec_id <> 1"), q, k=1).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == 2
