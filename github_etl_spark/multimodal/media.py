@@ -156,7 +156,8 @@ def decode_stats(media: DataFrame) -> DataFrame:
 def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFrame:
     """Strided "resize": sample the payload down to out_width*out_height
     bytes (nearest-neighbor over the fake 1-D pixel space). Output keeps
-    the media schema shape with updated metadata + payload."""
+    the media schema shape with updated metadata + payload. For actual
+    image files use the real-path sibling `resize_bmp`."""
     schema = "media_id long, width int, height int, content binary"
     target = out_width * out_height
 
@@ -185,7 +186,8 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video rows: split the payload into
     `meta.n_frames` equal frames, keep every `every_n`-th — a 1→N
     mapInPandas (output rows ≠ input rows), the shape a real
-    keyframe-extractor has."""
+    keyframe-extractor has. For actual video files use the real-path
+    siblings `y4m_frame_stats` / `y4m_frames_to_bmp`."""
     schema = "media_id long, frame_index int, frame bytes".replace("bytes", "binary")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -214,7 +216,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Fixed-dim feature vector per item (the embed step before
     similarity search / near-dup). Fake featurizer: per-bucket byte
     means, L2-normalized — deterministic, vectorized, and shaped exactly
-    like a real encoder's output (`array<float>[dim]`)."""
+    like a real encoder's output (`array<float>[dim]`). For actual
+    image files use the real-path sibling `bmp_features`."""
     schema = f"media_id long, features array<float>"  # noqa: F541
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
