@@ -110,6 +110,29 @@ def _as_u8(content: bytes | None) -> np.ndarray:
     return np.frombuffer(bytes(content), dtype=np.uint8)
 
 
+def _bucket_features(arr: np.ndarray, dim: int) -> list[float]:
+    """Shared featurizer kernel: `dim` bucket means over a 1-D float
+    array, L2-normalized (zero-norm passthrough) — one definition so
+    the fake (`extract_features`) and real (`bmp_features`) paths can
+    never silently diverge."""
+    buckets = np.array(
+        [b.mean() if len(b) else 0.0 for b in np.array_split(arr, dim)],
+        dtype=np.float32,
+    )
+    norm = float(np.linalg.norm(buckets))
+    return (buckets / norm if norm else buckets).tolist()
+
+
+def _nn_index(src_n: int, out_n: int) -> np.ndarray:
+    """Nearest-neighbor center-sampling index map (PIL-NEAREST's
+    floor((i+0.5)·src/out) rule, clamped) — one definition shared by
+    the image-resize axes and the audio resampler."""
+    return np.minimum(
+        ((np.arange(out_n) + 0.5) * src_n / out_n).astype(np.int64),
+        src_n - 1,
+    )
+
+
 # --------------------------------------------------------------- operators
 
 
@@ -218,21 +241,18 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     means, L2-normalized — deterministic, vectorized, and shaped exactly
     like a real encoder's output (`array<float>[dim]`). For actual
     image files use the real-path sibling `bmp_features`."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
     schema = f"media_id long, features array<float>"  # noqa: F541
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if _HAVE_REAL_CODECS:  # pragma: no cover
             raise NotImplementedError("real model path: batch-infer encoder here")
         for pdf in it:
-            feats = []
-            for c in pdf["content"]:
-                a = _as_u8(c).astype(np.float32)
-                buckets = np.array(
-                    [b.mean() if len(b) else 0.0 for b in np.array_split(a, dim)],
-                    dtype=np.float32,
-                )
-                norm = float(np.linalg.norm(buckets))
-                feats.append((buckets / norm if norm else buckets).tolist())
+            feats = [
+                _bucket_features(_as_u8(c).astype(np.float32), dim)
+                for c in pdf["content"]
+            ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return media.mapInPandas(batches, schema=schema)
@@ -473,6 +493,8 @@ def decode_wav16(
         )
     if channels < 1:
         raise ValueError(f"bad channel count {channels}")
+    if sample_rate < 1:
+        raise ValueError(f"bad sample rate {sample_rate}")
     if len(data) % (2 * channels):
         raise ValueError(
             f"WAV data length {len(data)} is not a whole number of "
@@ -714,6 +736,8 @@ def y4m_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
     Malformed payloads emit a single frame_index=-1 row with
     decode_error set (the quarantine contract — corrupt clips must
     be visible, not vanish from a 1→N operator)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     schema = (
         "media_id long, frame_index int, width int, height int, "
         "mean_value double, first_pixel int, decode_error string"
@@ -779,17 +803,7 @@ def resize_bmp(media: DataFrame, out_width: int, out_height: int) -> DataFrame:
                     outs.append(None); errs.append(str(e))
                     continue
                 h, w = px.shape[:2]
-                # nearest-neighbor index maps (PIL's NEAREST uses the
-                # same floor((i+0.5)*src/dst) center-sampling rule)
-                ri = np.minimum(
-                    ((np.arange(out_height) + 0.5) * h / out_height).astype(np.int64),
-                    h - 1,
-                )
-                ci = np.minimum(
-                    ((np.arange(out_width) + 0.5) * w / out_width).astype(np.int64),
-                    w - 1,
-                )
-                resized = px[ri][:, ci]
+                resized = px[_nn_index(h, out_height)][:, _nn_index(w, out_width)]
                 ws.append(out_width); hs.append(out_height)
                 outs.append(encode_bmp24(resized)); errs.append(None)
             yield pd.DataFrame(
@@ -829,14 +843,7 @@ def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
                     continue
                 n = arr.shape[0]
                 out_n = max(int(round(n * target_rate / rate)), 0) if n else 0
-                if out_n:
-                    idx = np.minimum(
-                        ((np.arange(out_n) + 0.5) * n / out_n).astype(np.int64),
-                        n - 1,
-                    )
-                    res = arr[idx]
-                else:
-                    res = arr[:0]
+                res = arr[_nn_index(n, out_n)] if out_n else arr[:0]
                 rates.append(target_rate); ns.append(int(res.shape[0]))
                 outs.append(encode_wav16(res, target_rate)); errs.append(None)
             yield pd.DataFrame(
@@ -855,6 +862,8 @@ def y4m_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
     `bmp_features` — because the payloads are real BMP files, not an
     internal representation. Corrupt clips quarantine as a
     frame_index=-1 row."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     schema = (
         "media_id long, frame_index int, width int, height int, "
         "content binary, decode_error string"
@@ -902,9 +911,13 @@ def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
     L2-normalized bucket means as `array<float>` — shaped exactly like
     `extract_features` so the output drops into the similarity-search
     operators (brute_force_topk / LSH / IVF) as an embedding column.
-    Corrupt payloads emit NULL features + decode_error (NULL-embedding
-    rows are filtered by the ANN operators' existing degenerate-row
-    handling)."""
+    Corrupt payloads emit NULL features + decode_error — FILTER them
+    (``decode_error IS NULL``) before feeding an ANN operator: the
+    LSH/IVF paths drop NULL vectors themselves, but brute_force_topk
+    only sorts NULL cosines last and could surface a corrupt row as a
+    padding neighbor when k exceeds the valid candidates."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
     schema = "media_id long, features array<float>, decode_error string"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -919,12 +932,7 @@ def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     errs.append(str(e))
                     continue
                 luma = px.astype(np.float32).mean(axis=2).reshape(-1)
-                buckets = np.array(
-                    [b.mean() if len(b) else 0.0 for b in np.array_split(luma, dim)],
-                    dtype=np.float32,
-                )
-                norm = float(np.linalg.norm(buckets))
-                feats.append((buckets / norm if norm else buckets).tolist())
+                feats.append(_bucket_features(luma, dim))
                 errs.append(None)
             yield pd.DataFrame(
                 {"media_id": ids, "features": feats, "decode_error": errs}

@@ -578,3 +578,42 @@ def test_bmp_features_feed_similarity_search(spark):
     q = emb.where("vec_id = 1")
     top = brute_force_topk(emb.where("vec_id <> 1"), q, k=1).collect()
     assert len(top) == 1 and top[0]["neighbor_id"] == 2
+
+
+def test_media_operator_parameter_validation(spark):
+    """Size/stride parameters fail fast at the driver with clear
+    errors, never as opaque executor tracebacks; a zero sample_rate in
+    a WAV header is a quarantinable decode error."""
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import (
+        bmp_features,
+        decode_wav16,
+        encode_wav16,
+        resample_wav,
+        resize_bmp,
+        y4m_frame_stats,
+        y4m_frames_to_bmp,
+    )
+
+    media = spark.createDataFrame([(1, bytearray(b""))], "media_id long, content binary")
+    with pytest.raises(ValueError, match="every_n"):
+        y4m_frame_stats(media, every_n=0)
+    with pytest.raises(ValueError, match="every_n"):
+        y4m_frames_to_bmp(media, every_n=-1)
+    with pytest.raises(ValueError, match="dim"):
+        bmp_features(media, dim=0)
+    with pytest.raises(ValueError, match="target size"):
+        resize_bmp(media, 0, 4)
+    with pytest.raises(ValueError, match="target_rate"):
+        resample_wav(media, 0)
+    # rate=0 in the header is malformed input, not a crash vector
+    bad = encode_wav16(np.arange(4, dtype=np.int16), 0)
+    with pytest.raises(ValueError, match="bad sample rate"):
+        decode_wav16(bad)
+    row = resample_wav(
+        spark.createDataFrame([(1, bytearray(bad))], "media_id long, content binary"),
+        8000,
+    ).head()
+    assert row.decode_error is not None and row.content is None
