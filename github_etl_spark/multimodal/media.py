@@ -905,6 +905,285 @@ def y4m_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+# ----------------------------------------------------------- real codec: PNG
+
+# The COMPRESSED image branch's real decoder: PNG is DEFLATE-compressed
+# filtered scanlines inside CRC-checked chunks, and `zlib` ships in the
+# Python stdlib — so unlike JPEG/FLAC/H.264 (which genuinely need
+# PIL/soundfile/av), a complete non-interlaced PNG codec is
+# dependency-free. This closes the "compressed codecs are library
+# seams" gap for one real compressed format: chunk walk with CRC32
+# verification, zlib inflate, and all five scanline filters
+# (None/Sub/Up/Average/Paeth) reconstructed per the PNG spec.
+# Supported slice: bit depth 8, color types 0/2/4/6 (gray, RGB,
+# gray+alpha, RGBA), no Adam7 interlace — the dominant layout for
+# ML-pipeline thumbnails. Palette/16-bit/interlaced files raise
+# ValueError (quarantinable), they never decode silently wrong.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized PNG Paeth predictor over int32 inputs."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
+    """Serialize a (h, w) or (h, w, c) uint8 array (c = 1/2/3/4 →
+    color type 0/4/2/6) as a real non-interlaced 8-bit PNG. The
+    per-row filter type is chosen deterministically as
+    ``(row * 7 + h) % 5`` — across the synthesized fixture corpus
+    (h ∈ {2,3,4}) every one of the five PNG filters appears, so the
+    decoder's full reconstruction surface is exercised by the
+    roundtrip oracle, not just the trivial None filter. Any standard
+    PNG reader accepts the output (filter choice is encoder-free per
+    the spec; it affects compression, never decoded pixels)."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (h, w, 1..4) uint8 array, got {px.shape}")
+    h, w, ch = px.shape
+    if h < 1 or w < 1:
+        raise ValueError(f"bad PNG dimensions: {w}x{h}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = px.reshape(h, w * ch).astype(np.int32)
+    zero = np.zeros(w * ch, dtype=np.int32)
+    out = bytearray()
+    for y in range(h):
+        line = raw[y]
+        prev = raw[y - 1] if y else zero
+        left = np.concatenate([zero[:ch], line[:-ch]])
+        upleft = np.concatenate([zero[:ch], prev[:-ch]])
+        ftype = (y * 7 + h) % 5
+        if ftype == 0:
+            filt = line
+        elif ftype == 1:
+            filt = line - left
+        elif ftype == 2:
+            filt = line - prev
+        elif ftype == 3:
+            filt = line - (left + prev) // 2
+        else:
+            filt = line - _paeth_predict(left, prev, upleft)
+        out.append(ftype)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes | bytearray | memoryview) -> np.ndarray:
+    """Parse a non-interlaced 8-bit PNG into an (h, w, channels) uint8
+    array. Real decode work, not a header peek: walks the chunk stream
+    verifying each CRC32, concatenates IDAT segments, zlib-inflates,
+    and reconstructs every scanline per its filter byte — Sub via
+    per-lane cumulative sum, Up vectorized, Average/Paeth by the
+    spec's sequential recurrence (channel-vectorized per pixel; for
+    megapixel production files hand this to a C codec via the PIL
+    seam — this path's job is correctness and thumbnail scale).
+    Raises ValueError on bad signature/CRC/length, unsupported depth/
+    palette/interlace, or inflated size mismatch — malformed files
+    quarantine, they never yield silently-wrong pixels."""
+    import struct
+    import zlib
+
+    b = bytes(content)
+    if len(b) < len(_PNG_SIG) or b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(b):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        data = b[pos + 8 : end]
+        (crc,) = struct.unpack(">I", b[end : end + 4])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if ihdr is None and tag != b"IHDR":
+            raise ValueError("PNG missing leading IHDR chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            saw_iend = True
+            break
+        pos = end + 4
+    if ihdr is None:
+        raise ValueError("PNG missing leading IHDR chunk")
+    if not saw_iend:
+        raise ValueError("truncated PNG chunk stream (no IEND terminator)")
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color_type={color_type} "
+            "(8-bit gray/RGB/gray+alpha/RGBA only; palette needs PLTE handling)"
+        )
+    if comp or filt:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions: {w}x{h}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG inflated size {len(raw)} != expected {h * (1 + stride)}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(lines[y, 0])
+        line = lines[y, 1:].astype(np.int32)
+        prev = recon[y - 1].astype(np.int32) if y else zero
+        if ftype == 0:
+            row = line
+        elif ftype == 1:
+            row = np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64) % 256
+            row = row.reshape(stride)
+        elif ftype == 2:
+            row = line + prev
+        elif ftype in (3, 4):
+            row = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(0, stride, ch):
+                up = prev[x : x + ch]
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth_predict(left, up, upleft)
+                left = (line[x : x + ch] + pred) % 256
+                upleft = up
+                row[x : x + ch] = left
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+        recon[y] = (row % 256).astype(np.uint8)
+    return recon.reshape(h, w, ch)
+
+
+def synthesize_png_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-compressed-format image fixtures: each
+    document becomes a (id%4+2) × (id%3+2) 8-bit RGB PNG whose pixel
+    bytes tile the UTF-8 text (byte j = text_byte[j mod len]; zeros
+    for empty text) — the same SQL-replayable rule as the BMP/WAV/Y4M
+    fixtures, so a DuckDB oracle verifies the full
+    compress→chunk→inflate→unfilter roundtrip without parsing PNG
+    (see mm_png_roundtrip_stats)."""
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                w, h = mid % 4 + 2, mid % 3 + 2
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                n = w * h * 3
+                if len(tb):
+                    px = tb[np.arange(n) % len(tb)]
+                else:
+                    px = np.zeros(n, dtype=np.uint8)
+                ids.append(mid)
+                payloads.append(encode_png(px.reshape(h, w, 3)))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def png_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode-stats over REAL PNG payloads: geometry and channel count
+    come from the parsed IHDR, stats from the fully reconstructed
+    pixel array. Two positional probes pin the decode: `corner_value`
+    (pixel (0,0) channel 0 — the first reconstructed byte) and
+    `last_value` (pixel (h-1, w-1) last channel — the final byte,
+    which is only correct if EVERY row's inflate + filter
+    reconstruction upstream of it was). Malformed payloads surface as
+    NULL stats with an error string (quarantine contract), never a
+    batch failure."""
+    schema = (
+        "media_id long, width int, height int, channels int, "
+        "n_pixel_bytes long, mean_value double, min_value int, "
+        "max_value int, corner_value int, last_value int, "
+        "decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "channels", "n_pixel_bytes",
+                "mean_value", "min_value", "max_value", "corner_value",
+                "last_value", "decode_error",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(int(mid))
+                try:
+                    px = decode_png(content if content is not None else b"")
+                except ValueError as e:
+                    for k in ("width", "height", "channels", "n_pixel_bytes",
+                              "mean_value", "min_value", "max_value",
+                              "corner_value", "last_value"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+                    continue
+                h, w, ch = px.shape
+                flat = px.reshape(-1)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["n_pixel_bytes"].append(int(flat.size))
+                rows["mean_value"].append(float(flat.mean()))
+                rows["min_value"].append(int(flat.min()))
+                rows["max_value"].append(int(flat.max()))
+                rows["corner_value"].append(int(px[0, 0, 0]))
+                rows["last_value"].append(int(px[h - 1, w - 1, ch - 1]))
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """REAL image featurizer: decode each BMP, split the luma
     (mean-of-RGB) scanline order into ``dim`` buckets, emit the

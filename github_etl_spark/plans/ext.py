@@ -1391,6 +1391,74 @@ def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_png_roundtrip_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 4 + 2 AS INT) AS width,
+             CAST(doc_id % 3 + 2 AS INT) AS height,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, width, height,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS v,
+             i.i AS idx
+      FROM (SELECT media_id, hx, n, width, height,
+                   unnest(range(0, width * height * 3)) AS i FROM m) i
+    ),
+    stats AS (
+      SELECT media_id, AVG(v) AS mean_raw,
+             MIN(v) AS min_value, MAX(v) AS max_value,
+             MAX(CASE WHEN idx = 0 THEN v END) AS corner_value,
+             MAX(CASE WHEN idx = width * height * 3 - 1 THEN v END) AS last_value
+      FROM px GROUP BY media_id
+    )
+    SELECT m.media_id, m.width, m.height, CAST(3 AS INT) AS channels,
+           CAST(m.width * m.height * 3 AS BIGINT) AS n_pixel_bytes,
+           (floor(s.mean_raw * 10000 + 0.5) / 10000) AS mean_value,
+           s.min_value, s.max_value, s.corner_value, s.last_value
+    FROM m JOIN stats s USING (media_id)
+    """,
+)
+def mm_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: a real COMPRESSED codec path, oracle-checked end-to-end.
+    Each document becomes an actual 8-bit RGB PNG (`encode_png` —
+    CRC-checked chunks, zlib-DEFLATE scanlines, per-row filter
+    `(row*7+h)%5` so all five PNG filters occur across the corpus),
+    then `png_decode_stats` parses it back with the dependency-free
+    production decoder: chunk walk + CRC verify, inflate, and full
+    None/Sub/Up/Average/Paeth reconstruction. Two positional probes
+    (`corner_value` = first byte, `last_value` = final byte) only
+    match if every scanline's filter chain reconstructed exactly. The
+    pixel rule (text bytes tiled) is SQL-replayable, so DuckDB checks
+    the compress→inflate→unfilter roundtrip without parsing PNG.
+    Unlike the BMP/WAV/Y4M paths this one exercises REAL compression
+    — the remaining `_HAVE_REAL_CODECS` seams (JPEG/FLAC/H.264) are
+    formats whose decoders cannot be stdlib-only."""
+    from ..multimodal.media import png_decode_stats, synthesize_png_media
+
+    t = load_tables(spark, sf_dir)
+    stats = png_decode_stats(synthesize_png_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_pixel_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "corner_value",
+        "last_value",
+    )
+
+
+@query(
     "mm_wav_roundtrip_stats",
     oracle="""
     WITH m AS (

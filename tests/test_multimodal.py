@@ -617,3 +617,149 @@ def test_media_operator_parameter_validation(spark):
         8000,
     ).head()
     assert row.decode_error is not None and row.content is None
+
+
+# ------------------------------------------------------ real codec: PNG
+
+
+def test_png_roundtrip_exact_all_color_types():
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    # every channel count (gray/gray+alpha/RGB/RGBA) and heights that
+    # between them use all five scanline filters via (row*7+h)%5
+    for ch in (1, 2, 3, 4):
+        for h, w in [(1, 1), (2, 3), (3, 5), (4, 4), (7, 2), (5, 9)]:
+            px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            out = decode_png(encode_png(px))
+            assert out.shape == (h, w, ch)
+            assert np.array_equal(out, px)
+    # 2-D input maps to grayscale
+    px = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px))[:, :, 0], px)
+
+
+def test_png_golden_structure():
+    """The serialized stream must be a spec-conformant PNG: signature,
+    IHDR first (13-byte payload, depth 8, correct color type), IDAT
+    present, IEND last, every chunk CRC32-valid."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import _PNG_SIG, encode_png
+
+    b = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert b[:8] == _PNG_SIG
+    pos, tags = 8, []
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        assert zlib.crc32(tag + data) & 0xFFFFFFFF == crc
+        tags.append(tag)
+        pos += 12 + length
+    assert tags[0] == b"IHDR" and tags[-1] == b"IEND" and b"IDAT" in tags
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", b[16:29])
+    assert (w, h, depth, ctype, comp, filt, inter) == (2, 2, 8, 2, 0, 0, 0)
+
+
+def test_png_filter_types_cover_all_five():
+    """The deterministic per-row filter rule must hit every filter type
+    across the fixture corpus heights (2..4) — otherwise the roundtrip
+    oracle silently stops exercising Paeth/Average reconstruction."""
+    used = {(y * 7 + h) % 5 for h in (2, 3, 4) for y in range(h)}
+    assert used == {0, 1, 2, 3, 4}
+
+
+def test_png_malformed_raises():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"")
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"XXXXXXXX" + b"\x00" * 32)
+    good = encode_png(np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+    # flip one IDAT payload byte -> CRC mismatch must be detected
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+    # Adam7 interlace flag (with a recomputed CRC so only interlace trips)
+    bad = bytearray(good)
+    bad[28] = 1
+    bad[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(bad[16:29])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(bad))
+    # 16-bit depth rejected the same way
+    bad = bytearray(good)
+    bad[24] = 16
+    bad[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(bad[16:29])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(bytes(bad))
+    # corrupt the DEFLATE stream but fix the chunk CRC: inflate must fail
+    (ilen,) = struct.unpack(">I", good[idat_at - 4 : idat_at])
+    bad = bytearray(good)
+    bad[idat_at + 4] ^= 0xFF
+    payload = bytes(bad[idat_at + 4 : idat_at + 4 + ilen])
+    bad[idat_at + 4 + ilen : idat_at + 8 + ilen] = struct.pack(
+        ">I", zlib.crc32(b"IDAT" + payload) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="inflate failed|inflated size"):
+        decode_png(bytes(bad))
+
+
+def test_png_decode_stats_quarantines_bad_payloads(spark):
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import encode_png, png_decode_stats
+
+    good = encode_png(np.full((2, 3, 3), 9, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a png")), (3, None)],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in png_decode_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (3, 2, 3)
+    assert rows[1]["mean_value"] == 9.0
+    assert rows[1]["corner_value"] == 9 and rows[1]["last_value"] == 9
+    for bad_id in (2, 3):
+        assert rows[bad_id]["decode_error"] is not None
+        assert rows[bad_id]["width"] is None and rows[bad_id]["mean_value"] is None
+
+
+def test_png_roundtrip_property():
+    """Property: decode(encode(px)) == px for arbitrary shapes, channel
+    counts and content — includes rows long enough that every filter's
+    vectorized/sequential reconstruction path runs (pure codec)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        ch=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, ch, seed):
+        from github_etl_spark.multimodal.media import decode_png, encode_png
+
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    check()
