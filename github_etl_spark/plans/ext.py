@@ -87,6 +87,49 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(t["documents"], "text", "doc_id")
 
 
+def _url_dedup_oracle() -> str:
+    from ..functions.urls import CANONICALIZE_URL_SQL_CTES, SYNTHESIZE_URLS_SQL
+
+    return f"""
+    WITH urls AS ({SYNTHESIZE_URLS_SQL}),
+    {CANONICALIZE_URL_SQL_CTES.format(urls="urls")}
+    SELECT canonical_url, COUNT(*) AS n_docs,
+           COUNT(DISTINCT url) AS n_variants,
+           MIN(doc_id) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """
+
+
+@query("dedup_url_canonical", oracle=_url_dedup_oracle())
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: web-corpus URL dedup (CCNet/RefinedWeb front-door pass).
+    Deterministic URL fixtures over `documents` carry scheme-case /
+    `www.` / host-case / utm-parameter / fragment / trailing-slash
+    noise on top of a stable (source, path, ref, lang) identity;
+    `canonicalize_url` (functions/urls.py — pure JVM regexp chain, no
+    UDFs) collapses the noise and the dedup groups by canonical key
+    with a deterministic keeper (min doc_id) and a variant count that
+    PROVES collapse happened (n_variants > 1 for residue classes whose
+    members differ only in noise). Shape at 100 TB: map-only
+    canonicalization + ONE hash shuffle on the canonical key. The
+    DuckDB oracle replays synthesis AND the full rule chain from the
+    shared SQL templates, so Spark and SQL canonicalization cannot
+    drift apart silently."""
+    from ..functions.urls import canonicalize_url, synthesize_urls
+
+    t = load_tables(spark, sf_dir)
+    urls = synthesize_urls(t["documents"])
+    return (
+        urls.withColumn("canonical_url", canonicalize_url("url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
 # Shared CTE chain: exact blocked n-gram Jaccard candidate pairs with
 # the hot-shingle df cap. Used verbatim by the dedup_ngram_jaccard
 # oracle AND as the edge source of the dedup_cluster_canonical oracle,

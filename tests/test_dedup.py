@@ -775,3 +775,72 @@ def test_semantic_pairs_arrow_threshold_consistency(spark):
         assert base.count() > 0
     finally:
         sim._ARROW_ASSIGN_CELLS = old
+
+
+# ------------------------------------------------- URL canonical dedup
+
+
+def test_canonicalize_url_rule_chain(spark):
+    """Each canonicalization rule, exercised on a literal where it is
+    the deciding rule — plus stacked-noise cases. These literals pin
+    the SPARK side; the catalog oracle pins Spark==DuckDB on the same
+    chain, so between them the rule spec cannot drift on either side."""
+    from github_etl_spark.functions.urls import canonicalize_url
+
+    cases = [
+        # (raw, canonical)
+        ("https://Example.com/A/b", "example.com/A/b"),  # scheme off, host lower, path case kept
+        ("HTTP://WWW.Example.COM/x", "example.com/x"),  # scheme case, www., host case
+        ("example.com/x#frag", "example.com/x"),  # fragment
+        ("  example.com/x  ", "example.com/x"),  # whitespace trim
+        ("example.com/x/", "example.com/x"),  # trailing slash
+        ("example.com/x/?id=2", "example.com/x?id=2"),  # slash before query
+        ("example.com/x?utm_source=a", "example.com/x"),  # lone utm
+        ("example.com/x?utm_source=a&id=2", "example.com/x?id=2"),  # utm first
+        ("example.com/x?id=2&utm_campaign=b", "example.com/x?id=2"),  # utm last
+        (
+            "example.com/x?a=1&utm_a=1&utm_b=2&b=2",
+            "example.com/x?a=1&b=2",
+        ),  # several mid-query utm params (the 'g'-flag case)
+        ("example.com:8080/x", "example.com:8080/x"),  # port preserved
+        ("ftp://files.example.com/pub", "files.example.com/pub"),  # any scheme
+        (
+            " HTTPS://WWW.Ex.COM/Docs/9/?utm_source=n&ref=en#sec ",
+            "ex.com/Docs/9?ref=en",
+        ),  # everything stacked
+        ("wwwx.example.com/x", "wwwx.example.com/x"),  # 'www.' only, not 'www*'
+    ]
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: got {got[i]!r}, want {want!r}"
+    # NULL propagates, never throws
+    nulls = spark.createDataFrame([(1, None)], "i long, url string")
+    assert nulls.select(canonicalize_url("url").alias("c")).head()["c"] is None
+
+
+def test_url_dedup_collapses_variant_groups(spark):
+    """Synthesized URLs must actually collapse: some canonical group
+    has multiple docs AND multiple distinct raw variants, and keepers
+    are the group-min doc_id."""
+    import pyspark.sql.functions as F
+
+    from github_etl_spark.functions.urls import canonicalize_url, synthesize_urls
+    from github_etl_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    urls = synthesize_urls(docs)
+    canon = urls.withColumn("c", canonicalize_url("url"))
+    groups = canon.groupBy("c").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("url").alias("nv"),
+        F.min("doc_id").alias("keep"),
+    )
+    multi = groups.filter("n > 1 AND nv > 1")
+    assert multi.count() > 0
+    # keeper really is the min over the group (re-derive independently)
+    joined = canon.join(multi.select("c", "keep"), "c")
+    bad = joined.groupBy("c", "keep").agg(F.min("doc_id").alias("true_min")).filter(
+        "keep <> true_min"
+    )
+    assert bad.count() == 0
