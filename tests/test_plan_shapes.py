@@ -123,7 +123,12 @@ def test_budget_covers_every_headline_query(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["mm_bmp_roundtrip_stats", "mm_wav_roundtrip_stats", "mm_y4m_frame_stats"],
+    [
+        "mm_bmp_roundtrip_stats",
+        "mm_png_roundtrip_stats",
+        "mm_wav_roundtrip_stats",
+        "mm_y4m_frame_stats",
+    ],
 )
 def test_media_roundtrips_are_map_only(spark, name):
     """The codec roundtrip queries must stay ZERO-exchange: synthesize
@@ -142,3 +147,26 @@ def test_media_roundtrips_are_map_only(spark, name):
     )
     assert "Exchange" not in plan, plan[:1200]
     assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_is_two_keyed_shuffles(spark):
+    """dedup_url_canonical: canonicalization is map-only JVM regexp
+    work, so the query is scan → project → the two-exchange shape
+    Spark plans for COUNT(DISTINCT) mixed with plain aggs — a partial
+    agg keyed on (canonical_url, url), then the canonical_url agg.
+    Both exchanges are keyed on the canonical prefix (no re-key, no
+    widening); a third exchange means the regexp chain stopped folding
+    into the scan stage."""
+    import re
+
+    from github_etl_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["dedup_url_canonical"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Exchange", plan)) <= 2, plan[:1200]
