@@ -65,8 +65,11 @@ def canonicalize_url(url: Column | str) -> Column:
 # The same chain as DuckDB CTE steps over a relation carrying a `url`
 # column ({urls} = the relation). DuckDB regexp_replace is
 # single-occurrence unless the 'g' flag is given — Spark's replaces
-# ALL occurrences, so the one rule that can match more than once
-# (mid-query utm params) passes 'g'.
+# ALL occurrences, so every rule that is not anchored to ^ or $ (and
+# could therefore match more than once on adversarial input — e.g. a
+# second '?' inside a query VALUE) passes 'g'. The lockstep is pinned
+# by tests/test_dedup.py::test_canonicalize_url_spark_duckdb_lockstep
+# on adversarial literals, not just the fixture corpus.
 CANONICALIZE_URL_SQL_CTES = """
     noscheme AS (
       SELECT *, regexp_replace(regexp_replace(trim(url), '#.*$', ''),
@@ -84,9 +87,9 @@ CANONICALIZE_URL_SQL_CTES = """
                regexp_replace(regexp_replace(
                  regexp_replace(regexp_replace(regexp_replace(rest,
                    '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
-                   '\\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
+                   '\\?utm_[A-Za-z0-9_]*=[^&#]*&', '?', 'g'),
                    '\\?utm_[A-Za-z0-9_]*=[^&#]*$', ''),
-                 '/$', ''), '/\\?', '?')) AS canonical_url
+                 '/$', ''), '/\\?', '?', 'g')) AS canonical_url
       FROM authsplit
     )
 """

@@ -18,17 +18,19 @@ container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
 batch shape, partitioning, null handling — real and testable. Swapping
 in a real codec changes ONLY the inside of the per-batch function.
 
-SCOPE NOTE: all three media branches have real, dependency-free
-decoders — 24-bit uncompressed BMP for images
-(`encode_bmp24`/`decode_bmp24`), RIFF/WAVE PCM-16 for audio
-(`encode_wav16`/`decode_wav16`), and YUV4MPEG2 for video
-(`encode_y4m`/`decode_y4m`) — pure numpy, each exercised end-to-end
-by an oracle-checked roundtrip catalog query (`mm_bmp_roundtrip_stats`,
+SCOPE NOTE: four real, dependency-free decoders cover all three media
+branches — 24-bit uncompressed BMP (`encode_bmp24`/`decode_bmp24`)
+AND zlib-compressed PNG (`encode_png`/`decode_png`) for images,
+RIFF/WAVE PCM-16 for audio (`encode_wav16`/`decode_wav16`), and
+YUV4MPEG2 for video (`encode_y4m`/`decode_y4m`) — pure numpy/stdlib,
+each exercised end-to-end by an oracle-checked roundtrip catalog
+query (`mm_bmp_roundtrip_stats`, `mm_png_roundtrip_stats`,
 `mm_wav_roundtrip_stats`, `mm_y4m_frame_stats`) and byte-level tests.
-What remains behind `_HAVE_REAL_CODECS` are the COMPRESSED-codec
-branches (JPEG/FLAC/H.264 need PIL/soundfile/av, none installable
-here — `pip install` unavailable): dormant by design, only exercised
-by deployments that ship a codec library. The contract a real codec must satisfy is exactly the
+What remains behind `_HAVE_REAL_CODECS` are the codec branches whose
+decoders cannot be stdlib-only (JPEG/FLAC/H.264 need
+PIL/soundfile/av, none installable here — `pip install` unavailable):
+dormant by design, only exercised by deployments that ship a codec
+library. The contract a real codec must satisfy is exactly the
 fallback's: consume `payload` bytes per batch row, honor NULL/empty
 payloads (emit NULL stats, never raise), and emit the declared output
 schema — the fallback-path tests in tests/test_multimodal.py are the
@@ -1030,6 +1032,10 @@ def decode_png(content: bytes | bytearray | memoryview) -> np.ndarray:
         if ihdr is None and tag != b"IHDR":
             raise ValueError("PNG missing leading IHDR chunk")
         if tag == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate PNG IHDR chunk")
+            if len(data) != 13:
+                raise ValueError(f"bad PNG IHDR length {len(data)} (want 13)")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat += data

@@ -844,3 +844,50 @@ def test_url_dedup_collapses_variant_groups(spark):
         "keep <> true_min"
     )
     assert bad.count() == 0
+
+
+def test_canonicalize_url_spark_duckdb_lockstep(spark):
+    """The Spark regexp chain and the oracle's DuckDB CTE chain must
+    agree on ADVERSARIAL input, not just the fixture corpus — Spark
+    regexp_replace is replace-ALL while DuckDB's defaults to
+    first-match, so any rule missing its 'g' flag diverges exactly
+    here (e.g. a second '?' inside a query value)."""
+    import duckdb
+
+    from github_etl_spark.functions.urls import (
+        CANONICALIZE_URL_SQL_CTES,
+        canonicalize_url,
+    )
+
+    cases = [
+        "example.com/x?utm_a=1&r=?utm_b=2&s",  # '?' inside a value
+        "example.com/a/?b=/?c",  # '/?' twice
+        "example.com/x?utm_a=?&utm_b=?",  # utm values that are '?'
+        "HTTPS://WWW.Ex.COM/Docs/9/?utm_source=n&ref=en#sec",
+        "example.com/x?a=1&utm_a=1&utm_b=2&b=2",
+        "www.example.com///x//",
+        "example.com/x?utm_a=1#frag?utm_b=2",
+        "  http://a.b/c?d=e&utm_f=g&h=i  ",
+        "no-scheme-no-slash",
+        "",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "i long, url string"
+    )
+    got_spark = {
+        r["i"]: r["c"]
+        for r in sdf.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw (i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", list(enumerate(cases)))
+    sql = (
+        "WITH "
+        + CANONICALIZE_URL_SQL_CTES.format(urls="raw").lstrip().lstrip(",")
+        + " SELECT i, canonical_url FROM canon"
+    )
+    got_duck = dict(con.execute(sql).fetchall())
+    for i, u in enumerate(cases):
+        assert got_spark[i] == got_duck[i], (
+            f"{u!r}: spark={got_spark[i]!r} duckdb={got_duck[i]!r}"
+        )

@@ -763,3 +763,36 @@ def test_png_roundtrip_property():
         assert np.array_equal(decode_png(encode_png(px)), px)
 
     check()
+
+
+def test_png_ihdr_chunk_hardening():
+    """A CRC-valid IHDR with the wrong payload length must raise
+    ValueError (not struct.error — that would escape the quarantine
+    handler and kill the batch), and a second CRC-valid IHDR must be
+    rejected rather than silently re-shaping the image."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    # IHDR length 12: struct.unpack would raise struct.error
+    bad = _PNG_SIG + _png_chunk(b"IHDR", b"\x00" * 12) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(bad)
+    # duplicate IHDR re-declaring geometry (2x2 RGB -> 13x1 gray has the
+    # same 14-byte raw size, so only the duplicate check can catch it)
+    good = encode_png(np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+    ihdr2 = struct.pack(">IIBBBBB", 13, 1, 8, 0, 0, 0, 0)
+    end_at = good.index(b"IEND") - 4
+    forged = good[:end_at] + _png_chunk(b"IHDR", ihdr2) + good[end_at:]
+    with pytest.raises(ValueError, match="duplicate PNG IHDR"):
+        decode_png(forged)
+    del zlib  # imported for symmetry with sibling tests
