@@ -330,6 +330,70 @@ def round6_probe(spark, t, ks):
     return lines
 
 
+def png_probe(spark, t, ks):
+    """Round-6 PNG addition: decode throughput of the real COMPRESSED
+    image path (zlib inflate + per-row unfilter in Python/numpy)
+    against corpus growth, beside the compression ratio the DEFLATE
+    pass actually achieves on the text-tiled fixtures. The question a
+    100 TB operator asks of a compressed codec is different from BMP's
+    'is the Arrow plumbing parallel' — it is 'what does CPU-bound
+    per-byte decode cost when the payload no longer equals the pixel
+    volume', so the table reports BOTH payload MB/s (wire cost) and
+    pixel MB/s (decode work)."""
+    from github_etl_spark.multimodal.media import (
+        png_decode_stats,
+        synthesize_png_media,
+    )
+
+    lines = [
+        "",
+        "## PNG compressed-codec probe (round 6)",
+        "",
+        "| K | images | payload MB | pixel MB | ratio | decode sec | payload MB/s | pixel MB/s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for k in ks:
+        d_k = replicate(t["documents"], "doc_id", k)
+        media = synthesize_png_media(d_k).localCheckpoint(eager=True)
+        n_img = media.count()
+        payload_mb = (
+            media.agg(F.sum(F.length("content"))).collect()[0][0] or 0
+        ) / 1e6
+        t0 = time.perf_counter()
+        stats = png_decode_stats(media)
+        agg = stats.agg(
+            F.sum("n_pixel_bytes").alias("px"),
+            F.sum(F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)).alias(
+                "bad"
+            ),
+        ).collect()[0]
+        t_png = time.perf_counter() - t0
+        media.unpersist()
+        assert agg["bad"] == 0, f"{agg['bad']} PNG decode failures at K={k}"
+        pixel_mb = (agg["px"] or 0) / 1e6
+        lines.append(
+            f"| {k} | {n_img} | {payload_mb:.1f} | {pixel_mb:.1f} "
+            f"| {payload_mb / pixel_mb:.2f} | {t_png:.1f} "
+            f"| {payload_mb / t_png:.0f} | {pixel_mb / t_png:.0f} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Payload-vs-pixel MB/s gap = the inflate+unfilter CPU tax of",
+        "the compressed path (BMP's two columns would be identical).",
+        "Throughput should plateau with K like BMP's — the kernel is",
+        "embarrassingly parallel over Arrow batches and rows never",
+        "shuffle; a falling pixel MB/s at high K flags a batch-shape",
+        "regression, not a codec one. Fixture ratio is >1 — at 2-5 px",
+        "a side, the fixed PNG container (~60 B of signature + chunk",
+        "framing) dominates the handful of pixel bytes, and DEFLATE",
+        "cannot compress the high-entropy tiled text. Real thumbnails",
+        "flip the ratio to 0.1-0.5, which moves the wire win, not the",
+        "per-pixel decode cost this probe measures.",
+    ]
+    return lines
+
+
 def splice_round6(lines: list[str]) -> None:
     """Append-or-replace the round-6 section of SCALE_PROBE.md."""
     out = os.path.join(
@@ -340,6 +404,26 @@ def splice_round6(lines: list[str]) -> None:
     with open(out) as f:
         existing = f.read().splitlines()
     marker = "## Q9 join tree & BMP decode probe (round 6)"
+    idx = existing.index(marker) - 1 if marker in existing else len(existing)
+    # preserve the PNG section that now FOLLOWS this one
+    tail: list[str] = []
+    next_marker = "## PNG compressed-codec probe (round 6)"
+    if next_marker in existing and existing.index(next_marker) > idx:
+        tail = existing[existing.index(next_marker) - 1 :]
+    with open(out, "w") as f:
+        f.write("\n".join(existing[:idx] + lines + tail) + "\n")
+
+
+def splice_png(lines: list[str]) -> None:
+    """Append-or-replace the PNG section (last in SCALE_PROBE.md)."""
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "SCALE_PROBE.md",
+    )
+    with open(out) as f:
+        existing = f.read().splitlines()
+    marker = "## PNG compressed-codec probe (round 6)"
     idx = existing.index(marker) - 1 if marker in existing else len(existing)
     with open(out, "w") as f:
         f.write("\n".join(existing[:idx] + lines) + "\n")
@@ -369,10 +453,11 @@ def splice_relational(lines: list[str]) -> None:
 
 
 def main():
-    flags = {"--relational-only", "--round6-only"}
+    flags = {"--relational-only", "--round6-only", "--png-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     relational_only = "--relational-only" in sys.argv[1:]
     round6_only = "--round6-only" in sys.argv[1:]
+    png_only = "--png-only" in sys.argv[1:]
     ks = [int(a) for a in args] or [1, 4, 16, 32]
     if relational_only:
         spark = get_spark("scale_probe")
@@ -383,6 +468,11 @@ def main():
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
         splice_round6(round6_probe(spark, t, ks))
+        return
+    if png_only:
+        spark = get_spark("scale_probe")
+        t = load_tables(spark, SF_DIR, register=False)
+        splice_png(png_probe(spark, t, ks))
         return
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
@@ -557,6 +647,7 @@ def main():
     ]
     lines += relational_probe(spark, t, ks)
     lines += round6_probe(spark, t, ks)
+    lines += png_probe(spark, t, ks)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "SCALE_PROBE.md")
     with open(out, "w") as f:
