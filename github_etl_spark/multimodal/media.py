@@ -18,16 +18,17 @@ container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
 batch shape, partitioning, null handling — real and testable. Swapping
 in a real codec changes ONLY the inside of the per-batch function.
 
-SCOPE NOTE: four real, dependency-free decoders cover all three media
+SCOPE NOTE: five real, dependency-free codecs cover all three media
 branches — 24-bit uncompressed BMP (`encode_bmp24`/`decode_bmp24`)
 AND zlib-compressed PNG (`encode_png`/`decode_png`) for images,
-RIFF/WAVE PCM-16 for audio (`encode_wav16`/`decode_wav16`), and
-YUV4MPEG2 for video (`encode_y4m`/`decode_y4m`) — pure numpy/stdlib,
+RIFF/WAVE PCM-16 plus compressed G.711 mu-law (`decode_wav16`,
+`encode_wav_mulaw`) for audio, and YUV4MPEG2 for video
+(`encode_y4m`/`decode_y4m`) — pure numpy/stdlib,
 each exercised end-to-end by an oracle-checked roundtrip catalog
 query (`mm_bmp_roundtrip_stats`, `mm_png_roundtrip_stats`,
 `mm_wav_roundtrip_stats`, `mm_y4m_frame_stats`) and byte-level tests.
 What remains behind `_HAVE_REAL_CODECS` are the codec branches whose
-decoders cannot be stdlib-only (JPEG/FLAC/H.264 need
+decoders genuinely cannot be stdlib-only (JPEG/FLAC/H.264 need
 PIL/soundfile/av, none installable here — `pip install` unavailable):
 dormant by design, only exercised by deployments that ship a codec
 library. The contract a real codec must satisfy is exactly the
@@ -489,23 +490,87 @@ def decode_wav16(
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
+    if not ((audio_format == 1 and bits == 16) or (audio_format == 7 and bits == 8)):
         raise ValueError(
-            f"unsupported WAV variant: format={audio_format} bits={bits}"
+            f"unsupported WAV variant: format={audio_format} bits={bits} "
+            "(PCM-16 and 8-bit G.711 mu-law supported)"
         )
     if channels < 1:
         raise ValueError(f"bad channel count {channels}")
     if sample_rate < 1:
         raise ValueError(f"bad sample rate {sample_rate}")
-    if len(data) % (2 * channels):
+    bytes_per_sample = 2 if audio_format == 1 else 1
+    if len(data) % (bytes_per_sample * channels):
         raise ValueError(
             f"WAV data length {len(data)} is not a whole number of "
-            f"{channels}-channel PCM-16 frames (trailing partial frame)"
+            f"{channels}-channel frames (trailing partial frame)"
         )
     if len(data) == 0:
         return np.zeros((0, channels), dtype=np.int16), sample_rate
-    arr = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if audio_format == 7:
+        arr = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    else:
+        arr = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     return arr.reshape(-1, channels).copy(), sample_rate
+
+
+# The COMPRESSED audio branch's real codec: ITU-T G.711 mu-law is the
+# classic 2:1 companding format (WAVE_FORMAT_MULAW, tag 7) — telephony
+# and speech corpora ship it inside ordinary WAV containers, and the
+# transform is pure integer math (the public-domain Sun g711.c
+# algorithm), so no library seam is needed. decode_wav16 expands tag-7
+# files transparently, which means wav_decode_stats / resample_wav and
+# every downstream audio operator consume mu-law payloads unchanged.
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """Expand G.711 mu-law bytes to linear int16 (vectorized)."""
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + _MULAW_BIAS) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, _MULAW_BIAS - t, t - _MULAW_BIAS).astype(np.int16)
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """Compress linear int16 to G.711 mu-law bytes (vectorized).
+    Round-trip law: mulaw_encode(mulaw_decode(c)) == c for every code
+    except 0x7F (negative zero re-encodes as positive zero 0xFF) —
+    pinned by tests/test_multimodal.py."""
+    s = np.asarray(samples, dtype=np.int32)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent = position of the highest set bit above bit 7 (mag is
+    # in [132, 32767], so log2 is exact enough for integer floor)
+    exponent = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 7, 0, 7)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Serialize int16 samples — (n,) mono or (n, channels) — as a
+    REAL compressed WAV: G.711 mu-law companding (format tag 7, 8 bits
+    per sample, 2:1 vs PCM-16). Any telephony-grade WAV reader plays
+    the output; `decode_wav16` expands it back transparently."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, channels) samples, got {s.shape}")
+    ch = s.shape[1]
+    data = mulaw_encode(s.reshape(-1)).tobytes()
+    block_align = ch  # one byte per sample per channel
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 7, ch, sample_rate,
+        sample_rate * block_align, block_align, 8,
+        b"data", len(data),
+    )
+    return header + data
 
 
 def synthesize_wav_media(

@@ -796,3 +796,115 @@ def test_png_ihdr_chunk_hardening():
     with pytest.raises(ValueError, match="duplicate PNG IHDR"):
         decode_png(forged)
     del zlib  # imported for symmetry with sibling tests
+
+
+# -------------------------------------------- real codec: G.711 mu-law
+
+
+def test_mulaw_decode_matches_reference_table():
+    """mulaw_decode must reproduce the public-domain Sun g711.c
+    expansion for every one of the 256 codes (scalar reference
+    re-implemented here), hitting the spec's +/-32124 extremes."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import mulaw_decode
+
+    def ref(u):
+        u = ~u & 0xFF
+        t = (((u & 0xF) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    codes = np.arange(256, dtype=np.uint8)
+    dec = mulaw_decode(codes)
+    assert (dec == np.array([ref(c) for c in range(256)], dtype=np.int16)).all()
+    assert int(dec.max()) == 32124 and int(dec.min()) == -32124
+
+
+def test_mulaw_roundtrip_law():
+    """encode(decode(c)) == c for every code except 0x7F (negative
+    zero re-encodes as positive zero 0xFF) — the documented G.711
+    involution property."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import mulaw_decode, mulaw_encode
+
+    codes = np.arange(256, dtype=np.uint8)
+    re = mulaw_encode(mulaw_decode(codes))
+    mismatch = [c for c in range(256) if re[c] != c]
+    assert mismatch == [0x7F]
+    assert re[0x7F] == 0xFF
+
+
+def test_mulaw_wav_container_roundtrip():
+    """A mu-law WAV (format tag 7) decodes through the SAME
+    decode_wav16 entry point as PCM, with companding error bounded by
+    the G.711 step size (<= ~3% relative for large samples), at HALF
+    the payload bytes of PCM-16."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        decode_wav16,
+        encode_wav16,
+        encode_wav_mulaw,
+    )
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, (200, 2)).astype(np.int16)
+    wav = encode_wav_mulaw(s, 8000)
+    assert len(wav) < len(encode_wav16(s, 8000)) * 0.6  # real 2:1 compression
+    out, rate = decode_wav16(wav)
+    assert rate == 8000 and out.shape == (200, 2)
+    err = np.abs(out.astype(np.int32) - s.astype(np.int32))
+    big = np.abs(s.astype(np.int32)) > 1000
+    assert (err[big] / np.abs(s.astype(np.int32))[big]).max() < 0.04
+    # quiet samples stay within one bottom-segment step
+    assert err[~big].max() <= 16
+
+
+def test_mulaw_wav_flows_through_audio_operators(spark):
+    """Tag-7 payloads flow through wav_decode_stats and resample_wav
+    unchanged — the operators never special-case the compression."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        encode_wav_mulaw,
+        mulaw_decode,
+        mulaw_encode,
+        resample_wav,
+        wav_decode_stats,
+    )
+
+    s = mulaw_decode(mulaw_encode(np.arange(-4000, 4000, 40, dtype=np.int16)))
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav_mulaw(s, 8000)))], "media_id long, content binary"
+    )
+    row = wav_decode_stats(media).head()
+    assert row["decode_error"] is None
+    assert row["n_samples"] == len(s) and row["sample_rate"] == 8000
+    assert row["first_sample"] == int(s[0])
+    out = resample_wav(media, 4000).head()
+    assert out["decode_error"] is None and out["content"] is not None
+
+
+def test_mulaw_malformed_variants_raise():
+    """Only the (format, bits) pairs (1,16) and (7,8) decode; a tag-7
+    file claiming 16 bits or a tag-1 file claiming 8 must quarantine."""
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import decode_wav16, encode_wav_mulaw
+
+    good = bytearray(encode_wav_mulaw(np.arange(8, dtype=np.int16), 8000))
+    bad_bits = bytearray(good)
+    bad_bits[34:36] = (16).to_bytes(2, "little")  # tag 7 + 16 bits
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        decode_wav16(bytes(bad_bits))
+    bad_tag = bytearray(good)
+    bad_tag[20:22] = (1).to_bytes(2, "little")  # tag 1 + 8 bits
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        decode_wav16(bytes(bad_tag))
+    # trailing partial frame for a stereo mu-law file
+    stereo = bytearray(encode_wav_mulaw(np.zeros((4, 2), dtype=np.int16), 8000))
+    stereo[40:44] = (7).to_bytes(4, "little")  # data size not % channels
+    with pytest.raises(ValueError, match="partial frame|truncated"):
+        decode_wav16(bytes(stereo))
