@@ -1255,6 +1255,62 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
+    """Image format normalization — the standard corpus-prep step that
+    turns a MIXED image column (BMP and PNG payloads side by side)
+    into one uniform format before training ingest. Sniffs each
+    payload's magic (no metadata trusted), decodes with the matching
+    real codec, re-encodes to ``target`` ('png' or 'bmp'); outputs are
+    themselves valid files that feed every downstream image operator.
+    Grayscale promotes to RGB for the BMP target (BMP24 is 3-channel);
+    alpha-bearing PNGs quarantine rather than silently dropping the
+    alpha plane. Map-only mapInPandas over Arrow batches — payload
+    bytes never shuffle. Corrupt/unknown payloads emit NULL content
+    with a decode_error (quarantine contract)."""
+    if target not in ("png", "bmp"):
+        raise ValueError(f"target must be 'png' or 'bmp', got {target!r}")
+    schema = "media_id long, content binary, src_format string, decode_error string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs, srcs, errs = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(int(mid))
+                b = bytes(content) if content is not None else b""
+                try:
+                    if b[: len(_PNG_SIG)] == _PNG_SIG:
+                        src, px = "png", decode_png(b)
+                    elif b[:2] == b"BM":
+                        src, px = "bmp", decode_bmp24(b)
+                    else:
+                        raise ValueError("unknown image format (not BMP or PNG)")
+                    if target == "bmp":
+                        if px.shape[2] == 1:
+                            px = np.repeat(px, 3, axis=2)
+                        elif px.shape[2] != 3:
+                            raise ValueError(
+                                f"cannot transcode {px.shape[2]}-channel image "
+                                "to BMP24 without discarding alpha"
+                            )
+                        out = encode_bmp24(px)
+                    else:
+                        out = encode_png(px)
+                except ValueError as e:
+                    outs.append(None)
+                    srcs.append(None)
+                    errs.append(str(e))
+                    continue
+                outs.append(out)
+                srcs.append(src)
+                errs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "content": outs, "src_format": srcs,
+                 "decode_error": errs}
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """REAL image featurizer: decode each BMP, split the luma
     (mean-of-RGB) scanline order into ``dim`` buckets, emit the

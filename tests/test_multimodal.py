@@ -908,3 +908,54 @@ def test_mulaw_malformed_variants_raise():
     stereo[40:44] = (7).to_bytes(4, "little")  # data size not % channels
     with pytest.raises(ValueError, match="partial frame|truncated"):
         decode_wav16(bytes(stereo))
+
+
+def test_transcode_image_normalizes_mixed_corpus(spark):
+    """A mixed BMP+PNG column normalizes to one format with pixels
+    preserved exactly in both directions; outputs are valid files that
+    the real decoders accept. Corrupt rows and alpha-to-BMP quarantine
+    instead of failing the batch or dropping planes silently."""
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import (
+        decode_bmp24,
+        decode_png,
+        encode_bmp24,
+        encode_png,
+        transcode_image,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb1 = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    rgb2 = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (2, 3, 1), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (2, 2, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp24(rgb1))),
+            (2, bytearray(encode_png(rgb2))),
+            (3, bytearray(encode_png(gray))),
+            (4, bytearray(encode_png(rgba))),
+            (5, bytearray(b"garbage")),
+        ],
+        "media_id long, content binary",
+    )
+    to_png = {r["media_id"]: r for r in transcode_image(media, "png").collect()}
+    assert to_png[1]["src_format"] == "bmp"
+    assert np.array_equal(decode_png(bytes(to_png[1]["content"])), rgb1)
+    assert np.array_equal(decode_png(bytes(to_png[2]["content"])), rgb2)
+    assert np.array_equal(decode_png(bytes(to_png[4]["content"])), rgba)  # alpha OK to png
+    assert to_png[5]["decode_error"] is not None and to_png[5]["content"] is None
+
+    to_bmp = {r["media_id"]: r for r in transcode_image(media, "bmp").collect()}
+    assert np.array_equal(decode_bmp24(bytes(to_bmp[2]["content"])), rgb2)
+    # gray promotes to RGB
+    assert np.array_equal(
+        decode_bmp24(bytes(to_bmp[3]["content"])), np.repeat(gray, 3, axis=2)
+    )
+    # alpha to BMP quarantines, never silently drops the plane
+    assert to_bmp[4]["content"] is None and "alpha" in to_bmp[4]["decode_error"]
+
+    with pytest.raises(ValueError, match="target"):
+        transcode_image(media, "jpeg")
