@@ -688,3 +688,129 @@ def compression_ratio_col(text_col: str = "text", level: int = 6) -> Column:
         return texts.map(one)
 
     return _ratio(F.col(text_col))
+
+
+# --------------------------------------------------------- BPE training
+
+
+def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the whitespace-tokenized corpus — the input
+    every BPE/unigram trainer actually iterates on. This is THE scale
+    trick of tokenizer training at 100 TB: the corpus is touched once
+    (one explode + one keyed agg, output bounded by DISTINCT words),
+    and every subsequent merge iteration runs on the vocabulary-sized
+    table, never the corpus."""
+    return (
+        df.select(F.explode(words_expr(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency, from a
+    (word|symstr, freq) table. Accepts either raw words (symbols =
+    characters) or a ``symstr`` column of space-joined symbols from
+    earlier merges. Pure JVM array expressions: per-word symbol zip,
+    in-row pair expansion, one keyed aggregation (vocabulary-sized).
+    Overlapping occurrences count individually ('aaa' counts (a,a)
+    twice) — the reference BPE counting semantic."""
+    if "symstr" in words.columns:
+        syms = F.split(F.trim(F.col("symstr")), " ")
+    else:
+        syms = F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, F.lit(1)),
+        )
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, F.lit(1), n - 1),
+        F.slice(syms, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        words.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn an ordered BPE merge table from the corpus (the Sennrich
+    et al. 2016 algorithm): start from characters, repeatedly take the
+    highest-count adjacent symbol pair (ties broken lexicographically
+    so the table is total and reproducible) and fuse it, stopping
+    after ``n_merges`` or when no pair reaches ``min_count``. Returns
+    (rank, left, right, merged, pair_count).
+
+    Distributed shape: the corpus collapses to the (word, freq) table
+    once; each iteration is one vocabulary-sized pair aggregation plus
+    a TakeOrdered(1) — the ONLY driver-side data is the single winning
+    pair per round. Merges apply via a left-to-right, non-overlapping
+    regexp on the space-joined symbol string (the reference semantic),
+    with the pair regex-escaped so symbols that contain metacharacters
+    ('.', '+', '$'…) merge literally. The working table is re-cached
+    each round and lineage stays flat (each round's plan reads the
+    previous round's cache, not the whole merge history)."""
+    import re as _re
+
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    spark = df.sparkSession
+    schema = "rank int, left string, right string, merged string, pair_count long"
+    vocab = word_freq_table(df, text_col).select(
+        "freq",
+        # sentinel spaces make every symbol boundary a literal ' ' so
+        # the merge regex needs only a fixed-width lookaround
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substring(F.col("word"), i, F.lit(1)),
+                ),
+            ),
+            F.lit(" "),
+        ).alias("symstr"),
+    )
+    vocab = vocab.cache()
+    merges: list[tuple] = []
+    prev = vocab
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                bpe_pair_counts(vocab)
+                .orderBy(
+                    F.col("pair_count").desc(),
+                    F.col("left").asc(),
+                    F.col("right").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pair_count"] < min_count:
+                break
+            left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+            merges.append((rank, left, right, left + right, cnt))
+            pattern = f"(?<= ){_re.escape(left)} {_re.escape(right)}(?= )"
+            replacement = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+            nxt = vocab.withColumn(
+                "symstr", F.regexp_replace("symstr", pattern, replacement)
+            ).cache()
+            nxt.count()  # materialize before dropping the parent cache
+            if prev is not None:
+                prev.unpersist()
+            vocab, prev = nxt, nxt
+    finally:
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(merges, schema)

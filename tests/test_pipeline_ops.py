@@ -543,3 +543,105 @@ def test_bigram_logprob_hand_computed(spark):
     assert abs(got[1].avg_logprob - math.log(10 / 21)) < 5e-4
     # doc3: p(c|a) = .5*(1/3) + .5*(1/7) = 5/21
     assert abs(got[3].avg_logprob - math.log(5 / 21)) < 5e-4
+
+
+# ---------------------------------------------------------- BPE training
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Reference Sennrich'16 BPE: overlap-counting pair frequencies,
+    greedy left-to-right non-overlapping merge apply, deterministic
+    (count desc, pair lexicographic) selection. Tokenization mirrors
+    words_expr (lowercase, whitespace split, empties dropped)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        top_count = max(pc.values())
+        if top_count < min_count:
+            break
+        left, right = min(p for p, c in pc.items() if c == top_count)
+        merges.append((rank, left, right, left + right, top_count))
+        new = Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += f
+        vocab = new
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    """Differential test against a scalar reference BPE on a corpus
+    that exercises overlap counting ('aaaa'), regex metacharacters as
+    symbols ('$', '+', '.'), ties, and multi-round merge chains."""
+    from github_etl_spark.operators.pipeline import bpe_learn_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+        "a.b a.b a+b a+b a+b $x$ $x$ $x$",
+        "aaaa aaaa baa",
+        "Mixed CASE mixed case",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_learn_merges(df, "text", n_merges=12).orderBy("rank").collect()
+    ]
+    assert got == _ref_bpe(texts, 12)
+    assert len(got) > 6  # the corpus genuinely supports a deep merge chain
+
+
+def test_bpe_stops_at_min_count_and_validates(spark):
+    import pytest
+
+    from github_etl_spark.operators.pipeline import bpe_learn_merges
+
+    df = spark.createDataFrame([(1, "ab ab cd")], "id long, text string")
+    merges = bpe_learn_merges(df, "text", n_merges=10, min_count=2).collect()
+    # only (a,b) reaches count 2; (c,d) stops the loop at min_count
+    assert [(m["left"], m["right"]) for m in merges] == [("a", "b")]
+    assert bpe_learn_merges(df, "text", n_merges=0).count() == 0
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_learn_merges(df, "text", n_merges=-1)
+    with pytest.raises(ValueError, match="min_count"):
+        bpe_learn_merges(df, "text", min_count=0)
+    # empty corpus -> empty merge table with the declared schema
+    empty = spark.createDataFrame([], "id long, text string")
+    out = bpe_learn_merges(empty, "text", n_merges=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "left", "right", "merged", "pair_count",
+    ]
+
+
+def test_bpe_pair_counts_overlap_semantics(spark):
+    """'aaa' contributes TWO (a,a) pairs per occurrence — the
+    reference counting rule that a distinct-positions implementation
+    would get wrong."""
+    from github_etl_spark.operators.pipeline import bpe_pair_counts, word_freq_table
+
+    df = spark.createDataFrame([(1, "aaa aaa")], "id long, text string")
+    rows = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in bpe_pair_counts(word_freq_table(df, "text")).collect()
+    }
+    assert rows == {("a", "a"): 4}  # 2 overlapping pairs x freq 2
