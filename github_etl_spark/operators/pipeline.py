@@ -814,3 +814,57 @@ def bpe_learn_merges(
         if prev is not None:
             prev.unpersist()
     return spark.createDataFrame(merges, schema)
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Tokenize the corpus under a learned BPE merge table — the
+    production encode pass that follows ``bpe_learn_merges``. Each
+    word's characters are fused by every merge in RANK ORDER (the BPE
+    apply rule; later merges see earlier merges' output), then the
+    word's pieces concatenate in document order into ``out_col``
+    (`array<string>`).
+
+    ``merges`` is the DataFrame returned by ``bpe_learn_merges`` (its
+    rank/left/right rows are collected — bounded by n_merges, the one
+    deliberate driver-side list here) or an already-ordered list of
+    (left, right) pairs. The whole pass is ONE map-only projection: a
+    chain of ``n_merges`` regexp_replace calls folded over each word's
+    sentinel-padded symbol string inside a ``transform`` lambda — no
+    shuffle, no UDF, applied per-row at scan speed. Expression depth
+    grows with the merge count; hundreds of merges are fine, but a
+    32k-merge production tokenizer should switch to the broadcast
+    Arrow kernel family (the bloom literal-vs-broadcast regime split,
+    applied to tokenization)."""
+    import re as _re
+
+    if isinstance(merges, DataFrame):
+        rows = merges.select("rank", "left", "right").orderBy("rank").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    else:
+        pairs = list(merges)
+
+    def pieces_of(word: Column) -> Column:
+        symstr = F.concat(
+            F.lit(" "),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.length(word)),
+                    lambda i: F.substring(word, i, F.lit(1)),
+                ),
+            ),
+            F.lit(" "),
+        )
+        for left, right in pairs:
+            pattern = f"(?<= ){_re.escape(left)} {_re.escape(right)}(?= )"
+            replacement = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+            symstr = F.regexp_replace(symstr, pattern, replacement)
+        return F.split(F.trim(symstr), " ")
+
+    words = words_expr(F.col(text_col))
+    return df.withColumn(out_col, F.flatten(F.transform(words, pieces_of)))

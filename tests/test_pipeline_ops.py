@@ -645,3 +645,56 @@ def test_bpe_pair_counts_overlap_semantics(spark):
         for r in bpe_pair_counts(word_freq_table(df, "text")).collect()
     }
     assert rows == {("a", "a"): 4}  # 2 overlapping pairs x freq 2
+
+
+def test_bpe_apply_matches_reference_and_roundtrips(spark):
+    """bpe_apply under a learned merge table reproduces the scalar
+    reference encode word-for-word, and each word's pieces concatenate
+    back to the (lowercased) word — no character lost or duplicated by
+    the regexp fuse chain."""
+    import pyspark.sql.functions as F
+
+    from github_etl_spark.operators.pipeline import bpe_apply, bpe_learn_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "a.b a.b a+b a+b a+b $x$ $x$ $x$",
+        "aaaa aaaa baa",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    merges = bpe_learn_merges(df, "text", n_merges=10)
+    pairs = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+
+    def ref_apply(word):
+        syms = list(word)
+        for a, b in pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["id"]: r["pieces"]
+        for r in bpe_apply(df, "text", merges).select("id", "pieces").collect()
+    }
+    for i, t in enumerate(texts):
+        want = [p for w in t.lower().split() for p in ref_apply(w)]
+        assert got[i] == want, (t, got[i], want)
+        assert "".join(got[i]) == t.lower().replace(" ", "")
+    # list-of-pairs form behaves identically to the DataFrame form
+    got2 = {
+        r["id"]: r["pieces"]
+        for r in bpe_apply(df, "text", pairs).select("id", "pieces").collect()
+    }
+    assert got2 == got
+    # zero merges -> pure character stream
+    chars = bpe_apply(df, "text", []).select("pieces").head()["pieces"]
+    assert chars == list(texts[0].lower().replace(" ", ""))
+    del F
