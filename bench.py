@@ -80,10 +80,20 @@ def _run_control(repo: str, ref: str) -> dict:
             [sys.executable, os.path.join(wt, "bench.py")],
             capture_output=True, text=True, timeout=900, env=env, cwd=wt,
         )
+        # Prefer the detail line (has per-query medians): trees at/after
+        # the r7 compact-tail change print BOTH a full-detail line and a
+        # compact totals-only LAST line; older pins print only the full
+        # line. Fall back to the first parseable JSON line.
+        candidates = []
         for line in reversed(proc.stdout.splitlines()):
             line = line.strip()
             if line.startswith("{"):
-                out = json.loads(line)
+                try:
+                    candidates.append(json.loads(line))
+                except ValueError:
+                    continue
+        for out in candidates:
+            if "queries" in out:
                 control = {
                     "ref": ref,
                     "value": out.get("value"),
@@ -95,6 +105,12 @@ def _run_control(repo: str, ref: str) -> dict:
                 if out.get("failed"):
                     control["failed"] = out["failed"]
                 return control
+        if candidates:  # totals-only line found but no detail line
+            out = candidates[0]
+            control = {"ref": ref, "value": out.get("value"), "queries": {}}
+            if out.get("failed"):
+                control["failed"] = out["failed"]
+            return control
         tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
         return {"ref": ref, "error": f"no JSON line; tail={tail}"}
     except (subprocess.SubprocessError, OSError, ValueError) as e:
@@ -208,7 +224,48 @@ def main() -> None:
             print(f"# control failed: {control['error']}", file=sys.stderr)
         else:
             result["control"] = control
+    # The driver tail-captures stdout (~2 KiB) and parses the LAST JSON
+    # line; r06's single line (38 query medians + the control's 37)
+    # outgrew the window, its head was truncated, and BENCH_r06.json
+    # recorded "parsed": null. So: full detail goes to a durable file +
+    # a PRECEDING line, and the final line is a compact totals-only
+    # summary guaranteed to fit the tail window.
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
     print(json.dumps(result))
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if failures:
+        compact["failed"] = failures
+    control = result.get("control")
+    if control:
+        compact["control"] = {
+            "ref": control.get("ref"),
+            "value": control.get("value"),
+            "n_queries": len(control.get("queries", {})),
+        }
+        if control.get("failed"):
+            compact["control"]["failed"] = control["failed"]
+    elif "control_error" in result:
+        ce = result["control_error"]
+        compact["control_error"] = {
+            "ref": ce.get("ref"),
+            "error": str(ce.get("error"))[:200],
+        }
+    line = json.dumps(compact)
+    assert len(line) < 1024, f"compact bench line is {len(line)}B, must stay <1KiB"
+    print(line)
     sys.exit(1 if failures else 0)
 
 

@@ -489,7 +489,7 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           list(tid ORDER BY pos) AS input_ids
+           array_to_string(list(tid ORDER BY pos), ' ') AS input_ids
     FROM enc GROUP BY doc_id
     """,
 )
@@ -498,11 +498,23 @@ def tokenize_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/pipeline.tokenize_encode), OOV → 0 — the step feeding
     sequence packing. Vocabulary broadcast (map-side join); the only
     corpus-sized shuffle is the per-document reassembly groupBy, with
-    in-array (pos,id) sorting instead of a global order."""
+    in-array (pos,id) sorting instead of a global order.
+
+    Catalog form emits ``input_ids`` as a space-joined STRING: the
+    driver's pandas ``sort_values`` canonicalization cannot hash a
+    numpy array cell (CORRECTNESS_r06 `TypeError: unhashable type`),
+    so complex-typed outputs are banned catalog-wide
+    (tests/test_catalog_contract.py). The library operator keeps the
+    ``array<long>`` form for downstream packing."""
     from ..operators.pipeline import tokenize_encode
 
     t = load_tables(spark, sf_dir)
-    return tokenize_encode(t["documents"], "text", "doc_id", k=200, min_df=2)
+    enc = tokenize_encode(t["documents"], "text", "doc_id", k=200, min_df=2)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("input_ids", " ").alias("input_ids"),
+    )
 
 
 @query(
@@ -691,4 +703,150 @@ def udtf_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text "
         "FROM __udtf_docs d, LATERAL chunk_doc(d.text) c"
+    )
+
+
+# ------------------------------------------------------------- BPE catalog
+
+# Pinned BPE merge table: learned ONCE from the sf0.01 documents corpus
+# (operators/pipeline.bpe_learn_merges, n_merges=16, min_count=2 —
+# deterministic, ties break lexicographically) and frozen here so the
+# `bpe_apply_pinned` catalog query is scale-factor-independent and the
+# DuckDB oracle can replay the exact same merges. Production learns its
+# own table per corpus; the catalog pins one so the ENCODE semantics
+# (rank-ordered, left-to-right, non-overlapping fusion) get an exact
+# cross-engine hash check.
+_BPE_PINNED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+]
+
+
+def _bpe_oracle_merge_chain(expr: str) -> str:
+    """Fold the pinned merges into a chained DuckDB ``regexp_replace``
+    over ``expr`` (a double-space-separated, single-space-padded symbol
+    string). RE2 has no lookarounds, so the encoding makes boundaries
+    two spaces wide: a match consumes ONE boundary space on each side
+    and still leaves the neighbouring symbol's own padding intact —
+    which reproduces Java-regex lookaround semantics (left-to-right,
+    non-overlapping: 'a a a a a' + (a,a) -> 'aa aa a') exactly.
+    Verified piece-for-piece against operators/pipeline.bpe_apply in
+    tests (test_pipeline_ops) and by the driver hash gate."""
+    import re as _re
+
+    def _sq(s: str) -> str:  # SQL single-quote literal escape
+        return s.replace("'", "''")
+
+    out = expr
+    for left, right in _BPE_PINNED_MERGES:
+        pat = f" {_re.escape(left)}  {_re.escape(right)} "
+        rep = f" {left + right} ".replace("\\", "\\\\")
+        out = f"regexp_replace({out}, '{_sq(pat)}', '{_sq(rep)}', 'g')"
+    return out
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+      WHERE length(word) > 0
+      GROUP BY word
+    ),
+    idx AS (
+      SELECT word, freq, unnest(range(1, length(word))) AS i FROM wf
+    )
+    SELECT substr(word, CAST(i AS INT), 1) AS sym_left,
+           substr(word, CAST(i AS INT) + 1, 1) AS sym_right,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM idx GROUP BY sym_left, sym_right
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the inner loop of BPE tokenizer training — adjacent-symbol
+    pair counts weighted by word frequency, from the character round
+    (operators/pipeline.bpe_pair_counts over word_freq_table). The
+    corpus collapses to the (word, freq) table once; the pair
+    aggregation is vocabulary-sized, never corpus-sized — the scale
+    property that makes each of the trainer's merge rounds cheap."""
+    from ..operators.pipeline import bpe_pair_counts, word_freq_table
+
+    t = load_tables(spark, sf_dir)
+    pc = bpe_pair_counts(word_freq_table(t["documents"], "text"))
+    return pc.select(
+        F.col("left").alias("sym_left"),
+        F.col("right").alias("sym_right"),
+        "pair_count",
+    )
+
+
+@query(
+    "bpe_apply_pinned",
+    headline=True,
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    enc AS (
+      SELECT doc_id, pos,
+             {_bpe_oracle_merge_chain("' ' || array_to_string(string_split(word, ''), '  ') || ' '")}
+               AS s
+      FROM words
+    ),
+    wp AS (
+      SELECT doc_id, pos, string_split(trim(s), '  ') AS ps FROM enc
+    )
+    SELECT doc_id,
+           CAST(sum(len(ps)) AS BIGINT) AS n_pieces,
+           string_agg(array_to_string(ps, ' '), ' ' ORDER BY pos) AS pieces
+    FROM wp GROUP BY doc_id
+    """,
+)
+def bpe_apply_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: BPE encode under the pinned merge table
+    (operators/pipeline.bpe_apply) — the production text→subword pass
+    that follows tokenizer training. ZERO exchanges: the whole encode
+    is a per-row chain of regexp_replace fusions inside a `transform`
+    lambda, applied at scan speed — the corpus never shuffles (the
+    oracle's GROUP BY exists only because SQL must unnest words; Spark
+    keeps each document's pieces in-row). Catalog form emits pieces as
+    a space-joined STRING (complex outputs are banned catalog-wide,
+    tests/test_catalog_contract.py); docs with zero tokens drop, same
+    as the oracle's group-over-words."""
+    from ..operators.pipeline import bpe_apply
+
+    t = load_tables(spark, sf_dir)
+    enc = bpe_apply(t["documents"], "text", _BPE_PINNED_MERGES, out_col="__pieces")
+    return enc.select(
+        "doc_id",
+        F.size("__pieces").cast("long").alias("n_pieces"),
+        F.array_join("__pieces", " ").alias("pieces"),
+    ).filter(F.col("n_pieces") > 0)
+
+
+@query("bpe_learn_merges")
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (rows-only by design): BPE merge-table learning
+    (operators/pipeline.bpe_learn_merges, Sennrich et al. 2016). The
+    learn loop is iterative — each round aggregates pair counts over
+    the vocabulary-sized (word, freq) table and takes ONE winner
+    driver-side — which is not expressible as a single oracle SQL
+    statement; correctness is pinned instead by the code-for-code
+    differential suite vs a scalar reference BPE
+    (tests/test_pipeline_ops.py) and by `bpe_apply_pinned`, whose
+    pinned table this same function produced at sf0.01."""
+    from ..operators.pipeline import bpe_learn_merges
+
+    t = load_tables(spark, sf_dir)
+    m = bpe_learn_merges(t["documents"], "text", n_merges=8, min_count=2)
+    return m.select(
+        "rank",
+        F.col("left").alias("sym_left"),
+        F.col("right").alias("sym_right"),
+        "merged",
+        "pair_count",
     )

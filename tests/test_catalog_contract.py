@@ -1,0 +1,31 @@
+"""Catalog-wide output-contract lints.
+
+The round driver canonicalizes every query result with pandas
+``sort_values`` before value-hashing, which factorizes each output
+column — a complex-typed cell (numpy array / dict / Row) raises
+``TypeError: unhashable type`` there. ``tokenize_encode``'s
+``array<bigint>`` column passed the repr-sorting sim for five rounds
+and then ERRORED in CORRECTNESS_r06, so the contract is now pinned
+here: no catalog query may emit Array/Map/Struct columns. Emit joined
+strings or exploded rows in the catalog form; keep rich types in the
+library operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from github_etl_spark.plans import QUERIES
+
+
+def test_no_complex_typed_catalog_outputs(spark, sf_dir):
+    bad = []
+    for name, q in sorted(QUERIES.items()):
+        df = q.fn(spark, sf_dir)  # plan only — no action
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "complex-typed catalog outputs crash the driver's sort_values "
+        f"canonicalization: {bad}"
+    )

@@ -27,6 +27,10 @@ EXCHANGE_BUDGET = {
     # broadcast stat sides) + min-support prune + TakeOrdered; the
     # basket arrays shuffle once, pairs expand in-row
     "basket_association_rules": 11,
+    # 0 = the whole BPE encode is a per-row regexp_replace chain inside
+    # a transform lambda — the corpus never shuffles (piece counts and
+    # the joined-piece string are computed in-row).
+    "bpe_apply_pinned": 0,
     "corpus_profile": 1,
     "dedup_cluster_canonical": 1,
     "dedup_exact": 1,
@@ -163,6 +167,27 @@ def test_url_dedup_is_two_keyed_shuffles(spark):
 
     plan = (
         QUERIES["dedup_url_canonical"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Exchange", plan)) <= 2, plan[:1200]
+
+
+def test_bpe_pair_counts_is_two_keyed_shuffles(spark):
+    """bpe_pair_counts: the corpus collapses to (word, freq) in ONE
+    keyed exchange (output bounded by distinct words), then the pair
+    aggregation re-keys the vocabulary-sized table once — 2 exchanges
+    total, neither corpus-sized on its output. A third exchange means
+    pair expansion stopped happening in-row."""
+    import re
+
+    from github_etl_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["bpe_pair_counts"]
         .fn(spark, SF)
         ._jdf.queryExecution()
         .executedPlan()

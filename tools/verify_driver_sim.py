@@ -106,10 +106,20 @@ for name in sorted(qs):
         spdf = sdf.toPandas()  # driver canonicalization path — must not raise
         scols = sorted(spdf.columns)
         spdf = spdf[scols]
+        # Driver-parity canonicalization: the driver row-sorts via pandas
+        # sort_values before hashing, which FACTORIZES every column — a
+        # complex-typed cell (numpy array/dict) raises `unhashable type`
+        # there. r06's tokenize_encode passed this sim (repr-sort) but
+        # crashed the driver; run the stricter path so the sim can never
+        # again be more permissive than the driver.
+        if len(spdf):
+            spdf = spdf.sort_values(by=scols, kind="mergesort").reset_index(drop=True)
         if name in oracles:
             dpdf = con.execute(oracles[name]).fetch_df()
             dcols = sorted(dpdf.columns)
             dpdf = dpdf[dcols] if dcols == sorted(dpdf.columns) else dpdf
+            if len(dpdf):
+                dpdf = dpdf.sort_values(by=dcols, kind="mergesort").reset_index(drop=True)
             ok_cols = scols == dcols
             ok_count = len(spdf) == len(dpdf)
             ok_dtype, dtype_msg = True, ""
