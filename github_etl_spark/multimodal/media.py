@@ -573,6 +573,43 @@ def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return header + data
 
 
+def synthesize_mulaw_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL compressed-audio fixtures: each document
+    becomes a mono G.711 mu-law WAV (format tag 7, 8 kHz) of
+    (id%50+10) samples, sample j = mulaw_decode(text_byte[j mod len])
+    — i.e. the tiled text bytes are treated as mu-law CODES, so every
+    synthesized sample sits exactly on the mu-law codebook and the
+    compress→expand roundtrip is lossless (encode∘decode is the
+    identity on codes up to the 0x7F/0xFF negative-zero alias, and
+    both aliases decode to 0). The Sun-g711.c decode formula is pure
+    integer math, so a DuckDB oracle replays it value-for-value
+    (mm_mulaw_roundtrip_stats) — putting the G.711 expansion inside
+    decode_wav16 under the driver's hash gate, not just pytest."""
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                n = mid % 50 + 10
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                if len(tb):
+                    codes = tb[np.arange(n) % len(tb)]
+                else:
+                    codes = np.zeros(n, dtype=np.uint8)
+                ids.append(mid)
+                payloads.append(encode_wav_mulaw(mulaw_decode(codes), 8000))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
 def synthesize_wav_media(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -909,7 +946,11 @@ def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
                     outs.append(None); errs.append(str(e))
                     continue
                 n = arr.shape[0]
-                out_n = max(int(round(n * target_rate / rate)), 0) if n else 0
+                # floor(x + 0.5) half-up, NOT Python round(): banker's
+                # rounding diverges from SQL engines on exact .5 ties
+                # (round(10.5) = 10 vs DuckDB/Spark 11), and the output
+                # length must be oracle-replayable cross-engine.
+                out_n = int(n * target_rate / rate + 0.5) if n else 0
                 res = arr[_nn_index(n, out_n)] if out_n else arr[:0]
                 rates.append(target_rate); ns.append(int(res.shape[0]))
                 outs.append(encode_wav16(res, target_rate)); errs.append(None)

@@ -1619,6 +1619,351 @@ def mm_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_resize_bmp_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 5 + 2 AS INT) AS w,
+             CAST(doc_id % 3 + 2 AS INT) AS h,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, i.i AS idx,
+             least(CAST(floor(((i.i // 12) + 0.5) * h / 3.0) AS INT), h - 1) AS sy,
+             least(CAST(floor((((i.i // 3) % 4) + 0.5) * w / 4.0) AS INT), w - 1) AS sx,
+             CAST(i.i % 3 AS INT) AS c, w, n, hx
+      FROM (SELECT media_id, hx, n, w, h, unnest(range(0, 36)) AS i FROM m) i
+    ),
+    v AS (
+      SELECT media_id, idx,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(((sy * w + sx) * 3 + c) % n AS INT) * 2 + 1, 2))
+                       AS INT)
+             END AS v
+      FROM px
+    )
+    SELECT media_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+           CAST(36 AS BIGINT) AS n_pixel_bytes,
+           (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+           MIN(v) AS min_value, MAX(v) AS max_value,
+           MAX(CASE WHEN idx = 0 THEN v END) AS corner_value
+    FROM v GROUP BY media_id
+    """,
+)
+def mm_resize_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: REAL image resize, oracle-checked end-to-end. Synthesized
+    BMPs (2-6 × 2-4 px, so up- AND down-scaling both occur) resize to
+    a fixed 4×3 with `resize_bmp` (nearest-neighbor center sampling,
+    PIL-NEAREST's floor((i+0.5)·src/out) rule), and the OUTPUT — a
+    valid BMP file — is decoded back by `bmp_decode_stats`. DuckDB
+    replays the index math per output pixel, so decode→resample→
+    re-encode→decode matches value-for-value; the corner probe pins
+    the geometry (a transposed or off-by-half index rule changes it).
+    Map-only: payload bytes never cross a shuffle."""
+    from ..multimodal.media import (
+        bmp_decode_stats,
+        resize_bmp,
+        synthesize_bmp_media,
+    )
+
+    t = load_tables(spark, sf_dir)
+    resized = resize_bmp(synthesize_bmp_media(t["documents"]), 4, 3)
+    stats = bmp_decode_stats(resized.select("media_id", "content"))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixel_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "corner_value",
+    )
+
+
+@query(
+    "mm_transcode_png_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 5 + 2 AS INT) AS width,
+             CAST(doc_id % 3 + 2 AS INT) AS height,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, width, height,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS v,
+             i.i AS idx
+      FROM (SELECT media_id, hx, n, width, height,
+                   unnest(range(0, width * height * 3)) AS i FROM m) i
+    ),
+    stats AS (
+      SELECT media_id, AVG(v) AS mean_raw,
+             MIN(v) AS min_value, MAX(v) AS max_value,
+             MAX(CASE WHEN idx = 0 THEN v END) AS corner_value,
+             MAX(CASE WHEN idx = width * height * 3 - 1 THEN v END) AS last_value
+      FROM px GROUP BY media_id
+    )
+    SELECT m.media_id, m.width, m.height, CAST(3 AS INT) AS channels,
+           CAST(m.width * m.height * 3 AS BIGINT) AS n_pixel_bytes,
+           (floor(s.mean_raw * 10000 + 0.5) / 10000) AS mean_value,
+           s.min_value, s.max_value, s.corner_value, s.last_value
+    FROM m JOIN stats s USING (media_id)
+    """,
+)
+def mm_transcode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: image format normalization, oracle-checked end-to-end. The
+    synthesized BMP corpus runs through `transcode_image(target='png')`
+    (magic-sniffed decode, PNG re-encode — the mixed-corpus
+    normalization step before training ingest), and the OUTPUT PNGs
+    decode back through `png_decode_stats` (CRC chunk walk, inflate,
+    all five filters). The oracle replays the source BMP pixel rule:
+    values survive BMP-encode → BMP-decode → PNG-encode (real
+    DEFLATE) → PNG-decode exactly, with first/last byte probes pinning
+    geometry and filter reconstruction. Map-only end to end."""
+    from ..multimodal.media import (
+        png_decode_stats,
+        synthesize_bmp_media,
+        transcode_image,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pngs = transcode_image(synthesize_bmp_media(t["documents"]), target="png")
+    stats = png_decode_stats(pngs.select("media_id", "content"))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_pixel_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "corner_value",
+        "last_value",
+    )
+
+
+@query(
+    "mm_resample_wav_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+             CAST(doc_id % 50 + 10 AS BIGINT) AS n_src,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT *, CAST(floor(n_src * 8000.0 / rate + 0.5) AS BIGINT) AS out_n FROM m
+    ),
+    sm AS (
+      SELECT media_id, out_n, i.i AS idx,
+             least(CAST(floor((i.i + 0.5) * n_src / CAST(out_n AS DOUBLE)) AS BIGINT),
+                   n_src - 1) AS j,
+             hx, n
+      FROM (SELECT media_id, hx, n, n_src, out_n,
+                   unnest(range(0, out_n)) AS i FROM o) i
+    ),
+    v AS (
+      SELECT media_id, out_n, idx,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (CAST(concat('0x',
+                          substr(hx, CAST(j % n AS INT) * 2 + 1, 2)) AS INT)
+                        - 128) * 256
+             END AS v
+      FROM sm
+    )
+    SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+           out_n AS n_samples, CAST(1 AS INT) AS channels,
+           (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+           MIN(v) AS min_value, MAX(v) AS max_value,
+           MAX(CASE WHEN idx = 0 THEN v END) AS first_sample
+    FROM v GROUP BY media_id, out_n
+    """,
+)
+def mm_resample_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: REAL audio resample, oracle-checked end-to-end. The
+    synthesized 8/12/16 kHz PCM-16 corpus resamples to a uniform
+    8 kHz with `resample_wav` (nearest-sample zero-order hold on the
+    shared `_nn_index` rule; out_n = floor(n·8000/rate + 0.5) — the
+    repo's half-up convention, never round(): Python banker's
+    rounding and DuckDB's half-away diverge on .5 ties), and
+    the OUTPUT — a valid WAV — decodes back through
+    `wav_decode_stats`. The first-sample probe pins the index rule;
+    identity (8 kHz→8 kHz), downsample (16→8) and fractional (12→8)
+    paths all occur across the corpus. Map-only."""
+    from ..multimodal.media import (
+        resample_wav,
+        synthesize_wav_media,
+        wav_decode_stats,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res = resample_wav(synthesize_wav_media(t["documents"]), 8000)
+    stats = wav_decode_stats(res.select("media_id", "content"))
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "channels",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "first_sample",
+    )
+
+
+@query(
+    "mm_y4m_to_bmp_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 4 + 1 AS INT) AS nf,
+             CAST(doc_id % 5 + 2 AS INT) AS w,
+             CAST(doc_id % 3 + 2 AS INT) AS h,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    fr AS (
+      SELECT media_id, w, h, hx, n, CAST(f.f AS INT) AS f
+      FROM (SELECT media_id, w, h, hx, n, unnest(range(0, nf)) AS f FROM m) f
+      WHERE f.f % 2 = 0
+    ),
+    px AS (
+      SELECT media_id, f, w, h, i.i AS off,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST((f * w * h + i.i) % n AS INT) * 2 + 1, 2))
+                       AS INT)
+             END AS v
+      FROM (SELECT media_id, f, w, h, hx, n,
+                   unnest(range(0, w * h)) AS i FROM fr) i
+    )
+    SELECT CAST(media_id * 8 + f AS BIGINT) AS media_id,
+           w AS width, h AS height,
+           CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+           (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+           MIN(v) AS min_value, MAX(v) AS max_value,
+           MAX(CASE WHEN off = 0 THEN v END) AS corner_value
+    FROM px GROUP BY media_id, f, w, h
+    """,
+)
+def mm_y4m_to_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the video→image bridge, oracle-checked end-to-end.
+    Synthesized Y4M clips fan out through `y4m_frames_to_bmp`
+    (every_n=2 — real frame sampling), each kept frame becoming a
+    standalone 24-bit BMP (luma replicated to RGB) that decodes back
+    through `bmp_decode_stats`. Frame rows get a composite id
+    (media_id·8 + frame_index; nf ≤ 4 so no collisions) before the
+    image pass, proving the bridge's 1→N output feeds the IMAGE
+    pipeline unchanged. The oracle replays the frame pixel rule for
+    even frames only — a frame-sampling or luma-replication bug
+    changes mean and corner both. Map-only: clip and frame payloads
+    never cross a shuffle."""
+    from ..multimodal.media import (
+        bmp_decode_stats,
+        synthesize_y4m_media,
+        y4m_frames_to_bmp,
+    )
+
+    t = load_tables(spark, sf_dir)
+    frames = y4m_frames_to_bmp(synthesize_y4m_media(t["documents"]), every_n=2)
+    bmps = frames.select(
+        (F.col("media_id") * 8 + F.col("frame_index")).alias("media_id"),
+        "content",
+    )
+    stats = bmp_decode_stats(bmps)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixel_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "corner_value",
+    )
+
+
+@query(
+    "mm_mulaw_roundtrip_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    sm AS (
+      SELECT media_id, i.i AS idx,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS code
+      FROM (SELECT media_id, hx, n, n_samples,
+                   unnest(range(0, n_samples)) AS i FROM m) i
+    ),
+    dec AS (
+      SELECT media_id, idx,
+             (((255 - code) & 15) * 8 + 132)
+               * CAST(pow(2, ((255 - code) >> 4) & 7) AS INT) AS t,
+             (255 - code) AS u
+      FROM sm
+    ),
+    v AS (
+      SELECT media_id, idx,
+             CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS v
+      FROM dec
+    )
+    SELECT m.media_id, CAST(8000 AS INT) AS sample_rate,
+           m.n_samples, CAST(1 AS INT) AS channels,
+           (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+           MIN(v) AS min_value, MAX(v) AS max_value,
+           MAX(CASE WHEN idx = 0 THEN v END) AS first_sample
+    FROM v JOIN m USING (media_id)
+    GROUP BY m.media_id, m.n_samples
+    """,
+)
+def mm_mulaw_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the REAL compressed-audio codec (ITU-T G.711 mu-law,
+    WAVE_FORMAT_MULAW tag 7) under the driver's hash gate. Each
+    document becomes a mu-law WAV whose samples sit exactly on the
+    codebook (`synthesize_mulaw_media`: tiled text bytes AS codes,
+    expanded by `mulaw_decode`), `encode_wav_mulaw` compresses 2:1,
+    and `wav_decode_stats` → `decode_wav16` expands tag-7 data back
+    transparently. The oracle replays the Sun-g711.c expansion in
+    pure SQL integer math — sign fold, mantissa, exponent shift — so
+    the companding law itself is value-checked cross-engine, not just
+    pytest-pinned. Map-only."""
+    from ..multimodal.media import synthesize_mulaw_media, wav_decode_stats
+
+    t = load_tables(spark, sf_dir)
+    stats = wav_decode_stats(synthesize_mulaw_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "channels",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "first_sample",
+    )
+
+
 @query("sim_ivf_topk", headline=True)  # approximate — recall asserted in tests
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: IVF ANN — sample-trained coarse quantizer (16 cells), probe

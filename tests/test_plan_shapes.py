@@ -132,6 +132,11 @@ def test_budget_covers_every_headline_query(spark):
         "mm_png_roundtrip_stats",
         "mm_wav_roundtrip_stats",
         "mm_y4m_frame_stats",
+        "mm_resize_bmp_stats",
+        "mm_transcode_png_stats",
+        "mm_resample_wav_stats",
+        "mm_y4m_to_bmp_stats",
+        "mm_mulaw_roundtrip_stats",
     ],
 )
 def test_media_roundtrips_are_map_only(spark, name):
