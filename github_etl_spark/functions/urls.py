@@ -19,8 +19,10 @@ Canonical rule chain (ordered; applied to a full URL string):
   5. remove every `utm_*` tracking parameter, wherever it sits in the
      query string, then repair the separators (`?&`→`?`, trailing
      `?`/`&` dropped)
-  6. normalize a trailing path slash (`/` at end-of-string or just
-     before `?` is dropped)
+  6. normalize a trailing PATH slash: `/` just before `?` is dropped,
+     and `/` at end-of-string is dropped only when no query is present
+     — a slash ending the final query VALUE (`?ref=/`) is preserved
+     (it is part of the value, not the path)
 
 At 100 TB this is a map-only column expression: the dedup it feeds is
 one hash shuffle on the canonical key. Regex features used (anchors,
@@ -56,8 +58,11 @@ def canonicalize_url(url: Column | str) -> Column:
     rest = F.regexp_replace(rest, _UTM_MID, "")
     rest = F.regexp_replace(rest, _UTM_FIRST_MORE, "?")
     rest = F.regexp_replace(rest, _UTM_FIRST_ONLY, "")
-    # 6: trailing path slash (bare or before the query)
-    rest = F.regexp_replace(rest, r"/$", "")
+    # 6: trailing PATH slash only — end-of-string `/$` applies just
+    # when no query is present (anchored `^([^?]*)/$`): a bare `/$`
+    # would also strip a slash ending the final query VALUE
+    # (`a.com/p?ref=/` is a different URL than `a.com/p?ref=`).
+    rest = F.regexp_replace(rest, r"^([^?]*)/$", "$1")
     rest = F.regexp_replace(rest, r"/\?", "?")
     return F.concat(auth, rest)
 
@@ -89,7 +94,7 @@ CANONICALIZE_URL_SQL_CTES = """
                    '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
                    '\\?utm_[A-Za-z0-9_]*=[^&#]*&', '?', 'g'),
                    '\\?utm_[A-Za-z0-9_]*=[^&#]*$', ''),
-                 '/$', ''), '/\\?', '?', 'g')) AS canonical_url
+                 '^([^?]*)/$', '\\1'), '/\\?', '?', 'g')) AS canonical_url
       FROM authsplit
     )
 """

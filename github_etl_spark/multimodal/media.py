@@ -336,6 +336,11 @@ def decode_bmp24(content: bytes | bytearray | memoryview) -> np.ndarray:
         raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={comp}")
     if w <= 0 or hgt == 0:
         raise ValueError(f"bad BMP dimensions: {w}x{hgt}")
+    # A pixel offset inside (or before) the 54-byte header would decode
+    # header bytes as pixels — malformed files must raise, never yield
+    # silently wrong data.
+    if offset < _BMP_HEADER or offset >= len(b):
+        raise ValueError(f"bad BMP pixel-data offset {offset}")
     topdown = hgt < 0
     h = abs(hgt)
     stride = (w * 3 + 3) // 4 * 4
@@ -478,8 +483,16 @@ def decode_wav16(
         if len(body) < size:
             raise ValueError(f"truncated WAV chunk {cid!r}")
         if cid == b"fmt ":
+            # A duplicate fmt/data chunk means a corrupt or concatenated
+            # RIFF file — raise (quarantinable) instead of silently
+            # decoding only the LAST chunk, matching the PNG decoder's
+            # duplicate-IHDR strictness.
+            if fmt is not None:
+                raise ValueError("duplicate fmt chunk in WAV payload")
             fmt = body
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("duplicate data chunk in WAV payload")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:

@@ -755,9 +755,15 @@ def bpe_learn_merges(
     pair per round. Merges apply via a left-to-right, non-overlapping
     regexp on the space-joined symbol string (the reference semantic),
     with the pair regex-escaped so symbols that contain metacharacters
-    ('.', '+', '$'…) merge literally. The working table is re-cached
-    each round and lineage stays flat (each round's plan reads the
-    previous round's cache, not the whole merge history)."""
+    ('.', '+', '$'…) merge literally. The working table is
+    CHECKPOINTED each round (localCheckpoint, or a reliable
+    checkpoint() when a session checkpoint dir is set — same
+    auto-selection as operators/graph.connected_components) so both
+    lineage and the ANALYZED PLAN stay O(1) per round: a cache alone
+    leaves the logical plan growing by one regexp per round, and
+    Catalyst re-analyzes the whole tree every iteration — measured
+    superlinear (0.4 s/round at 8 merges → 3.4 s/round at 16) before
+    the r7 fix; flat after (docs/SCALE_PROBE.md, BPE probe)."""
     import re as _re
 
     if n_merges < 0:
@@ -782,9 +788,18 @@ def bpe_learn_merges(
             F.lit(" "),
         ).alias("symstr"),
     )
-    vocab = vocab.cache()
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # eager checkpoint: materializes AND truncates lineage, so the
+        # next round's plan is a scan of this round's result — not the
+        # whole merge history re-analyzed by Catalyst every iteration.
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    vocab = _ckpt(vocab)
     merges: list[tuple] = []
-    prev = vocab
     try:
         for rank in range(1, n_merges + 1):
             top = (
@@ -803,16 +818,15 @@ def bpe_learn_merges(
             merges.append((rank, left, right, left + right, cnt))
             pattern = f"(?<= ){_re.escape(left)} {_re.escape(right)}(?= )"
             replacement = (left + right).replace("\\", "\\\\").replace("$", "\\$")
-            nxt = vocab.withColumn(
-                "symstr", F.regexp_replace("symstr", pattern, replacement)
-            ).cache()
-            nxt.count()  # materialize before dropping the parent cache
-            if prev is not None:
-                prev.unpersist()
-            vocab, prev = nxt, nxt
+            nxt = _ckpt(
+                vocab.withColumn(
+                    "symstr", F.regexp_replace("symstr", pattern, replacement)
+                )
+            )
+            vocab.unpersist()  # drop the previous round's blocks now
+            vocab = nxt
     finally:
-        if prev is not None:
-            prev.unpersist()
+        vocab.unpersist()
     return spark.createDataFrame(merges, schema)
 
 

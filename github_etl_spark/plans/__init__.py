@@ -68,22 +68,28 @@ def _check_history() -> tuple[dict[str, int], dict[str, bool]]:
 def _ordered() -> dict[str, Query]:
     """Registry in driver-verification priority order.
 
-    Least-recently-checked first: never-checked queries lead, then
-    queries whose last driver check is oldest; a red last check
-    outranks a green one from the same round. This guarantees every
-    query cycles back through the driver's fixed-size window instead
-    of holding a stale green forever (the round-3 failure mode: w2/w4
-    broke while carrying an old green from r02, invisible to r03's
-    ledger). Registration order breaks remaining ties; a fresh
-    checkout with no ledgers degrades to plain registration order.
+    Priority: (1) never-checked queries, (2) queries whose LAST check
+    was red — a known failure must re-enter the very next window, not
+    wait a full rotation cycle (r06's tokenize_encode crash would
+    otherwise stay unverified-fixed until r08), (3) everything else
+    oldest-green first. This guarantees every query cycles back
+    through the driver's fixed-size window instead of holding a stale
+    green forever (the round-3 failure mode: w2/w4 broke while
+    carrying an old green from r02, invisible to r03's ledger).
+    Registration order breaks remaining ties; a fresh checkout with no
+    ledgers degrades to plain registration order.
     """
     last_round, last_green = _check_history()
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
-    names = sorted(
-        QUERIES,
-        key=lambda n: (last_round.get(n, 0), last_green.get(n, False), reg_pos[n]),
-    )
-    return {n: QUERIES[n] for n in names}
+
+    def key(n):
+        if n not in last_round:
+            return (0, 0, 0, reg_pos[n])  # never driver-checked
+        if not last_green[n]:
+            return (0, 1, last_round[n], reg_pos[n])  # red on last check
+        return (1, 0, last_round[n], reg_pos[n])  # oldest green first
+
+    return {n: QUERIES[n] for n in sorted(QUERIES, key=key)}
 
 
 def spark_queries():

@@ -736,6 +736,53 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The portable sibling's fixed corpus: three regimes of the signal
+# (templated ~0.04, natural prose ~0.25, high-entropy ~0.79). ONE
+# Python list drives the Spark DataFrame AND the oracle's VALUES rows,
+# with the expected ratios pinned from CPython zlib level 6.
+_ZLIB_PIN_TEXTS = [
+    (1, "a" * 400, 0.035),
+    (2, ("the quick brown fox jumps over the lazy dog. " * 5).strip(), 0.2455),
+    (
+        3,
+        "deterministic high-entropy stand-in: "
+        + "".join(format((i * 2654435761) % 256, "02x") for i in range(64)),
+        0.7939,
+    ),
+]
+
+
+@query(
+    "text_compression_ratio_pinned",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), {r})" for i, _t, r in _ZLIB_PIN_TEXTS
+    )
+    + ") AS t(doc_id, compression_ratio)",
+)
+def text_compression_ratio_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the zlib compression-ratio kernel's oracle-visible sibling.
+    `text_compression_ratio` over the corpus stays rows-only (DuckDB
+    has no zlib expression), so this variant runs the SAME pandas_udf
+    kernel over a fixed three-text corpus — templated / prose /
+    high-entropy — whose level-6 ratios are pinned as literals in the
+    oracle. Brittleness accepted knowingly: zlib level-6 output is
+    deterministic for a given zlib build, and driver + authoring run
+    the same container; a zlib upgrade that changes compressed sizes
+    fails this query loudly (re-pin the three literals), it can never
+    pass wrong. The per-row differential + invariance properties in
+    tests/test_pipeline_ops.py remain the kernel's primary suite."""
+    from ..operators.pipeline import compression_ratio_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _r in _ZLIB_PIN_TEXTS], "doc_id long, text string"
+    )
+    return df.select(
+        "doc_id",
+        round_det(compression_ratio_col("text"), 4).alias("compression_ratio"),
+    )
+
+
 @query(
     "text_stats",
     oracle=f"""

@@ -173,6 +173,22 @@ def scoped_checkpoint_dir(spark: SparkSession, path: str | None):
         if before is not None:
             sc.setCheckpointDir(before)
         else:
-            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
-                sc._jvm.scala.Option.empty()
-            )
+            # Clearing an unset dir has no public API; reach the Scala
+            # setter through py4j. If a Spark upgrade renames/hides it,
+            # degrade to LEAVING the dir set (a documented, harmless
+            # leak: later operators just keep the reliable path) — a
+            # restore failure must never mask the checkpointed
+            # operator's successful result out of this finally block.
+            try:
+                getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                    sc._jvm.scala.Option.empty()
+                )
+            except Exception:  # noqa: BLE001 — py4j raises broadly
+                import warnings
+
+                warnings.warn(
+                    "scoped_checkpoint_dir: could not restore the unset "
+                    f"checkpoint dir; leaving it at {path!r}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )

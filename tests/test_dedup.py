@@ -870,6 +870,9 @@ def test_canonicalize_url_spark_duckdb_lockstep(spark):
         "  http://a.b/c?d=e&utm_f=g&h=i  ",
         "no-scheme-no-slash",
         "",
+        "a.com/p?ref=/",  # slash ends a query VALUE — must be kept
+        "a.com/p/",  # slash ends the PATH, no query — must be dropped
+        "a.com/p/?ref=/",  # both at once: path slash drops, value slash stays
     ]
     sdf = spark.createDataFrame(
         [(i, u) for i, u in enumerate(cases)], "i long, url string"
@@ -891,3 +894,9 @@ def test_canonicalize_url_spark_duckdb_lockstep(spark):
         assert got_spark[i] == got_duck[i], (
             f"{u!r}: spark={got_spark[i]!r} duckdb={got_duck[i]!r}"
         )
+    # Rule 6 semantics, pinned by VALUE (lockstep alone would also pass
+    # on a shared over-collapse bug): trailing PATH slashes drop,
+    # a slash ending the final query VALUE is part of the value.
+    assert got_spark[len(cases) - 3] == "a.com/p?ref=/"
+    assert got_spark[len(cases) - 2] == "a.com/p"
+    assert got_spark[len(cases) - 1] == "a.com/p?ref=/"

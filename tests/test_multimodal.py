@@ -159,6 +159,16 @@ def test_bmp_malformed_raises():
     bad_bpp[28:30] = (8).to_bytes(2, "little")
     with pytest.raises(ValueError, match="unsupported BMP variant"):
         decode_bmp24(bytes(bad_bpp))
+    # pixel offset pointing INTO the header would decode header bytes
+    # as pixels — must raise, never return wrong data
+    bad_off = bytearray(good)
+    bad_off[10:14] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="pixel-data offset"):
+        decode_bmp24(bytes(bad_off))
+    far_off = bytearray(good)
+    far_off[10:14] = (len(good) + 100).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="pixel-data offset|truncated"):
+        decode_bmp24(bytes(far_off))
 
 
 def test_bmp_decode_stats_quarantines_bad_payloads(spark):
@@ -273,6 +283,16 @@ def test_wav_malformed_raises():
     bad_bits[34:36] = (8).to_bytes(2, "little")
     with pytest.raises(ValueError, match="unsupported WAV variant"):
         decode_wav16(bytes(bad_bits))
+    # duplicate fmt/data chunks (corrupt or concatenated RIFF) must
+    # raise, not silently decode only the last chunk
+    data_chunk = good[36:]  # "data" + size + samples
+    with pytest.raises(ValueError, match="duplicate data chunk"):
+        decode_wav16(good + data_chunk)
+    fmt_chunk = good[12:36]  # "fmt " + size + body
+    dup_fmt = good[:36] + fmt_chunk + good[36:]
+    dup_fmt = dup_fmt[:4] + (len(dup_fmt) - 8).to_bytes(4, "little") + dup_fmt[8:]
+    with pytest.raises(ValueError, match="duplicate fmt chunk"):
+        decode_wav16(dup_fmt)
 
 
 def test_wav_decode_stats_quarantines_bad_payloads(spark):

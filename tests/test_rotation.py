@@ -23,10 +23,12 @@ def test_order_is_least_recently_checked_first(monkeypatch):
         ),
     )
     ordered = list(plans._ordered())
-    # Never-checked leads, then oldest round; red-before-green within a round.
+    # Never-checked leads, then ANY red last check (a known failure
+    # must re-enter the very next window, not wait out a full rotation
+    # cycle — r06's tokenize_encode lesson), then oldest green.
     assert ordered[0] == d
-    assert ordered[1] == c
-    assert ordered[2] == b
+    assert ordered[1] == b
+    assert ordered[2] == c
     assert ordered[3] == a
     assert set(ordered) == set(names)
 

@@ -394,6 +394,129 @@ def png_probe(spark, t, ks):
     return lines
 
 
+def bpe_probe(spark, t, ks):
+    """Round-7 addition: the two costs that decide whether BPE training
+    and encoding hold at 100 TB. (a) LEARN — each merge round is one
+    vocabulary-sized pair aggregation + TakeOrdered(1) + a cache swap
+    of the (word, freq) working table; the design claim is sec/round
+    grows with DISTINCT WORDS (slowly), not with the corpus, and is
+    flat in n_merges. (b) APPLY — the map-only regexp_replace chain's
+    cost per merge as the chain deepens; the docstring's
+    broadcast-Arrow-kernel cutover claim is checked against measured
+    per-merge cost and plan-build time (the Catalyst tree grows
+    linearly with merges, so a superlinear plan time is the cliff)."""
+    from github_etl_spark.operators.pipeline import (
+        bpe_apply,
+        bpe_learn_merges,
+        word_freq_table,
+    )
+
+    lines = [
+        "",
+        "## BPE probe (round 7) — learn rounds & apply chain depth",
+        "",
+        "### Learn: cost vs corpus size (n_merges=8, min_count=2)",
+        "",
+        "| K | docs | distinct words | learn sec | sec/round |",
+        "|---|---|---|---|---|",
+    ]
+    for k in ks:
+        d = replicate(t["documents"], "doc_id", k)
+        n_docs = d.count()
+        n_words = word_freq_table(d, "text").count()
+        t0 = time.perf_counter()
+        n_m = bpe_learn_merges(d, "text", n_merges=8, min_count=2).count()
+        t_learn = time.perf_counter() - t0
+        lines.append(
+            f"| {k} | {n_docs} | {n_words} | {t_learn:.1f} "
+            f"| {t_learn / max(n_m, 1):.2f} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "### Learn: cost vs n_merges (K=1 — steady-state round cost)",
+        "",
+        "| n_merges | learn sec | sec/round |",
+        "|---|---|---|",
+    ]
+    d1 = t["documents"]
+    for nm in (4, 8, 16, 32):
+        t0 = time.perf_counter()
+        got = bpe_learn_merges(d1, "text", n_merges=nm, min_count=2).count()
+        dt = time.perf_counter() - t0
+        lines.append(f"| {nm} | {dt:.1f} | {dt / max(got, 1):.2f} |")
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "### Apply: regexp-chain cost vs merge count (K=1)",
+        "",
+        "Synthetic rank-ordered pair table (single-char pairs cycling the",
+        "alphabet — early merges really fuse, deep ones mostly scan), so",
+        "depth is isolated from learning. plan = DataFrame build +",
+        "analysis; exec = one full-corpus pass.",
+        "",
+        "| merges | plan sec | exec sec | ms/merge (exec) |",
+        "|---|---|---|---|",
+    ]
+    pairs_all = [
+        (chr(97 + i % 26), chr(97 + (i * 7 + 3) % 26)) for i in range(4096)
+    ]
+    cliff = None
+    for nm in (16, 64, 256, 1024):
+        try:
+            t0 = time.perf_counter()
+            out = bpe_apply(d1, "text", pairs_all[:nm])
+            agg = out.select(F.sum(F.size("pieces")).alias("n"))
+            agg.schema  # force analysis
+            t_plan = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            agg.collect()
+            t_exec = time.perf_counter() - t0
+            lines.append(
+                f"| {nm} | {t_plan:.1f} | {t_exec:.1f} "
+                f"| {t_exec * 1000 / nm:.1f} |"
+            )
+        except Exception as e:  # noqa: BLE001 — the cliff IS the result
+            cliff = nm
+            lines.append(f"| {nm} | FAILED ({type(e).__name__}) | — | — |")
+            print(lines[-1], flush=True)
+            break
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Learn: sec/round must track distinct words (the pair agg's",
+        "input), NOT docs — the corpus is touched once by",
+        "word_freq_table and never again; flat sec/round across",
+        "n_merges confirms the cache-swap keeps lineage O(1) per round.",
+        "Apply: exec cost is ~linear per merge (each regexp_replace",
+        "scans every word's symbol string once, hit or miss), so chain",
+        "cost = merges x corpus-scan; plan time grows with the Catalyst",
+        "tree and is paid once per job. The broadcast Arrow-kernel",
+        "cutover is where (per-merge scan tax x merges) exceeds the",
+        "kernel's fixed in-Python merge loop — from the measured",
+        "ms/merge, a 32k-merge production tokenizer pays ~32k x the",
+        "per-merge tax in EVERY job, which is why the regexp chain is",
+        "documented for <~1k merges and the kernel regime beyond"
+        + (f" (hard cliff measured at {cliff} merges)." if cliff else "."),
+    ]
+    return lines
+
+
+def splice_bpe(lines: list[str]) -> None:
+    """Append-or-replace the BPE section (last in SCALE_PROBE.md)."""
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "SCALE_PROBE.md",
+    )
+    with open(out) as f:
+        existing = f.read().splitlines()
+    marker = "## BPE probe (round 7) — learn rounds & apply chain depth"
+    idx = existing.index(marker) - 1 if marker in existing else len(existing)
+    with open(out, "w") as f:
+        f.write("\n".join(existing[:idx] + lines) + "\n")
+
+
 def splice_round6(lines: list[str]) -> None:
     """Append-or-replace the round-6 section of SCALE_PROBE.md."""
     out = os.path.join(
@@ -415,7 +538,8 @@ def splice_round6(lines: list[str]) -> None:
 
 
 def splice_png(lines: list[str]) -> None:
-    """Append-or-replace the PNG section (last in SCALE_PROBE.md)."""
+    """Append-or-replace the PNG section, preserving the BPE section
+    that now FOLLOWS it."""
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
@@ -425,8 +549,12 @@ def splice_png(lines: list[str]) -> None:
         existing = f.read().splitlines()
     marker = "## PNG compressed-codec probe (round 6)"
     idx = existing.index(marker) - 1 if marker in existing else len(existing)
+    tail: list[str] = []
+    next_marker = "## BPE probe (round 7) — learn rounds & apply chain depth"
+    if next_marker in existing and existing.index(next_marker) > idx:
+        tail = existing[existing.index(next_marker) - 1 :]
     with open(out, "w") as f:
-        f.write("\n".join(existing[:idx] + lines) + "\n")
+        f.write("\n".join(existing[:idx] + lines + tail) + "\n")
 
 
 def splice_relational(lines: list[str]) -> None:
@@ -453,11 +581,12 @@ def splice_relational(lines: list[str]) -> None:
 
 
 def main():
-    flags = {"--relational-only", "--round6-only", "--png-only"}
+    flags = {"--relational-only", "--round6-only", "--png-only", "--bpe-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     relational_only = "--relational-only" in sys.argv[1:]
     round6_only = "--round6-only" in sys.argv[1:]
     png_only = "--png-only" in sys.argv[1:]
+    bpe_only = "--bpe-only" in sys.argv[1:]
     ks = [int(a) for a in args] or [1, 4, 16, 32]
     if relational_only:
         spark = get_spark("scale_probe")
@@ -473,6 +602,11 @@ def main():
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
         splice_png(png_probe(spark, t, ks))
+        return
+    if bpe_only:
+        spark = get_spark("scale_probe")
+        t = load_tables(spark, SF_DIR, register=False)
+        splice_bpe(bpe_probe(spark, t, ks))
         return
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
@@ -648,6 +782,7 @@ def main():
     lines += relational_probe(spark, t, ks)
     lines += round6_probe(spark, t, ks)
     lines += png_probe(spark, t, ks)
+    lines += bpe_probe(spark, t, ks)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "SCALE_PROBE.md")
     with open(out, "w") as f:
