@@ -1311,18 +1311,20 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
 
 def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
     """Image format normalization — the standard corpus-prep step that
-    turns a MIXED image column (BMP and PNG payloads side by side)
-    into one uniform format before training ingest. Sniffs each
+    turns a MIXED image column (BMP, PNG and QOI payloads side by
+    side) into one uniform format before training ingest. Sniffs each
     payload's magic (no metadata trusted), decodes with the matching
-    real codec, re-encodes to ``target`` ('png' or 'bmp'); outputs are
-    themselves valid files that feed every downstream image operator.
-    Grayscale promotes to RGB for the BMP target (BMP24 is 3-channel);
-    alpha-bearing PNGs quarantine rather than silently dropping the
-    alpha plane. Map-only mapInPandas over Arrow batches — payload
-    bytes never shuffle. Corrupt/unknown payloads emit NULL content
-    with a decode_error (quarantine contract)."""
-    if target not in ("png", "bmp"):
-        raise ValueError(f"target must be 'png' or 'bmp', got {target!r}")
+    real codec, re-encodes to ``target`` ('png', 'bmp' or 'qoi');
+    outputs are themselves valid files that feed every downstream
+    image operator. Grayscale promotes to RGB for the BMP/QOI targets
+    (BMP24 is 3-channel, QOI is 3/4); gray+alpha promotes to RGBA for
+    QOI (lossless); alpha-bearing images quarantine on the BMP target
+    rather than silently dropping the alpha plane. Map-only
+    mapInPandas over Arrow batches — payload bytes never shuffle.
+    Corrupt/unknown payloads emit NULL content with a decode_error
+    (quarantine contract)."""
+    if target not in ("png", "bmp", "qoi"):
+        raise ValueError(f"target must be 'png', 'bmp' or 'qoi', got {target!r}")
     schema = "media_id long, content binary, src_format string, decode_error string"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1334,10 +1336,14 @@ def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
                 try:
                     if b[: len(_PNG_SIG)] == _PNG_SIG:
                         src, px = "png", decode_png(b)
+                    elif b[:4] == _QOI_MAGIC:
+                        src, px = "qoi", decode_qoi(b)
                     elif b[:2] == b"BM":
                         src, px = "bmp", decode_bmp24(b)
                     else:
-                        raise ValueError("unknown image format (not BMP or PNG)")
+                        raise ValueError(
+                            "unknown image format (not BMP, PNG or QOI)"
+                        )
                     if target == "bmp":
                         if px.shape[2] == 1:
                             px = np.repeat(px, 3, axis=2)
@@ -1347,6 +1353,16 @@ def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
                                 "to BMP24 without discarding alpha"
                             )
                         out = encode_bmp24(px)
+                    elif target == "qoi":
+                        if px.shape[2] == 1:
+                            px = np.repeat(px, 3, axis=2)
+                        elif px.shape[2] == 2:
+                            px = np.concatenate(
+                                [np.repeat(px[:, :, :1], 3, axis=2),
+                                 px[:, :, 1:]],
+                                axis=2,
+                            )
+                        out = encode_qoi(px)
                     else:
                         out = encode_png(px)
                 except ValueError as e:
@@ -1397,5 +1413,236 @@ def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": ids, "features": feats, "decode_error": errs}
             )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+# ----------------------------------------------------------- real codec: QOI
+
+# A SECOND real compressed image format: QOI ("Quite OK Image",
+# qoiformat.org — public-domain spec) is a byte-oriented lossless
+# format whose whole codec is ~60 lines of integer logic: a 64-slot
+# running color index, small per-channel diffs, a luma-relative diff,
+# run-length packing, and raw RGB(A) literals. Unlike PNG (whose
+# compression lives in zlib's C DEFLATE), QOI's compression IS the
+# algorithm — so this codec exercises a real compressed bitstream
+# end-to-end in pure Python/stdlib with no library seam at all.
+# Supported: channels 3/4, colorspace byte 0/1, exactly as the spec.
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3|4) uint8 array as a QOI file (spec v1.0:
+    14-byte header, op stream, 8-byte end marker). Deterministic: the
+    encoder always prefers INDEX, then DIFF, then LUMA, then RGB(A) —
+    the spec's reference strategy — so the bitstream is reproducible
+    across runs and engines."""
+    import struct
+
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError(f"expected (h, w, 3|4) array, got {pixels.shape}")
+    h, w, ch = pixels.shape
+    out = bytearray(struct.pack(">4sIIBB", _QOI_MAGIC, w, h, ch, 0))
+    px = pixels.astype(np.int32)
+    flat = px.reshape(-1, ch)
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for row in flat:
+        if ch == 3:
+            r, g, b, a = int(row[0]), int(row[1]), int(row[2]), pa
+        else:
+            r, g, b, a = int(row[0]), int(row[1]), int(row[2]), int(row[3])
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        ih = _qoi_hash(r, g, b, a)
+        if index[ih] == (r, g, b, a):
+            out.append(ih)
+        else:
+            index[ih] = (r, g, b, a)
+            if a == pa:
+                dr = r - pr
+                dg = g - pg
+                db = b - pb
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out.append(0xFE)
+                    out += bytes((r, g, b))
+            else:
+                out.append(0xFF)
+                out += bytes((r, g, b, a))
+        pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(content: bytes | bytearray | memoryview) -> np.ndarray:
+    """Parse a QOI payload into an (h, w, channels) uint8 array.
+    Strict: bad magic, dims, channel/colorspace bytes, a stream that
+    over- or under-produces pixels, a truncated op, or a missing end
+    marker all raise ValueError — a decode error must surface as a
+    quarantinable failure, never as silently-wrong pixels."""
+    import struct
+
+    b = bytes(content)
+    if len(b) < 14 + len(_QOI_END) or b[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI payload (bad magic or truncated header)")
+    _, w, h, ch, cs = struct.unpack(">4sIIBB", b[:14])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad QOI dimensions: {w}x{h}")
+    if ch not in (3, 4) or cs not in (0, 1):
+        raise ValueError(f"bad QOI channels/colorspace: {ch}/{cs}")
+    if b[-len(_QOI_END):] != _QOI_END:
+        raise ValueError("QOI end marker missing")
+    n_px = w * h
+    out = np.empty((n_px, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, bl, a = 0, 0, 0, 255
+    pos, i, end = 14, 0, len(b) - len(_QOI_END)
+    while i < n_px:
+        if pos >= end:
+            raise ValueError("truncated QOI op stream")
+        op = b[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            if pos + 3 > end:
+                raise ValueError("truncated QOI_OP_RGB")
+            r, g, bl = b[pos], b[pos + 1], b[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            if pos + 4 > end:
+                raise ValueError("truncated QOI_OP_RGBA")
+            r, g, bl, a = b[pos], b[pos + 1], b[pos + 2], b[pos + 3]
+            pos += 4
+        elif op >> 6 == 0:  # INDEX
+            r, g, bl, a = index[op]
+        elif op >> 6 == 1:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) & 0xFF
+            g = (g + ((op >> 2) & 3) - 2) & 0xFF
+            bl = (bl + (op & 3) - 2) & 0xFF
+        elif op >> 6 == 2:  # LUMA
+            if pos >= end:
+                raise ValueError("truncated QOI_OP_LUMA")
+            dg = (op & 0x3F) - 32
+            b2 = b[pos]
+            pos += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) & 0xFF
+            g = (g + dg) & 0xFF
+            bl = (bl + dg + (b2 & 0xF) - 8) & 0xFF
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            if i + run > n_px:
+                raise ValueError("QOI run overflows the pixel count")
+            out[i : i + run] = (r, g, bl, a)
+            i += run
+            index[_qoi_hash(r, g, bl, a)] = (r, g, bl, a)
+            continue
+        index[_qoi_hash(r, g, bl, a)] = (r, g, bl, a)
+        out[i] = (r, g, bl, a)
+        i += 1
+    if pos != end:
+        raise ValueError("trailing bytes after the QOI op stream")
+    return out.reshape(h, w, 4)[:, :, :ch].copy()
+
+
+def synthesize_qoi_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-format QOI fixtures: each document becomes a
+    (id%4+2) × (id%3+2) RGB QOI image whose pixel bytes tile the UTF-8
+    text (same rule as the PNG fixtures), so the SQL oracle can verify
+    the full encode→decode roundtrip without parsing QOI — while the
+    bitstream itself exercises INDEX/DIFF/LUMA/RGB/RUN ops (tiled text
+    repeats colors, so the index and run paths really fire)."""
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                w, h = mid % 4 + 2, mid % 3 + 2
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                n = w * h * 3
+                if len(tb):
+                    px = tb[np.arange(n) % len(tb)]
+                else:
+                    px = np.zeros(n, dtype=np.uint8)
+                ids.append(mid)
+                payloads.append(encode_qoi(px.reshape(h, w, 3)))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def qoi_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode-stats over REAL QOI payloads — same probe surface as
+    `png_decode_stats` (header-derived geometry, value stats, first
+    and last byte probes), same quarantine contract for malformed
+    payloads."""
+    schema = (
+        "media_id long, width int, height int, channels int, "
+        "n_pixel_bytes long, mean_value double, min_value int, "
+        "max_value int, corner_value int, last_value int, "
+        "decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "channels", "n_pixel_bytes",
+                "mean_value", "min_value", "max_value", "corner_value",
+                "last_value", "decode_error",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(int(mid))
+                try:
+                    px = decode_qoi(content if content is not None else b"")
+                except ValueError as e:
+                    for k in ("width", "height", "channels", "n_pixel_bytes",
+                              "mean_value", "min_value", "max_value",
+                              "corner_value", "last_value"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+                    continue
+                h, w, ch = px.shape
+                flat = px.reshape(-1)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["n_pixel_bytes"].append(int(flat.size))
+                rows["mean_value"].append(float(flat.mean()))
+                rows["min_value"].append(int(flat.min()))
+                rows["max_value"].append(int(flat.max()))
+                rows["corner_value"].append(int(px[0, 0, 0]))
+                rows["last_value"].append(int(flat[-1]))
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=schema)

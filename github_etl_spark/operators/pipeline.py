@@ -850,10 +850,14 @@ def bpe_apply(
     chain of ``n_merges`` regexp_replace calls folded over each word's
     sentinel-padded symbol string inside a ``transform`` lambda — no
     shuffle, no UDF, applied per-row at scan speed. Expression depth
-    grows with the merge count; hundreds of merges are fine, but a
-    32k-merge production tokenizer should switch to the broadcast
-    Arrow kernel family (the bloom literal-vs-broadcast regime split,
-    applied to tokenization)."""
+    grows with the merge count and the regime boundary is MEASURED
+    (docs/SCALE_PROBE.md, BPE probe): ~67-110 ms/merge/5k-docs exec
+    cost through 256 merges; at 1024 the expression tree either
+    raises java.lang.StackOverflowError during construction (JVM
+    stack-state dependent — reproduced in a fresh session) or runs
+    ~144x slower than the kernel (115 s vs 0.8 s). Past ~256 merges
+    use ``bpe_apply_kernel`` (the broadcast Arrow regime; the bloom
+    literal-vs-broadcast split, applied to tokenization)."""
     import re as _re
 
     if isinstance(merges, DataFrame):
@@ -882,3 +886,85 @@ def bpe_apply(
 
     words = words_expr(F.col(text_col))
     return df.withColumn(out_col, F.flatten(F.transform(words, pieces_of)))
+
+
+def bpe_apply_kernel(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    out_col: str = "pieces",
+) -> DataFrame:
+    """BPE encode, broadcast Arrow-kernel regime — the same contract
+    as ``bpe_apply`` (identical output, pinned by a differential test
+    and by sharing one DuckDB oracle in the catalog) for merge tables
+    too deep for the regexp-chain form: at 1024 merges the chain's
+    expression tree either StackOverflows during construction or runs
+    ~144x slower than this kernel (measured, docs/SCALE_PROBE.md),
+    while the kernel's cost is a Python loop whose per-word work is
+    pruned to the merges whose sides are actually present — a
+    32k-merge production table is just a bigger closure-captured
+    list, not a deeper plan.
+
+    Same algorithm, minus the regex: merges apply in RANK ORDER, each
+    as one left-to-right non-overlapping fusion pass over the word's
+    symbol list. Distinct words are memoized per Arrow batch (Zipf
+    makes the hit rate high), and a per-word symbol SET skips merge
+    rows whose sides cannot occur. Map-only over Arrow batches — the
+    corpus never shuffles, the merge table rides into executors inside
+    the serialized UDF (bounded by n_merges, the same deliberate
+    driver-side list bpe_apply collects)."""
+    if isinstance(merges, DataFrame):
+        rows = merges.select("rank", "left", "right").orderBy("rank").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    else:
+        pairs = [(left, right) for left, right in merges]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        # Java \s (words_expr) is ASCII-only; Python str.split() and
+        # re's \s are Unicode-wide (they would also split on NBSP etc.)
+        # — spell the exact Java class so both regimes tokenize alike.
+        ws = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
+        cache: dict[str, list[str]] = {}
+
+        def word_pieces(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            present = set(syms)
+            for left, right in pairs:
+                if left not in present or right not in present:
+                    continue
+                out = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                if len(out) < n:
+                    syms = out
+                    present = set(syms)
+            cache[w] = syms
+            return syms
+
+        def enc(t):
+            if t is None:
+                return None
+            return [
+                p
+                for w in ws.split(t.lower())
+                if w
+                for p in word_pieces(w)
+            ]
+
+        return texts.map(enc)
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))

@@ -1480,9 +1480,10 @@ def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm_png_roundtrip_stats",
-    oracle="""
+# ONE oracle for BOTH compressed-image roundtrips (PNG and QOI): the
+# two fixture synthesizers share the pixel rule (w=id%4+2, h=id%3+2,
+# RGB bytes tiling the text), so the same SQL replay pins both codecs.
+_MM_RGB_TILED_ORACLE = """
     WITH m AS (
       SELECT doc_id AS media_id,
              CAST(doc_id % 4 + 2 AS INT) AS width,
@@ -1513,8 +1514,10 @@ def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            (floor(s.mean_raw * 10000 + 0.5) / 10000) AS mean_value,
            s.min_value, s.max_value, s.corner_value, s.last_value
     FROM m JOIN stats s USING (media_id)
-    """,
-)
+    """
+
+
+@query("mm_png_roundtrip_stats", oracle=_MM_RGB_TILED_ORACLE)
 def mm_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: a real COMPRESSED codec path, oracle-checked end-to-end.
     Each document becomes an actual 8-bit RGB PNG (`encode_png` —
@@ -1534,6 +1537,36 @@ def mm_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     stats = png_decode_stats(synthesize_png_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_pixel_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "corner_value",
+        "last_value",
+    )
+
+
+@query("mm_qoi_roundtrip_stats", oracle=_MM_RGB_TILED_ORACLE)
+def mm_qoi_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: a SECOND real compressed image codec, oracle-checked
+    end-to-end. Each document becomes an actual QOI file (`encode_qoi`
+    — qoiformat.org spec: 64-slot running index, DIFF/LUMA deltas,
+    run-length packing; the tiled-text fixtures exercise every op),
+    then `qoi_decode_stats` parses it back with the strict
+    dependency-free decoder. Shares the PNG roundtrip's oracle (same
+    pixel rule), so PNG and QOI are pinned value-for-value to each
+    other AND to SQL. Unlike PNG (zlib's C DEFLATE), QOI's compression
+    is the algorithm itself — a complete compressed bitstream with no
+    library call at all. Map-only; payload bytes never shuffle."""
+    from ..multimodal.media import qoi_decode_stats, synthesize_qoi_media
+
+    t = load_tables(spark, sf_dir)
+    stats = qoi_decode_stats(synthesize_qoi_media(t["documents"]))
     return stats.select(
         "media_id",
         "width",

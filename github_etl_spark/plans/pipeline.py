@@ -783,10 +783,10 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bpe_apply_pinned",
-    headline=True,
-    oracle=f"""
+# ONE oracle for BOTH encode regimes (regexp chain / Arrow kernel):
+# the two Spark implementations must match each other AND this SQL —
+# a three-way pin on the encode semantics.
+_BPE_APPLY_ORACLE = f"""
     WITH words AS (
       SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
       FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
@@ -804,7 +804,13 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(len(ps)) AS BIGINT) AS n_pieces,
            string_agg(array_to_string(ps, ' '), ' ' ORDER BY pos) AS pieces
     FROM wp GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "bpe_apply_pinned",
+    headline=True,
+    oracle=_BPE_APPLY_ORACLE,
 )
 def bpe_apply_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: BPE encode under the pinned merge table
@@ -821,6 +827,32 @@ def bpe_apply_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     enc = bpe_apply(t["documents"], "text", _BPE_PINNED_MERGES, out_col="__pieces")
+    return enc.select(
+        "doc_id",
+        F.size("__pieces").cast("long").alias("n_pieces"),
+        F.array_join("__pieces", " ").alias("pieces"),
+    ).filter(F.col("n_pieces") > 0)
+
+
+@query("bpe_apply_kernel_pinned", oracle=_BPE_APPLY_ORACLE)
+def bpe_apply_kernel_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: BPE encode, broadcast Arrow-kernel regime
+    (operators/pipeline.bpe_apply_kernel) under the SAME pinned merge
+    table and the SAME oracle as `bpe_apply_pinned` — a three-way pin:
+    the regexp-chain plan, the Python merge-loop kernel, and the
+    DuckDB replay must all hash-agree. This regime exists because at
+    1024 merges the chain's expression tree either StackOverflows
+    during construction or runs ~144x slower than the kernel
+    (measured, docs/SCALE_PROBE.md); the kernel carries a 32k-merge
+    production table as a closure list instead of a plan.
+    Map-only over Arrow batches; docs with zero tokens drop, same as
+    the oracle's group-over-words."""
+    from ..operators.pipeline import bpe_apply_kernel
+
+    t = load_tables(spark, sf_dir)
+    enc = bpe_apply_kernel(
+        t["documents"], "text", _BPE_PINNED_MERGES, out_col="__pieces"
+    )
     return enc.select(
         "doc_id",
         F.size("__pieces").cast("long").alias("n_pieces"),

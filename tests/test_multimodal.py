@@ -979,3 +979,119 @@ def test_transcode_image_normalizes_mixed_corpus(spark):
 
     with pytest.raises(ValueError, match="target"):
         transcode_image(media, "jpeg")
+
+
+# ----------------------------------------------------------------- QOI codec
+
+
+def test_qoi_roundtrip_property():
+    """encode→decode is the identity over mixed pixel regimes (random,
+    constant runs, near-constant diffs, tiled ramps) for 3- and
+    4-channel images — together the cases exercise every QOI op
+    (INDEX/DIFF/LUMA/RGB/RGBA/RUN)."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import decode_qoi, encode_qoi
+
+    rng = np.random.RandomState(7)
+    for trial in range(120):
+        h, w = rng.randint(1, 9), rng.randint(1, 9)
+        ch = 3 if trial % 2 else 4
+        kind = trial % 4
+        if kind == 0:
+            px = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+        elif kind == 1:
+            px = np.full((h, w, ch), rng.randint(0, 256), dtype=np.uint8)
+        elif kind == 2:
+            base = rng.randint(0, 256, (1, 1, ch))
+            px = ((base + rng.randint(-2, 2, (h, w, ch))) % 256).astype(np.uint8)
+        else:
+            px = (np.arange(h * w * ch) % 256).reshape(h, w, ch).astype(np.uint8)
+        got = decode_qoi(encode_qoi(px))
+        assert got.shape == px.shape and (got == px).all(), (trial, h, w, ch)
+
+
+def test_qoi_malformed_raises():
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import decode_qoi, encode_qoi
+
+    good = encode_qoi(np.arange(24, dtype=np.uint8).reshape(2, 4, 3))
+    with pytest.raises(ValueError, match="magic|truncated"):
+        decode_qoi(b"")
+    with pytest.raises(ValueError, match="magic|truncated"):
+        decode_qoi(b"qoix" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="end marker|truncated"):
+        decode_qoi(good[:-3])
+    bad_ch = bytearray(good)
+    bad_ch[12] = 5
+    with pytest.raises(ValueError, match="channels"):
+        decode_qoi(bytes(bad_ch))
+    # op stream that under-produces pixels: claim a bigger image
+    bad_dim = bytearray(good)
+    bad_dim[4:8] = (1000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated|overflows"):
+        decode_qoi(bytes(bad_dim))
+
+
+def test_qoi_decode_stats_quarantines_bad_payloads(spark):
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import encode_qoi, qoi_decode_stats
+
+    good = encode_qoi(np.full((2, 3, 3), 9, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a qoi"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in qoi_decode_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (3, 2, 3)
+    assert rows[1]["mean_value"] == 9.0 and rows[1]["corner_value"] == 9
+    assert rows[2]["decode_error"] is not None
+
+
+def test_transcode_image_qoi_paths(spark):
+    """QOI joins the mixed-corpus normalization: QOI payloads sniff by
+    magic and transcode to PNG/BMP; BMP/PNG payloads transcode to QOI;
+    gray and gray+alpha PNGs promote losslessly on the QOI target."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        decode_bmp24,
+        decode_png,
+        decode_qoi,
+        encode_bmp24,
+        encode_png,
+        encode_qoi,
+        transcode_image,
+    )
+
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    ga = np.dstack([gray[:, :, 0], np.full((3, 4), 7, np.uint8)]).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_qoi(rgb))),
+            (2, bytearray(encode_bmp24(rgb))),
+            (3, bytearray(encode_png(gray))),
+            (4, bytearray(encode_png(ga))),
+        ],
+        "media_id long, content binary",
+    )
+    to_qoi = {r["media_id"]: r for r in transcode_image(media, "qoi").collect()}
+    assert to_qoi[1]["src_format"] == "qoi"
+    assert (decode_qoi(bytes(to_qoi[2]["content"])) == rgb).all()
+    got_gray = decode_qoi(bytes(to_qoi[3]["content"]))
+    assert (got_gray == np.repeat(gray, 3, axis=2)).all()
+    got_ga = decode_qoi(bytes(to_qoi[4]["content"]))
+    assert got_ga.shape == (3, 4, 4)
+    assert (got_ga[:, :, 3] == 7).all() and (got_ga[:, :, 0] == gray[:, :, 0]).all()
+    to_png = {r["media_id"]: r for r in transcode_image(media, "png").collect()}
+    assert to_png[1]["src_format"] == "qoi"
+    assert (decode_png(bytes(to_png[1]["content"])) == rgb).all()
+    to_bmp = {r["media_id"]: r for r in transcode_image(media, "bmp").collect()}
+    assert (decode_bmp24(bytes(to_bmp[1]["content"])) == rgb).all()
+    # alpha-bearing payload quarantines on the BMP target
+    assert to_bmp[4]["decode_error"] is not None

@@ -698,3 +698,58 @@ def test_bpe_apply_matches_reference_and_roundtrips(spark):
     chars = bpe_apply(df, "text", []).select("pieces").head()["pieces"]
     assert chars == list(texts[0].lower().replace(" ", ""))
     del F
+
+
+def test_bpe_apply_kernel_matches_regexp_chain(spark):
+    """The two encode regimes (regexp chain / Arrow kernel) must agree
+    piece-for-piece on a learned table over adversarial text — the
+    kernel is the chain's semantic twin, not an approximation. NULL
+    and empty texts follow the same contract in both."""
+    from github_etl_spark.operators.pipeline import (
+        bpe_apply,
+        bpe_apply_kernel,
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "a.b a.b a+b a+b a+b $x$ $x$ $x$",
+        "aaaa aaaa baa aaaaa",
+        "  spaced\tout\nwords  ",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    merges = bpe_learn_merges(df, "text", n_merges=12)
+    chain = {
+        r["id"]: r["pieces"]
+        for r in bpe_apply(df, "text", merges).select("id", "pieces").collect()
+    }
+    kernel = {
+        r["id"]: r["pieces"]
+        for r in bpe_apply_kernel(df, "text", merges)
+        .select("id", "pieces")
+        .collect()
+    }
+    assert chain == kernel
+
+
+def test_bpe_apply_kernel_survives_past_the_chain_cliff(spark):
+    """The regexp chain StackOverflows between 256 and 1024 merges
+    (docs/SCALE_PROBE.md); the kernel regime must carry a 2048-deep
+    table without deepening the plan — that is its reason to exist."""
+    from github_etl_spark.operators.pipeline import bpe_apply_kernel
+
+    pairs = [
+        (chr(97 + i % 26), chr(97 + (i * 7 + 3) % 26)) for i in range(2048)
+    ]
+    df = spark.createDataFrame(
+        [(0, "abab dkdk zzzz quux"), (1, "the cliff is real")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["pieces"]
+        for r in bpe_apply_kernel(df, "text", pairs).collect()
+    }
+    assert all(isinstance(p, str) and p for ps in rows.values() for p in ps)
+    assert "".join(rows[1]) == "thecliffisreal"

@@ -137,6 +137,7 @@ def test_budget_covers_every_headline_query(spark):
         "mm_resample_wav_stats",
         "mm_y4m_to_bmp_stats",
         "mm_mulaw_roundtrip_stats",
+        "mm_qoi_roundtrip_stats",
     ],
 )
 def test_media_roundtrips_are_map_only(spark, name):

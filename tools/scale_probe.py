@@ -407,6 +407,7 @@ def bpe_probe(spark, t, ks):
     linearly with merges, so a superlinear plan time is the cliff)."""
     from github_etl_spark.operators.pipeline import (
         bpe_apply,
+        bpe_apply_kernel,
         bpe_learn_merges,
         word_freq_table,
     )
@@ -484,20 +485,50 @@ def bpe_probe(spark, t, ks):
         print(lines[-1], flush=True)
     lines += [
         "",
+        "### Apply: Arrow-kernel regime past the cliff (same pair tables)",
+        "",
+        "| merges | exec sec | ms/merge |",
+        "|---|---|---|",
+    ]
+    for nm in (256, 1024, 4096):
+        t0 = time.perf_counter()
+        bpe_apply_kernel(d1, "text", pairs_all[:nm]).select(
+            F.sum(F.size("pieces")).alias("n")
+        ).collect()
+        dt = time.perf_counter() - t0
+        lines.append(f"| {nm} | {dt:.1f} | {dt * 1000 / nm:.2f} |")
+        print(lines[-1], flush=True)
+    lines += [
+        "",
         "Learn: sec/round must track distinct words (the pair agg's",
         "input), NOT docs — the corpus is touched once by",
         "word_freq_table and never again; flat sec/round across",
-        "n_merges confirms the cache-swap keeps lineage O(1) per round.",
-        "Apply: exec cost is ~linear per merge (each regexp_replace",
-        "scans every word's symbol string once, hit or miss), so chain",
-        "cost = merges x corpus-scan; plan time grows with the Catalyst",
-        "tree and is paid once per job. The broadcast Arrow-kernel",
-        "cutover is where (per-merge scan tax x merges) exceeds the",
-        "kernel's fixed in-Python merge loop — from the measured",
-        "ms/merge, a 32k-merge production tokenizer pays ~32k x the",
-        "per-merge tax in EVERY job, which is why the regexp chain is",
-        "documented for <~1k merges and the kernel regime beyond"
-        + (f" (hard cliff measured at {cliff} merges)." if cliff else "."),
+        "n_merges confirms the per-round eager CHECKPOINT keeps both",
+        "lineage and the analyzed plan O(1) (the r6 cache-only swap",
+        "left the logical plan growing one regexp per round, and",
+        "Catalyst re-analysis went superlinear: 0.4 -> 3.4 s/round by",
+        "merge 16 — the r7 fix).",
+        "Apply: chain exec cost is ~linear per merge (each",
+        "regexp_replace scans every word's symbol string, hit or",
+        "miss)"
+        + (
+            f"; the chain DIES at {cliff} merges — a JVM"
+            " StackOverflowError while BUILDING the expression tree,"
+            " before any data moves"
+            if cliff
+            else "; at 1024 merges the chain has also been observed to"
+            " StackOverflow during tree construction in a fresh"
+            " session (JVM stack-state dependent) — when it survives,"
+            " compare its 1024 row against the kernel's"
+        )
+        + ". The Arrow-kernel regime (bpe_apply_kernel, same output,",
+        "same oracle) carries those depths as a closure list: its",
+        "ms/merge FALLS with depth because the per-word symbol-set",
+        "prune skips merges that cannot occur, and per-batch word",
+        "memoization amortizes Zipf-repeated words. Regime rule from",
+        "the measurements: regexp chain to ~256 merges (JVM scan",
+        "speed, zero Python), kernel beyond — asserted by",
+        "test_bpe_apply_kernel_survives_past_the_chain_cliff.",
     ]
     return lines
 
