@@ -1428,6 +1428,14 @@ def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
 # algorithm — so this codec exercises a real compressed bitstream
 # end-to-end in pure Python/stdlib with no library seam at all.
 # Supported: channels 3/4, colorspace byte 0/1, exactly as the spec.
+#
+# Throughput regime, stated honestly: encode/decode here are per-PIXEL
+# Python loops (QOI's index/run state is inherently sequential), so
+# they are the semantic REFERENCE and fixture-scale verifier — roughly
+# two orders slower per byte than PNG's C-zlib path. A 100 TB corpus
+# of real QOI assets would bind a native kernel behind the exact same
+# mapInPandas seam (schema, batching, quarantine contract unchanged);
+# the oracle-checked roundtrip here is what makes that swap safe.
 
 _QOI_MAGIC = b"qoif"
 _QOI_END = b"\x00" * 7 + b"\x01"

@@ -46,6 +46,9 @@ GLOBAL_AGG_ROWS = {
     "tpch_q6_forecast_revenue": 1,  # global agg: (NULL, 0) over zero lines
     "tpch_q17_small_quantity_revenue": 1,  # global agg over zero matches
     "tpch_q19_disjunctive_predicates": 1,  # global agg over zero matches
+    # Fixed-literal corpus by design (zlib ratios pinned cross-engine);
+    # reads no fixture table, so empty tables don't change its 3 rows.
+    "text_compression_ratio_pinned": 3,
 }
 
 
