@@ -247,7 +247,11 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     }
     if failures:
-        compact["failed"] = failures
+        # The compact line must fit the tail window even when EVERY
+        # query fails (39 names alone are ~1 KiB): carry the count and
+        # a few names, the full list lives in the detail line/file.
+        compact["n_failed"] = len(failures)
+        compact["failed"] = failures[:3] + (["..."] if len(failures) > 3 else [])
     control = result.get("control")
     if control:
         compact["control"] = {
@@ -264,7 +268,16 @@ def main() -> None:
             "error": str(ce.get("error"))[:200],
         }
     line = json.dumps(compact)
-    assert len(line) < 1024, f"compact bench line is {len(line)}B, must stay <1KiB"
+    if len(line) >= 1024:
+        # Never crash here — the compact line IS the driver contract.
+        # Shed optional fields until it fits (they all live in the
+        # detail file); an assert would skip the line and the exit
+        # code exactly in the mass-failure case where it matters.
+        for key in ("control_error", "control", "failed", "detail"):
+            compact.pop(key, None)
+            line = json.dumps(compact)
+            if len(line) < 1024:
+                break
     print(line)
     sys.exit(1 if failures else 0)
 

@@ -1526,6 +1526,17 @@ def decode_qoi(content: bytes | bytearray | memoryview) -> np.ndarray:
     if b[-len(_QOI_END):] != _QOI_END:
         raise ValueError("QOI end marker missing")
     n_px = w * h
+    # Bound the allocation by what the op stream could possibly encode
+    # (a RUN op covers at most 62 pixels per byte): a tiny corrupt
+    # payload claiming 60000x60000 must raise ValueError here, not
+    # MemoryError inside np.empty — MemoryError escapes the
+    # ValueError-only quarantine contract and kills the whole batch.
+    n_ops = len(b) - 14 - len(_QOI_END)
+    if n_px > n_ops * 62:
+        raise ValueError(
+            f"QOI header claims {n_px} pixels but the op stream has "
+            f"only {n_ops} bytes"
+        )
     out = np.empty((n_px, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r, g, bl, a = 0, 0, 0, 255

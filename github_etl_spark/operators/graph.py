@@ -217,6 +217,8 @@ def _connected_components_run(
             # with executor-local blocks (fast, not fault-tolerant).
             return df.localCheckpoint(eager=True)
         return df.checkpoint(eager=True)
+    from ..session import drop_checkpoint_files
+
     e = _ckpt(_canonical_edges(edges, src, dst))
     sig = _signature(e)
     for _ in range(max_iterations):
@@ -224,10 +226,17 @@ def _connected_components_run(
             rows = [(r["src"], r["dst"]) for r in e.collect()]
             spark = e.sparkSession
             e.unpersist()  # drop the checkpoint blocks we just drained
+            drop_checkpoint_files(e)  # …and the reliable on-disk copy
             return _local_components(spark, rows)
         e2 = _ckpt(_small_star(_large_star(e)))
         sig2 = _signature(e2)
-        e.unpersist()  # drop the previous round's checkpoint blocks now
+        # Drop the previous round's blocks AND reliable-checkpoint
+        # files now — unpersist alone leaves one full edge-set copy on
+        # disk per round in reliable mode. The FINAL round's files must
+        # stay: the returned DataFrame reads them lazily (they fall to
+        # the cleaner / app end — one copy, not one per round).
+        e.unpersist()
+        drop_checkpoint_files(e)
         e = e2
         if sig2 == sig:
             break

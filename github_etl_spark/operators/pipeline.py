@@ -788,6 +788,8 @@ def bpe_learn_merges(
             F.lit(" "),
         ).alias("symstr"),
     )
+    from ..session import drop_checkpoint_files
+
     reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _ckpt(df: DataFrame) -> DataFrame:
@@ -824,9 +826,13 @@ def bpe_learn_merges(
                 )
             )
             vocab.unpersist()  # drop the previous round's blocks now
+            drop_checkpoint_files(vocab)  # …and its on-disk copy
             vocab = nxt
     finally:
+        # The merge table is already driver-side — the last working
+        # table (blocks AND reliable-checkpoint files) is dead too.
         vocab.unpersist()
+        drop_checkpoint_files(vocab)
     return spark.createDataFrame(merges, schema)
 
 

@@ -192,3 +192,40 @@ def scoped_checkpoint_dir(spark: SparkSession, path: str | None):
                     RuntimeWarning,
                     stacklevel=2,
                 )
+
+
+def drop_checkpoint_files(df) -> None:
+    """Best-effort deterministic deletion of a reliably-checkpoint()ed
+    DataFrame's files — iterative operators (BPE learn, connected
+    components) otherwise leave one full working-table copy on disk
+    PER ROUND: ``unpersist()`` is a no-op for reliable checkpoints and
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
+    false, so a 32k-round production run would accumulate 32k copies.
+
+    Call it only once the checkpointed data is truly dead (the next
+    round's checkpoint is materialized, or the result was collected) —
+    the caller's result must not read through ``df`` lazily.
+
+    Reaches the checkpoint path through py4j
+    (LogicalRDD → rdd → getCheckpointFile) and deletes via the Hadoop
+    FileSystem; any failure — plan shape changed in a Spark upgrade,
+    local-mode quirks, permission — degrades to the documented
+    cleaner-or-app-end leak with a warning, never an error (same
+    degrade contract as scoped_checkpoint_dir's restore)."""
+    try:
+        sc = df.sparkSession.sparkContext
+        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        if not opt.isDefined():
+            return
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(opt.get())
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception as e:  # noqa: BLE001 — py4j raises broadly
+        import warnings
+
+        warnings.warn(
+            f"drop_checkpoint_files: could not delete checkpoint data "
+            f"({e}); files remain until the cleaner or app end",
+            RuntimeWarning,
+            stacklevel=2,
+        )

@@ -21,7 +21,12 @@ from github_etl_spark.plans import QUERIES
 def test_no_complex_typed_catalog_outputs(spark, sf_dir):
     bad = []
     for name, q in sorted(QUERIES.items()):
-        df = q.fn(spark, sf_dir)  # plan only — no action
+        # Building the DataFrame is plan-only for most queries, but a
+        # few (bpe_learn_merges) run driver-side loops of Spark jobs
+        # inside their builder — at the sf0.001 fixture that costs
+        # seconds, accepted: the driver calls fn() the same way, so
+        # the lint exercises exactly the surface the driver sees.
+        df = q.fn(spark, sf_dir)
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")

@@ -1031,8 +1031,16 @@ def test_qoi_malformed_raises():
     # op stream that under-produces pixels: claim a bigger image
     bad_dim = bytearray(good)
     bad_dim[4:8] = (1000).to_bytes(4, "big")
-    with pytest.raises(ValueError, match="truncated|overflows"):
+    with pytest.raises(ValueError, match="claims|truncated|overflows"):
         decode_qoi(bytes(bad_dim))
+    # a tiny payload claiming 60000x60000 must raise ValueError from
+    # the op-stream bound BEFORE allocating ~14 GB (a MemoryError
+    # would escape the ValueError-only quarantine contract)
+    huge = bytearray(good)
+    huge[4:8] = (60000).to_bytes(4, "big")
+    huge[8:12] = (60000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="claims"):
+        decode_qoi(bytes(huge))
 
 
 def test_qoi_decode_stats_quarantines_bad_payloads(spark):

@@ -753,3 +753,30 @@ def test_bpe_apply_kernel_survives_past_the_chain_cliff(spark):
     }
     assert all(isinstance(p, str) and p for ps in rows.values() for p in ps)
     assert "".join(rows[1]) == "thecliffisreal"
+
+
+def test_bpe_learn_reliable_checkpoints_are_cleaned(spark, tmp_path):
+    """In reliable-checkpoint mode each merge round writes the working
+    table to the checkpoint dir; unpersist() does not remove those
+    files, so the operator must delete each round's directory itself —
+    a 32k-merge production run would otherwise leave 32k copies."""
+    import os
+
+    from github_etl_spark.operators.pipeline import bpe_learn_merges
+    from github_etl_spark.session import scoped_checkpoint_dir
+
+    ckpt = str(tmp_path / "bpe_ckpt")
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new")],
+        "id long, text string",
+    )
+    with scoped_checkpoint_dir(spark, ckpt):
+        merges = bpe_learn_merges(df, "text", n_merges=3).collect()
+    assert len(merges) == 3
+    leftovers = [
+        os.path.join(root, d)
+        for root, dirs, _files in os.walk(ckpt)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert leftovers == [], f"leaked checkpoint dirs: {leftovers}"

@@ -534,7 +534,10 @@ def bpe_probe(spark, t, ks):
 
 
 def splice_bpe(lines: list[str]) -> None:
-    """Append-or-replace the BPE section (last in SCALE_PROBE.md)."""
+    """Append-or-replace the BPE section. Preserves any OTHER known
+    section that ended up after it (marker-missing append paths can
+    reorder sections, and "my marker to EOF" would silently delete
+    whatever follows)."""
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
@@ -544,8 +547,17 @@ def splice_bpe(lines: list[str]) -> None:
         existing = f.read().splitlines()
     marker = "## BPE probe (round 7) — learn rounds & apply chain depth"
     idx = existing.index(marker) - 1 if marker in existing else len(existing)
+    others = [
+        "## Relational & graph probe — triangles, bloom join, heavy hitters",
+        "## Q9 join tree & BMP decode probe (round 6)",
+        "## PNG compressed-codec probe (round 6)",
+    ]
+    tail_starts = [
+        existing.index(m) for m in others if m in existing and existing.index(m) > idx
+    ]
+    tail = existing[min(tail_starts) - 1 :] if tail_starts else []
     with open(out, "w") as f:
-        f.write("\n".join(existing[:idx] + lines) + "\n")
+        f.write("\n".join(existing[:idx] + lines + tail) + "\n")
 
 
 def splice_round6(lines: list[str]) -> None:
