@@ -974,3 +974,56 @@ def bpe_apply_kernel(
         return texts.map(enc)
 
     return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+def bpe_tokenize_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges,
+    k: int = 200,
+    min_df: int = 2,
+    unk_id: int = 0,
+) -> DataFrame:
+    """End-to-end SUBWORD tokenization — the full production text→ids
+    path: BPE-encode every document under ``merges`` (``bpe_apply``'s
+    map-only chain), induce the top-``k`` piece vocabulary with dense
+    ids (min_df floor, count-then-lexicographic rank — the same total
+    order as ``vocab_induce``), and emit each document's
+    ``array<long>`` of piece ids with out-of-vocabulary pieces →
+    ``unk_id``. This supersedes ``tokenize_encode``'s whitespace-word
+    ids for any real training pipeline: the unit is the learned
+    subword, so the id space is closed and OOV mass collapses into
+    actually-shared pieces.
+
+    Scale shape: encoding is in-row; the vocabulary aggregation is
+    piece-vocabulary-sized (two keyed exchanges — COUNT + COUNT
+    DISTINCT); the ≤k vocab broadcasts; the only corpus-sized shuffle
+    is the per-document reassembly groupBy with in-array (pos, id)
+    sorting. Nothing corpus-sized ever reaches the driver."""
+    enc = bpe_apply(df, text_col, merges, out_col="__pieces")
+    toks = enc.select(
+        F.col(id_col), F.posexplode("__pieces").alias("pos", "tok")
+    )
+    agg = toks.groupBy("tok").agg(
+        F.count("*").alias("term_count"),
+        F.countDistinct(id_col).alias("doc_count"),
+    )
+    rank_order = [F.col("term_count").desc(), F.col("tok").asc()]
+    top = agg.filter(F.col("doc_count") >= min_df).orderBy(*rank_order).limit(k)
+    w = Window.orderBy(*rank_order)  # bounded: ≤ k rows reach this window
+    vocab = top.withColumn(
+        "vocab_id", F.row_number().over(w).cast("long")
+    ).select("tok", "vocab_id")
+    enc2 = toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("vocab_id"), F.lit(unk_id)).cast("long").alias("tid"),
+    )
+    return enc2.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("input_ids"),
+    )

@@ -882,3 +882,78 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged",
         "pair_count",
     )
+
+
+@query(
+    "bpe_tokenize_encode",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    enc AS (
+      SELECT doc_id, pos,
+             {_bpe_oracle_merge_chain("' ' || array_to_string(string_split(word, ''), '  ') || ' '")}
+               AS s
+      FROM words
+    ),
+    wp AS (
+      SELECT doc_id, pos, string_split(trim(s), '  ') AS ps FROM enc
+    ),
+    ptoks AS (
+      SELECT doc_id, pos AS wpos, unnest(ps) AS tok,
+             unnest(range(len(ps))) AS ppos
+      FROM wp
+    ),
+    toks2 AS (
+      SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY wpos, ppos) - 1
+               AS pos
+      FROM ptoks
+    ),
+    vocab_agg AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS term_count,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
+      FROM toks2 GROUP BY tok HAVING count(DISTINCT doc_id) >= 2
+    ),
+    vocab_top AS (
+      SELECT * FROM vocab_agg ORDER BY term_count DESC, tok ASC LIMIT 200
+    ),
+    vocab AS (
+      SELECT tok,
+             CAST(row_number() OVER (ORDER BY term_count DESC, tok ASC)
+                  AS BIGINT) AS vocab_id
+      FROM vocab_top
+    ),
+    encx AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, 0) AS tid
+      FROM toks2 t LEFT JOIN vocab v USING (tok)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           array_to_string(list(tid ORDER BY pos), ' ') AS input_ids
+    FROM encx GROUP BY doc_id
+    """,
+)
+def bpe_tokenize_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the FULL production tokenizer path end-to-end — BPE-encode
+    under the pinned merge table, induce the top-200 PIECE vocabulary
+    (min_df 2, dense ids), emit per-document piece-id sequences with
+    OOV → 0 (operators/pipeline.bpe_tokenize_encode). Supersedes the
+    whitespace-word `tokenize_encode` for real pipelines: the unit is
+    the learned subword, so the id space is closed. The oracle replays
+    all three stages in SQL — merge chain, piece vocabulary, positional
+    id reassembly — making this the deepest single cross-engine pin in
+    the catalog. Catalog form emits `input_ids` space-joined (complex
+    outputs are banned catalog-wide)."""
+    from ..operators.pipeline import bpe_tokenize_encode
+
+    t = load_tables(spark, sf_dir)
+    enc = bpe_tokenize_encode(
+        t["documents"], "text", "doc_id", _BPE_PINNED_MERGES, k=200, min_df=2
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("input_ids", " ").alias("input_ids"),
+    )

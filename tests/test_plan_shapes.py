@@ -201,3 +201,26 @@ def test_bpe_pair_counts_is_two_keyed_shuffles(spark):
     )
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"Exchange", plan)) <= 2, plan[:1200]
+
+
+def test_bpe_tokenize_encode_plan_shape(spark):
+    """bpe_tokenize_encode (not headline, pinned here): the encode is
+    in-row, the vocabulary agg costs the known COUNT+COUNT DISTINCT
+    pair of keyed exchanges, the ≤k vocab broadcasts (1 BHJ), and the
+    only corpus-sized shuffle is the per-document reassembly — 4
+    exchanges total. A 5th means the piece stream started shuffling on
+    token values."""
+    import re
+
+    from github_etl_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["bpe_tokenize_encode"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"Exchange", plan)) <= 4, plan[:1200]
