@@ -1103,3 +1103,55 @@ def test_transcode_image_qoi_paths(spark):
     assert (decode_bmp24(bytes(to_bmp[1]["content"])) == rgb).all()
     # alpha-bearing payload quarantines on the BMP target
     assert to_bmp[4]["decode_error"] is not None
+
+
+def _codec_pairs():
+    import numpy as np
+
+    from github_etl_spark.multimodal import media as M
+
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    return {
+        "bmp": (M.encode_bmp24(rgb), M.decode_bmp24),
+        "png": (M.encode_png(rgb), M.decode_png),
+        "qoi": (M.encode_qoi(rgb), M.decode_qoi),
+        "wav": (M.encode_wav16(np.arange(40, dtype=np.int16)), M.decode_wav16),
+        "y4m": (
+            M.encode_y4m((np.arange(24, dtype=np.uint8)).reshape(2, 3, 4)),
+            M.decode_y4m,
+        ),
+    }
+
+
+def test_all_decoders_fuzz_never_escape_valueerror():
+    """Adversarial payload fuzz over EVERY real decoder: pure noise,
+    random single-byte corruptions of a valid file, and truncations
+    must either decode or raise ValueError — any other exception type
+    (IndexError, MemoryError, struct.error, zlib.error) would escape
+    the kernels' `except ValueError` quarantine contract and kill a
+    whole Arrow batch at scale instead of emitting a decode_error
+    row."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for name, (good, dec) in _codec_pairs().items():
+        for trial in range(300):
+            kind = trial % 3
+            if kind == 0:  # pure noise
+                b = rng.bytes(rng.randint(0, 100))
+            elif kind == 1:  # corrupt a valid file at random positions
+                ba = bytearray(good)
+                for _ in range(rng.randint(1, 5)):
+                    ba[rng.randint(0, len(ba))] = rng.randint(0, 256)
+                b = bytes(ba)
+            else:  # truncate a valid file
+                b = good[: rng.randint(0, len(good))]
+            try:
+                dec(b)  # decoding fine is also acceptable
+            except ValueError:
+                pass  # the ONLY allowed failure mode
+            except Exception as e:  # noqa: BLE001 — the assertion target
+                raise AssertionError(
+                    f"{name} decoder leaked {type(e).__name__} on "
+                    f"fuzz trial {trial}: {e}"
+                ) from e
