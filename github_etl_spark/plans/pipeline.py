@@ -860,17 +860,78 @@ def bpe_apply_kernel_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_pieces") > 0)
 
 
-@query("bpe_learn_merges")
+def _bpe_learn_oracle(n_rounds: int = 8, min_count: int = 2) -> str:
+    """The FULL iterative BPE learn loop as one DuckDB statement:
+    chained MATERIALIZED CTEs, one (pair-count, winner, replace) triple
+    per merge round, with each round's winning pair selected by scalar
+    subqueries. Two tricks make this exact: (a) the double-space symbol
+    encoding means plain literal ``replace()`` — no regex, so
+    data-dependent symbols need no escaping — reproduces left-to-right
+    non-overlapping fusion; (b) ``AS MATERIALIZED`` forces each round
+    to evaluate once (default CTE inlining re-expands the whole chain
+    per reference — exponential). Early stop mirrors the operator: a
+    round whose best count < min_count empties its v-relation, so no
+    later round can emit."""
+    parts = [
+        f"""
+    wf AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT freq,
+             ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+      FROM wf
+    )"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+    p{k} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT freq, string_split(trim(s), '  ') AS syms FROM v{k-1}),
+           unnest(range(1, len(syms))) AS t(i)
+      GROUP BY l, r
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT freq,
+             replace(s,
+               ' ' || (SELECT l FROM w{k}) || '  ' || (SELECT r FROM w{k}) || ' ',
+               ' ' || (SELECT l FROM w{k}) || (SELECT r FROM w{k}) || ' ') AS s
+      FROM v{k-1}
+      WHERE (SELECT c FROM w{k}) >= {min_count}
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS rank, l, r, c FROM w{k} WHERE c >= {min_count}"
+        for k in range(1, n_rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    m AS ({unions})
+    SELECT CAST(rank AS INT) AS rank, l AS sym_left, r AS sym_right,
+           l || r AS merged, c AS pair_count
+    FROM m"""
+    )
+
+
+@query("bpe_learn_merges", oracle=_bpe_learn_oracle(8, 2))
 def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT (rows-only by design): BPE merge-table learning
-    (operators/pipeline.bpe_learn_merges, Sennrich et al. 2016). The
-    learn loop is iterative — each round aggregates pair counts over
-    the vocabulary-sized (word, freq) table and takes ONE winner
-    driver-side — which is not expressible as a single oracle SQL
-    statement; correctness is pinned instead by the code-for-code
-    differential suite vs a scalar reference BPE
-    (tests/test_pipeline_ops.py) and by `bpe_apply_pinned`, whose
-    pinned table this same function produced at sf0.01."""
+    """EXT: BPE merge-table learning
+    (operators/pipeline.bpe_learn_merges, Sennrich et al. 2016),
+    oracle-checked IN FULL: the DuckDB twin replays all 8 iterative
+    merge rounds as chained materialized CTEs with scalar-subquery
+    winner selection (see `_bpe_learn_oracle`) — winner ties, overlap
+    counting, and the min_count early stop included. Rows-only no
+    more: the code-for-code differential suite vs a scalar reference
+    BPE (tests/test_pipeline_ops.py) remains as the property layer on
+    top."""
     from ..operators.pipeline import bpe_learn_merges
 
     t = load_tables(spark, sf_dir)
