@@ -601,14 +601,44 @@ def vocab_induce(
         F.col(id_col).alias("__doc"),
         F.explode(words_expr(F.col(text_col))).alias("tok"),
     )
+    return _vocab_rank(toks, "__doc", k, min_df)
+
+
+def _vocab_rank(toks: DataFrame, doc_col: str, k: int, min_df: int) -> DataFrame:
+    """Shared vocabulary ranking over a (doc, tok) frame: term/doc
+    counts → min_df floor → top-k by (count desc, tok asc) → dense
+    ids. ONE definition of the tie-break so `vocab_induce`,
+    `tokenize_encode` and `bpe_tokenize_encode` can never drift."""
     agg = toks.groupBy("tok").agg(
         F.count("*").alias("term_count"),
-        F.countDistinct("__doc").alias("doc_count"),
+        F.countDistinct(doc_col).alias("doc_count"),
     )
     rank_order = [F.col("term_count").desc(), F.col("tok").asc()]
     top = agg.filter(F.col("doc_count") >= min_df).orderBy(*rank_order).limit(k)
     w = Window.orderBy(*rank_order)  # bounded: ≤ k rows reach this window
     return top.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+
+
+def _assemble_input_ids(
+    toks: DataFrame, vocab: DataFrame, id_col: str, unk_id: int
+) -> DataFrame:
+    """Shared encode tail over a (id, pos, tok) frame: broadcast-join
+    the ≤k vocab (OOV → unk_id), reassemble per-document id arrays by
+    in-array (pos, tid) sorting — one corpus-sized groupBy, no global
+    sort. ONE definition shared by `tokenize_encode` and
+    `bpe_tokenize_encode`."""
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("vocab_id"), F.lit(unk_id)).cast("long").alias("tid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("input_ids"),
+    )
 
 
 def tokenize_encode(
@@ -644,18 +674,7 @@ def tokenize_encode(
         F.col(id_col),
         F.posexplode(words_expr(F.col(text_col))).alias("pos", "tok"),
     )
-    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
-        id_col,
-        "pos",
-        F.coalesce(F.col("vocab_id"), F.lit(unk_id)).cast("long").alias("tid"),
-    )
-    return enc.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-            lambda s: s["tid"],
-        ).alias("input_ids"),
-    )
+    return _assemble_input_ids(toks, vocab, id_col, unk_id)
 
 
 def compression_ratio_col(text_col: str = "text", level: int = 6) -> Column:
@@ -1000,30 +1019,16 @@ def bpe_tokenize_encode(
     piece-vocabulary-sized (two keyed exchanges — COUNT + COUNT
     DISTINCT); the ≤k vocab broadcasts; the only corpus-sized shuffle
     is the per-document reassembly groupBy with in-array (pos, id)
-    sorting. Nothing corpus-sized ever reaches the driver."""
+    sorting. Nothing corpus-sized ever reaches the driver. The corpus
+    is BPE-ENCODED TWICE (the piece stream feeds both the vocabulary
+    aggregation and the id join) — deliberate, same trade-off as
+    `tokenize_encode`: persisting the exploded corpus-sized piece
+    stream costs more at 100 TB than re-running the map-only encode,
+    and in production the vocabulary is built once and reused, making
+    the steady-state cost a single encode pass."""
     enc = bpe_apply(df, text_col, merges, out_col="__pieces")
     toks = enc.select(
         F.col(id_col), F.posexplode("__pieces").alias("pos", "tok")
     )
-    agg = toks.groupBy("tok").agg(
-        F.count("*").alias("term_count"),
-        F.countDistinct(id_col).alias("doc_count"),
-    )
-    rank_order = [F.col("term_count").desc(), F.col("tok").asc()]
-    top = agg.filter(F.col("doc_count") >= min_df).orderBy(*rank_order).limit(k)
-    w = Window.orderBy(*rank_order)  # bounded: ≤ k rows reach this window
-    vocab = top.withColumn(
-        "vocab_id", F.row_number().over(w).cast("long")
-    ).select("tok", "vocab_id")
-    enc2 = toks.join(F.broadcast(vocab), "tok", "left").select(
-        id_col,
-        "pos",
-        F.coalesce(F.col("vocab_id"), F.lit(unk_id)).cast("long").alias("tid"),
-    )
-    return enc2.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-            lambda s: s["tid"],
-        ).alias("input_ids"),
-    )
+    vocab = _vocab_rank(toks, id_col, k, min_df).select("tok", "vocab_id")
+    return _assemble_input_ids(toks, vocab, id_col, unk_id)

@@ -783,11 +783,12 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ONE oracle for BOTH encode regimes (regexp chain / Arrow kernel):
-# the two Spark implementations must match each other AND this SQL —
-# a three-way pin on the encode semantics.
-_BPE_APPLY_ORACLE = f"""
-    WITH words AS (
+# The shared encode CTE prefix (text → per-word piece lists under the
+# pinned merges): ONE definition composed by every BPE-family oracle
+# (apply x2 regimes, end-to-end tokenize), so the encode semantics
+# under test can never silently diverge between pins.
+_BPE_PIECES_CTES = f"""
+    words AS (
       SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
       FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
     ),
@@ -799,7 +800,13 @@ _BPE_APPLY_ORACLE = f"""
     ),
     wp AS (
       SELECT doc_id, pos, string_split(trim(s), '  ') AS ps FROM enc
-    )
+    )"""
+
+# ONE oracle for BOTH encode regimes (regexp chain / Arrow kernel):
+# the two Spark implementations must match each other AND this SQL —
+# a three-way pin on the encode semantics.
+_BPE_APPLY_ORACLE = f"""
+    WITH {_BPE_PIECES_CTES}
     SELECT doc_id,
            CAST(sum(len(ps)) AS BIGINT) AS n_pieces,
            string_agg(array_to_string(ps, ' '), ' ' ORDER BY pos) AS pieces
@@ -948,19 +955,7 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bpe_tokenize_encode",
     oracle=f"""
-    WITH words AS (
-      SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
-      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
-    ),
-    enc AS (
-      SELECT doc_id, pos,
-             {_bpe_oracle_merge_chain("' ' || array_to_string(string_split(word, ''), '  ') || ' '")}
-               AS s
-      FROM words
-    ),
-    wp AS (
-      SELECT doc_id, pos, string_split(trim(s), '  ') AS ps FROM enc
-    ),
+    WITH {_BPE_PIECES_CTES},
     ptoks AS (
       SELECT doc_id, pos AS wpos, unnest(ps) AS tok,
              unnest(range(len(ps))) AS ppos

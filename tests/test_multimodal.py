@@ -1116,6 +1116,14 @@ def _codec_pairs():
         "png": (M.encode_png(rgb), M.decode_png),
         "qoi": (M.encode_qoi(rgb), M.decode_qoi),
         "wav": (M.encode_wav16(np.arange(40, dtype=np.int16)), M.decode_wav16),
+        # tag-7 G.711 file: fuzzing it is the only way corruptions and
+        # truncations reach decode_wav16's mu-law expansion branch
+        "mulaw": (
+            M.encode_wav_mulaw(
+                M.mulaw_decode(np.arange(40, dtype=np.uint8) * 6)
+            ),
+            M.decode_wav16,
+        ),
         "y4m": (
             M.encode_y4m((np.arange(24, dtype=np.uint8)).reshape(2, 3, 4)),
             M.decode_y4m,
