@@ -18,24 +18,27 @@ container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
 batch shape, partitioning, null handling — real and testable. Swapping
 in a real codec changes ONLY the inside of the per-batch function.
 
-SCOPE NOTE: five real, dependency-free codecs cover all three media
-branches — 24-bit uncompressed BMP (`encode_bmp24`/`decode_bmp24`)
-AND zlib-compressed PNG (`encode_png`/`decode_png`) for images,
-RIFF/WAVE PCM-16 plus compressed G.711 mu-law (`decode_wav16`,
-`encode_wav_mulaw`) for audio, and YUV4MPEG2 for video
-(`encode_y4m`/`decode_y4m`) — pure numpy/stdlib,
-each exercised end-to-end by an oracle-checked roundtrip catalog
-query (`mm_bmp_roundtrip_stats`, `mm_png_roundtrip_stats`,
-`mm_wav_roundtrip_stats`, `mm_y4m_frame_stats`) and byte-level tests.
-What remains behind `_HAVE_REAL_CODECS` are the codec branches whose
-decoders genuinely cannot be stdlib-only (JPEG/FLAC/H.264 need
-PIL/soundfile/av, none installable here — `pip install` unavailable):
-dormant by design, only exercised by deployments that ship a codec
-library. The contract a real codec must satisfy is exactly the
-fallback's: consume `payload` bytes per batch row, honor NULL/empty
-payloads (emit NULL stats, never raise), and emit the declared output
-schema — the fallback-path tests in tests/test_multimodal.py are the
-executable specification of that contract.
+SCOPE NOTE: seven real, dependency-free codecs cover all three media
+branches — images: 24-bit uncompressed BMP
+(`encode_bmp24`/`decode_bmp24`), zlib-compressed PNG
+(`encode_png`/`decode_png`), QOI (`encode_qoi`/`decode_qoi`) and
+LOSSY baseline JPEG (jpeg.py: DCT + Huffman, 4:4:4/4:2:0, restart
+markers); audio: RIFF/WAVE PCM-16 plus compressed G.711 mu-law
+(`decode_wav16`, `encode_wav_mulaw`); video: YUV4MPEG2
+(`encode_y4m`/`decode_y4m`) — pure numpy/stdlib, each exercised
+end-to-end by an oracle-checked roundtrip catalog query
+(`mm_bmp/png/qoi/jpeg_roundtrip_stats`, `mm_wav_roundtrip_stats`,
+`mm_y4m_frame_stats`) and byte-level tests. What remains behind
+`_HAVE_REAL_CODECS` are the codec branches whose decoders genuinely
+cannot be stdlib-only (FLAC/H.264/full-profile JPEG need
+soundfile/av/libjpeg, none installable here — `pip install`
+unavailable): dormant by design, only exercised by deployments that
+ship a codec library. The contract a real codec must satisfy is
+exactly the fallback's: consume `payload` bytes per batch row, honor
+NULL/empty payloads (emit NULL stats, never raise), and emit the
+declared output schema — the fallback-path tests in
+tests/test_multimodal.py are the executable specification of that
+contract.
 
 Scale notes:
 - Payload skew is the hazard: a 4 GB video next to 4 KB thumbnails.
@@ -1030,8 +1033,8 @@ def y4m_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
 
 # The COMPRESSED image branch's real decoder: PNG is DEFLATE-compressed
 # filtered scanlines inside CRC-checked chunks, and `zlib` ships in the
-# Python stdlib — so unlike JPEG/FLAC/H.264 (which genuinely need
-# PIL/soundfile/av), a complete non-interlaced PNG codec is
+# Python stdlib — so unlike H.264 (which genuinely needs a codec
+# library like av), a complete non-interlaced PNG codec is
 # dependency-free. This closes the "compressed codecs are library
 # seams" gap for one real compressed format: chunk walk with CRC32
 # verification, zlib inflate, and all five scanline filters
@@ -1311,20 +1314,26 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
 
 def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
     """Image format normalization — the standard corpus-prep step that
-    turns a MIXED image column (BMP, PNG and QOI payloads side by
-    side) into one uniform format before training ingest. Sniffs each
-    payload's magic (no metadata trusted), decodes with the matching
-    real codec, re-encodes to ``target`` ('png', 'bmp' or 'qoi');
-    outputs are themselves valid files that feed every downstream
-    image operator. Grayscale promotes to RGB for the BMP/QOI targets
-    (BMP24 is 3-channel, QOI is 3/4); gray+alpha promotes to RGBA for
-    QOI (lossless); alpha-bearing images quarantine on the BMP target
-    rather than silently dropping the alpha plane. Map-only
-    mapInPandas over Arrow batches — payload bytes never shuffle.
-    Corrupt/unknown payloads emit NULL content with a decode_error
-    (quarantine contract)."""
-    if target not in ("png", "bmp", "qoi"):
-        raise ValueError(f"target must be 'png', 'bmp' or 'qoi', got {target!r}")
+    turns a MIXED image column (BMP, PNG, QOI and JPEG payloads side
+    by side) into one uniform format before training ingest. Sniffs
+    each payload's magic (no metadata trusted), decodes with the
+    matching real codec, re-encodes to ``target`` ('png', 'bmp',
+    'qoi' or 'jpeg'); outputs are themselves valid files that feed
+    every downstream image operator. Grayscale promotes to RGB for
+    the BMP/QOI targets (BMP24 is 3-channel, QOI is 3/4); gray+alpha
+    promotes to RGBA for QOI (lossless); alpha-bearing images
+    quarantine on the BMP and JPEG targets rather than silently
+    dropping the alpha plane. The JPEG target is the one LOSSY
+    normalization (baseline q=90) — the others preserve decoded
+    pixels exactly. Map-only mapInPandas over Arrow batches — payload
+    bytes never shuffle. Corrupt/unknown payloads emit NULL content
+    with a decode_error (quarantine contract)."""
+    if target not in ("png", "bmp", "qoi", "jpeg"):
+        raise ValueError(
+            f"target must be 'png', 'bmp', 'qoi' or 'jpeg', got {target!r}"
+        )
+    from .jpeg import decode_jpeg, encode_jpeg
+
     schema = "media_id long, content binary, src_format string, decode_error string"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1340,9 +1349,11 @@ def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
                         src, px = "qoi", decode_qoi(b)
                     elif b[:2] == b"BM":
                         src, px = "bmp", decode_bmp24(b)
+                    elif b[:2] == b"\xff\xd8":
+                        src, px = "jpeg", decode_jpeg(b)
                     else:
                         raise ValueError(
-                            "unknown image format (not BMP, PNG or QOI)"
+                            "unknown image format (not BMP, PNG, QOI or JPEG)"
                         )
                     if target == "bmp":
                         if px.shape[2] == 1:
@@ -1363,6 +1374,16 @@ def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
                                 axis=2,
                             )
                         out = encode_qoi(px)
+                    elif target == "jpeg":
+                        # Lossy target: alpha has no JPEG representation —
+                        # quarantine rather than silently dropping it
+                        # (mirrors the BMP target's alpha contract).
+                        if px.shape[2] not in (1, 3):
+                            raise ValueError(
+                                f"cannot transcode {px.shape[2]}-channel "
+                                "image to JPEG without discarding alpha"
+                            )
+                        out = encode_jpeg(px)
                     else:
                         out = encode_png(px)
                 except ValueError as e:
@@ -1625,6 +1646,14 @@ def qoi_decode_stats(media: DataFrame) -> DataFrame:
     `png_decode_stats` (header-derived geometry, value stats, first
     and last byte probes), same quarantine contract for malformed
     payloads."""
+    return _image_decode_stats(media, decode_qoi)
+
+
+def _image_decode_stats(media: DataFrame, decode_fn) -> DataFrame:
+    """Shared decode-stats kernel for the (h, w, ch) image decoders
+    (QOI/JPEG; PNG keeps its own copy for its probe docstring): parsed
+    geometry + value stats + first/last byte probes, NULL row + error
+    string on ValueError (quarantine contract)."""
     schema = (
         "media_id long, width int, height int, channels int, "
         "n_pixel_bytes long, mean_value double, min_value int, "
@@ -1642,7 +1671,7 @@ def qoi_decode_stats(media: DataFrame) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 rows["media_id"].append(int(mid))
                 try:
-                    px = decode_qoi(content if content is not None else b"")
+                    px = decode_fn(content if content is not None else b"")
                 except ValueError as e:
                     for k in ("width", "height", "channels", "n_pixel_bytes",
                               "mean_value", "min_value", "max_value",
@@ -1661,6 +1690,187 @@ def qoi_decode_stats(media: DataFrame) -> DataFrame:
                 rows["max_value"].append(int(flat.max()))
                 rows["corner_value"].append(int(px[0, 0, 0]))
                 rows["last_value"].append(int(flat[-1]))
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------- real codec: JPEG
+
+# The LOSSY compressed image branch made real: baseline JPEG
+# (DCT + Huffman, ITU-T T.81) in pure numpy + the shared bit I/O —
+# see jpeg.py for the codec itself and its supported slice (encode
+# 4:4:4/4:2:0 + restart markers; decode any baseline sampling
+# layout). JPEG was previously a declared `_HAVE_REAL_CODECS` seam
+# ("needs PIL"); it no longer is. Lossiness and oracles: a
+# block-constant image has only DC energy, and with a DC quant step
+# of 8 the roundtrip is BIT-EXACT (jpeg.DC8_QTABLE) — the catalog
+# fixture uses that regime so DuckDB can replay the full
+# DCT→quantize→Huffman→decode pipeline value-for-value
+# (mm_jpeg_roundtrip_stats); general-content tolerance bounds live in
+# the pytest suite.
+
+
+def synthesize_jpeg_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-JPEG fixtures in the bit-exact regime: each
+    document becomes a ((id%3+1)*8) × ((id%2+1)*8) grayscale baseline
+    JPEG whose aligned 8x8 blocks are CONSTANT — block k (row-major)
+    holds text byte ``k mod len`` (0 for empty text) — encoded with
+    ``DC8_QTABLE`` so decode returns the exact block values (module
+    comment above), and with ``restart_interval=2`` so DRI/RSTn
+    parsing is exercised inside the oracle-checked path. The block
+    rule is SQL-replayable without parsing JPEG."""
+    from .jpeg import DC8_QTABLE, encode_jpeg
+
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                bx, by = mid % 3 + 1, mid % 2 + 1
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                nb = bx * by
+                if len(tb):
+                    vals = tb[np.arange(nb) % len(tb)]
+                else:
+                    vals = np.zeros(nb, dtype=np.uint8)
+                img = np.repeat(
+                    np.repeat(vals.reshape(by, bx), 8, axis=0), 8, axis=1
+                )
+                ids.append(mid)
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        qtables=(DC8_QTABLE, DC8_QTABLE),
+                        restart_interval=2,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def jpeg_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode-stats over REAL baseline-JPEG payloads — same probe
+    surface and quarantine contract as `png_decode_stats`, with the
+    full entropy-decode + dequant + IDCT pipeline behind it."""
+    from .jpeg import decode_jpeg
+
+    return _image_decode_stats(media, decode_jpeg)
+
+
+# ---------------------------------------------------------- real codec: FLAC
+
+# The compressed-audio branch's LOSSLESS codec made real: FLAC
+# (xiph.org open spec) in pure numpy + the shared bit I/O — fixed
+# predictors + Rice coding on encode; constant/verbatim/fixed/LPC
+# subframes, all stereo decorrelation modes, rice partitions and
+# CRC-8/CRC-16/MD5 verification on decode (see flac.py). FLAC was
+# previously a declared `_HAVE_REAL_CODECS` seam ("needs soundfile");
+# it no longer is. Unlike G.711 mu-law (compressed but lossy), FLAC
+# roundtrips are bit-exact, so the catalog pins the full
+# predict→rice→CRC pipeline against the same SQL sample rule as the
+# PCM WAV path (mm_flac_roundtrip_stats).
+
+
+def synthesize_flac_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-FLAC fixtures: the SAME sample rule as the
+    WAV fixtures — mono, (id%50+10) samples at 8/12/16 kHz (id%3),
+    sample j = (text_byte[j mod len] - 128) * 256 — losslessly
+    FLAC-encoded. Tiled text repeats, so the fixed predictors and the
+    CONSTANT path genuinely fire across the corpus. Sharing the WAV
+    rule means the SQL oracle replays the whole
+    predict→rice→CRC→decode roundtrip without parsing FLAC."""
+    from .flac import encode_flac
+
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                n = mid % 50 + 10
+                rate = 8000 + (mid % 3) * 4000
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                if len(tb):
+                    samples = (
+                        (tb[np.arange(n) % len(tb)].astype(np.int32) - 128)
+                        * 256
+                    ).astype(np.int16)
+                else:
+                    samples = np.zeros(n, dtype=np.int16)
+                ids.append(mid)
+                payloads.append(encode_flac(samples, rate))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def flac_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode-stats over REAL FLAC payloads — the `wav_decode_stats`
+    probe surface plus a `last_sample` probe: the final sample is
+    reconstructed through every predictor step before it, so it only
+    matches if the entire residual chain decoded exactly. Same
+    quarantine contract (ValueError -> NULL row + decode_error)."""
+    from .flac import decode_flac
+
+    schema = (
+        "media_id long, sample_rate int, n_samples long, channels int, "
+        "mean_value double, min_value int, max_value int, "
+        "first_sample int, last_sample int, decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "channels",
+                "mean_value", "min_value", "max_value", "first_sample",
+                "last_sample", "decode_error",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(int(mid))
+                try:
+                    arr, rate = decode_flac(
+                        content if content is not None else b""
+                    )
+                except ValueError as e:
+                    for k in ("sample_rate", "n_samples", "channels",
+                              "mean_value", "min_value", "max_value",
+                              "first_sample", "last_sample"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+                    continue
+                if arr.ndim == 1:
+                    arr = arr[:, None]
+                flat = arr.reshape(-1)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(int(arr.shape[0]))
+                rows["channels"].append(int(arr.shape[1]))
+                rows["mean_value"].append(
+                    float(flat.mean()) if flat.size else None
+                )
+                rows["min_value"].append(int(flat.min()) if flat.size else None)
+                rows["max_value"].append(int(flat.max()) if flat.size else None)
+                rows["first_sample"].append(
+                    int(flat[0]) if flat.size else None
+                )
+                rows["last_sample"].append(
+                    int(flat[-1]) if flat.size else None
+                )
                 rows["decode_error"].append(None)
             yield pd.DataFrame(rows)
 

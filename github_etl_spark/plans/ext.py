@@ -1463,7 +1463,9 @@ def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip value-for-value without parsing BMP itself. This is the
     image branch of the codec seam made real; WAV (audio) and Y4M
     (video) have equivalent real paths — compressed codecs
-    (JPEG/FLAC/H.264) remain library seams."""
+    now all have real paths — baseline JPEG and FLAC included
+    (mm_jpeg/mm_flac_roundtrip_stats); only H.264 remains a library
+    seam."""
     from ..multimodal.media import bmp_decode_stats, synthesize_bmp_media
 
     t = load_tables(spark, sf_dir)
@@ -1531,8 +1533,9 @@ def mm_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel rule (text bytes tiled) is SQL-replayable, so DuckDB checks
     the compress→inflate→unfilter roundtrip without parsing PNG.
     Unlike the BMP/WAV/Y4M paths this one exercises REAL compression
-    — the remaining `_HAVE_REAL_CODECS` seams (JPEG/FLAC/H.264) are
-    formats whose decoders cannot be stdlib-only."""
+    — with baseline JPEG (mm_jpeg_roundtrip_stats) and FLAC
+    (mm_flac_roundtrip_stats) also real, the only remaining
+    `_HAVE_REAL_CODECS` seam is H.264."""
     from ..multimodal.media import png_decode_stats, synthesize_png_media
 
     t = load_tables(spark, sf_dir)
@@ -1567,6 +1570,76 @@ def mm_qoi_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     stats = qoi_decode_stats(synthesize_qoi_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_pixel_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "corner_value",
+        "last_value",
+    )
+
+
+@query(
+    "mm_jpeg_roundtrip_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 3 + 1 AS INT) AS bx,
+             CAST(doc_id % 2 + 1 AS INT) AS by,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    bl AS (
+      SELECT media_id, bx, by,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS v,
+             i.i AS idx
+      FROM (SELECT media_id, hx, n, bx, by,
+                   unnest(range(0, bx * by)) AS i FROM m) i
+    ),
+    stats AS (
+      SELECT media_id, AVG(v) AS mean_raw,
+             MIN(v) AS min_value, MAX(v) AS max_value,
+             MAX(CASE WHEN idx = 0 THEN v END) AS corner_value,
+             MAX(CASE WHEN idx = bx * by - 1 THEN v END) AS last_value
+      FROM bl GROUP BY media_id
+    )
+    SELECT m.media_id,
+           CAST(m.bx * 8 AS INT) AS width,
+           CAST(m.by * 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(m.bx * 8 * m.by * 8 AS BIGINT) AS n_pixel_bytes,
+           (floor(s.mean_raw * 10000 + 0.5) / 10000) AS mean_value,
+           s.min_value, s.max_value, s.corner_value, s.last_value
+    FROM m JOIN stats s USING (media_id)
+    """,
+)
+def mm_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the LOSSY compressed codec made real AND oracle-exact.
+    Each document becomes an actual baseline JPEG (`encode_jpeg` —
+    DCT, Annex-K Huffman tables, restart markers every 2 MCUs) in the
+    bit-exact regime: grayscale images whose aligned 8x8 blocks are
+    constant carry only DC energy, and with a DC quantization step of
+    8 the coefficient ``8*(v-128)`` quantizes losslessly, so
+    `decode_jpeg` (full entropy decode → dequant → IDCT) returns the
+    exact block values. The block rule (block k = text byte k mod
+    len) is SQL-replayable, so DuckDB pins the entire
+    DCT→Huffman→RSTn→IDCT pipeline value-for-value without parsing
+    JPEG. Lossy-regime (general content, quality scaling, 4:2:0)
+    tolerance bounds live in tests/test_multimodal.py. Map-only plan:
+    payload bytes never cross a shuffle."""
+    from ..multimodal.media import jpeg_decode_stats, synthesize_jpeg_media
+
+    t = load_tables(spark, sf_dir)
+    stats = jpeg_decode_stats(synthesize_jpeg_media(t["documents"]))
     return stats.select(
         "media_id",
         "width",
@@ -1641,6 +1714,72 @@ def mm_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
         "first_sample",
+    )
+
+
+@query(
+    "mm_flac_roundtrip_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    sm AS (
+      SELECT media_id,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (CAST(concat('0x',
+                          substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+                        - 128) * 256
+             END AS v,
+             i.i AS idx, n_samples
+      FROM (SELECT media_id, hx, n, n_samples,
+                   unnest(range(0, n_samples)) AS i FROM m) i
+    ),
+    stats AS (
+      SELECT media_id, AVG(v) AS mean_raw,
+             MIN(v) AS min_value, MAX(v) AS max_value,
+             MAX(CASE WHEN idx = 0 THEN v END) AS first_sample,
+             MAX(CASE WHEN idx = n_samples - 1 THEN v END) AS last_sample
+      FROM sm GROUP BY media_id
+    )
+    SELECT m.media_id, m.sample_rate, m.n_samples, CAST(1 AS INT) AS channels,
+           (floor(s.mean_raw * 10000 + 0.5) / 10000) AS mean_value,
+           s.min_value, s.max_value, s.first_sample, s.last_sample
+    FROM m JOIN stats s USING (media_id)
+    """,
+)
+def mm_flac_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: a LOSSLESS compressed audio codec, oracle-checked
+    end-to-end. Each document becomes an actual FLAC stream
+    (`encode_flac` — fixed predictors chosen per frame by exact Rice
+    cost, CRC-8 headers, CRC-16 footers, STREAMINFO MD5), then
+    `flac_decode_stats` decodes it back through the dependency-free
+    production decoder (full residual reconstruction + every CRC and
+    the stream MD5 verified). The fixtures share the WAV sample rule,
+    so the SAME SQL replay pins FLAC value-for-value against PCM —
+    plus a `last_sample` probe that only matches if every predictor
+    step before it reconstructed exactly. With JPEG
+    (mm_jpeg_roundtrip_stats) this retires the second of the three
+    declared compressed-codec seams; only H.264 remains a library
+    seam. Map-only plan: payload bytes never cross a shuffle."""
+    from ..multimodal.media import flac_decode_stats, synthesize_flac_media
+
+    t = load_tables(spark, sf_dir)
+    stats = flac_decode_stats(synthesize_flac_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "channels",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "first_sample",
+        "last_sample",
     )
 
 

@@ -978,7 +978,7 @@ def test_transcode_image_normalizes_mixed_corpus(spark):
     assert to_bmp[4]["content"] is None and "alpha" in to_bmp[4]["decode_error"]
 
     with pytest.raises(ValueError, match="target"):
-        transcode_image(media, "jpeg")
+        transcode_image(media, "tiff")
 
 
 # ----------------------------------------------------------------- QOI codec
@@ -1105,9 +1105,528 @@ def test_transcode_image_qoi_paths(spark):
     assert to_bmp[4]["decode_error"] is not None
 
 
+def test_jpeg_block_constant_dc8_roundtrip_exact():
+    """The bit-exact regime the catalog oracle relies on: images whose
+    aligned 8x8 blocks are constant carry only DC energy, and with a
+    DC quantization step of 8 the DC coefficient 8*(v-128) quantizes
+    to the integer v-128 losslessly — decode must return the input
+    EXACTLY, including with restart markers in the stream."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import (
+        DC8_QTABLE,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    for trial in range(25):
+        by, bx = rng.randint(1, 5), rng.randint(1, 5)
+        vals = rng.randint(0, 256, size=(by, bx)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        ri = trial % 3  # 0 = no restarts, else every 1-2 MCUs
+        out = decode_jpeg(
+            encode_jpeg(img, qtables=(DC8_QTABLE, DC8_QTABLE), restart_interval=ri)
+        )
+        assert out.shape == (by * 8, bx * 8, 1)
+        assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_lossy_roundtrip_tolerance():
+    """General content is lossy by design — but high-quality encode of
+    smooth content must stay within a small per-pixel error bound, and
+    geometry (including non-multiple-of-8 dimensions) is exact."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:29, 0:37]
+    rgb = np.stack(
+        [yy * 3 % 256, xx * 5 % 256, (yy + xx) * 2 % 256], axis=2
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(rgb, quality=92, subsampling=sub))
+        assert out.shape == (29, 37, 3)
+        err = np.abs(out.astype(int) - rgb.astype(int))
+        assert err.max() <= 8, (sub, err.max())
+    # grayscale path
+    g = (yy * 7 % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (29, 37, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 6
+    # lower quality still decodes to the right geometry
+    assert decode_jpeg(encode_jpeg(rgb, quality=20)).shape == (29, 37, 3)
+
+
+def test_jpeg_golden_structure():
+    """The serialized stream must be a structurally conformant baseline
+    JFIF file: SOI first, EOI last, APP0/JFIF present, DQT before
+    SOF0, Huffman tables declared, restart interval honored with RSTn
+    markers cycling D0..D7, and every 0xFF inside the entropy stream
+    stuffed."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import DC8_QTABLE, encode_jpeg
+
+    vals = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    b = encode_jpeg(img, qtables=(DC8_QTABLE, DC8_QTABLE), restart_interval=2)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+    # marker walk: segment lengths must tile the pre-scan region
+    i, markers = 2, []
+    while b[i + 1] != 0xDA:
+        assert b[i] == 0xFF
+        markers.append(b[i + 1])
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        i += 2 + seg_len
+    assert 0xDB in markers and 0xC0 in markers and 0xC4 in markers
+    assert 0xDD in markers  # DRI
+    # 12 blocks = 12 MCUs (grayscale), restart every 2 -> 5 RSTn markers
+    rsts = [
+        b[j + 1]
+        for j in range(i, len(b) - 1)
+        if b[j] == 0xFF and 0xD0 <= b[j + 1] <= 0xD7
+    ]
+    assert rsts == [0xD0, 0xD1, 0xD2, 0xD3, 0xD4]
+
+
+def test_jpeg_determinism_and_self_sniff():
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    assert encode_jpeg(px, quality=77) == encode_jpeg(px, quality=77)
+    assert encode_jpeg(px, quality=77)[:2] == b"\xff\xd8"
+
+
+def test_jpeg_unsupported_and_malformed_raise():
+    """Out-of-slice streams must raise ValueError, never decode
+    silently wrong: progressive SOF2, 16-bit DQT, 4-component frames,
+    missing tables, truncations, and a corrupt Huffman stream."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    good = bytearray(encode_jpeg(img))
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # progressive: rewrite the SOF0 marker byte to SOF2
+    sof = good.find(b"\xff\xc0")
+    prog = bytes(good[:sof + 1]) + b"\xc2" + bytes(good[sof + 2 :])
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # 16-bit quantization table: set DQT precision nibble
+    dqt = good.find(b"\xff\xdb")
+    deep = bytearray(good)
+    deep[dqt + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg(bytes(deep))
+    # truncate inside the entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[: len(good) - 4]))
+    # zero dimension in SOF
+    zero = bytearray(good)
+    zero[sof + 5 : sof + 7] = struct.pack(">H", 0)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(zero))
+
+
+def test_jpeg_quality_monotonic_size():
+    """Higher quality => finer quantization => larger files (on
+    non-trivial content); also pins the quality-scaling formula's
+    direction without golden bytes."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    sizes = [len(encode_jpeg(px, quality=q)) for q in (10, 50, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_jpeg_decode_stats_quarantines_bad_payloads(spark):
+    from github_etl_spark.multimodal.media import jpeg_decode_stats
+
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import encode_jpeg
+
+    good = encode_jpeg(np.full((8, 16), 40, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a jpeg")), (3, None)],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in jpeg_decode_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["width"] == 16 and rows[1]["height"] == 8
+    assert rows[2]["decode_error"] is not None and rows[2]["width"] is None
+    assert rows[3]["decode_error"] is not None
+
+
+def test_transcode_image_jpeg_paths(spark):
+    """JPEG joins the mixed-corpus normalization: sniffed as a source
+    for every target, available as a (lossy) target, and alpha-bearing
+    images quarantine on the JPEG target."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import DC8_QTABLE, decode_jpeg, encode_jpeg
+    from github_etl_spark.multimodal.media import (
+        decode_png,
+        encode_png,
+        transcode_image,
+    )
+
+    vals = np.arange(6, dtype=np.uint8).reshape(2, 3) * 40
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    jb = encode_jpeg(gray, qtables=(DC8_QTABLE, DC8_QTABLE))
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    rgba = np.dstack([rgb, np.full((3, 4), 9, np.uint8)])
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(jb)),
+            (2, bytearray(encode_png(rgb))),
+            (3, bytearray(encode_png(rgba))),
+        ],
+        "media_id long, content binary",
+    )
+    # jpeg source -> png target: decoded pixels preserved exactly
+    to_png = {r["media_id"]: r for r in transcode_image(media, "png").collect()}
+    assert to_png[1]["src_format"] == "jpeg"
+    got = decode_png(bytes(to_png[1]["content"]))
+    assert np.array_equal(got[:, :, 0], gray)
+    # png source -> jpeg target: valid baseline jpeg comes back
+    to_jpeg = {r["media_id"]: r for r in transcode_image(media, "jpeg").collect()}
+    assert to_jpeg[2]["decode_error"] is None
+    out = decode_jpeg(bytes(to_jpeg[2]["content"]))
+    assert out.shape == (3, 4, 3)
+    # alpha quarantines on the lossy target
+    assert to_jpeg[3]["decode_error"] is not None
+
+
+def test_flac_roundtrip_property():
+    """Lossless by construction: every encode regime (constant, fixed
+    predictors, verbatim fallback, multi-frame, empty, stereo, 8-bit)
+    must roundtrip bit-exactly."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = np.random.RandomState(2)
+    cases = [
+        np.zeros(64, dtype=np.int16),
+        np.full(10, -32768, dtype=np.int16),
+        np.arange(-600, 600, 3, dtype=np.int16),
+        rng.randint(-32768, 32768, 5000).astype(np.int16),  # > one frame
+        (np.sin(np.arange(9000) * 0.05) * 20000).astype(np.int16),
+        np.array([], dtype=np.int16),
+        np.array([7], dtype=np.int16),
+    ]
+    for i, s in enumerate(cases):
+        out, sr = decode_flac(encode_flac(s, sample_rate=44100))
+        assert sr == 44100
+        assert np.array_equal(out, s), i
+    # stereo: (n, 2) in, (n, 2) out
+    st = np.stack(
+        [cases[4][:3000], rng.randint(-500, 500, 3000).astype(np.int16)], axis=1
+    )
+    out, _ = decode_flac(encode_flac(st, 22050))
+    assert out.shape == (3000, 2) and np.array_equal(out, st)
+    # 8-bit
+    s8 = rng.randint(-128, 128, 300).astype(np.int16)
+    out, _ = decode_flac(encode_flac(s8, 8000, bits_per_sample=8))
+    assert np.array_equal(out.astype(np.int16), s8)
+
+
+def test_flac_compresses_smooth_audio():
+    """The point of FLAC over WAV: smooth content must come out
+    meaningfully SMALLER than raw PCM (predictors + Rice working),
+    while noise stays near 1x (verbatim fallback, never blow-up)."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import encode_flac
+
+    smooth = (np.sin(np.arange(8000) * 0.05) * 20000).astype(np.int16)
+    assert len(encode_flac(smooth, 8000)) < 0.5 * smooth.nbytes
+    rng = np.random.RandomState(4)
+    noise = rng.randint(-32768, 32768, 8000).astype(np.int16)
+    assert len(encode_flac(noise, 8000)) < 1.1 * noise.nbytes
+
+
+def test_flac_golden_structure():
+    """Serialized stream must be spec-shaped: fLaC magic, a last-flag
+    STREAMINFO of 34 bytes carrying rate/channels/bps/total and the
+    MD5 of the unencoded audio, then frames starting with the 14-bit
+    sync code."""
+    import hashlib
+
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import encode_flac
+
+    s = np.arange(100, dtype=np.int16) * 5
+    b = encode_flac(s, sample_rate=12000)
+    assert b[:4] == b"fLaC"
+    assert b[4] == 0x80  # last metadata block, type 0 (STREAMINFO)
+    assert int.from_bytes(b[5:8], "big") == 34
+    info = b[8:42]
+    assert int.from_bytes(info[0:2], "big") == 100  # min blocksize
+    rate = int.from_bytes(info[10:13], "big") >> 4
+    assert rate == 12000
+    assert info[18:34] == hashlib.md5(s.astype("<i2").tobytes()).digest()
+    assert b[42] == 0xFF and (b[43] & 0xFC) == 0xF8  # frame sync
+
+
+def _flac_one_frame_stream(expected, sample_rate, ch_code, write_subframes):
+    """Hand-assemble a single-frame FLAC stream around caller-written
+    subframes — the harness that lets tests drive decoder features the
+    encoder never emits (LPC, mid/side, rice2, partitions, wasted
+    bits, escapes)."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from github_etl_spark.multimodal import flac as FL
+    from github_etl_spark.multimodal.bitio import BitWriter
+
+    expected = np.asarray(expected)
+    if expected.ndim == 1:
+        expected = expected[:, None]
+    n, nch = expected.shape
+    info = BitWriter()
+    info.write(n, 16)
+    info.write(n, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(nch - 1, 3)
+    info.write(15, 5)  # 16 bps
+    info.write(n, 36)
+    md5 = hashlib.md5(expected.astype("<i2").tobytes()).digest()
+    out = bytearray(b"fLaC") + bytes([0x80]) + (34).to_bytes(3, "big")
+    out += info.getvalue() + md5
+    hdr = BitWriter()
+    hdr.write(0b11111111111110, 14)
+    hdr.write(0, 1)
+    hdr.write(0, 1)
+    hdr.write(0b0111, 4)  # 16-bit blocksize-1 follows
+    hdr.write(0b1101, 4)  # 16-bit sample rate follows
+    hdr.write(ch_code, 4)
+    hdr.write(0b100, 3)  # 16 bps
+    hdr.write(0, 1)
+    hb = bytearray(hdr.getvalue()) + bytes([0])  # frame number 0
+    hb += struct.pack(">H", n - 1) + struct.pack(">H", sample_rate)
+    hb.append(FL._crc8(bytes(hb)))
+    body = BitWriter()
+    write_subframes(body)
+    frame = bytes(hb) + body.getvalue()
+    frame += struct.pack(">H", FL._crc16(frame))
+    return bytes(out) + frame
+
+
+def _write_verbatim(bw, samples, bps):
+    bw.write(0, 1)
+    bw.write(0b000001, 6)
+    bw.write(0, 1)
+    for v in samples:
+        bw.write(int(v) & ((1 << bps) - 1), bps)
+
+
+def test_flac_decodes_lpc_subframes():
+    """LPC (the subframe type real encoders emit most) — hand-written
+    order-2 LPC with shift: s[i] = ((3*s[i-1] - 2*s[i-2]) >> 1) + res."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import decode_flac
+
+    warm = [100, 160]
+    res = [3, -5, 0, 7, -2, 1, 4, -8, 2, 0]
+    n = len(warm) + len(res)
+    s = list(warm)
+    for r in res:
+        s.append(((3 * s[-1] - 2 * s[-2]) >> 1) + r)
+    expected = np.array(s, dtype=np.int16)
+
+    def subframes(bw):
+        bw.write(0, 1)
+        bw.write(0b100000 | 1, 6)  # LPC, order 2 (order-1 = 1)
+        bw.write(0, 1)  # no wasted bits
+        for v in warm:
+            bw.write(v & 0xFFFF, 16)
+        bw.write(14, 4)  # precision-1 = 14 -> 15-bit coefficients
+        bw.write(1, 5)  # shift = 1
+        bw.write(3 & 0x7FFF, 15)
+        bw.write(-2 & 0x7FFF, 15)
+        bw.write(0b00, 2)  # rice method 0
+        bw.write(0, 4)  # partition order 0
+        bw.write(2, 4)  # rice param 2
+        for r in res:
+            u = 2 * r if r >= 0 else -2 * r - 1
+            bw.write_unary(u >> 2)
+            bw.write(u & 3, 2)
+
+    out, sr = decode_flac(_flac_one_frame_stream(expected, 8000, 0, subframes))
+    assert sr == 8000
+    assert np.array_equal(out, expected)
+
+
+def test_flac_decodes_stereo_decorrelation_modes():
+    """left/side, right/side and mid/side channel assignments must all
+    reconstruct the same L/R audio (side channel carries bps+1 bits)."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import decode_flac
+
+    L = np.array([100, -200, 300, 32767, -32768, 0, 7, -9], dtype=np.int64)
+    R = np.array([90, -210, 280, 32760, -32700, 5, -7, 9], dtype=np.int64)
+    side = L - R
+    mid = (L + R) >> 1
+    expected = np.stack([L, R], axis=1).astype(np.int16)
+
+    def make(ch_code, first, first_bps, second, second_bps):
+        def subframes(bw):
+            _write_verbatim(bw, first, first_bps)
+            _write_verbatim(bw, second, second_bps)
+
+        return _flac_one_frame_stream(expected, 16000, ch_code, subframes)
+
+    for stream in (
+        make(0b1000, L, 16, side, 17),  # left/side
+        make(0b1001, side, 17, R, 16),  # right/side (side is FIRST)
+        make(0b1010, mid, 16, side, 17),  # mid/side
+    ):
+        out, _ = decode_flac(stream)
+        assert np.array_equal(out, expected)
+
+
+def test_flac_decodes_rice2_partitions_escapes_and_wasted_bits():
+    """The residual-coding corners: 5-bit rice2 params, partition
+    order > 0, the escape code (raw fixed-width residuals), and
+    wasted-bits shifting."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import decode_flac
+
+    # 8 samples, FIXED order 0 (residual == samples), partition order 1
+    vals = [5, -3, 2, 0, 1000, -1017, 333, -41]
+    expected = np.array(vals, dtype=np.int16)
+
+    def subframes(bw):
+        bw.write(0, 1)
+        bw.write(0b001000, 6)  # FIXED order 0
+        bw.write(0, 1)
+        bw.write(0b01, 2)  # rice2: 5-bit params
+        bw.write(1, 4)  # partition order 1 -> two partitions of 4
+        bw.write(1, 5)  # partition 0: rice param 1
+        for r in vals[:4]:
+            u = 2 * r if r >= 0 else -2 * r - 1
+            bw.write_unary(u >> 1)
+            bw.write(u & 1, 1)
+        bw.write(31, 5)  # partition 1: ESCAPE
+        bw.write(12, 5)  # 12-bit raw residuals
+        for r in vals[4:]:
+            bw.write(r & 0xFFF, 12)
+
+    out, _ = decode_flac(_flac_one_frame_stream(expected, 8000, 0, subframes))
+    assert np.array_equal(out, expected)
+
+    # wasted bits: CONSTANT subframe of 50 at bps-2, wasted=2 -> 200
+    expected2 = np.full(6, 200, dtype=np.int16)
+
+    def subframes2(bw):
+        bw.write(0, 1)
+        bw.write(0b000000, 6)  # CONSTANT
+        bw.write(1, 1)  # wasted-bits flag
+        bw.write_unary(1)  # k-1 = 1 -> k = 2
+        bw.write(50 & 0x3FFF, 14)  # bps - 2 bits
+
+    out, _ = decode_flac(_flac_one_frame_stream(expected2, 8000, 0, subframes2))
+    assert np.array_equal(out, expected2)
+
+
+def test_flac_malformed_raises():
+    """Corruption at every verification layer must raise ValueError:
+    magic, STREAMINFO size, header CRC-8, frame CRC-16, stream MD5,
+    truncation, unknown-length streams."""
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    s = (np.sin(np.arange(400) * 0.1) * 9000).astype(np.int16)
+    good = bytearray(encode_flac(s, 8000))
+
+    with pytest.raises(ValueError):
+        decode_flac(b"")
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"OggS" + bytes(good[4:]))
+    # header CRC-8: flip a frame-header byte (sample-rate field)
+    bad = bytearray(good)
+    bad[48] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # frame CRC-16: flip the final footer byte
+    bad = bytearray(good)
+    bad[-1] ^= 0x55
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # MD5: corrupt the stored digest (frame CRCs still pass)
+    bad = bytearray(good)
+    bad[30] ^= 0x01
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(bad))
+    # truncation mid-frame
+    with pytest.raises(ValueError):
+        decode_flac(bytes(good[:-10]))
+    # unknown-length stream (total=0) with frames present: the 36-bit
+    # total occupies the low 4 bits of STREAMINFO byte 13 plus bytes
+    # 14-17 (file offsets 21-25)
+    bad = bytearray(good)
+    bad[21] &= 0xF0
+    bad[22:26] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="unknown total length"):
+        decode_flac(bytes(bad))
+
+
+def test_flac_decode_stats_quarantines_bad_payloads(spark):
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import encode_flac
+    from github_etl_spark.multimodal.media import flac_decode_stats
+
+    s = np.arange(50, dtype=np.int16) * 100
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_flac(s, 16000))),
+            (2, bytearray(b"not flac")),
+            (3, None),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in flac_decode_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["n_samples"] == 50 and rows[1]["sample_rate"] == 16000
+    assert rows[1]["first_sample"] == 0 and rows[1]["last_sample"] == 4900
+    assert rows[2]["decode_error"] is not None and rows[2]["n_samples"] is None
+    assert rows[3]["decode_error"] is not None
+
+
 def _codec_pairs():
     import numpy as np
 
+    from github_etl_spark.multimodal import flac as FL
+    from github_etl_spark.multimodal import jpeg as J
     from github_etl_spark.multimodal import media as M
 
     rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
@@ -1127,6 +1646,21 @@ def _codec_pairs():
         "y4m": (
             M.encode_y4m((np.arange(24, dtype=np.uint8)).reshape(2, 3, 4)),
             M.decode_y4m,
+        ),
+        "flac": (
+            FL.encode_flac(
+                (np.sin(np.arange(200) * 0.1) * 12000).astype(np.int16), 8000
+            ),
+            lambda b: FL.decode_flac(b),
+        ),
+        "jpeg": (
+            J.encode_jpeg(
+                np.arange(36, dtype=np.uint8).reshape(3, 4, 3) * 7,
+                quality=80,
+                subsampling="420",
+                restart_interval=1,
+            ),
+            J.decode_jpeg,
         ),
     }
 

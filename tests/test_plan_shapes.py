@@ -138,6 +138,8 @@ def test_budget_covers_every_headline_query(spark):
         "mm_y4m_to_bmp_stats",
         "mm_mulaw_roundtrip_stats",
         "mm_qoi_roundtrip_stats",
+        "mm_jpeg_roundtrip_stats",
+        "mm_flac_roundtrip_stats",
     ],
 )
 def test_media_roundtrips_are_map_only(spark, name):
