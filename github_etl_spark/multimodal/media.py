@@ -1820,6 +1820,76 @@ def synthesize_flac_media(
     return docs.select(id_col, text_col).mapInPandas(batches, schema)
 
 
+def transcode_audio(media: DataFrame, target: str = "wav") -> DataFrame:
+    """Audio format normalization — `transcode_image`'s audio sibling:
+    turns a MIXED audio column (PCM-16 WAV, G.711 mu-law WAV and FLAC
+    payloads side by side) into one uniform format before training
+    ingest. Sniffs each payload's magic (RIFF vs fLaC — no metadata
+    trusted), decodes with the matching real codec (mu-law expands
+    transparently inside `decode_wav16`), re-encodes to ``target``
+    ('wav' = PCM-16 RIFF, 'flac' = lossless FLAC). Sample values are
+    preserved exactly on both targets (mu-law sources were already
+    expanded to linear by decode). Outputs are themselves valid files:
+    FLAC corpora reach `resample_wav` and every other WAV-consuming
+    operator through ``transcode_audio(media, 'wav')``. Map-only
+    mapInPandas; payload bytes never shuffle; corrupt/unknown payloads
+    quarantine as NULL content + decode_error."""
+    if target not in ("wav", "flac"):
+        raise ValueError(f"target must be 'wav' or 'flac', got {target!r}")
+    from .flac import decode_flac, encode_flac
+
+    schema = (
+        "media_id long, content binary, src_format string, "
+        "sample_rate int, n_samples long, decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs, srcs, rates, ns, errs = [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(int(mid))
+                b = bytes(content) if content is not None else b""
+                try:
+                    if b[:4] == b"RIFF":
+                        arr, rate = decode_wav16(b)
+                        src = "wav"
+                    elif b[:4] == b"fLaC":
+                        arr, rate = decode_flac(b)
+                        src = "flac"
+                        if arr.dtype != np.int16:
+                            raise ValueError(
+                                "only 16-bit FLAC transcodes to PCM-16"
+                            )
+                        if arr.ndim == 1:
+                            arr = arr[:, None]
+                    else:
+                        raise ValueError(
+                            "unknown audio format (not RIFF/WAVE or FLAC)"
+                        )
+                    if target == "wav":
+                        out = encode_wav16(arr, rate)
+                    else:
+                        out = encode_flac(arr, rate)
+                except ValueError as e:
+                    outs.append(None)
+                    srcs.append(None)
+                    rates.append(None)
+                    ns.append(None)
+                    errs.append(str(e))
+                    continue
+                outs.append(out)
+                srcs.append(src)
+                rates.append(int(rate))
+                ns.append(int(arr.shape[0]))
+                errs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "content": outs, "src_format": srcs,
+                 "sample_rate": rates, "n_samples": ns, "decode_error": errs}
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 def flac_decode_stats(media: DataFrame) -> DataFrame:
     """Decode-stats over REAL FLAC payloads — the `wav_decode_stats`
     probe surface plus a `last_sample` probe: the final sample is

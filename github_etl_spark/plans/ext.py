@@ -1973,6 +1973,71 @@ def mm_transcode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_transcode_flac_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    sm AS (
+      SELECT media_id,
+             CASE WHEN n = 0 THEN 0
+                  ELSE (CAST(concat('0x',
+                          substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+                        - 128) * 256
+             END AS v,
+             i.i AS idx
+      FROM (SELECT media_id, hx, n, n_samples,
+                   unnest(range(0, n_samples)) AS i FROM m) i
+    ),
+    stats AS (
+      SELECT media_id, AVG(v) AS mean_raw,
+             MIN(v) AS min_value, MAX(v) AS max_value,
+             MAX(CASE WHEN idx = 0 THEN v END) AS first_sample
+      FROM sm GROUP BY media_id
+    )
+    SELECT m.media_id, m.sample_rate, m.n_samples, CAST(1 AS INT) AS channels,
+           (floor(s.mean_raw * 10000 + 0.5) / 10000) AS mean_value,
+           s.min_value, s.max_value, s.first_sample
+    FROM m JOIN stats s USING (media_id)
+    """,
+)
+def mm_transcode_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: audio format normalization, oracle-checked end-to-end. The
+    synthesized FLAC corpus runs through `transcode_audio('wav')`
+    (magic-sniffed decode — full FLAC residual reconstruction + CRC +
+    MD5 verification — then PCM-16 re-encode: the mixed-corpus
+    normalization step that lets FLAC assets reach every WAV-consuming
+    operator, e.g. `resample_wav`), and the OUTPUT WAVs decode back
+    through `wav_decode_stats`. The oracle replays the shared sample
+    rule: values survive FLAC-encode → FLAC-decode → WAV-encode →
+    WAV-decode exactly (both codecs lossless). Map-only end to end."""
+    from ..multimodal.media import (
+        synthesize_flac_media,
+        transcode_audio,
+        wav_decode_stats,
+    )
+
+    t = load_tables(spark, sf_dir)
+    wavs = transcode_audio(synthesize_flac_media(t["documents"]), target="wav")
+    stats = wav_decode_stats(wavs.select("media_id", "content"))
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "channels",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "first_sample",
+    )
+
+
+@query(
     "mm_resample_wav_stats",
     oracle="""
     WITH m AS (

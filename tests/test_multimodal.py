@@ -1599,6 +1599,68 @@ def test_flac_malformed_raises():
         decode_flac(bytes(bad))
 
 
+def test_transcode_audio_normalizes_mixed_corpus(spark):
+    """The audio front door: PCM WAV, mu-law WAV and FLAC payloads
+    side by side all normalize to either target with sample values
+    preserved exactly; stereo survives; corrupt payloads quarantine;
+    and FLAC output feeds resample_wav via the WAV target."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import decode_flac, encode_flac
+    from github_etl_spark.multimodal.media import (
+        decode_wav16,
+        encode_wav16,
+        encode_wav_mulaw,
+        mulaw_decode,
+        resample_wav,
+        transcode_audio,
+    )
+
+    pcm = (np.arange(60, dtype=np.int32) * 500 - 15000).astype(np.int16)
+    # mu-law source: synthesize ON the codebook so expansion is exact
+    mu = mulaw_decode(np.arange(40, dtype=np.uint8) * 6)
+    st = np.stack([pcm[:30], pcm[30:]], axis=1)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav16(pcm, 8000))),
+            (2, bytearray(encode_wav_mulaw(mu, 8000))),
+            (3, bytearray(encode_flac(pcm, 16000))),
+            (4, bytearray(encode_flac(st, 8000))),
+            (5, bytearray(b"\x00garbage")),
+            (6, None),
+        ],
+        "media_id long, content binary",
+    )
+    to_wav = {r["media_id"]: r for r in transcode_audio(media, "wav").collect()}
+    assert to_wav[1]["src_format"] == "wav"
+    assert to_wav[2]["src_format"] == "wav"  # mu-law is a WAV container
+    assert to_wav[3]["src_format"] == "flac"
+    arr, rate = decode_wav16(bytes(to_wav[3]["content"]))
+    assert rate == 16000 and np.array_equal(arr[:, 0], pcm)
+    arr2, _ = decode_wav16(bytes(to_wav[2]["content"]))
+    assert np.array_equal(arr2[:, 0], mu)
+    arr4, _ = decode_wav16(bytes(to_wav[4]["content"]))
+    assert arr4.shape == (30, 2) and np.array_equal(arr4, st)
+    assert to_wav[5]["decode_error"] is not None and to_wav[5]["content"] is None
+    assert to_wav[6]["decode_error"] is not None
+
+    to_flac = {r["media_id"]: r for r in transcode_audio(media, "flac").collect()}
+    out, rate = decode_flac(bytes(to_flac[1]["content"]))
+    assert rate == 8000 and np.array_equal(out, pcm)
+    out4, _ = decode_flac(bytes(to_flac[4]["content"]))
+    assert np.array_equal(out4, st)
+
+    # FLAC -> wav target -> resample: the operator-chaining point
+    wavs = transcode_audio(media, "wav").select("media_id", "content")
+    res = {r["media_id"]: r for r in resample_wav(wavs.where("media_id = 3"), 8000).collect()}
+    assert res[3]["decode_error"] is None and res[3]["n_samples"] == 30
+
+    import pytest
+
+    with pytest.raises(ValueError, match="target"):
+        transcode_audio(media, "mp3")
+
+
 def test_flac_decode_stats_quarantines_bad_payloads(spark):
     import numpy as np
 

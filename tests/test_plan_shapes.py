@@ -140,6 +140,7 @@ def test_budget_covers_every_headline_query(spark):
         "mm_qoi_roundtrip_stats",
         "mm_jpeg_roundtrip_stats",
         "mm_flac_roundtrip_stats",
+        "mm_transcode_flac_stats",
     ],
 )
 def test_media_roundtrips_are_map_only(spark, name):
