@@ -77,24 +77,25 @@ def _crc16(data: bytes) -> int:
 
 
 def _utf8_code(value: int) -> bytes:
-    """FLAC's UTF-8-style coded number (frame/sample index, ≤ 36 bits)."""
+    """FLAC's UTF-8-style coded number (frame/sample index, ≤ 36 bits).
+
+    An n-byte form carries (7 - n) lead bits + 6 bits per continuation
+    = 5n + 1 bits total (n=2 → 11 bits ... n=7 → 36 bits).
+    """
     if value < 0x80:
         return bytes([value])
-    out = []
     nbytes = 2
-    while value >= (1 << (6 - nbytes + 5 * nbytes)):  # capacity of n-byte form
+    while value >= (1 << (5 * nbytes + 1)):
         nbytes += 1
         if nbytes > 7:
             raise ValueError("coded number too large")
-    lead_bits = 7 - nbytes
     cont = []
     v = value
     for _ in range(nbytes - 1):
         cont.append(0x80 | (v & 0x3F))
         v >>= 6
-    lead = ((0xFF << (lead_bits + 1)) & 0xFF) | v
-    out = [lead] + cont[::-1]
-    return bytes(out)
+    lead = ((0xFF << (8 - nbytes)) & 0xFF) | v
+    return bytes([lead] + cont[::-1])
 
 
 def _read_utf8_code(br: BitReader) -> int:
@@ -225,6 +226,12 @@ def encode_flac(
         raise ValueError(f"samples exceed the {bits_per_sample}-bit range")
     if not 1 <= sample_rate <= 655350:
         raise ValueError(f"sample_rate out of FLAC range: {sample_rate}")
+    if sample_rate > 65535 and sample_rate % 10:
+        # Frame headers carry the rate as 16-bit Hz or 16-bit tens of
+        # Hz; rates above 65535 must be a multiple of 10 to fit.
+        raise ValueError(
+            f"sample_rate {sample_rate} > 65535 must be a multiple of 10"
+        )
     n, nch = s.shape
 
     # MD5 over the unencoded audio: interleaved little-endian samples.
@@ -235,8 +242,11 @@ def encode_flac(
     blocksize = min(_BLOCKSIZE, n) if n else _BLOCKSIZE
     out = bytearray(_MAGIC)
     info = BitWriter()
-    info.write(blocksize, 16)  # min blocksize
-    info.write(blocksize, 16)  # max blocksize
+    # STREAMINFO block sizes have a spec floor of 16; a short stream's
+    # single (last) frame MAY be smaller, but the declared min/max may
+    # not — libFLAC-family tools reject streams that claim < 16.
+    info.write(max(blocksize, 16), 16)  # min blocksize
+    info.write(max(blocksize, 16), 16)  # max blocksize
     info.write(0, 24)  # min frame size unknown
     info.write(0, 24)  # max frame size unknown
     info.write(sample_rate, 20)
@@ -248,7 +258,7 @@ def encode_flac(
 
     frame_no = 0
     pos = 0
-    while pos < n or (n == 0 and frame_no == 0 and False):
+    while pos < n:
         bs = min(blocksize, n - pos)
         block = s[pos : pos + bs]
         hdr = BitWriter()
@@ -262,7 +272,8 @@ def encode_flac(
                 (0b0110, bs - 1) if bs <= 256 else (0b0111, bs - 1)
             )
         hdr.write(bs_code, 4)
-        hdr.write(0b1101, 4)  # sample rate: 16-bit Hz follows
+        # sample rate: 16-bit Hz when it fits, else 16-bit tens of Hz
+        hdr.write(0b1101 if sample_rate <= 65535 else 0b1110, 4)
         hdr.write(nch - 1, 4)  # independent channels
         hdr.write(0b100 if bits_per_sample == 16 else 0b001, 3)
         hdr.write(0, 1)  # reserved
@@ -272,7 +283,9 @@ def encode_flac(
             hdr_bytes += (
                 bytes([bs_tail]) if bs_code == 0b0110 else struct.pack(">H", bs_tail)
             )
-        hdr_bytes += struct.pack(">H", sample_rate)
+        hdr_bytes += struct.pack(
+            ">H", sample_rate if sample_rate <= 65535 else sample_rate // 10
+        )
         hdr_bytes.append(_crc8(bytes(hdr_bytes)))
 
         body = BitWriter()

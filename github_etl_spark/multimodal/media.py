@@ -1857,8 +1857,12 @@ def transcode_audio(media: DataFrame, target: str = "wav") -> DataFrame:
                         arr, rate = decode_flac(b)
                         src = "flac"
                         if arr.dtype != np.int16:
+                            # Both targets re-encode at 16 bits; a
+                            # deeper source would silently change
+                            # values (wav) or depth (flac) — quarantine
                             raise ValueError(
-                                "only 16-bit FLAC transcodes to PCM-16"
+                                "only 16-bit FLAC is supported in the "
+                                "PCM-16 audio pipeline"
                             )
                         if arr.ndim == 1:
                             arr = arr[:, None]

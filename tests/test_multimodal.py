@@ -1555,6 +1555,54 @@ def test_flac_decodes_rice2_partitions_escapes_and_wasted_bits():
     assert np.array_equal(out, expected2)
 
 
+def test_flac_coded_number_boundaries_and_many_frames():
+    """Regression: the UTF-8-style coded number must roundtrip at every
+    byte-length boundary (the capacity formula was wrong for values >=
+    2048, silently corrupting streams past 2048 frames), and a stream
+    with thousands of frames must decode bit-exactly."""
+    import numpy as np
+
+    from github_etl_spark.multimodal import flac as FL
+    from github_etl_spark.multimodal.bitio import BitReader
+
+    for v in (0, 127, 128, 2047, 2048, 16383, 16384, 65535,
+              1 << 20, (1 << 31) + 7, (1 << 36) - 1):
+        b = FL._utf8_code(v)
+        assert FL._read_utf8_code(BitReader(b)) == v, v
+    # 2100 frames (shrunken blocksize so the test stays fast): frame
+    # numbers cross the 1-, 2- and 3-byte coded-number boundaries
+    old = FL._BLOCKSIZE
+    FL._BLOCKSIZE = 32
+    try:
+        s = (np.sin(np.arange(32 * 2100) * 0.01) * 10000).astype(np.int16)
+        out, _ = FL.decode_flac(FL.encode_flac(s, 8000))
+        assert np.array_equal(out, s)
+    finally:
+        FL._BLOCKSIZE = old
+
+
+def test_flac_high_sample_rates_and_short_stream_streaminfo():
+    """Regression: rates above 65535 Hz must encode via the tens-of-Hz
+    frame-header form (struct.error escaped the ValueError contract
+    before), and STREAMINFO must never declare a block size below the
+    spec floor of 16 even for shorter streams."""
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.flac import decode_flac, encode_flac
+
+    for rate in (88200, 96000, 176400, 192000, 655350):
+        out, sr = decode_flac(encode_flac(np.arange(50, dtype=np.int16), rate))
+        assert sr == rate
+    with pytest.raises(ValueError, match="multiple of 10"):
+        encode_flac(np.arange(5, dtype=np.int16), 65537)
+    b = encode_flac(np.arange(10, dtype=np.int16), 8000)
+    assert int.from_bytes(b[8:10], "big") == 16  # STREAMINFO min blocksize
+    assert int.from_bytes(b[10:12], "big") == 16
+    out, _ = decode_flac(b)
+    assert np.array_equal(out, np.arange(10, dtype=np.int16))
+
+
 def test_flac_malformed_raises():
     """Corruption at every verification layer must raise ValueError:
     magic, STREAMINFO size, header CRC-8, frame CRC-16, stream MD5,

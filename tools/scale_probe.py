@@ -601,9 +601,21 @@ def codec_probe(spark, t, ks):
     return lines
 
 
-def splice_codec(lines: list[str]) -> None:
-    """Append-or-replace the round-7 codec section (currently the last
-    section of SCALE_PROBE.md)."""
+_SECTION_MARKERS = [
+    "## Relational & graph probe — triangles, bloom join, heavy hitters",
+    "## Q9 join tree & BMP decode probe (round 6)",
+    "## PNG compressed-codec probe (round 6)",
+    "## BPE probe (round 7) — learn rounds & apply chain depth",
+    "## JPEG & FLAC compressed-codec probe (round 7)",
+]
+
+
+def _splice_section(marker: str, lines: list[str]) -> None:
+    """Append-or-replace ONE section of SCALE_PROBE.md, preserving
+    every OTHER known section wherever it sits.  One implementation
+    for all probes: the old per-probe splice copies each hard-coded
+    only its immediate neighbor, so a reordered file (marker-missing
+    append paths append at EOF) could silently drop a section."""
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
@@ -611,111 +623,15 @@ def splice_codec(lines: list[str]) -> None:
     )
     with open(out) as f:
         existing = f.read().splitlines()
-    marker = "## JPEG & FLAC compressed-codec probe (round 7)"
     idx = existing.index(marker) - 1 if marker in existing else len(existing)
-    others = [
-        "## Relational & graph probe — triangles, bloom join, heavy hitters",
-        "## Q9 join tree & BMP decode probe (round 6)",
-        "## PNG compressed-codec probe (round 6)",
-        "## BPE probe (round 7) — learn rounds & apply chain depth",
-    ]
     tail_starts = [
-        existing.index(m) for m in others if m in existing and existing.index(m) > idx
+        existing.index(m)
+        for m in _SECTION_MARKERS
+        if m != marker and m in existing and existing.index(m) > idx
     ]
     tail = existing[min(tail_starts) - 1 :] if tail_starts else []
     with open(out, "w") as f:
         f.write("\n".join(existing[:idx] + lines + tail) + "\n")
-
-
-def splice_bpe(lines: list[str]) -> None:
-    """Append-or-replace the BPE section. Preserves any OTHER known
-    section that ended up after it (marker-missing append paths can
-    reorder sections, and "my marker to EOF" would silently delete
-    whatever follows)."""
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs",
-        "SCALE_PROBE.md",
-    )
-    with open(out) as f:
-        existing = f.read().splitlines()
-    marker = "## BPE probe (round 7) — learn rounds & apply chain depth"
-    idx = existing.index(marker) - 1 if marker in existing else len(existing)
-    others = [
-        "## Relational & graph probe — triangles, bloom join, heavy hitters",
-        "## Q9 join tree & BMP decode probe (round 6)",
-        "## PNG compressed-codec probe (round 6)",
-        "## JPEG & FLAC compressed-codec probe (round 7)",
-    ]
-    tail_starts = [
-        existing.index(m) for m in others if m in existing and existing.index(m) > idx
-    ]
-    tail = existing[min(tail_starts) - 1 :] if tail_starts else []
-    with open(out, "w") as f:
-        f.write("\n".join(existing[:idx] + lines + tail) + "\n")
-
-
-def splice_round6(lines: list[str]) -> None:
-    """Append-or-replace the round-6 section of SCALE_PROBE.md."""
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs",
-        "SCALE_PROBE.md",
-    )
-    with open(out) as f:
-        existing = f.read().splitlines()
-    marker = "## Q9 join tree & BMP decode probe (round 6)"
-    idx = existing.index(marker) - 1 if marker in existing else len(existing)
-    # preserve the PNG section that now FOLLOWS this one
-    tail: list[str] = []
-    next_marker = "## PNG compressed-codec probe (round 6)"
-    if next_marker in existing and existing.index(next_marker) > idx:
-        tail = existing[existing.index(next_marker) - 1 :]
-    with open(out, "w") as f:
-        f.write("\n".join(existing[:idx] + lines + tail) + "\n")
-
-
-def splice_png(lines: list[str]) -> None:
-    """Append-or-replace the PNG section, preserving the BPE section
-    that now FOLLOWS it."""
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs",
-        "SCALE_PROBE.md",
-    )
-    with open(out) as f:
-        existing = f.read().splitlines()
-    marker = "## PNG compressed-codec probe (round 6)"
-    idx = existing.index(marker) - 1 if marker in existing else len(existing)
-    tail: list[str] = []
-    next_marker = "## BPE probe (round 7) — learn rounds & apply chain depth"
-    if next_marker in existing and existing.index(next_marker) > idx:
-        tail = existing[existing.index(next_marker) - 1 :]
-    with open(out, "w") as f:
-        f.write("\n".join(existing[:idx] + lines + tail) + "\n")
-
-
-def splice_relational(lines: list[str]) -> None:
-    """Replace ONLY the relational section of an existing
-    SCALE_PROBE.md: everything before its marker and everything from
-    the NEXT section marker onward is preserved (the round-6 section
-    follows it now — truncating to end-of-file would silently delete
-    it)."""
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs",
-        "SCALE_PROBE.md",
-    )
-    with open(out) as f:
-        existing = f.read().splitlines()
-    marker = "## Relational & graph probe — triangles, bloom join, heavy hitters"
-    start = existing.index(marker) - 1 if marker in existing else len(existing)
-    tail: list[str] = []
-    next_marker = "## Q9 join tree & BMP decode probe (round 6)"
-    if next_marker in existing and existing.index(next_marker) > start:
-        tail = existing[existing.index(next_marker) - 1 :]
-    with open(out, "w") as f:
-        f.write("\n".join(existing[:start] + lines + tail) + "\n")
 
 
 def main():
@@ -733,27 +649,27 @@ def main():
     if relational_only:
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
-        splice_relational(relational_probe(spark, t, ks))
+        _splice_section(_SECTION_MARKERS[0], relational_probe(spark, t, ks))
         return
     if round6_only:
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
-        splice_round6(round6_probe(spark, t, ks))
+        _splice_section(_SECTION_MARKERS[1], round6_probe(spark, t, ks))
         return
     if png_only:
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
-        splice_png(png_probe(spark, t, ks))
+        _splice_section(_SECTION_MARKERS[2], png_probe(spark, t, ks))
         return
     if bpe_only:
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
-        splice_bpe(bpe_probe(spark, t, ks))
+        _splice_section(_SECTION_MARKERS[3], bpe_probe(spark, t, ks))
         return
     if codec_only:
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
-        splice_codec(codec_probe(spark, t, ks))
+        _splice_section(_SECTION_MARKERS[4], codec_probe(spark, t, ks))
         return
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
