@@ -246,7 +246,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     similarity search / near-dup). Fake featurizer: per-bucket byte
     means, L2-normalized — deterministic, vectorized, and shaped exactly
     like a real encoder's output (`array<float>[dim]`). For actual
-    image files use the real-path sibling `bmp_features`."""
+    image files use the real-path siblings `bmp_features` /
+    `image_features` (the latter sniffs BMP/PNG/QOI/JPEG)."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     schema = f"media_id long, features array<float>"  # noqa: F541
@@ -1332,7 +1333,7 @@ def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
         raise ValueError(
             f"target must be 'png', 'bmp', 'qoi' or 'jpeg', got {target!r}"
         )
-    from .jpeg import decode_jpeg, encode_jpeg
+    from .jpeg import encode_jpeg
 
     schema = "media_id long, content binary, src_format string, decode_error string"
 
@@ -1343,18 +1344,7 @@ def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
                 ids.append(int(mid))
                 b = bytes(content) if content is not None else b""
                 try:
-                    if b[: len(_PNG_SIG)] == _PNG_SIG:
-                        src, px = "png", decode_png(b)
-                    elif b[:4] == _QOI_MAGIC:
-                        src, px = "qoi", decode_qoi(b)
-                    elif b[:2] == b"BM":
-                        src, px = "bmp", decode_bmp24(b)
-                    elif b[:2] == b"\xff\xd8":
-                        src, px = "jpeg", decode_jpeg(b)
-                    else:
-                        raise ValueError(
-                            "unknown image format (not BMP, PNG, QOI or JPEG)"
-                        )
+                    src, px = _sniff_decode_image(b)
                     if target == "bmp":
                         if px.shape[2] == 1:
                             px = np.repeat(px, 3, axis=2)
@@ -1402,17 +1392,28 @@ def transcode_image(media: DataFrame, target: str = "png") -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
-def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """REAL image featurizer: decode each BMP, split the luma
-    (mean-of-RGB) scanline order into ``dim`` buckets, emit the
-    L2-normalized bucket means as `array<float>` — shaped exactly like
-    `extract_features` so the output drops into the similarity-search
-    operators (brute_force_topk / LSH / IVF) as an embedding column.
-    Corrupt payloads emit NULL features + decode_error — FILTER them
-    (``decode_error IS NULL``) before feeding an ANN operator: the
-    LSH/IVF paths drop NULL vectors themselves, but brute_force_topk
-    only sorts NULL cosines last and could surface a corrupt row as a
-    padding neighbor when k exceeds the valid candidates."""
+def _sniff_decode_image(b: bytes) -> tuple[str, np.ndarray]:
+    """Magic-sniffed decode across every real image codec (BMP / PNG /
+    QOI / JPEG) — the shared front door of `transcode_image` and
+    `image_features`. Raises ValueError for unknown/corrupt payloads."""
+    from .jpeg import decode_jpeg
+
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png", decode_png(b)
+    if b[:4] == _QOI_MAGIC:
+        return "qoi", decode_qoi(b)
+    if b[:2] == b"BM":
+        return "bmp", decode_bmp24(b)
+    if b[:2] == b"\xff\xd8":
+        return "jpeg", decode_jpeg(b)
+    raise ValueError("unknown image format (not BMP, PNG, QOI or JPEG)")
+
+
+def _features_kernel(media: DataFrame, dim: int, decode_fn) -> DataFrame:
+    """Shared luma-bucket featurizer behind `bmp_features` /
+    `image_features`: luma = mean of the color channels (alpha
+    excluded), scanline order split into ``dim`` buckets,
+    L2-normalized bucket means as `array<float>`."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     schema = "media_id long, features array<float>, decode_error string"
@@ -1423,12 +1424,13 @@ def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 ids.append(int(mid))
                 try:
-                    px = decode_bmp24(content if content is not None else b"")
+                    px = decode_fn(content if content is not None else b"")
                 except ValueError as e:
                     feats.append(None)
                     errs.append(str(e))
                     continue
-                luma = px.astype(np.float32).mean(axis=2).reshape(-1)
+                color = px[:, :, : min(3, px.shape[2])]
+                luma = color.astype(np.float32).mean(axis=2).reshape(-1)
                 feats.append(_bucket_features(luma, dim))
                 errs.append(None)
             yield pd.DataFrame(
@@ -1436,6 +1438,36 @@ def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=schema)
+
+
+def bmp_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL image featurizer: decode each BMP, split the luma
+    (mean-of-RGB) scanline order into ``dim`` buckets, emit the
+    L2-normalized bucket means as `array<float>` — shaped exactly like
+    `extract_features` so the output drops into the similarity-search
+    operators (brute_force_topk / LSH / IVF) as an embedding column.
+    Corrupt payloads emit NULL features + decode_error — FILTER them
+    (``decode_error IS NULL``) before feeding an ANN operator: the
+    LSH/IVF paths drop NULL vectors themselves, but brute_force_topk
+    only sorts NULL cosines last and could surface a corrupt row as a
+    padding neighbor when k exceeds the valid candidates. For MIXED
+    image corpora use `image_features` (same kernel, sniffed
+    decode)."""
+    return _features_kernel(media, dim, decode_bmp24)
+
+
+def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """`bmp_features` for MIXED image corpora: sniffs each payload's
+    magic and decodes with the matching real codec (BMP/PNG/QOI/JPEG),
+    so any image column feeds the ANN operators without a prior
+    transcode pass. Same luma-bucket kernel, same `array<float>`
+    shape, same quarantine contract — and the same bucket values for
+    the same pixels regardless of which format carried them (pinned
+    by test: a PNG and a BMP of one image featurize identically;
+    JPEG's lossy pixels differ only by its decode error)."""
+    return _features_kernel(
+        media, dim, lambda b: _sniff_decode_image(bytes(b))[1]
+    )
 
 
 # ----------------------------------------------------------- real codec: QOI

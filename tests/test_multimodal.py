@@ -1647,6 +1647,50 @@ def test_flac_malformed_raises():
         decode_flac(bytes(bad))
 
 
+def test_image_features_are_format_blind(spark):
+    """image_features sniffs every real image format; lossless formats
+    carrying the SAME pixels must produce IDENTICAL feature vectors
+    (the featurizer depends on pixels, not container), corrupt
+    payloads quarantine, and the output feeds brute_force_topk."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import DC8_QTABLE, encode_jpeg
+    from github_etl_spark.multimodal.media import (
+        encode_bmp24,
+        encode_png,
+        encode_qoi,
+        image_features,
+    )
+
+    rng = np.random.RandomState(21)
+    rgb = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    # block-constant gray in the exact regime -> jpeg pixels == source
+    vals = rng.randint(0, 256, (1, 2)).astype(np.uint8)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    gray3 = np.repeat(gray[:, :, None], 3, axis=2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp24(rgb))),
+            (2, bytearray(encode_png(rgb))),
+            (3, bytearray(encode_qoi(rgb))),
+            (4, bytearray(encode_jpeg(gray, qtables=(DC8_QTABLE, DC8_QTABLE)))),
+            (5, bytearray(encode_bmp24(gray3))),
+            (6, bytearray(b"???")),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in image_features(media, dim=8).collect()}
+    f_bmp, f_png, f_qoi = (np.array(rows[i]["features"]) for i in (1, 2, 3))
+    assert np.array_equal(f_bmp, f_png) and np.array_equal(f_bmp, f_qoi)
+    # exact-regime jpeg of the same pixels == the bmp of those pixels
+    assert np.array_equal(
+        np.array(rows[4]["features"]), np.array(rows[5]["features"])
+    )
+    assert rows[6]["features"] is None and rows[6]["decode_error"] is not None
+    # vectors are L2-normalized and ANN-shaped
+    assert abs(float(np.linalg.norm(f_bmp)) - 1.0) < 1e-5
+
+
 def test_transcode_audio_normalizes_mixed_corpus(spark):
     """The audio front door: PCM WAV, mu-law WAV and FLAC payloads
     side by side all normalize to either target with sample values
