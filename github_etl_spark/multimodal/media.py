@@ -18,21 +18,22 @@ container. `_HAVE_REAL_CODECS` gates them; the deterministic fallback
 batch shape, partitioning, null handling — real and testable. Swapping
 in a real codec changes ONLY the inside of the per-batch function.
 
-SCOPE NOTE: seven real, dependency-free codecs cover all three media
+SCOPE NOTE: nine real, dependency-free codecs cover all three media
 branches — images: 24-bit uncompressed BMP
 (`encode_bmp24`/`decode_bmp24`), zlib-compressed PNG
 (`encode_png`/`decode_png`), QOI (`encode_qoi`/`decode_qoi`) and
 LOSSY baseline JPEG (jpeg.py: DCT + Huffman, 4:4:4/4:2:0, restart
 markers); audio: RIFF/WAVE PCM-16 plus compressed G.711 mu-law
 (`decode_wav16`, `encode_wav_mulaw`); video: YUV4MPEG2
-(`encode_y4m`/`decode_y4m`) — pure numpy/stdlib, each exercised
+(`encode_y4m`/`decode_y4m`) AND compressed Motion-JPEG AVI (mjpeg.py)
+— pure numpy/stdlib, each exercised
 end-to-end by an oracle-checked roundtrip catalog query
 (`mm_bmp/png/qoi/jpeg_roundtrip_stats`, `mm_wav_roundtrip_stats`,
 `mm_y4m_frame_stats`) and byte-level tests. What remains behind
 `_HAVE_REAL_CODECS` are the codec branches whose decoders genuinely
-cannot be stdlib-only (FLAC/H.264/full-profile JPEG need
-soundfile/av/libjpeg, none installable here — `pip install`
-unavailable): dormant by design, only exercised by deployments that
+cannot be stdlib-only (inter-frame H.264-family video and
+full-profile JPEG need av/libjpeg, neither installable here —
+`pip install` unavailable): dormant by design, only exercised by deployments that
 ship a codec library. The contract a real codec must satisfy is
 exactly the fallback's: consume `payload` bytes per batch row, honor
 NULL/empty payloads (emit NULL stats, never raise), and emit the
@@ -1978,6 +1979,107 @@ def flac_decode_stats(media: DataFrame) -> DataFrame:
                     int(flat[-1]) if flat.size else None
                 )
                 rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+# --------------------------------------------------------- real codec: MJPEG
+
+# The COMPRESSED video branch made real: Motion-JPEG in an AVI/RIFF
+# container (multimodal/mjpeg.py) — one complete baseline JPEG per
+# frame, so the in-tree JPEG codec carries the pixels and this layer
+# is a RIFF walk like WAV's. The remaining `_HAVE_REAL_CODECS` video
+# seam narrows to INTER-FRAME codecs (H.264-family): motion
+# compensation + CABAC genuinely need a codec library, and a partial
+# decoder would violate the never-wrong-pixels contract.
+
+
+def synthesize_mjpeg_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-MJPEG fixtures in the bit-exact JPEG regime:
+    each document becomes an AVI clip of (id%3+1) grayscale frames of
+    (id%2+1)x1 constant 8x8 blocks — frame f, block k holds text byte
+    ``(f*blocks + k) mod len`` — encoded per frame with ``DC8_QTABLE``
+    so every frame decodes exactly (see jpeg.py). The block rule is
+    SQL-replayable frame-for-frame without parsing AVI or JPEG."""
+    from .jpeg import DC8_QTABLE
+    from .mjpeg import encode_mjpeg_avi
+
+    schema = "media_id long, content binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                nf, bx = mid % 3 + 1, mid % 2 + 1
+                tb = np.frombuffer(
+                    (text if isinstance(text, str) else "").encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                nb = nf * bx
+                if len(tb):
+                    vals = tb[np.arange(nb) % len(tb)]
+                else:
+                    vals = np.zeros(nb, dtype=np.uint8)
+                frames = np.repeat(
+                    np.repeat(vals.reshape(nf, 1, bx), 8, axis=1), 8, axis=2
+                )
+                ids.append(mid)
+                payloads.append(
+                    encode_mjpeg_avi(
+                        frames, fps=10, qtables=(DC8_QTABLE, DC8_QTABLE)
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def mjpeg_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-frame decode-stats over REAL MJPG AVI payloads — the
+    compressed-video sibling of `y4m_frame_stats`: ONE ROW PER FRAME
+    with luma stats and a frame-local (0,0) probe (a frame-boundary
+    or container-walk bug shifts every subsequent frame's
+    first_pixel). Same quarantine contract: a malformed payload emits
+    a single NULL row with decode_error, never a batch failure."""
+    from .mjpeg import decode_mjpeg_avi
+
+    schema = (
+        "media_id long, frame_index int, width int, height int, "
+        "mean_value double, first_pixel int, decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "frame_index", "width", "height", "mean_value",
+                "first_pixel", "decode_error",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames, _fps = decode_mjpeg_avi(
+                        content if content is not None else b""
+                    )
+                except ValueError as e:
+                    rows["media_id"].append(int(mid))
+                    for k in ("frame_index", "width", "height",
+                              "mean_value", "first_pixel"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+                    continue
+                n, h, w, _ch = frames.shape
+                for fi in range(n):
+                    luma = frames[fi, :, :, 0].astype(np.float64)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_index"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_value"].append(float(luma.mean()))
+                    rows["first_pixel"].append(int(frames[fi, 0, 0, 0]))
+                    rows["decode_error"].append(None)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=schema)

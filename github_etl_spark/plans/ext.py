@@ -1839,6 +1839,63 @@ def mm_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_mjpeg_frame_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 3 + 1 AS INT) AS nf,
+             CAST(doc_id % 2 + 1 AS INT) AS bx,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    bl AS (
+      SELECT media_id, bx,
+             CAST(i.i // bx AS INT) AS frame_index,
+             i.i % bx AS off,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS v
+      FROM (SELECT media_id, hx, n, nf, bx,
+                   unnest(range(0, nf * bx)) AS i FROM m) i
+    )
+    SELECT media_id, frame_index,
+           CAST(bx * 8 AS INT) AS width, CAST(8 AS INT) AS height,
+           (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+           MAX(CASE WHEN off = 0 THEN v END) AS first_pixel
+    FROM bl GROUP BY media_id, frame_index, bx
+    """,
+)
+def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: COMPRESSED video, per-frame, oracle-exact. Each document
+    becomes a real Motion-JPEG AVI (`encode_mjpeg_avi` — RIFF
+    container with spec-shaped avih/strh/strf headers, one complete
+    baseline JPEG per '00dc' chunk) in the bit-exact block-constant
+    DC-quant-8 regime, then `mjpeg_frame_stats` walks the container
+    back, entropy-decodes every frame, and fans out ONE ROW PER FRAME
+    with a frame-local (0,0) probe — a chunk-walk or frame-boundary
+    bug shifts every subsequent frame's first_pixel. The block rule
+    is SQL-replayable, so DuckDB pins the whole
+    container→Huffman→IDCT pipeline frame-for-frame. With this the
+    video branch has BOTH an uncompressed (Y4M) and a compressed
+    (MJPG) real format; the only remaining media seam is inter-frame
+    H.264. Map-only plan: payload bytes never cross a shuffle."""
+    from ..multimodal.media import mjpeg_frame_stats, synthesize_mjpeg_media
+
+    t = load_tables(spark, sf_dir)
+    stats = mjpeg_frame_stats(synthesize_mjpeg_media(t["documents"]))
+    return stats.select(
+        "media_id",
+        "frame_index",
+        "width",
+        "height",
+        round_det("mean_value", 4).alias("mean_value"),
+        "first_pixel",
+    )
+
+
+@query(
     "mm_resize_bmp_stats",
     oracle="""
     WITH m AS (

@@ -1647,6 +1647,142 @@ def test_flac_malformed_raises():
         decode_flac(bytes(bad))
 
 
+def test_mjpeg_avi_roundtrip_exact_and_lossy():
+    """Compressed VIDEO: block-constant grayscale frame stacks in the
+    DC-quant-8 regime roundtrip bit-exactly through the AVI container
+    + per-frame JPEG; general RGB content stays within the JPEG
+    tolerance; fps survives the strh scale/rate encoding."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import DC8_QTABLE
+    from github_etl_spark.multimodal.mjpeg import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    rng = np.random.RandomState(6)
+    vals = rng.randint(0, 256, (4, 2, 3)).astype(np.uint8)
+    frames = np.repeat(np.repeat(vals, 8, axis=1), 8, axis=2)
+    out, fps = decode_mjpeg_avi(
+        encode_mjpeg_avi(frames, fps=12, qtables=(DC8_QTABLE, DC8_QTABLE))
+    )
+    assert fps == 12
+    assert out.shape == (4, 16, 24, 1)
+    assert np.array_equal(out[:, :, :, 0], frames)
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    f0 = np.stack([yy * 5 % 256, xx * 3 % 256, (yy + xx) * 2 % 256], axis=2)
+    stack = np.stack([f0, 255 - f0]).astype(np.uint8)
+    out, _ = decode_mjpeg_avi(encode_mjpeg_avi(stack, quality=92))
+    assert out.shape == (2, 16, 24, 3)
+    assert np.abs(out.astype(int) - stack.astype(int)).max() <= 8
+
+
+def test_mjpeg_avi_golden_structure():
+    """The container must be a spec-shaped RIFF AVI: RIFF/'AVI '
+    signature, an hdrl LIST whose avih declares the frame count and
+    geometry, an MJPG vids strh, and one even-padded 00dc chunk per
+    frame, each a standalone baseline JPEG."""
+    import struct
+
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import decode_jpeg
+    from github_etl_spark.multimodal.mjpeg import encode_mjpeg_avi
+
+    frames = np.zeros((3, 8, 16), dtype=np.uint8)
+    b = encode_mjpeg_avi(frames, fps=10)
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    assert 8 + riff_size == len(b)
+    avih_at = b.find(b"avih")
+    vals = struct.unpack_from("<10I", b, avih_at + 8)
+    assert vals[0] == 100000  # microseconds per frame at 10 fps
+    assert vals[4] == 3 and (vals[8], vals[9]) == (16, 8)
+    strh_at = b.find(b"strh")
+    assert b[strh_at + 8 : strh_at + 16] == b"vidsMJPG"
+    # every 00dc payload is independently a decodable JPEG
+    pos, n_frames = 0, 0
+    while True:
+        pos = b.find(b"00dc", pos)
+        if pos < 0:
+            break
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        px = decode_jpeg(b[pos + 8 : pos + 8 + size])
+        assert px.shape == (8, 16, 1)
+        n_frames += 1
+        pos += 8 + size
+    assert n_frames == 3
+
+
+def test_mjpeg_avi_malformed_raises():
+    """Container-level corruption must raise ValueError: wrong
+    signature, a non-MJPG video handler, an avih frame count that
+    disagrees with the movi payloads, and frame dimensions that
+    disagree with the header."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.mjpeg import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    frames = np.full((2, 8, 8), 60, dtype=np.uint8)
+    good = bytearray(encode_mjpeg_avi(frames))
+
+    with pytest.raises(ValueError):
+        decode_mjpeg_avi(b"")
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_mjpeg_avi(b"FORM" + bytes(good[4:]))
+    # swap the stream handler to a different codec fourcc
+    h = good.find(b"vidsMJPG")
+    bad = bytearray(good)
+    bad[h + 4 : h + 8] = b"H264"
+    with pytest.raises(ValueError, match="not MJPG"):
+        decode_mjpeg_avi(bytes(bad))
+    # declare 3 frames while movi carries 2
+    avih_at = good.find(b"avih")
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, avih_at + 8 + 16, 3)
+    with pytest.raises(ValueError, match="declares 3 frames"):
+        decode_mjpeg_avi(bytes(bad))
+    # declare 9x9 geometry while frames are 8x8
+    bad = bytearray(good)
+    struct.pack_into("<II", bad, avih_at + 8 + 32, 9, 9)
+    with pytest.raises(ValueError, match="header says"):
+        decode_mjpeg_avi(bytes(bad))
+
+
+def test_mjpeg_frame_stats_fan_out_and_quarantine(spark):
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import DC8_QTABLE
+    from github_etl_spark.multimodal.media import mjpeg_frame_stats
+    from github_etl_spark.multimodal.mjpeg import encode_mjpeg_avi
+
+    vals = np.array([[[10, 20]], [[30, 40]]], dtype=np.uint8)  # 2 frames 1x2
+    frames = np.repeat(np.repeat(vals, 8, axis=1), 8, axis=2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mjpeg_avi(frames, qtables=(DC8_QTABLE, DC8_QTABLE)))),
+            (2, bytearray(b"junk")),
+        ],
+        "media_id long, content binary",
+    )
+    rows = mjpeg_frame_stats(media).collect()
+    ok = sorted(
+        [r for r in rows if r["media_id"] == 1], key=lambda r: r["frame_index"]
+    )
+    assert [r["first_pixel"] for r in ok] == [10, 30]
+    assert [r["mean_value"] for r in ok] == [15.0, 35.0]
+    assert all(r["width"] == 16 and r["height"] == 8 for r in ok)
+    bad = [r for r in rows if r["media_id"] == 2]
+    assert len(bad) == 1 and bad[0]["decode_error"] is not None
+
+
 def test_image_features_are_format_blind(spark):
     """image_features sniffs every real image format; lossless formats
     carrying the SAME pixels must produce IDENTICAL feature vectors
@@ -1782,6 +1918,7 @@ def _codec_pairs():
     from github_etl_spark.multimodal import flac as FL
     from github_etl_spark.multimodal import jpeg as J
     from github_etl_spark.multimodal import media as M
+    from github_etl_spark.multimodal import mjpeg as MJ
 
     rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
     return {
@@ -1806,6 +1943,12 @@ def _codec_pairs():
                 (np.sin(np.arange(200) * 0.1) * 12000).astype(np.int16), 8000
             ),
             lambda b: FL.decode_flac(b),
+        ),
+        "mjpeg": (
+            MJ.encode_mjpeg_avi(
+                np.arange(128, dtype=np.uint8).reshape(2, 8, 8), fps=5
+            ),
+            MJ.decode_mjpeg_avi,
         ),
         "jpeg": (
             J.encode_jpeg(
