@@ -23,13 +23,14 @@ branches — images: 24-bit uncompressed BMP
 (`encode_bmp24`/`decode_bmp24`), zlib-compressed PNG
 (`encode_png`/`decode_png`), QOI (`encode_qoi`/`decode_qoi`) and
 LOSSY baseline JPEG (jpeg.py: DCT + Huffman, 4:4:4/4:2:0, restart
-markers); audio: RIFF/WAVE PCM-16 plus compressed G.711 mu-law
-(`decode_wav16`, `encode_wav_mulaw`); video: YUV4MPEG2
+markers); audio: RIFF/WAVE PCM-16, compressed G.711 mu-law
+(`decode_wav16`, `encode_wav_mulaw`) and lossless FLAC (flac.py:
+Rice + predictors, CRC/MD5-verified); video: YUV4MPEG2
 (`encode_y4m`/`decode_y4m`) AND compressed Motion-JPEG AVI (mjpeg.py)
-— pure numpy/stdlib, each exercised
-end-to-end by an oracle-checked roundtrip catalog query
-(`mm_bmp/png/qoi/jpeg_roundtrip_stats`, `mm_wav_roundtrip_stats`,
-`mm_y4m_frame_stats`) and byte-level tests. What remains behind
+— pure numpy/stdlib, each exercised end-to-end by an oracle-checked
+roundtrip catalog query (`mm_{bmp,png,qoi,jpeg,wav,mulaw,flac}_
+roundtrip_stats`, `mm_y4m_frame_stats`, `mm_mjpeg_frame_stats`) and
+byte-level tests. What remains behind
 `_HAVE_REAL_CODECS` are the codec branches whose decoders genuinely
 cannot be stdlib-only (inter-frame H.264-family video and
 full-profile JPEG need av/libjpeg, neither installable here —
@@ -2041,10 +2042,14 @@ def synthesize_mjpeg_media(
 def mjpeg_frame_stats(media: DataFrame) -> DataFrame:
     """Per-frame decode-stats over REAL MJPG AVI payloads — the
     compressed-video sibling of `y4m_frame_stats`: ONE ROW PER FRAME
-    with luma stats and a frame-local (0,0) probe (a frame-boundary
-    or container-walk bug shifts every subsequent frame's
-    first_pixel). Same quarantine contract: a malformed payload emits
-    a single NULL row with decode_error, never a batch failure."""
+    with channel-mean stats and a frame-local (0,0) probe (a
+    frame-boundary or container-walk bug shifts every subsequent
+    frame's first_pixel). Grayscale frames report their pixel values
+    directly; RGB frames report the per-pixel channel mean (the
+    featurizer's luma convention), with `first_pixel` rounded half-up
+    to stay integral. Same quarantine contract: a malformed payload
+    emits a single NULL row with decode_error, never a batch
+    failure."""
     from .mjpeg import decode_mjpeg_avi
 
     schema = (
@@ -2072,13 +2077,15 @@ def mjpeg_frame_stats(media: DataFrame) -> DataFrame:
                     continue
                 n, h, w, _ch = frames.shape
                 for fi in range(n):
-                    luma = frames[fi, :, :, 0].astype(np.float64)
+                    luma = frames[fi].astype(np.float64).mean(axis=2)
                     rows["media_id"].append(int(mid))
                     rows["frame_index"].append(fi)
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["mean_value"].append(float(luma.mean()))
-                    rows["first_pixel"].append(int(frames[fi, 0, 0, 0]))
+                    rows["first_pixel"].append(
+                        int(np.floor(luma[0, 0] + 0.5))
+                    )
                     rows["decode_error"].append(None)
             yield pd.DataFrame(rows)
 

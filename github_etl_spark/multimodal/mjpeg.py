@@ -97,7 +97,7 @@ def encode_mjpeg_avi(
         b"vids"
         + b"MJPG"
         + struct.pack(
-            "<IHHIIIIIIIi4H",
+            "<IHHIIIIIIII4H",
             0,  # dwFlags
             0, 0,  # wPriority, wLanguage
             0,  # dwInitialFrames
@@ -106,7 +106,7 @@ def encode_mjpeg_avi(
             n,  # dwLength (frames)
             max_size,  # dwSuggestedBufferSize
             0,  # dwQuality
-            -1,  # dwSampleSize (-1: varies per frame)
+            0,  # dwSampleSize (0 = samples vary in size, per spec)
             0, 0, w, h,  # rcFrame
         )
     )
@@ -161,8 +161,24 @@ def decode_mjpeg_avi(
     width = height = None
     total_frames = None
     fps = None
-    is_mjpg = False
+    stream_idx = 0
+    video_stream: int | None = None  # index of the FIRST vids stream
     frames: list[np.ndarray] = []
+
+    def eat_video_chunk(tag: bytes, p2: int, s2: int) -> None:
+        # NNdc/NNdb = stream NN compressed/uncompressed video; only
+        # the first video stream's chunks belong to this decode.
+        if tag[2:4] not in (b"dc", b"db"):
+            return
+        if tag[:2] != b"%02d" % video_stream:
+            return  # another stream's data (audio is NNwb anyway)
+        px = decode_jpeg(data[p2 : p2 + s2])
+        if width is not None and (px.shape[1] != width or px.shape[0] != height):
+            raise ValueError(
+                f"frame {len(frames)} is {px.shape[1]}x"
+                f"{px.shape[0]}, header says {width}x{height}"
+            )
+        frames.append(px)
 
     for tag, p, size in _walk_chunks(data, 12, end):
         if tag != b"LIST":
@@ -181,36 +197,32 @@ def decode_mjpeg_avi(
                         if t3 == b"strh" and s3 >= 8:
                             fcc_type = data[p3 : p3 + 4]
                             handler = data[p3 + 4 : p3 + 8]
-                            if fcc_type == b"vids":
+                            if fcc_type == b"vids" and video_stream is None:
                                 if handler not in (b"MJPG", b"mjpg"):
                                     raise ValueError(
                                         "AVI video stream is not MJPG "
                                         f"(handler {handler!r})"
                                     )
-                                is_mjpg = True
+                                video_stream = stream_idx
                                 if s3 >= 32:
                                     scale, rate = struct.unpack_from(
                                         "<II", data, p3 + 20
                                     )
                                     if scale and rate:
                                         fps = max(1, round(rate / scale))
+                    stream_idx += 1
         elif ltype == b"movi":
-            if not is_mjpg:
+            if video_stream is None:
                 raise ValueError("AVI has no MJPG video stream before movi")
             for t2, p2, s2 in _walk_chunks(data, p + 4, p + size):
-                # 00dc/00db = stream 0 compressed/uncompressed video
-                if t2[2:4] in (b"dc", b"db"):
-                    px = decode_jpeg(data[p2 : p2 + s2])
-                    if width is not None and (
-                        px.shape[1] != width or px.shape[0] != height
-                    ):
-                        raise ValueError(
-                            f"frame {len(frames)} is {px.shape[1]}x"
-                            f"{px.shape[0]}, header says {width}x{height}"
-                        )
-                    frames.append(px)
+                # interleaved files wrap frame chunks in 'rec ' LISTs
+                if t2 == b"LIST" and data[p2 : p2 + 4] == b"rec ":
+                    for t3, p3, s3 in _walk_chunks(data, p2 + 4, p2 + s2):
+                        eat_video_chunk(t3, p3, s3)
+                else:
+                    eat_video_chunk(t2, p2, s2)
 
-    if not is_mjpg:
+    if video_stream is None:
         raise ValueError("AVI has no MJPG video stream")
     if not frames:
         raise ValueError("AVI has no video frames")

@@ -1756,6 +1756,67 @@ def test_mjpeg_avi_malformed_raises():
         decode_mjpeg_avi(bytes(bad))
 
 
+def test_mjpeg_avi_interleaved_and_multistream():
+    """Regression for the container slice: frames wrapped in 'rec '
+    LISTs (interleaved DirectShow files) must decode; a SECONDARY
+    non-MJPG stream after the MJPG video stream must be ignored, and
+    its NNdc chunks must not leak into the frame stack."""
+    import struct
+
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import DC8_QTABLE, encode_jpeg
+    from github_etl_spark.multimodal.mjpeg import (
+        _chunk,
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    vals = np.array([[[1, 2]], [[3, 4]]], dtype=np.uint8)
+    frames = np.repeat(np.repeat(vals, 8, axis=1), 8, axis=2)
+    good = encode_mjpeg_avi(frames, fps=10, qtables=(DC8_QTABLE, DC8_QTABLE))
+
+    # rebuild the same file with 'rec '-wrapped frame chunks and a
+    # second (audio-ish) stream whose strh is NOT vids
+    payloads = [
+        encode_jpeg(f, qtables=(DC8_QTABLE, DC8_QTABLE)) for f in frames
+    ]
+    avih_at = good.find(b"avih")
+    (avih_size,) = struct.unpack_from("<I", good, avih_at + 4)
+    avih = good[avih_at + 8 : avih_at + 8 + avih_size]
+    strh_at = good.find(b"strh")
+    (strh_size,) = struct.unpack_from("<I", good, strh_at + 4)
+    strh = good[strh_at + 8 : strh_at + 8 + strh_size]
+    strf_at = good.find(b"strf")
+    (strf_size,) = struct.unpack_from("<I", good, strf_at + 4)
+    strf = good[strf_at + 8 : strf_at + 8 + strf_size]
+    strl0 = _chunk(b"LIST", b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    aud_strh = b"auds" + b"\x00" * 4 + strh[8:]
+    strl1 = _chunk(b"LIST", b"strl" + _chunk(b"strh", aud_strh) + _chunk(b"strf", b"\x00" * 16))
+    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih) + strl0 + strl1)
+    movi_body = b"movi"
+    for p in payloads:
+        rec = _chunk(b"00dc", p) + _chunk(b"01wb", b"\x01\x02")
+        movi_body += _chunk(b"LIST", b"rec " + rec)
+    avi = _chunk(b"RIFF", b"AVI " + hdrl + _chunk(b"LIST", movi_body))
+    out, fps = decode_mjpeg_avi(avi)
+    assert fps == 10
+    assert np.array_equal(out[:, :, :, 0], frames)
+
+    # a second VIDEO stream that is not MJPG: ignored (first one wins),
+    # and its 01dc chunks don't join the frame stack
+    vid2_strh = b"vids" + b"H264" + strh[8:]
+    strl2 = _chunk(b"LIST", b"strl" + _chunk(b"strh", vid2_strh) + _chunk(b"strf", strf))
+    hdrl2 = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih) + strl0 + strl2)
+    movi2 = b"movi"
+    for p in payloads:
+        movi2 += _chunk(b"00dc", p) + _chunk(b"01dc", b"\xff\xd8junk")
+    avi2 = _chunk(b"RIFF", b"AVI " + hdrl2 + _chunk(b"LIST", movi2))
+    out2, _ = decode_mjpeg_avi(avi2)
+    assert out2.shape[0] == 2
+    assert np.array_equal(out2[:, :, :, 0], frames)
+
+
 def test_mjpeg_frame_stats_fan_out_and_quarantine(spark):
     import numpy as np
 
