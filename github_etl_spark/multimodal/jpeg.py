@@ -3,14 +3,15 @@
 The third real COMPRESSED image format in the media layer (after PNG
 and QOI), and the first lossy one: 8-bit baseline sequential DCT with
 Huffman entropy coding, written with numpy + the shared bit I/O only.
-This closes the JPEG entry of the declared codec seams — the
-remaining ``NotImplementedError`` seams are FLAC (see flac.py) and
-H.264 only.
+This closed the JPEG entry of the declared codec seams; with FLAC
+(flac.py) and Motion-JPEG video (mjpeg.py) also real, only
+inter-frame H.264-family video remains library-bound.
 
-Encoder slice: grayscale or RGB (converted to YCbCr, 4:4:4 — no
-chroma subsampling on encode), standard Annex K quantization tables
-scaled by libjpeg's quality formula (or caller-supplied tables), the
-Annex K typical Huffman tables, single interleaved scan.
+Encoder slice: grayscale or RGB (converted to YCbCr; 4:4:4 or 4:2:0
+chroma subsampling), standard Annex K quantization tables scaled by
+libjpeg's quality formula (or caller-supplied tables), the Annex K
+typical Huffman tables, single interleaved scan, optional restart
+intervals (DRI/RSTn).
 
 Decoder slice: any baseline (SOF0) JFIF stream with 8-bit precision,
 1 or 3 components, ARBITRARY sampling factors (4:4:4, 4:2:0, 4:2:2,

@@ -1464,8 +1464,8 @@ def mm_bmp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     image branch of the codec seam made real; WAV (audio) and Y4M
     (video) have equivalent real paths — compressed codecs
     now all have real paths — baseline JPEG and FLAC included
-    (mm_jpeg/mm_flac_roundtrip_stats); only H.264 remains a library
-    seam."""
+    (mm_jpeg/mm_flac_roundtrip_stats); only inter-frame H.264-family
+    video remains a library seam."""
     from ..multimodal.media import bmp_decode_stats, synthesize_bmp_media
 
     t = load_tables(spark, sf_dir)
@@ -1764,8 +1764,8 @@ def mm_flac_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a `last_sample` probe that only matches if every predictor
     step before it reconstructed exactly. With JPEG
     (mm_jpeg_roundtrip_stats) this retires the second of the three
-    declared compressed-codec seams; only H.264 remains a library
-    seam. Map-only plan: payload bytes never cross a shuffle."""
+    declared compressed-codec seams; only inter-frame H.264-family
+    video remains a library seam. Map-only plan: payload bytes never cross a shuffle."""
     from ..multimodal.media import flac_decode_stats, synthesize_flac_media
 
     t = load_tables(spark, sf_dir)
@@ -1823,7 +1823,8 @@ def mm_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     luma rule (text bytes tiled across all frames) is SQL-replayable,
     so DuckDB verifies the container roundtrip frame-for-frame. With
     BMP and WAV this makes all three media branches real formats;
-    only COMPRESSED codecs remain library seams."""
+    compressed codecs are real too (PNG/QOI/JPEG/FLAC/MJPG);
+    only inter-frame H.264-family video remains a library seam."""
     from ..multimodal.media import synthesize_y4m_media, y4m_frame_stats
 
     t = load_tables(spark, sf_dir)
