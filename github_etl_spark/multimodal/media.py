@@ -2090,3 +2090,57 @@ def mjpeg_frame_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=schema)
+
+
+def mjpeg_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """`y4m_frames_to_bmp` for the COMPRESSED video path: decode each
+    MJPG AVI, keep every ``every_n``-th frame, emit each as a
+    standalone 24-bit BMP (grayscale replicates to RGB; RGB frames
+    pass through). The 1→N output rows feed the image pipeline
+    unchanged — `bmp_decode_stats`, `resize_bmp`, `image_features` —
+    so a compressed video corpus reaches ANN search with two map-only
+    hops. Corrupt clips quarantine as a frame_index=-1 row."""
+    from .mjpeg import decode_mjpeg_avi
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    schema = (
+        "media_id long, frame_index int, width int, height int, "
+        "content binary, decode_error string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "frame_index", "width", "height",
+                "content", "decode_error",
+            )}
+
+            def emit(mid, idx, w, h, content, err):
+                rows["media_id"].append(mid)
+                rows["frame_index"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["content"].append(content)
+                rows["decode_error"].append(err)
+
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                try:
+                    frames, _fps = decode_mjpeg_avi(
+                        content if content is not None else b""
+                    )
+                except ValueError as e:
+                    emit(mid, -1, None, None, None, str(e))
+                    continue
+                for i in range(0, frames.shape[0], every_n):
+                    px = frames[i]
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    emit(
+                        mid, i, px.shape[1], px.shape[0],
+                        encode_bmp24(px), None,
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)

@@ -2240,6 +2240,80 @@ def mm_y4m_to_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_mjpeg_to_bmp_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 3 + 1 AS INT) AS nf,
+             CAST(doc_id % 2 + 1 AS INT) AS bx,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents
+    ),
+    fr AS (
+      SELECT media_id, bx, hx, n, CAST(f.f AS INT) AS f
+      FROM (SELECT media_id, bx, hx, n, unnest(range(0, nf)) AS f FROM m) f
+      WHERE f.f % 2 = 0
+    ),
+    bl AS (
+      SELECT media_id, f, bx, i.i AS off,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST((f * bx + i.i) % n AS INT) * 2 + 1, 2))
+                       AS INT)
+             END AS v
+      FROM (SELECT media_id, f, bx, hx, n,
+                   unnest(range(0, bx)) AS i FROM fr) i
+    )
+    SELECT CAST(media_id * 4 + f AS BIGINT) AS media_id,
+           CAST(bx * 8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(bx * 8 * 8 * 3 AS BIGINT) AS n_pixel_bytes,
+           (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+           MIN(v) AS min_value, MAX(v) AS max_value,
+           MAX(CASE WHEN off = 0 THEN v END) AS corner_value
+    FROM bl GROUP BY media_id, f, bx
+    """,
+)
+def mm_mjpeg_to_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the COMPRESSED-video→image bridge, oracle-checked
+    end-to-end. Synthesized MJPG AVIs (bit-exact DC8 regime) fan out
+    through `mjpeg_frames_to_bmp` (every_n=2 — real frame sampling),
+    each kept frame becoming a standalone 24-bit BMP that decodes
+    back through `bmp_decode_stats` — so an entropy-coded video
+    corpus reaches the image operators (and image_features → ANN) in
+    two map-only hops, all value-pinned by SQL. Frame rows get a
+    composite id (media_id·4 + frame_index; nf ≤ 3 so no collisions).
+    The oracle replays the even frames' block rule; a chunk-walk,
+    Huffman, frame-sampling or gray→RGB bug changes mean and corner
+    both. Map-only: clip and frame payloads never cross a shuffle."""
+    from ..multimodal.media import (
+        bmp_decode_stats,
+        mjpeg_frames_to_bmp,
+        synthesize_mjpeg_media,
+    )
+
+    t = load_tables(spark, sf_dir)
+    frames = mjpeg_frames_to_bmp(
+        synthesize_mjpeg_media(t["documents"]), every_n=2
+    )
+    bmps = frames.select(
+        (F.col("media_id") * 4 + F.col("frame_index")).alias("media_id"),
+        "content",
+    )
+    stats = bmp_decode_stats(bmps)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixel_bytes",
+        round_det("mean_value", 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+        "corner_value",
+    )
+
+
+@query(
     "mm_mulaw_roundtrip_stats",
     oracle="""
     WITH m AS (

@@ -1817,6 +1817,51 @@ def test_mjpeg_avi_interleaved_and_multistream():
     assert np.array_equal(out2[:, :, :, 0], frames)
 
 
+def test_mjpeg_frames_to_bmp_bridges_to_image_pipeline(spark):
+    """Compressed video -> image bridge: sampled AVI frames become
+    real BMPs whose pixels match the source frames exactly (DC8
+    regime), RGB frames pass through 3-channel, and the outputs feed
+    image_features; corrupt clips quarantine as frame_index=-1."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.jpeg import DC8_QTABLE
+    from github_etl_spark.multimodal.media import (
+        decode_bmp24,
+        image_features,
+        mjpeg_frames_to_bmp,
+    )
+    from github_etl_spark.multimodal.mjpeg import encode_mjpeg_avi
+
+    vals = np.array([[[10, 20]], [[30, 40]], [[50, 60]]], dtype=np.uint8)
+    frames = np.repeat(np.repeat(vals, 8, axis=1), 8, axis=2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mjpeg_avi(frames, qtables=(DC8_QTABLE, DC8_QTABLE)))),
+            (2, bytearray(b"bad")),
+        ],
+        "media_id long, content binary",
+    )
+    out = mjpeg_frames_to_bmp(media, every_n=2).collect()
+    ok = sorted(
+        [r for r in out if r["media_id"] == 1], key=lambda r: r["frame_index"]
+    )
+    assert [r["frame_index"] for r in ok] == [0, 2]  # every_n=2 sampling
+    for r, fi in zip(ok, (0, 2)):
+        px = decode_bmp24(bytes(r["content"]))
+        assert np.array_equal(px[:, :, 0], frames[fi])
+        assert np.array_equal(px[:, :, 0], px[:, :, 2])  # gray -> RGB
+    bad = [r for r in out if r["media_id"] == 2]
+    assert bad[0]["frame_index"] == -1 and bad[0]["decode_error"] is not None
+    # the bridge output feeds the ANN featurizer directly
+    bmps = spark.createDataFrame(
+        [(r["frame_index"], r["content"]) for r in ok],
+        "media_id long, content binary",
+    )
+    feats = {r["media_id"]: r for r in image_features(bmps, dim=4).collect()}
+    assert all(f["decode_error"] is None and len(f["features"]) == 4
+               for f in feats.values())
+
+
 def test_mjpeg_frame_stats_fan_out_and_quarantine(spark):
     import numpy as np
 

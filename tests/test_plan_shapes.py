@@ -142,6 +142,7 @@ def test_budget_covers_every_headline_query(spark):
         "mm_flac_roundtrip_stats",
         "mm_transcode_flac_stats",
         "mm_mjpeg_frame_stats",
+        "mm_mjpeg_to_bmp_stats",
     ],
 )
 def test_media_roundtrips_are_map_only(spark, name):
