@@ -981,14 +981,14 @@ def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
-def y4m_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
-    """Video → image bridge: decode each Y4M clip, keep every
-    ``every_n``-th frame, emit each as a standalone 24-bit BMP
-    (grayscale luma replicated across RGB). The 1→N output rows feed
-    the IMAGE pipeline unchanged — `bmp_decode_stats`, `resize_bmp`,
-    `bmp_features` — because the payloads are real BMP files, not an
-    internal representation. Corrupt clips quarantine as a
-    frame_index=-1 row."""
+def _frames_to_bmp(media: DataFrame, every_n: int, decode_fn, to_rgb) -> DataFrame:
+    """Shared video→image bridge kernel: decode a clip with
+    ``decode_fn``, keep every ``every_n``-th frame, convert each via
+    ``to_rgb`` (frame → (h, w, 3) uint8) and emit it as a standalone
+    24-bit BMP. Corrupt clips quarantine as a frame_index=-1 row.
+    Both public bridges (Y4M, MJPEG) wrap this with their codec's
+    decode/convert pair, so the sampling semantics, output schema and
+    quarantine contract can never diverge between formats."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
     schema = (
@@ -1014,22 +1014,37 @@ def y4m_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 mid = int(mid)
                 try:
-                    frames, _fps = decode_y4m(
+                    frames, _fps = decode_fn(
                         content if content is not None else b""
                     )
                 except ValueError as e:
                     emit(mid, -1, None, None, None, str(e))
                     continue
                 for i in range(0, frames.shape[0], every_n):
-                    luma = frames[i]
-                    rgb = np.repeat(luma[:, :, None], 3, axis=2)
+                    rgb = to_rgb(frames[i])
                     emit(
-                        mid, i, luma.shape[1], luma.shape[0],
+                        mid, i, rgb.shape[1], rgb.shape[0],
                         encode_bmp24(rgb), None,
                     )
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=schema)
+
+
+def y4m_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video → image bridge: decode each Y4M clip, keep every
+    ``every_n``-th frame, emit each as a standalone 24-bit BMP
+    (grayscale luma replicated across RGB). The 1→N output rows feed
+    the IMAGE pipeline unchanged — `bmp_decode_stats`, `resize_bmp`,
+    `bmp_features` — because the payloads are real BMP files, not an
+    internal representation. Corrupt clips quarantine as a
+    frame_index=-1 row."""
+    return _frames_to_bmp(
+        media,
+        every_n,
+        decode_y4m,
+        lambda luma: np.repeat(luma[:, :, None], 3, axis=2),
+    )
 
 
 # ----------------------------------------------------------- real codec: PNG
@@ -2102,45 +2117,9 @@ def mjpeg_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
     hops. Corrupt clips quarantine as a frame_index=-1 row."""
     from .mjpeg import decode_mjpeg_avi
 
-    if every_n < 1:
-        raise ValueError(f"every_n must be >= 1, got {every_n}")
-    schema = (
-        "media_id long, frame_index int, width int, height int, "
-        "content binary, decode_error string"
+    return _frames_to_bmp(
+        media,
+        every_n,
+        decode_mjpeg_avi,
+        lambda px: np.repeat(px, 3, axis=2) if px.shape[2] == 1 else px,
     )
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = {k: [] for k in (
-                "media_id", "frame_index", "width", "height",
-                "content", "decode_error",
-            )}
-
-            def emit(mid, idx, w, h, content, err):
-                rows["media_id"].append(mid)
-                rows["frame_index"].append(idx)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["content"].append(content)
-                rows["decode_error"].append(err)
-
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                mid = int(mid)
-                try:
-                    frames, _fps = decode_mjpeg_avi(
-                        content if content is not None else b""
-                    )
-                except ValueError as e:
-                    emit(mid, -1, None, None, None, str(e))
-                    continue
-                for i in range(0, frames.shape[0], every_n):
-                    px = frames[i]
-                    if px.shape[2] == 1:
-                        px = np.repeat(px, 3, axis=2)
-                    emit(
-                        mid, i, px.shape[1], px.shape[0],
-                        encode_bmp24(px), None,
-                    )
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(batches, schema=schema)
