@@ -57,9 +57,13 @@ class BitWriter:
 
 
 class BitReader:
-    """MSB-first reader over ``bytes``; ValueError on exhaustion."""
+    """MSB-first reader over ``bytes`` or ``memoryview``; ValueError on
+    exhaustion.  Callers that re-anchor a reader per frame (FLAC) pass a
+    memoryview slice so setup stays O(1) instead of copying the whole
+    remaining stream each frame (O(n_frames x remaining) on real
+    multi-frame files)."""
 
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes | memoryview) -> None:
         self._d = data
         self._i = 0
         self._acc = 0

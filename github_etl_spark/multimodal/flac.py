@@ -369,14 +369,24 @@ def _decode_subframe(br: BitReader, blocksize: int, bps: int) -> np.ndarray:
             raise ValueError("predictor order exceeds block size")
         warm = [_signed(br.read(bps), bps) for _ in range(order)]
         res = _read_rice_partitioned(br, blocksize, order, _res_method(br))
-        out = np.empty(blocksize, dtype=np.int64)
-        out[:order] = warm
         coefs = _FIXED_COEFS[order]
+        # Accumulate in Python ints (arbitrary precision): a crafted
+        # CRC-valid subframe can make the recurrence exceed int64, and
+        # np.int64 arithmetic would silently wrap (or OverflowError on
+        # store) instead of honoring the ValueError-only contract.
+        # 2**(bps+6) is far beyond any spec-plausible sample, so the
+        # bound never trips on conforming streams (the final
+        # declared-sample-size check still does the exact clamp).
+        bound = 1 << (bps + 6)
+        vals = list(warm)
         for i in range(order, blocksize):
-            acc = res[i - order]
+            acc = int(res[i - order])
             for j, c in enumerate(coefs):
-                acc += c * out[i - 1 - j]
-            out[i] = acc
+                acc += c * vals[i - 1 - j]
+            if acc > bound or acc < -bound:
+                raise ValueError("predicted sample exceeds plausible range")
+            vals.append(acc)
+        out = np.array(vals, dtype=np.int64)
     elif sftype >= 0b100000:  # LPC
         order = (sftype & 0x1F) + 1
         if order > blocksize:
@@ -391,13 +401,17 @@ def _decode_subframe(br: BitReader, blocksize: int, bps: int) -> np.ndarray:
             raise ValueError("negative LPC shift")
         coefs = [_signed(br.read(prec), prec) for _ in range(order)]
         res = _read_rice_partitioned(br, blocksize, order, _res_method(br))
-        out = np.empty(blocksize, dtype=np.int64)
-        out[:order] = warm
+        bound = 1 << (bps + 6)
+        vals = list(warm)
         for i in range(order, blocksize):
             acc = 0
             for j in range(order):
-                acc += coefs[j] * int(out[i - 1 - j])
-            out[i] = (acc >> shift) + res[i - order]
+                acc += coefs[j] * vals[i - 1 - j]
+            v = (acc >> shift) + int(res[i - order])
+            if v > bound or v < -bound:
+                raise ValueError("predicted sample exceeds plausible range")
+            vals.append(v)
+        out = np.array(vals, dtype=np.int64)
     else:
         raise ValueError(f"reserved subframe type {sftype:#08b}")
     return out << wasted
@@ -465,11 +479,12 @@ def decode_flac(content: bytes | bytearray | memoryview) -> tuple[np.ndarray, in
 
     channels: list[list[int]] = [[] for _ in range(nch)]
     decoded = 0
+    mv = memoryview(data)  # O(1) per-frame re-anchor (no tail copy)
     while decoded < total:
         if pos >= len(data):
             raise ValueError("stream ends before declared total samples")
         frame_start = pos
-        br = BitReader(data[pos:])
+        br = BitReader(mv[pos:])
         if br.read(14) != 0b11111111111110:
             raise ValueError("bad frame sync code")
         if br.read(1):

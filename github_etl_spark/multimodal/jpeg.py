@@ -661,7 +661,32 @@ def _decode_scan(
         if c.dc_tbl not in dc_tables or c.ac_tbl not in ac_tables:
             raise ValueError("missing Huffman table referenced by scan")
 
+    # Bound the allocations by what the entropy payload could possibly
+    # encode (mirrors decode_qoi's n_px > n_ops*62 guard): every 8x8
+    # block costs at least 2 bits — a 1-bit DC category-0 code plus a
+    # 1-bit EOB is the floor any Huffman table can reach — so a crafted
+    # 65535x65535 SOF0 over a tiny payload must raise ValueError here,
+    # not MemoryError inside the coefficient/plane allocations
+    # (MemoryError escapes the ValueError-only quarantine contract and
+    # kills the whole batch).
     segs, _ = _split_entropy(data, off)
+    blocks_per_mcu = sum(c.h * c.v for c in comps)
+    total_blocks = n_mcus * blocks_per_mcu
+    payload_bits = sum(len(s) for s in segs) * 8
+    if total_blocks > payload_bits // 2:
+        raise ValueError(
+            f"frame declares {total_blocks} blocks but the entropy "
+            f"payload has only {payload_bits} bits"
+        )
+    # Absolute cap for this semantic-reference decoder: 2**18 blocks
+    # (~16.7M px/component, covers 4096x4096) keeps worst-case decode
+    # intermediates in the hundreds of MB.  A native kernel bound at
+    # the same mapInPandas seam would lift this.
+    if total_blocks > 1 << 18:
+        raise ValueError(
+            f"frame of {total_blocks} blocks exceeds the decoder cap "
+            f"(2**18 blocks)"
+        )
     seg_idx = 0
     br = BitReader(segs[0])
     preds = {c.cid: 0 for c in comps}

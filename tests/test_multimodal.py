@@ -1443,16 +1443,14 @@ def _write_verbatim(bw, samples, bps):
         bw.write(int(v) & ((1 << bps) - 1), bps)
 
 
-def test_flac_decodes_lpc_subframes():
-    """LPC (the subframe type real encoders emit most) — hand-written
-    order-2 LPC with shift: s[i] = ((3*s[i-1] - 2*s[i-2]) >> 1) + res."""
+def _flac_lpc_stream():
+    """Valid single-frame stream with an order-2 LPC subframe
+    (s[i] = ((3*s[i-1] - 2*s[i-2]) >> 1) + res) plus its expected
+    samples; shared by the decode test and the fuzz gate."""
     import numpy as np
-
-    from github_etl_spark.multimodal.flac import decode_flac
 
     warm = [100, 160]
     res = [3, -5, 0, 7, -2, 1, 4, -8, 2, 0]
-    n = len(warm) + len(res)
     s = list(warm)
     for r in res:
         s.append(((3 * s[-1] - 2 * s[-2]) >> 1) + r)
@@ -1476,9 +1474,112 @@ def test_flac_decodes_lpc_subframes():
             bw.write_unary(u >> 2)
             bw.write(u & 3, 2)
 
-    out, sr = decode_flac(_flac_one_frame_stream(expected, 8000, 0, subframes))
+    return _flac_one_frame_stream(expected, 8000, 0, subframes)
+
+
+def test_flac_decodes_lpc_subframes():
+    """LPC (the subframe type real encoders emit most) — hand-written
+    order-2 LPC with shift: s[i] = ((3*s[i-1] - 2*s[i-2]) >> 1) + res."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.flac import decode_flac
+
+    warm = [100, 160]
+    res = [3, -5, 0, 7, -2, 1, 4, -8, 2, 0]
+    s = list(warm)
+    for r in res:
+        s.append(((3 * s[-1] - 2 * s[-2]) >> 1) + r)
+    expected = np.array(s, dtype=np.int16)
+
+    out, sr = decode_flac(_flac_lpc_stream())
     assert sr == 8000
     assert np.array_equal(out, expected)
+
+
+def test_flac_lpc_overflow_raises_valueerror():
+    """A CRC-valid order-32 LPC subframe with max 15-bit coefficients,
+    shift 0 and full-scale warmups explodes the recurrence past int64
+    within one step; prediction must accumulate in Python ints and
+    raise ValueError (the quarantine contract), never OverflowError on
+    the int64 store or a silent np.int64 wrap."""
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.flac import decode_flac
+
+    n, order = 64, 32
+
+    def subframes(bw):
+        bw.write(0, 1)
+        bw.write(0b100000 | (order - 1), 6)
+        bw.write(0, 1)  # no wasted bits
+        for _ in range(order):
+            bw.write(32767, 16)
+        bw.write(14, 4)  # 15-bit coefficients
+        bw.write(0, 5)  # shift 0
+        for _ in range(order):
+            bw.write(16383, 15)  # max positive coefficient
+        bw.write(0b00, 2)  # rice method 0
+        bw.write(0, 4)  # partition order 0
+        bw.write(0, 4)  # rice param 0
+        for _ in range(n - order):
+            bw.write_unary(0)  # residual 0
+
+    stream = _flac_one_frame_stream(
+        np.zeros(n, dtype=np.int16), 8000, 0, subframes
+    )
+    with pytest.raises(ValueError, match="plausible range"):
+        decode_flac(stream)
+
+
+def test_flac_fixed_overflow_raises_valueerror():
+    """The FIXED path has the sibling hazard (np.int64 silently wraps):
+    an alternating full-scale warmup under the order-4 predictor grows
+    ~4x per sample and must trip the plausible-range ValueError."""
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.flac import decode_flac
+
+    n, order = 64, 4
+    warm = [32767, -32768, 32767, -32768]
+
+    def subframes(bw):
+        bw.write(0, 1)
+        bw.write(0b001000 | order, 6)  # FIXED order 4
+        bw.write(0, 1)  # no wasted bits
+        for v in warm:
+            bw.write(v & 0xFFFF, 16)
+        bw.write(0b00, 2)  # rice method 0
+        bw.write(0, 4)  # partition order 0
+        bw.write(0, 4)  # rice param 0
+        for _ in range(n - order):
+            bw.write_unary(0)  # residual 0
+
+    stream = _flac_one_frame_stream(
+        np.zeros(n, dtype=np.int16), 8000, 0, subframes
+    )
+    with pytest.raises(ValueError, match="plausible range"):
+        decode_flac(stream)
+
+
+def test_jpeg_rejects_giant_frame_over_tiny_payload():
+    """A SOF0 rewritten to 65535x65535 over a tiny entropy payload
+    must raise ValueError before the multi-GB coefficient/plane
+    allocations (MemoryError would escape the quarantine contract)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = good.find(b"\xff\xc0")
+    assert sof >= 0
+    struct.pack_into(">HH", good, sof + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="blocks"):
+        decode_jpeg(bytes(good))
 
 
 def test_flac_decodes_stereo_decorrelation_modes():
@@ -2055,6 +2156,14 @@ def _codec_pairs():
                 np.arange(128, dtype=np.uint8).reshape(2, 8, 8), fps=5
             ),
             MJ.decode_mjpeg_avi,
+        ),
+        # Hand-assembled LPC stream (the encoder only emits FIXED):
+        # corrupting/truncating it is the only way fuzz trials reach
+        # the LPC coefficient/shift/prediction branches, where a
+        # crafted stream once drove an int64 OverflowError.
+        "flac_lpc": (
+            _flac_lpc_stream(),
+            lambda b: FL.decode_flac(b),
         ),
         "jpeg": (
             J.encode_jpeg(
