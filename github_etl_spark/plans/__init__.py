@@ -17,6 +17,7 @@ from . import core  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
+from . import html  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 
 

@@ -57,6 +57,14 @@ EXCHANGE_BUDGET = {
     # the token stream itself crosses one exchange only after the
     # broadcast-semi candidate screen.
     "hh_token_heavy_hitters": 3,
+    # 0 = HTML synthesis, block split, classification and digest are
+    # all per-row regexp/higher-order-array expressions — the crawl
+    # front door runs at scan speed, no shuffle.
+    "html_extract_text": 0,
+    # 1 = the exact-dedup groupBy(text) keeper; extraction + quality
+    # gate + split assignment are per-row (same shape as
+    # pipeline_filter_dedup_split).
+    "pipeline_html_to_split": 1,
     "j1_broadcast_lookup_join": 1,
     # 3 = bloom-bitmap build agg + probe-side distinct + final agg; the
     # fact scan reaches the semi join without an exchange (broadcast).
