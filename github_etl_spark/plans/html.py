@@ -292,3 +292,95 @@ def pipeline_html_to_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "split",
     )
+
+
+@query(
+    "warc_scan_stats",
+    oracle=f"""
+    WITH pages AS ({_SQL_PAGES})
+    SELECT doc_id,
+           'response' AS warc_type,
+           200 AS http_status,
+           (doc_id % 2 = 0) AS is_gzip,
+           CAST(length(html) AS INTEGER) AS body_len,
+           md5(html) AS body_digest
+    FROM pages
+    """,
+)
+def warc_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: WARC crawl-container roundtrip (sources/warc.py). Each
+    Arrow batch of documents is written as ONE multi-record WARC
+    stream — HTTP response records over the shared fixture page, even
+    doc_ids as standalone gzip members (the .warc.gz convention), odd
+    ones plain — then re-parsed with the REAL streaming reader:
+    record framing, per-record gzip sniffing, HTTP status/header/body
+    split, and doc identity recovered from WARC-Target-URI. Map-only:
+    container bytes never cross a shuffle (plan pinned zero-exchange);
+    the oracle replays the page rule directly over documents, so any
+    framing/decode defect breaks the digest."""
+    import hashlib
+
+    from ..sources.warc import (
+        build_warc_record,
+        gzip_member,
+        iter_warc_records,
+        parse_http_response,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pages = t["documents"].select(
+        "doc_id", synthesize_html_expr().alias("html")
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            stream = bytearray()
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                body = html.encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                    + body
+                )
+                rec = build_warc_record(
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:fixture:doc-{doc_id}>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": (
+                            f"https://corpus.example/doc/{doc_id}"
+                        ),
+                        "Content-Type": "application/http;msgtype=response",
+                    },
+                    http,
+                )
+                stream += gzip_member(rec) if int(doc_id) % 2 == 0 else rec
+            rows = []
+            for fields, payload, was_gzip in iter_warc_records(bytes(stream)):
+                status, _hdrs, body = parse_http_response(payload)
+                rows.append(
+                    (
+                        int(fields["warc-target-uri"].rsplit("/", 1)[1]),
+                        fields["warc-type"],
+                        status,
+                        was_gzip,
+                        len(body),
+                        hashlib.md5(body).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "warc_type", "http_status", "is_gzip",
+                    "body_len", "body_digest",
+                ],
+            )
+
+    return pages.mapInPandas(
+        kernel,
+        "doc_id long, warc_type string, http_status int, is_gzip boolean, "
+        "body_len int, body_digest string",
+    )

@@ -151,6 +151,9 @@ def test_budget_covers_every_headline_query(spark):
         "mm_transcode_flac_stats",
         "mm_mjpeg_frame_stats",
         "mm_mjpeg_to_bmp_stats",
+        # WARC container roundtrip: same map-only property — crawl
+        # bytes never cross a shuffle.
+        "warc_scan_stats",
     ],
 )
 def test_media_roundtrips_are_map_only(spark, name):
