@@ -1487,6 +1487,78 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+# 64 angle-diverse (top, bottom) gray pairs for the feature-ANN
+# fixture (`synthesize_feature_image_media`). Every pair is VERIFIED
+# (tests/test_multimodal.py::test_feature_pairs_quantize_safely) to
+# quantize identically under (a) the real float32 featurizer kernel
+# and (b) the oracle's double-precision closed form
+# a / sqrt(8a^2 + 8b^2), with the quantization boundary margin > 0.02
+# — ~300x the worst float32-vs-double drift — so the DuckDB oracle
+# can replay the features as integers without modeling float32
+# arithmetic. Regenerate with a margin sweep if the kernel changes.
+FEATURE_PAIRS: tuple[tuple[int, int], ...] = (
+    (245, 5), (246, 11), (203, 14), (139, 13), (144, 17), (253, 36),
+    (173, 29), (192, 37), (133, 29), (152, 37), (141, 38), (186, 55),
+    (149, 48), (229, 80), (207, 78), (247, 100), (180, 78), (227, 105),
+    (197, 97), (218, 114), (249, 138), (162, 95), (184, 114), (231, 151),
+    (225, 155), (142, 103), (249, 190), (182, 146), (191, 161), (253, 224),
+    (199, 185), (250, 244), (163, 167), (119, 128), (170, 192), (204, 242),
+    (142, 177), (100, 131), (140, 193), (175, 254), (121, 185), (158, 255),
+    (78, 133), (97, 175), (91, 174), (65, 132), (68, 147), (101, 233),
+    (83, 205), (75, 199), (87, 249), (80, 248), (42, 142), (62, 230),
+    (61, 250), (41, 188), (48, 249), (28, 167), (36, 252), (30, 254),
+    (16, 171), (17, 246), (9, 201), (5, 245),
+)
+
+
+def synthesize_feature_image_media(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic MIXED-FORMAT image fixtures for the media→ANN
+    composition: each document becomes a 16x8 grayscale image whose
+    top 8 rows hold gray ``a`` and bottom 8 rows gray ``b`` with
+    ``(a, b) = FEATURE_PAIRS[doc_id % 64]``, carried by the codec
+    ``doc_id % 4`` selects — BMP24 / PNG / QOI / baseline JPEG (the
+    DC8 bit-exact regime; both 8x8 blocks are constant, so decode is
+    lossless). With dim=16 luma buckets each bucket covers exactly one
+    scanline row, so `image_features` yields the closed-form vector
+    [a..a, b..b] / sqrt(8a^2+8b^2) REGARDLESS of which codec carried
+    the pixels — the format-blindness the ANN front door needs."""
+    from .jpeg import DC8_QTABLE, encode_jpeg
+
+    schema = "media_id long, content binary"
+    pairs = FEATURE_PAIRS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                a, b = pairs[mid % 64]
+                gray = np.repeat(
+                    np.array([[a], [b]], dtype=np.uint8), 8, axis=0
+                ).repeat(8, axis=1)  # (16, 8)
+                fmt = mid % 4
+                if fmt == 3:
+                    payload = encode_jpeg(
+                        gray, qtables=(DC8_QTABLE, DC8_QTABLE)
+                    )
+                else:
+                    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                    payload = (
+                        encode_bmp24(rgb)
+                        if fmt == 0
+                        else encode_png(rgb)
+                        if fmt == 1
+                        else encode_qoi(rgb)
+                    )
+                ids.append(mid)
+                payloads.append(payload)
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, schema)
+
+
 # ----------------------------------------------------------- real codec: QOI
 
 # A SECOND real compressed image format: QOI ("Quite OK Image",

@@ -2953,3 +2953,124 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(
         F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc()
     ).limit(50)
+
+
+# ---------------------------------------------------- media -> ANN end-to-end
+
+def _features_ann_oracle() -> str:
+    """Oracle for mm_features_ann_topk: replay the closed-form feature
+    vectors from FEATURE_PAIRS (integer quantization verified safe
+    against the real float32 kernel — see the constant's docstring),
+    then the portable IVF pipeline over exact integers, sharing the
+    _SIM_IVF_PORTABLE_ORACLE shape with quant=1."""
+    from ..multimodal.media import FEATURE_PAIRS
+
+    pa = "[" + ", ".join(str(a) for a, _ in FEATURE_PAIRS) + "]"
+    pb = "[" + ", ".join(str(b) for _, b in FEATURE_PAIRS) + "]"
+    return f"""
+    WITH pairs AS (SELECT {pa} AS pa, {pb} AS pb),
+    feat AS (
+      SELECT doc_id AS vec_id,
+             CAST(pa[CAST(doc_id % 64 AS INT) + 1] AS DOUBLE) AS a,
+             CAST(pb[CAST(doc_id % 64 AS INT) + 1] AS DOUBLE) AS b
+      FROM documents, pairs
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(range(0, 8), i ->
+               CAST(floor(a / sqrt(8.0*a*a + 8.0*b*b) * 1000 + 0.5) AS BIGINT))
+          || list_transform(range(0, 8), i ->
+               CAST(floor(b / sqrt(8.0*a*a + 8.0*b*b) * 1000 + 0.5) AS BIGINT))
+             AS v
+      FROM feat
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
+               AS cell,
+             v AS cv
+      FROM qv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    sims AS (
+      SELECT e.vec_id, e.v, c.cell,
+             (SELECT SUM(x.a * x.b)
+                FROM (SELECT UNNEST(e.v) AS a, UNNEST(c.cv) AS b) x) AS dot
+      FROM qv e CROSS JOIN cents c
+    ),
+    ranked_cells AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cell ASC) AS rn
+      FROM sims
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, v AS c_vec, cell
+      FROM ranked_cells WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS q_vec, cell
+      FROM ranked_cells WHERE vec_id < 10 AND rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, n.neighbor_id,
+             (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+                FROM (SELECT UNNEST(p.q_vec) AS a, UNNEST(n.c_vec) AS b) x)
+             / (sqrt((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                        FROM (SELECT UNNEST(p.q_vec) AS a) y))
+              * sqrt((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                        FROM (SELECT UNNEST(n.c_vec) AS b) z))) AS cosine_raw
+      FROM probes p JOIN assigned n
+        ON n.cell = p.cell AND n.neighbor_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_raw DESC, neighbor_id ASC)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("mm_features_ann_topk", oracle=_features_ann_oracle())
+def mm_features_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the multimodal→ANN claim as ONE oracle-checked row —
+    mixed-format image corpus (BMP/PNG/QOI/JPEG rotated per doc,
+    synthesize_feature_image_media) → sniffed decode + luma-bucket
+    featurization (image_features, the real float32 kernel) → integer
+    quantization → portable-IVF top-k (ivf_topk_portable, quant=1:
+    the vectors are already integers, so centroid selection, cell
+    assignment, probing and the cosine tail are all exact arithmetic
+    DuckDB replays value-for-value). Previously tested piecewise; this
+    row pins the COMPOSITION end-to-end, including that a JPEG-carried
+    page and a BMP-carried page of the same pixels land in the same
+    cell with the same features. Map-only until the ANN tail's
+    bounded centroid collect + per-query top-k window."""
+    from ..multimodal.media import (
+        image_features,
+        synthesize_feature_image_media,
+    )
+    from ..operators.similarity import ivf_topk_portable, quantize_expr
+
+    t = load_tables(spark, sf_dir)
+    media = synthesize_feature_image_media(t["documents"])
+    feats = image_features(media, dim=16).where(
+        F.col("decode_error").isNull()
+    )
+    qdf = feats.select(
+        F.col("media_id").alias("vec_id"),
+        quantize_expr(F.col("features"), 1000).alias("embedding"),
+    )
+    return ivf_topk_portable(
+        qdf,
+        qdf.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        quant=1,
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -2209,3 +2209,61 @@ def test_all_decoders_fuzz_never_escape_valueerror():
                     f"{name} decoder leaked {type(e).__name__} on "
                     f"fuzz trial {trial}: {e}"
                 ) from e
+
+
+def test_feature_pairs_quantize_safely():
+    """Every FEATURE_PAIRS entry must quantize identically under the
+    REAL float32 featurizer kernel and the oracle's double-precision
+    closed form, with boundary margin > 0.02 — the contract that lets
+    mm_features_ann_topk's oracle replay features as integers. Fails
+    loudly if numpy/kernel arithmetic changes; re-run the margin sweep
+    and re-pin the table if it ever does."""
+    import math
+
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        FEATURE_PAIRS,
+        _bucket_features,
+    )
+
+    assert len(FEATURE_PAIRS) == 64
+
+    def margin(vs):
+        return min(
+            abs(v * 1000 + 0.5 - round(v * 1000 + 0.5)) for v in vs
+        )
+
+    for a, b in FEATURE_PAIRS:
+        luma = np.concatenate(
+            [np.full(64, a), np.full(64, b)]
+        ).astype(np.float32)
+        kv = _bucket_features(luma, 16)
+        n = math.sqrt(8.0 * a * a + 8.0 * b * b)
+        dv = [a / n] * 8 + [b / n] * 8
+        kq = [math.floor(x * 1000 + 0.5) for x in kv]
+        dq = [math.floor(x * 1000 + 0.5) for x in dv]
+        assert kq == dq, (a, b, kq, dq)
+        assert margin(kv) > 0.02 and margin(dv) > 0.02, (a, b)
+
+
+def test_feature_image_fixture_is_format_blind(spark):
+    """The four codecs in synthesize_feature_image_media carry the
+    SAME pixels for a given doc pair-index, so image_features yields
+    identical vectors regardless of format (doc_ids 0..3 with the
+    same pair index differ only in codec)."""
+    from github_etl_spark.multimodal.media import (
+        image_features,
+        synthesize_feature_image_media,
+    )
+
+    # doc_ids 0, 64, 128, 192: pair index 0 for all, formats 0..3.
+    docs = spark.createDataFrame(
+        [(0,), (64,), (128,), (192,)], "doc_id long"
+    )
+    feats = image_features(
+        synthesize_feature_image_media(docs), dim=16
+    ).collect()
+    assert all(r["decode_error"] is None for r in feats)
+    vecs = {r["media_id"]: r["features"] for r in feats}
+    assert vecs[0] == vecs[64] == vecs[128] == vecs[192]
