@@ -3074,3 +3074,138 @@ def mm_features_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         quant=1,
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ------------------------------------------------- streaming gate, replayed
+
+# Shared signature/banding CTE prefix (md5-portable family, 32 hashes,
+# 8 bands, 3-word shingles) — the same relations the
+# dedup_incremental_portable oracle builds inline.
+_SQL_MINHASH_CTES = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+      FROM toks
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+      FROM toks
+    ),
+    hm AS (
+      SELECT doc_id, i.i AS i,
+             MIN(substr(md5(CAST(i.i AS VARCHAR) || ':' || s), 1, 16)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hm GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sig, b.b AS band,
+             array_to_string(sig[b.b*4+1 : b.b*4+4], '') AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+    )
+"""
+
+
+def _gate_round_sql(batch_cte: str, corpus_cte: str, tag: str) -> str:
+    """One gate round as CTEs: candidates, agreement screen, exact
+    fingerprint probe, verdict CASE — verdicts for ``batch_cte``
+    against ``corpus_cte``."""
+    return f"""
+    cand_{tag} AS (
+      SELECT DISTINCT n.doc_id AS batch_doc, o.doc_id AS corpus_doc,
+                      n.sig AS sn, o.sig AS so
+      FROM bands n
+      JOIN {batch_cte} bb ON bb.doc_id = n.doc_id
+      JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+      JOIN {corpus_cte} cc ON cc.doc_id = o.doc_id
+    ),
+    near_{tag} AS (
+      SELECT batch_doc, COUNT(*) AS n_near
+      FROM cand_{tag}
+      WHERE len(list_filter(range(1, 33), i -> sn[i] = so[i])) / 32.0 >= 0.5
+      GROUP BY batch_doc
+    ),
+    exact_{tag} AS (
+      SELECT DISTINCT nf.doc_id
+      FROM fp nf
+      JOIN {batch_cte} bb ON bb.doc_id = nf.doc_id
+      JOIN fp cf ON nf.fingerprint = cf.fingerprint
+      JOIN {corpus_cte} cc ON cc.doc_id = cf.doc_id
+    ),
+    v_{tag} AS (
+      SELECT bb.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                  WHEN COALESCE(nr.n_near, 0) > 0 THEN 'near_dup'
+                  ELSE 'new' END AS verdict,
+             CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near
+      FROM {batch_cte} bb
+      LEFT JOIN exact_{tag} e ON e.doc_id = bb.doc_id
+      LEFT JOIN near_{tag} nr ON nr.batch_doc = bb.doc_id
+    )
+    """
+
+
+@query(
+    "dedup_gate_replay",
+    oracle=f"""
+    WITH {_SQL_MINHASH_CTES},
+    seed AS (SELECT doc_id FROM documents WHERE doc_id % 5 NOT IN (0, 1)),
+    in_a AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    in_b AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 1),
+    {_gate_round_sql("in_a", "seed", "a").strip().lstrip()}
+    ,
+    corpus2 AS (
+      SELECT doc_id FROM seed
+      UNION ALL
+      SELECT doc_id FROM v_a WHERE verdict = 'new'
+    ),
+    {_gate_round_sql("in_b", "corpus2", "b").strip().lstrip()}
+    SELECT 'A' AS ingest, doc_id, verdict, n_near FROM v_a
+    UNION ALL
+    SELECT 'B' AS ingest, doc_id, verdict, n_near FROM v_b
+    """,
+)
+def dedup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the STREAMING dedup gate's verdict pipeline replayed as a
+    fixed two-ingest batch sequence — the oracle-visible sibling of
+    streaming/dedup_gate.py (pass(T) for the exactly-once machinery;
+    THIS row value-checks the classification semantics the gate feeds
+    on). Ingest A (doc_id%5==0) is classified against the seed corpus
+    (doc_id%5 not in {{0,1}}); A's 'new' survivors JOIN the index —
+    the gate's admit step — and ingest B (doc_id%5==1) is classified
+    against the grown corpus. Same `_verdicts` core as the live gate
+    (operators/incremental.py — the inline/materialized equality is
+    pinned by the index roundtrip test), md5-portable hash family so
+    fingerprints, signatures, banding, both candidate joins and both
+    verdict CASEs replay in DuckDB value-for-value. Per-round shape:
+    corpus scanned never shuffled, batch broadcast on both probes."""
+    from ..operators.incremental import incremental_dedup_verdicts
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    seed = docs.filter(~(F.col("doc_id") % 5).isin(0, 1))
+    ing_a = docs.filter(F.col("doc_id") % 5 == 0)
+    ing_b = docs.filter(F.col("doc_id") % 5 == 1)
+    va = incremental_dedup_verdicts(
+        seed, ing_a, threshold=0.5, hash_family="md5_portable"
+    )
+    survivors_a = ing_a.join(
+        F.broadcast(
+            va.filter(F.col("verdict") == "new").select("doc_id")
+        ),
+        "doc_id",
+    )
+    vb = incremental_dedup_verdicts(
+        seed.unionByName(survivors_a),
+        ing_b,
+        threshold=0.5,
+        hash_family="md5_portable",
+    )
+    return va.select(
+        F.lit("A").alias("ingest"), "doc_id", "verdict", "n_near"
+    ).unionByName(
+        vb.select(F.lit("B").alias("ingest"), "doc_id", "verdict", "n_near")
+    )
