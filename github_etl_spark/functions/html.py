@@ -31,20 +31,25 @@ from .text import EN_STOPWORDS
 # --------------------------------------------------------------- patterns
 
 COMMENT_RE = r"(?s)<!--.*?-->"
-SCRIPT_RE = r"(?is)<script(\s[^>]*)?>.*?</script>"
-STYLE_RE = r"(?is)<style(\s[^>]*)?>.*?</style>"
+# `_TAG_WS` is the Java-cap-RE2 whitespace intersection ([ \t\n\f\r]),
+# NOT \s: Java's \s includes \x0B, RE2's does not, so a vertical tab
+# after a tag name ('<p\x0Bclass=x>') would split blocks in Spark but
+# not in the DuckDB oracle.  Same reasoning as WS_RE below.
+_TAG_WS = r"[ \t\n\f\r]"
+SCRIPT_RE = rf"(?is)<script({_TAG_WS}[^>]*)?>.*?</script>"
+STYLE_RE = rf"(?is)<style({_TAG_WS}[^>]*)?>.*?</style>"
 # Block-level elements: both the open and the close tag end a text
-# block.  `(\s[^>]*)?>` (NOT `[^>]*>`) so `<p class=x>` matches while
-# `<param>` / `<pattern>` do not.
+# block.  `({_TAG_WS}[^>]*)?>` (NOT `[^>]*>`) so `<p class=x>` matches
+# while `<param>` / `<pattern>` do not.
 _BLOCK_TAGS = (
     "p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|br|hr|table|tr|td|th|blockquote|"
     "section|article|aside|main|header|footer|nav|form|title|head|body|html"
 )
-BLOCK_SPLIT_RE = rf"(?i)</?({_BLOCK_TAGS})(\s[^>]*)?>"
+BLOCK_SPLIT_RE = rf"(?i)</?({_BLOCK_TAGS})({_TAG_WS}[^>]*)?>"
 TAG_RE = r"<[^>]*>"
 # Explicit class, NOT \s: Java's \s includes \x0B, RE2's does not.
 WS_RE = r"[ \t\n\r]+"
-LINK_RE = r"(?is)<a(\s[^>]*)?>(.*?)</a>"
+LINK_RE = rf"(?is)<a({_TAG_WS}[^>]*)?>(.*?)</a>"
 
 # jusText-style thresholds, frozen so classification is reproducible.
 MIN_BLOCK_CHARS = 25

@@ -87,6 +87,11 @@ _STD_CHROMA_Q = np.array([
 DC8_QTABLE = _STD_LUMA_Q.copy()
 DC8_QTABLE[0] = 8
 
+# Decoder allocation cap, counted PER COMPONENT (not total across
+# components) so a legitimate 4096x4096 baseline decodes whether it is
+# grayscale (2**18 total blocks) or 4:4:4 color (3 * 2**18 total).
+MAX_COMPONENT_BLOCKS = 1 << 18
+
 # Annex K.3 "typical" Huffman tables as (BITS[1..16], HUFFVAL) pairs.
 _DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_LUMA_VALS = list(range(12))
@@ -679,13 +684,18 @@ def _decode_scan(
             f"payload has only {payload_bits} bits"
         )
     # Absolute cap for this semantic-reference decoder: 2**18 blocks
-    # (~16.7M px/component, covers 4096x4096) keeps worst-case decode
-    # intermediates in the hundreds of MB.  A native kernel bound at
-    # the same mapInPandas seam would lift this.
-    if total_blocks > 1 << 18:
+    # PER COMPONENT (~16.7M px/component, covers 4096x4096 for
+    # grayscale AND 4:4:4 color alike) keeps worst-case decode
+    # intermediates bounded (low GB for 3 components).  Capping total
+    # blocks instead would quarantine a legitimate 4096x4096 color
+    # baseline (3 * 2**18 total).  A native kernel bound at the same
+    # mapInPandas seam would lift this.
+    max_comp_blocks = n_mcus * max(c.h * c.v for c in comps)
+    if max_comp_blocks > MAX_COMPONENT_BLOCKS:
         raise ValueError(
-            f"frame of {total_blocks} blocks exceeds the decoder cap "
-            f"(2**18 blocks)"
+            f"frame declares {max_comp_blocks} blocks in one component, "
+            f"exceeding the decoder cap ({MAX_COMPONENT_BLOCKS} "
+            f"blocks/component)"
         )
     seg_idx = 0
     br = BitReader(segs[0])

@@ -69,20 +69,43 @@ def gzip_member(record: bytes) -> bytes:
 # ----------------------------------------------------------------- parser
 
 
+MAX_MEMBER_PLAINTEXT = 64 << 20
+"""Per-member decompressed-size cap (64 MiB).
+
+A crafted small .warc.gz member can expand ~1000x (gzip bomb); without
+a cap the full plaintext is buffered and a many-GB expansion raises
+MemoryError, which escapes the ValueError-only quarantine contract and
+kills the whole batch — the same hazard class the FLAC/JPEG allocation
+guards close.  Real crawl records are single web resources, orders of
+magnitude under this cap."""
+
+
 def _gunzip_member(mv: memoryview, pos: int) -> tuple[bytes, int]:
     """Decompress the gzip member starting at ``pos``; returns
     (plaintext, next_pos). Feeds fixed chunks so a stream of N members
-    costs O(total), not O(N x remaining)."""
+    costs O(total), not O(N x remaining); output is budgeted via
+    ``decompress(chunk, max_length)`` so a gzip bomb raises ValueError
+    (quarantine) before any oversized allocation, never MemoryError."""
     d = zlib.decompressobj(16 + zlib.MAX_WBITS)
     out = bytearray()
     p = pos
     try:
         while not d.eof:
-            if p >= len(mv):
-                raise ValueError("truncated gzip member")
-            chunk = bytes(mv[p : p + _CHUNK])
-            out += d.decompress(chunk)
-            p += len(chunk)
+            if d.unconsumed_tail:
+                chunk = d.unconsumed_tail
+            else:
+                if p >= len(mv):
+                    raise ValueError("truncated gzip member")
+                chunk = bytes(mv[p : p + _CHUNK])
+                p += len(chunk)
+            # Budget = cap + 1 so overflow is observable: the extra
+            # byte only ever materializes when the cap is crossed.
+            out += d.decompress(chunk, MAX_MEMBER_PLAINTEXT + 1 - len(out))
+            if len(out) > MAX_MEMBER_PLAINTEXT:
+                raise ValueError(
+                    "gzip member exceeds decompressed size cap "
+                    f"({MAX_MEMBER_PLAINTEXT} bytes)"
+                )
     except zlib.error as e:
         raise ValueError(f"corrupt gzip member: {e}") from e
     return bytes(out), p - len(d.unused_data)

@@ -126,3 +126,39 @@ def test_catalog_queries_run_and_align(spark):
     split = QUERIES["pipeline_html_to_split"].fn(spark, sf)
     srows = split.collect()
     assert srows and {r["split"] for r in srows} <= {"train", "val", "test"}
+
+
+def test_vertical_tab_in_tag_does_not_split_in_either_engine():
+    """Java's \\s includes \\x0B, RE2's does not; the tag patterns use
+    the explicit intersection class so '<p\\x0Bclass=x>' is NOT a block
+    boundary in EITHER engine (lockstep contract).  Pure-regex check in
+    both engines, no Spark session needed for the DuckDB half."""
+    import re
+
+    import duckdb
+
+    from github_etl_spark.functions.html import (
+        BLOCK_SPLIT_RE,
+        LINK_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+    )
+
+    page = "<p\x0Bclass=x>"
+    assert re.search(BLOCK_SPLIT_RE, page) is None
+    n = duckdb.sql(
+        f"SELECT len(regexp_extract_all('{page}', '{BLOCK_SPLIT_RE}')) AS n"
+    ).fetchone()[0]
+    assert n == 0
+    # And a plain space IS a boundary in both.
+    ok = "<p class=x>"
+    assert re.search(BLOCK_SPLIT_RE, ok) is not None
+    n = duckdb.sql(
+        f"SELECT len(regexp_extract_all('{ok}', '{BLOCK_SPLIT_RE}')) AS n"
+    ).fetchone()[0]
+    assert n == 1
+    # The other three tag patterns carry the same class.
+    for pat in (SCRIPT_RE, STYLE_RE, LINK_RE):
+        assert "\\s" not in pat
+    assert re.search(SCRIPT_RE, "<script\x0Bsrc=x>a</script>") is None
+    assert re.search(SCRIPT_RE, "<script src=x>a</script>") is not None

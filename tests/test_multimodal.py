@@ -2267,3 +2267,27 @@ def test_feature_image_fixture_is_format_blind(spark):
     assert all(r["decode_error"] is None for r in feats)
     vecs = {r["media_id"]: r["features"] for r in feats}
     assert vecs[0] == vecs[64] == vecs[128] == vecs[192]
+
+
+def test_jpeg_block_cap_is_per_component(monkeypatch):
+    """The allocation cap counts blocks PER COMPONENT, not total:
+    a color 4:4:4 frame whose per-component block count equals the cap
+    must decode (a total-blocks cap would wrongly quarantine legitimate
+    4096x4096 color baselines at the real 2**18 value).  Cap patched
+    small so the pinned geometry stays cheap: 16x16 4:4:4 -> 4 MCUs,
+    4 blocks/component, 12 total."""
+    import numpy as np
+    import pytest
+
+    import github_etl_spark.multimodal.jpeg as jpeg_mod
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = jpeg_mod.encode_jpeg(rgb, quality=90, subsampling="444")
+
+    monkeypatch.setattr(jpeg_mod, "MAX_COMPONENT_BLOCKS", 4)
+    assert jpeg_mod.decode_jpeg(data).shape == (16, 16, 3)
+
+    monkeypatch.setattr(jpeg_mod, "MAX_COMPONENT_BLOCKS", 3)
+    with pytest.raises(ValueError, match="blocks/component"):
+        jpeg_mod.decode_jpeg(data)

@@ -148,3 +148,28 @@ def test_read_warc_empty_file(spark, tmp_path):
     (d / "e.warc").write_bytes(b"")
     records, quarantine = read_warc(spark, str(d))
     assert records.count() == 0 and quarantine.count() == 0
+
+
+def test_gzip_bomb_member_quarantined_as_valueerror(monkeypatch):
+    """A member expanding past MAX_MEMBER_PLAINTEXT must raise
+    ValueError (quarantine), never buffer the full plaintext /
+    MemoryError.  Cap patched small so the test stays cheap; the
+    just-at-cap sibling below proves the boundary is exclusive."""
+    import github_etl_spark.sources.warc as warc_mod
+
+    monkeypatch.setattr(warc_mod, "MAX_MEMBER_PLAINTEXT", 1 << 12)
+    bomb = gzip_member(_rec(0, payload=b"\x00" * (1 << 14)))
+    with pytest.raises(ValueError, match="decompressed size cap"):
+        list(iter_warc_records(bomb))
+
+
+def test_gzip_member_exactly_at_cap_still_decodes(monkeypatch):
+    import github_etl_spark.sources.warc as warc_mod
+
+    rec = _rec(0, payload=b"x" * 1000)
+    monkeypatch.setattr(warc_mod, "MAX_MEMBER_PLAINTEXT", len(rec))
+    out = list(iter_warc_records(gzip_member(rec)))
+    assert len(out) == 1 and out[0][1] == b"x" * 1000
+    monkeypatch.setattr(warc_mod, "MAX_MEMBER_PLAINTEXT", len(rec) - 1)
+    with pytest.raises(ValueError, match="decompressed size cap"):
+        list(iter_warc_records(gzip_member(rec)))
