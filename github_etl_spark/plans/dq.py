@@ -1,0 +1,143 @@
+"""Data-quality constraint report (EXT — Deequ-style verification).
+
+One catalog query exercising every constraint kind in operators/dq.py
+over the orders/customer pair, with an exact DuckDB oracle: all
+metrics are integer-counting under the hood (violation counts are
+BIGINT; the fraction is one correctly-rounded IEEE division + the
+shared floor-rounding), so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dq import (
+    Compliance,
+    constraint_report,
+    key_metrics,
+    referential_violations,
+    row_metrics,
+)
+from ..tables import load_tables
+from .registry import query
+
+# (name, threshold) in report order; names match the v_<name> columns
+# the metric builders emit.
+_CONSTRAINTS = [
+    ("completeness_o_custkey", 1.0),
+    ("completeness_o_orderdate", 1.0),
+    ("uniqueness_o_orderkey", 1.0),
+    ("uniqueness_o_custkey", 0.5),
+    ("distinctness_o_custkey", 0.5),
+    ("positive_totalprice", 1.0),
+    ("price_under_cap", 0.7),
+    ("status_domain", 1.0),
+    ("ref_o_custkey", 1.0),
+]
+
+
+@query(
+    "dq_constraint_report",
+    headline=True,
+    oracle="""
+    WITH rowm AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) - count(o_custkey) AS BIGINT)
+               AS v_completeness_o_custkey,
+             CAST(count(*) - count(o_orderdate) AS BIGINT)
+               AS v_completeness_o_orderdate,
+             CAST(count(*) - sum(CASE WHEN o_totalprice > 0
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_positive_totalprice,
+             CAST(count(*) - sum(CASE WHEN o_totalprice <= 300000
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_price_under_cap,
+             CAST(count(*) - sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_status_domain
+      FROM orders
+    ),
+    okey AS (
+      SELECT CAST(sum(c) - sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_uniqueness_o_orderkey
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    ),
+    ckey AS (
+      SELECT CAST(sum(c) - sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_uniqueness_o_custkey,
+             CAST(sum(c) - count(*) AS BIGINT) AS v_distinctness_o_custkey
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+    ),
+    rim AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS v_ref_o_custkey
+      FROM (SELECT o_custkey, count(*) AS c FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey) k
+      WHERE NOT EXISTS (SELECT 1 FROM customer p
+                        WHERE p.c_custkey = k.o_custkey)
+    ),
+    m AS (SELECT * FROM rowm, okey, ckey, rim),
+    rep AS (
+      SELECT 'completeness_o_custkey' AS constraint_name,
+             v_completeness_o_custkey AS n_violations,
+             CAST(1.0 AS DOUBLE) AS threshold, total FROM m
+      UNION ALL SELECT 'completeness_o_orderdate',
+             v_completeness_o_orderdate, CAST(1.0 AS DOUBLE), total FROM m
+      UNION ALL SELECT 'uniqueness_o_orderkey',
+             v_uniqueness_o_orderkey, CAST(1.0 AS DOUBLE), total FROM m
+      UNION ALL SELECT 'uniqueness_o_custkey',
+             v_uniqueness_o_custkey, CAST(0.5 AS DOUBLE), total FROM m
+      UNION ALL SELECT 'distinctness_o_custkey',
+             v_distinctness_o_custkey, CAST(0.5 AS DOUBLE), total FROM m
+      UNION ALL SELECT 'positive_totalprice',
+             v_positive_totalprice, CAST(1.0 AS DOUBLE), total FROM m
+      UNION ALL SELECT 'price_under_cap',
+             v_price_under_cap, CAST(0.7 AS DOUBLE), total FROM m
+      UNION ALL SELECT 'status_domain',
+             v_status_domain, CAST(1.0 AS DOUBLE), total FROM m
+      UNION ALL SELECT 'ref_o_custkey',
+             v_ref_o_custkey, CAST(1.0 AS DOUBLE), total FROM m
+    )
+    SELECT constraint_name,
+           (floor((1.0 - CAST(n_violations AS DOUBLE) / greatest(total, 1))
+                  * 1000000 + 0.5) / 1000000) AS metric,
+           threshold,
+           n_violations,
+           ((floor((1.0 - CAST(n_violations AS DOUBLE) / greatest(total, 1))
+                   * 1000000 + 0.5) / 1000000) >= threshold) AS passed
+    FROM rep
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: Deequ-style data-quality constraint report over orders
+    (+ customer for referential integrity): completeness, uniqueness,
+    distinctness, predicate compliance, and RI, each as one report row
+    (constraint_name, metric, threshold, n_violations, passed).
+
+    Plan shape: all row-level constraints fuse into ONE scan of
+    orders (SUM(CASE) partial aggregation); the two key constraints
+    share one groupBy pass per key; RI groups child keys before a
+    left-anti join against the customer key set (broadcastable); the
+    report rows come from a single stack() projection over the
+    cross-joined one-row aggregates.  Adding a constraint adds a
+    column to an existing pass, not a new pass — the property that
+    makes the gate affordable at 100 TB.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    rm = row_metrics(
+        orders,
+        completeness=["o_custkey", "o_orderdate"],
+        compliance=[
+            Compliance("positive_totalprice", F.col("o_totalprice") > 0),
+            Compliance("price_under_cap", F.col("o_totalprice") <= 300000),
+            Compliance(
+                "status_domain", F.col("o_orderstatus").isin("O", "F", "P")
+            ),
+        ],
+    )
+    okey = key_metrics(orders, "o_orderkey").select("v_uniqueness_o_orderkey")
+    ckey = key_metrics(orders, "o_custkey")
+    ri = referential_violations(orders, "o_custkey", t["customer"], "c_custkey")
+    metrics = rm.crossJoin(okey).crossJoin(ckey).crossJoin(ri)
+    return constraint_report(metrics, _CONSTRAINTS)

@@ -34,6 +34,12 @@ EXCHANGE_BUDGET = {
     "corpus_profile": 1,
     "dedup_cluster_canonical": 1,
     "dedup_exact": 1,
+    # 12 = one fused row-metric scan + two key-metric groupBys + the
+    # RI group-then-anti-join, each ending in a one-row agg exchange
+    # (AQE subtrees re-count the broadcast sides); every exchange is
+    # one-row- or key-width — the orders scan itself happens once per
+    # metric family, never per constraint.
+    "dq_constraint_report": 12,
     "dedup_incremental": 9,
     "dedup_minhash_lsh": 4,
     # 22 reviewed as FINAL: a window-df consolidation measures 18
