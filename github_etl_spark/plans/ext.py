@@ -2739,6 +2739,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+# One unrolled DuckDB iteration of the EXACT fixed-point recurrence
+# (operators/graph.pagerank_fixed_point): integer division and BIGINT
+# sums only, so both engines agree bit-for-bit at every round.
+_PR_STEP = """
+    r{k} AS MATERIALIZED (
+      SELECT d.node, d.deg,
+             CAST((15 * ({scale} // n.n) + 85 * coalesce(s.s, 0)) // 100
+                  AS BIGINT) AS r
+      FROM deg d
+      CROSS JOIN n
+      LEFT JOIN (SELECT e.dst AS node, sum(p.r // p.deg) AS s
+                 FROM e JOIN r{prev} p ON e.src = p.node
+                 GROUP BY e.dst) s
+        ON d.node = s.node
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    headline=True,
+    oracle="WITH e0 AS MATERIALIZED (\n"
+    "      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst\n"
+    "      FROM lineitem a JOIN lineitem b\n"
+    "        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey\n"
+    "    ),\n"
+    "    e AS MATERIALIZED (SELECT src, dst FROM e0\n"
+    "                       UNION ALL SELECT dst, src FROM e0),\n"
+    "    deg AS MATERIALIZED (SELECT src AS node,\n"
+    "                                CAST(count(*) AS BIGINT) AS deg\n"
+    "                         FROM e GROUP BY src),\n"
+    "    n AS (SELECT count(*) AS n FROM deg),\n"
+    f"    r0 AS (SELECT node, deg, CAST({_PR_SCALE} // n.n AS BIGINT) AS r\n"
+    "           FROM deg CROSS JOIN n),"
+    + ",".join(
+        _PR_STEP.format(k=k, prev=k - 1, scale=_PR_SCALE)
+        for k in range(1, _PR_ITERS + 1)
+    )
+    + f"""
+    SELECT node, deg, r AS rank_fp FROM r{_PR_ITERS}
+    ORDER BY rank_fp DESC, node LIMIT 100
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: 5-iteration PageRank of the co-purchase graph in exact
+    64-bit fixed-point (operators/graph.pagerank_fixed_point) — the
+    classic corpus-curation quality signal, formulated so rank is a
+    bit-exact cross-engine CONTRACT: integer division + BIGINT sums
+    are summation-order independent, where floating-point PageRank
+    diverges in the last ulps between engines (and between
+    partitionings of the same engine) and iteration amplifies it.
+    Plan: the Pregel shape — degrees once, then per round one
+    edge-width join + one groupBy sum, each round eagerly checkpointed
+    so lineage stays O(1); top-100 via TakeOrderedAndProject (no
+    global sort)."""
+    from ..operators.graph import cooccurrence_edges, pagerank_fixed_point
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    ranks = pagerank_fixed_point(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+    return ranks.orderBy(F.desc("rank_fp"), F.asc("node")).limit(100)
+
+
 @query(
     "quantile_sketch_bottomk",
     headline=True,

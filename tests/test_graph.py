@@ -258,3 +258,70 @@ def test_per_call_checkpoint_dir_does_not_leak(spark, tmp_path):
     run_cc(spark, edges, local_finish_edges=0,
            checkpoint_dir=str(tmp_path / "scoped_ckpt"))
     assert sc.getCheckpointDir() == before
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pr(spark, edges, **kw):
+    from github_etl_spark.operators.graph import pagerank_fixed_point
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["deg"], r["rank_fp"])
+        for r in pagerank_fixed_point(df, **kw).collect()
+    }
+
+
+def test_pagerank_path_graph_hand_computed(spark):
+    # path 1-2-3, scale 10^6: base = 333333, teleport = 15*base.
+    # round 1: s(1)=s(3)=r0(2)//2=166666, s(2)=333333+333333.
+    # r1(1) = (4999995 + 85*166666)//100 = 191666
+    # r1(2) = (4999995 + 85*666666)//100 = 616666
+    got = _pr(spark, [(1, 2), (2, 3)], iterations=1, scale=10**6)
+    assert got == {1: (1, 191666), 2: (2, 616666), 3: (1, 191666)}
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    got = _pr(spark, [(1, 2), (2, 3), (1, 3)], iterations=0, scale=10**6)
+    assert all(r == 333333 for _, r in got.values())
+
+
+def test_pagerank_symmetry_and_mass_conservation(spark):
+    # star: center 0 with leaves 1..6 — all leaves must tie exactly,
+    # and total fixed-point mass stays within the documented leak
+    # bound (a handful of quanta per node per round).
+    edges = [(0, i) for i in range(1, 7)]
+    got = _pr(spark, edges, iterations=5)
+    leaf_ranks = {got[i][1] for i in range(1, 7)}
+    assert len(leaf_ranks) == 1
+    assert got[0][1] > got[1][1]
+    total = sum(r for _, r in got.values())
+    assert abs(total - 10**12) < 10**7
+
+
+def test_pagerank_repartition_invariant(spark):
+    from github_etl_spark.operators.graph import pagerank_fixed_point
+
+    edges = [(i, (i * 7) % 23 + 100) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank_fp"]
+         for r in pagerank_fixed_point(df, iterations=3).collect()}
+    b = {r["node"]: r["rank_fp"]
+         for r in pagerank_fixed_point(df.repartition(13), iterations=3).collect()}
+    assert a == b
+
+
+def test_pagerank_empty_graph(spark):
+    got = _pr(spark, [], iterations=3)
+    assert got == {}
+
+
+def test_pagerank_rejects_non_integral_ids(spark):
+    import pytest
+
+    from github_etl_spark.operators.graph import pagerank_fixed_point
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError):
+        pagerank_fixed_point(df)

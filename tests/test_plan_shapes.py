@@ -55,6 +55,11 @@ EXCHANGE_BUDGET = {
     "event_transition_matrix": 2,
     "flagship_pr_snapshot": 3,
     "funnel_conversion": 1,
+    # 0 visible = the returned frame is the last checkpointed round +
+    # TakeOrderedAndProject; the per-round cost (one edge-width join +
+    # one groupBy sum = 2 keyed exchanges/round, merge-join pinned) is
+    # executed eagerly inside pagerank_fixed_point and documented there.
+    "graph_pagerank": 0,
     # 10 = edge dedup + degree agg + stat aggs + the explicit width pin
     # + adjacency build/joins; the wedge work itself never shuffles
     # (in-row array_intersect) — reviewed with the 8.3 s -> 4.1 s fix.
