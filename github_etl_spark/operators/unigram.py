@@ -1,0 +1,188 @@
+"""Unigram-LM subword segmentation (SentencePiece-style, EXT family).
+
+The second tokenizer family next to BPE (operators/pipeline.py): where
+BPE applies merges in rank order, the unigram model (Kudo 2018,
+"Subword Regularization"; the SentencePiece default) scores every
+piece independently and segments each word by VITERBI — the
+segmentation maximizing the sum of piece scores.
+
+**Exactness design.** Scores are pinned INTEGERS, so the DP total is
+exact and order-independent; the tie-break is pinned too:
+
+    maximize total score;
+    on ties, prefer the LONGER FINAL piece, recursively.
+
+This rule is (a) decomposable — equal final-piece length at position i
+implies the identical predecessor position j, so the DP's stored
+optimum for j is the right continuation — and (b) expressible in SQL
+as one ORDER BY key: the reversed sequence of piece lengths, each
+zero-padded to 2 digits and concatenated ("revkey"), compared DESC.
+Two complete segmentations of the same word can never be
+prefix-related in revkey (their length-sums are equal), so string
+comparison equals sequence comparison. The DuckDB oracle enumerates
+ALL segmentations of each distinct token with a recursive CTE and
+ranks by (score DESC, revkey DESC) — brute force against which the
+engine's linear-time DP must agree bit-for-bit.
+
+**Scale design.** The kernel is an Arrow-batched mapInPandas (the
+same regime as bpe_apply_kernel): map-only, the corpus never
+shuffles, the pinned vocab rides into executors as a closure dict.
+Per-batch memoization over distinct tokens makes the DP cost
+per-VOCABULARY, not per-token occurrence (Zipf). A production
+SentencePiece vocab (hundreds of thousands of pieces) is a bigger
+dict, not a deeper plan — same scaling statement as the 32k-merge BPE
+kernel, and the same native-kernel seam if Python per-core throughput
+ever binds.
+
+Reference parity: the reference engine has no tokenizer; this is
+north-star LLM-pipeline surface (SURVEY.md tokenization family).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Pinned piece vocabulary: (piece, integer score). Single characters
+# score 10 (so every [a-z0-9]+ token is segmentable); multi-char
+# pieces are pinned slightly above/below the sum of their parts so the
+# fixture corpus exercises real DP decisions: 'window' splits
+# (win+dow=64 > window=63), 'value' splits (val+ue=53 > value=52),
+# 'stream'/'customer'/'filter' stay whole, and 'query'/'order' TIE
+# (query=52 = qu+ery, order=52 = or+der) so the longest-final-piece
+# rule is exercised by the catalog gate, not just unit tests.
+PINNED_VOCAB: list[tuple[str, int]] = [
+    *[(c, 10) for c in "abcdefghijklmnopqrstuvwxyz0123456789"],
+    ("ta", 21), ("le", 21), ("table", 53),
+    ("val", 32), ("ue", 21), ("value", 52),
+    ("win", 32), ("dow", 32), ("window", 63),
+    ("st", 21), ("ream", 42), ("stream", 64),
+    ("qu", 21), ("ery", 31), ("query", 52),
+    ("cust", 42), ("omer", 42), ("customer", 85),
+    ("fil", 32), ("ter", 31), ("filter", 64),
+    ("or", 21), ("der", 31), ("order", 52),
+    ("col", 32), ("umn", 32), ("column", 63),
+    ("vec", 32), ("tor", 31), ("vector", 63),
+    ("row", 31), ("key", 31), ("agg", 31), ("the", 31), ("big", 31),
+    ("slow", 42), ("fast", 42), ("part", 42), ("hash", 42),
+    ("line", 42), ("sort", 42), ("data", 42), ("join", 42),
+    ("scan", 43), ("merge", 52), ("batch", 52), ("spark", 52),
+    ("small", 52), ("group", 52),
+]
+
+# Token rule shared with the dedup/text family (_SQL_TOKS in
+# plans/ext.py): lowercase, split on non-alphanumeric, drop empties.
+_TOKEN_SPLIT = re.compile("[^a-z0-9]+")
+
+
+def viterbi_segment(
+    word: str, vocab: dict[str, int], piece_lengths: tuple[int, ...]
+) -> tuple[int, list[str]] | None:
+    """Best segmentation of ``word`` under the pinned rule; None if
+    some prefix is not segmentable (cannot happen when every single
+    character is in the vocab). Linear in len(word) x |piece_lengths|.
+    """
+    n = len(word)
+    # best[i] = (score, final_piece_len) for word[:i]; back[i] = j
+    best: list[tuple[int, int] | None] = [None] * (n + 1)
+    best[0] = (0, 0)
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        top: tuple[int, int] | None = None
+        for plen in piece_lengths:
+            j = i - plen
+            if j < 0 or best[j] is None:
+                continue
+            score = vocab.get(word[j:i])
+            if score is None:
+                continue
+            cand = (best[j][0] + score, plen)
+            if top is None or cand > top:
+                top = cand
+        if top is not None:
+            best[i] = top
+            back[i] = i - top[1]
+    if best[n] is None:
+        return None
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return best[n][0], pieces
+
+
+def unigram_segment_kernel(
+    df: DataFrame,
+    text_col: str,
+    vocab: list[tuple[str, int]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment every token of ``text_col`` with the unigram Viterbi DP
+    and emit flat per-document stats:
+
+    (id_col, n_tokens, n_pieces, total_score, pieces_digest)
+
+    where pieces_digest = md5 of the full segmentation rendered as
+    pieces joined by '|' within a token and tokens joined by ' ' —
+    one digest pins every boundary decision in the document.
+    Documents with zero tokens are dropped (same contract as the BPE
+    encode queries). Map-only over Arrow batches; per-batch
+    memoization over distinct tokens.
+    """
+    pinned = PINNED_VOCAB if vocab is None else vocab
+    vmap = dict(pinned)
+    if len(vmap) != len(pinned):
+        raise ValueError("duplicate piece in vocab")
+    plens = tuple(sorted({len(p) for p in vmap}, reverse=True))
+    schema = (
+        f"{id_col} long, n_tokens long, n_pieces long, "
+        "total_score long, pieces_digest string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[int, str, int]] = {}
+
+        def word_seg(w: str) -> tuple[int, str, int]:
+            got = cache.get(w)
+            if got is None:
+                score, pieces = viterbi_segment(w, vmap, plens)
+                got = (score, "|".join(pieces), len(pieces))
+                cache[w] = got
+            return got
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   (id_col, "n_tokens", "n_pieces", "total_score",
+                    "pieces_digest")}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in _TOKEN_SPLIT.split((text or "").lower())
+                        if t]
+                if not toks:
+                    continue
+                segs = [word_seg(t) for t in toks]
+                rendered = " ".join(s[1] for s in segs)
+                out[id_col].append(did)
+                out["n_tokens"].append(len(toks))
+                out["n_pieces"].append(sum(s[2] for s in segs))
+                out["total_score"].append(sum(s[0] for s in segs))
+                out["pieces_digest"].append(
+                    hashlib.md5(rendered.encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def sql_vocab_values(vocab: list[tuple[str, int]] | None = None) -> str:
+    """The pinned vocab as a SQL VALUES list (both engines must read
+    the SAME table)."""
+    pinned = PINNED_VOCAB if vocab is None else vocab
+    return ", ".join(f"('{p}', {s})" for p, s in pinned)

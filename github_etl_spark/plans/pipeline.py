@@ -1013,3 +1013,78 @@ def bpe_tokenize_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.array_join("input_ids", " ").alias("input_ids"),
     )
+
+
+def _unigram_oracle() -> str:
+    """Brute-force oracle for the unigram Viterbi: a recursive CTE
+    enumerates EVERY segmentation of every distinct token (bounded —
+    fixture tokens are <= 8 chars), then ranks by the pinned rule
+    (score DESC, reversed-piece-lengths key DESC). The engine's
+    linear-time DP must agree with exhaustive search bit-for-bit; see
+    operators/unigram.py for why the revkey ORDER BY equals the DP's
+    longest-final-piece tie-break."""
+    from ..operators.unigram import sql_vocab_values
+
+    toks = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+    return f"""
+    WITH RECURSIVE
+    toks0 AS (SELECT doc_id, {toks} AS ws FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS w,
+                    generate_subscripts(ws, 1) AS ord
+             FROM toks0),
+    pieces(piece, score) AS (SELECT * FROM (VALUES {sql_vocab_values()})),
+    dw AS (SELECT DISTINCT w FROM toks),
+    seg AS (
+      SELECT w, 0 AS pos, 0 AS score,
+             CAST('' AS VARCHAR) AS path, CAST('' AS VARCHAR) AS revkey
+      FROM dw
+      UNION ALL
+      SELECT s.w, s.pos + length(p.piece), s.score + p.score,
+             CASE WHEN s.path = '' THEN p.piece
+                  ELSE s.path || '|' || p.piece END,
+             lpad(CAST(length(p.piece) AS VARCHAR), 2, '0') || s.revkey
+      FROM seg s JOIN pieces p
+        ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
+    ),
+    done AS (SELECT w, score, path, revkey FROM seg WHERE pos = length(w)),
+    best AS (
+      SELECT w, score, path,
+             CAST(length(path) - length(replace(path, '|', '')) + 1
+                  AS BIGINT) AS n_pieces,
+             row_number() OVER (PARTITION BY w
+                                ORDER BY score DESC, revkey DESC) AS rn
+      FROM done
+    ),
+    bw AS (SELECT w, score, path, n_pieces FROM best WHERE rn = 1)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(b.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(b.score) AS BIGINT) AS total_score,
+           md5(string_agg(b.path, ' ' ORDER BY t.ord)) AS pieces_digest
+    FROM toks t JOIN bw b ON t.w = b.w
+    GROUP BY t.doc_id
+    HAVING count(*) > 0
+    """
+
+
+@query("unigram_segment_pinned", headline=True, oracle=_unigram_oracle())
+def unigram_segment_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: unigram-LM (SentencePiece-style) Viterbi subword
+    segmentation under the pinned integer-score vocabulary
+    (operators/unigram.py) — the second tokenizer family next to BPE.
+    The engine runs the linear-time DP as an Arrow-batched map-only
+    kernel (corpus never shuffles; distinct-token memoization); the
+    oracle runs EXHAUSTIVE enumeration via a recursive CTE and ranks
+    by the same pinned tie-break, so every boundary decision in every
+    document is pinned through one md5 digest. The pinned vocab makes
+    the fixture exercise real decisions: splits that beat whole pieces
+    (win|dow, val|ue), whole pieces that beat splits (stream,
+    customer), and exact score TIES resolved by the
+    longest-final-piece rule (query, order)."""
+    from ..operators.unigram import unigram_segment_kernel
+
+    t = load_tables(spark, sf_dir)
+    return unigram_segment_kernel(t["documents"], "text")

@@ -55,6 +55,9 @@ EXCHANGE_BUDGET = {
     "event_transition_matrix": 2,
     "flagship_pr_snapshot": 3,
     "funnel_conversion": 1,
+    # 0 = one Arrow-batched map-only kernel over the documents scan;
+    # the corpus never shuffles and the pinned vocab is a closure.
+    "unigram_segment_pinned": 0,
     # 0 visible = the returned frame is the last checkpointed round +
     # TakeOrderedAndProject; the per-round cost (one edge-width join +
     # one groupBy sum = 2 keyed exchanges/round, merge-join pinned) is
