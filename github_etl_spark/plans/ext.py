@@ -2472,6 +2472,89 @@ def sim_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def _recall_oracle(approx_sql: str) -> str:
+    """Recall@5 of an approximate retrieval pipeline against the exact
+    brute-force top-5, per query — both pipelines embedded verbatim as
+    nested CTEs, so the recall CONTRACT inherits their exactness."""
+    return f"""
+    WITH bf AS ({_SIM_ORACLE}),
+    ap AS ({approx_sql}),
+    hits AS (
+      SELECT b.query_id,
+             CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM bf b LEFT JOIN ap a
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT query_id, n_hits,
+           (floor((CAST(n_hits AS DOUBLE) / 5.0) * 10000 + 0.5) / 10000)
+             AS recall_at_5
+    FROM hits
+    """
+
+
+def _recall_vs_bruteforce(spark, sf_dir, approx_builder) -> DataFrame:
+    from ..operators.similarity import brute_force_topk as _bf
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _bf(corpus=emb, queries=q, k=5).select("query_id", "neighbor_id")
+    approx = approx_builder(emb, q).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"))
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        round_det(F.col("n_hits") / 5.0, 4).alias("recall_at_5"),
+    )
+
+
+@query("sim_ivf_recall", oracle=_recall_oracle(_SIM_IVF_PORTABLE_ORACLE))
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: recall@5 of the portable IVF retrieval (nprobe=4 of 16
+    cells) against exact brute force, PER QUERY — the
+    approximation-quality contract for the ANN scale path, as an
+    oracle-checked catalog row rather than a test-only assertion. Both
+    pipelines are the already-pinned catalog queries; this measures the
+    thing a 100 TB user actually tunes (nprobe vs recall) and pins that
+    the measurement itself is engine-independent."""
+    from ..operators.similarity import ivf_topk_portable
+
+    return _recall_vs_bruteforce(
+        spark,
+        sf_dir,
+        lambda emb, q: ivf_topk_portable(
+            emb, q, k=5, n_centroids=16, nprobe=4
+        ),
+    )
+
+
+@query("sim_lsh_recall", oracle=_recall_oracle(_sim_lsh_portable_oracle()))
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: recall@5 of the portable-hash LSH retrieval (4 hyperplanes,
+    16 buckets) against exact brute force, per query — the same
+    approximation-quality contract as sim_ivf_recall for the
+    bucket-pruned path. LSH recall is expected to be the lossier of
+    the two at equal candidate budgets; pinning both makes the
+    trade-off a verified number instead of folklore."""
+    from ..operators.similarity import lsh_bucketed_topk
+
+    return _recall_vs_bruteforce(
+        spark,
+        sf_dir,
+        lambda emb, q: lsh_bucketed_topk(
+            corpus=emb, queries=q, k=5, n_planes=4, hash_family="md5_portable"
+        ),
+    )
+
+
 @query(
     "search_hybrid_rrf",
     oracle=f"""

@@ -94,3 +94,17 @@ def test_corpus_to_training_pipeline_end_to_end(spark, tmp_path):
     out = str(tmp_path / "landed")
     split.write.partitionBy("split").mode("overwrite").parquet(out)
     assert spark.read.parquet(out).count() == 31
+
+
+def test_bzip2_files_decode_transparently(spark, tmp_path):
+    """bzip2 is the SPLITTABLE compressed-text codec Hadoop ships
+    (unlike .gz, a large .bz2 file fans out to many tasks) — the
+    docstring's recommended landing codec must actually decode through
+    the same front door, quarantine included."""
+    import bz2
+
+    payload = "\n".join([_doc(20), _doc(21), "{broken"]) + "\n"
+    (tmp_path / "c.jsonl.bz2").write_bytes(bz2.compress(payload.encode()))
+    docs, bad = read_jsonl_corpus(spark, str(tmp_path), SCHEMA)
+    assert sorted(r.doc_id for r in docs.collect()) == [20, 21]
+    assert bad.count() == 1
