@@ -186,3 +186,150 @@ def sql_vocab_values(vocab: list[tuple[str, int]] | None = None) -> str:
     the SAME table)."""
     pinned = PINNED_VOCAB if vocab is None else vocab
     return ", ".join(f"('{p}', {s})" for p, s in pinned)
+
+
+# ------------------------------------------------------------------ learn
+
+
+def bitlen_score(cnt: int, total_bitlen: int) -> int:
+    """The pinned integer piece score: bitlength(count) - bitlength
+    (vocab total) ~ -ceil(-log2 p(piece)) — a Shannon-Fano-style
+    integer surrogate for the unigram log-likelihood, within 1 bit of
+    the true -log2 p.  Exactly computable in BOTH engines
+    (length(bin(x)) in Spark and DuckDB agree bit-for-bit), where a
+    float log would diverge in the last ulp between libm
+    implementations and flip segmentations at rounding boundaries."""
+    return cnt.bit_length() - total_bitlen
+
+
+def unigram_learn(
+    df: DataFrame,
+    text_col: str,
+    rounds: int = 3,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    max_vocab: int = 100,
+) -> DataFrame:
+    """Learn a unigram piece vocabulary by hard (Viterbi) EM — the
+    SentencePiece training loop's deterministic integer sibling:
+
+    - **Seed**: every substring of every distinct token up to
+      ``max_piece_len`` chars, counted with multiplicity and weighted
+      by token frequency; single characters are all kept (coverage
+      guarantee), multi-char pieces need ``min_count`` and the top
+      ``max_vocab`` survive (count DESC, piece ASC).
+    - **E-step**: segment every distinct token by Viterbi under the
+      pinned integer scores (``bitlen_score``), tie-broken by the
+      longest-final-piece rule shared with the apply kernel.
+    - **M-step**: re-count pieces by actual (disjoint) usage weighted
+      by token frequency; multi-char pieces below ``min_count`` drop,
+      characters floor at count 1 (never dropped — coverage).
+
+    Returns the final vocabulary as (piece, piece_len, cnt).
+
+    **Scale shape** (the property that matters at 100 TB): the corpus
+    never leaves the cluster — tokenization, substring seeding and
+    per-round usage counting are distributed aggregations over the
+    DISTINCT-token frame; only the VOCABULARY (bounded by
+    ``max_vocab`` + alphabet) crosses to the driver each round, and it
+    rides back into executors as a closure over an Arrow-batched
+    map-only kernel.  Cost per round = one map over distinct tokens +
+    one piece-count shuffle of vocabulary width.
+
+    The DuckDB oracle (plans/pipeline.py) replays the ENTIRE loop —
+    seeding, per-round exhaustive-enumeration Viterbi, usage
+    re-counting, pruning — as chained CTEs, so every learned count is
+    cross-engine exact."""
+    toks = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    toks = toks.localCheckpoint(eager=True)
+
+    # Seed counts: in-row substring expansion with multiplicity.
+    pos = F.sequence(F.lit(1), F.length("token"))
+    pieces = toks.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    pos,
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len),
+                                F.length("token") - i + 1,
+                            ),
+                        ),
+                        lambda l: F.substring(F.col("token"), i, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = {
+        r["piece"]: r["cnt"]
+        for r in pieces.groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .collect()
+    }
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items()
+         if len(p) >= 2 and c >= min_count),
+        key=lambda t: (-t[1], t[0]),
+    )[:max_vocab]
+    vocab: dict[str, int] = {**chars, **dict(multi)}
+
+    for _ in range(rounds):
+        total_bits = sum(vocab.values()).bit_length()
+        scores = {p: bitlen_score(c, total_bits) for p, c in vocab.items()}
+        plens = tuple(sorted({len(p) for p in scores}, reverse=True))
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # closure over THIS round's scores (bind now, not at call)
+            vm, pl = dict(scores), plens
+
+            for pdf in batches:
+                out_piece: list[str] = []
+                out_used: list[int] = []
+                for token, freq in zip(pdf["token"], pdf["freq"]):
+                    got = viterbi_segment(token, vm, pl)
+                    if got is None:  # cannot happen: chars never drop
+                        continue
+                    for p in got[1]:
+                        out_piece.append(p)
+                        out_used.append(int(freq))
+                yield pd.DataFrame({"piece": out_piece, "used": out_used})
+
+        usage = {
+            r["piece"]: r["cnt"]
+            for r in toks.mapInPandas(run, "piece string, used long")
+            .groupBy("piece")
+            .agg(F.sum("used").cast("long").alias("cnt"))
+            .collect()
+        }
+        vocab = {
+            **{p: max(usage.get(p, 0), 1) for p in chars},
+            **{
+                p: c
+                for p, c in usage.items()
+                if len(p) >= 2 and c >= min_count
+            },
+        }
+
+    spark = df.sparkSession
+    rows = sorted(vocab.items(), key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(
+        [(p, len(p), c) for p, c in rows],
+        "piece string, piece_len int, cnt long",
+    )

@@ -1088,3 +1088,122 @@ def unigram_segment_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return unigram_segment_kernel(t["documents"], "text")
+
+
+def _unigram_learn_oracle(
+    rounds: int = 3,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    max_vocab: int = 100,
+) -> str:
+    """The FULL unigram hard-EM learn loop as one DuckDB statement:
+    substring seeding, then per round (score from integer bit-length,
+    exhaustive-enumeration Viterbi via a recursive CTE, usage
+    re-count, prune) — chained MATERIALIZED CTEs, mirroring
+    operators/unigram.unigram_learn exactly. length(bin(x)) is the
+    cross-engine-exact integer bit-length both sides score with."""
+    toks = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+    head = f"""
+    WITH RECURSIVE
+    toks0 AS MATERIALIZED (SELECT {toks} AS ws FROM documents),
+    occ AS MATERIALIZED (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(ws) AS t FROM toks0) GROUP BY t
+    ),
+    sub0 AS (SELECT token, freq,
+                    unnest(range(1, length(token) + 1)) AS i FROM occ),
+    sub1 AS (SELECT token, freq, i,
+                    unnest(range(1, least({max_piece_len},
+                                          length(token) - i + 1) + 1)) AS l
+             FROM sub0),
+    sub AS MATERIALIZED (
+      SELECT substr(token, CAST(i AS INT), CAST(l AS INT)) AS piece,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM sub1 GROUP BY piece
+    ),
+    v0 AS MATERIALIZED (
+      SELECT piece, cnt FROM sub WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM sub WHERE length(piece) >= 2 AND cnt >= {min_count}
+      ) WHERE rn <= {max_vocab}
+    )"""
+    step = """,
+    p{r} AS MATERIALIZED (
+      SELECT piece,
+             CAST(length(bin(cnt)) AS BIGINT)
+               - (SELECT CAST(length(bin(sum(cnt))) AS BIGINT)
+                  FROM v{prev}) AS score
+      FROM v{prev}
+    ),
+    seg{r} AS (
+      SELECT token, freq, 0 AS pos, CAST(0 AS BIGINT) AS score,
+             CAST('' AS VARCHAR) AS path, CAST('' AS VARCHAR) AS revkey
+      FROM occ
+      UNION ALL
+      SELECT s.token, s.freq, s.pos + length(p.piece),
+             s.score + p.score,
+             CASE WHEN s.path = '' THEN p.piece
+                  ELSE s.path || '|' || p.piece END,
+             lpad(CAST(length(p.piece) AS VARCHAR), 2, '0') || s.revkey
+      FROM seg{r} s JOIN p{r} p
+        ON substr(s.token, s.pos + 1, length(p.piece)) = p.piece
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT token, freq, path FROM (
+        SELECT token, freq, path,
+               row_number() OVER (PARTITION BY token
+                                  ORDER BY score DESC, revkey DESC) AS rn
+        FROM seg{r} WHERE pos = length(token)
+      ) WHERE rn = 1
+    ),
+    use{r} AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(string_split(path, '|')) AS piece
+            FROM best{r})
+      GROUP BY piece
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT c.piece,
+             CAST(greatest(coalesce(u.cnt, 0), 1) AS BIGINT) AS cnt
+      FROM (SELECT piece FROM v{prev} WHERE length(piece) = 1) c
+      LEFT JOIN use{r} u ON u.piece = c.piece
+      UNION ALL
+      SELECT piece, cnt FROM use{r}
+      WHERE length(piece) >= 2 AND cnt >= {min_count}
+    )"""
+    body = "".join(
+        step.format(r=r, prev=r - 1, min_count=min_count)
+        for r in range(1, rounds + 1)
+    )
+    return (
+        head
+        + body
+        + f"""
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt
+    FROM v{rounds}
+    """
+    )
+
+
+@query("unigram_learn_vocab", oracle=_unigram_learn_oracle())
+def unigram_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: unigram-LM vocabulary LEARNING by hard (Viterbi) EM
+    (operators/unigram.unigram_learn) — the training half of the
+    second tokenizer family, the sibling of bpe_learn_merges. Piece
+    scores are Shannon-Fano integer bit-costs (length(bin(count)),
+    cross-engine exact), so every EM round — substring seeding,
+    Viterbi E-step, usage-count M-step, pruning — is deterministic
+    integer arithmetic, and the DuckDB oracle replays the WHOLE loop
+    as chained materialized CTEs with exhaustive-enumeration Viterbi.
+    Scale shape: the corpus never leaves the cluster; only the bounded
+    vocabulary crosses to the driver per round."""
+    from ..operators.unigram import unigram_learn
+
+    t = load_tables(spark, sf_dir)
+    return unigram_learn(t["documents"], "text")

@@ -139,3 +139,62 @@ def test_kernel_rejects_duplicate_vocab(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="duplicate"):
         unigram_segment_kernel(df, "text", vocab=[("a", 1), ("a", 2)])
+
+
+# ------------------------------------------------------------------ learn
+
+
+def test_unigram_learn_tiny_corpus(spark):
+    from github_etl_spark.operators.unigram import unigram_learn
+
+    # 'abab' x3, 'ab' x2: seed counts 'ab'=8 ('abab' has two), 'abab'=3;
+    # Viterbi under bit-costs then prefers the longest covering pieces.
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab")], "doc_id long, text string"
+    )
+    rows = {r["piece"]: r.asDict()
+            for r in unigram_learn(df, "text", rounds=2,
+                                   max_piece_len=4).collect()}
+    # coverage: single chars always survive with count >= 1
+    assert rows["a"]["cnt"] >= 1 and rows["b"]["cnt"] >= 1
+    # 'abab' tokens segment as the whole piece -> usage 3
+    assert rows["abab"]["cnt"] == 3
+    # 'ab' tokens segment as 'ab' -> usage 2
+    assert rows["ab"]["cnt"] == 2
+    assert rows["abab"]["piece_len"] == 4
+
+
+def test_unigram_learn_em_moves_counts(spark):
+    from github_etl_spark.operators.unigram import unigram_learn
+
+    df = spark.createDataFrame(
+        [(1, "window window value stream stream stream")],
+        "doc_id long, text string",
+    )
+    seeded = {r["piece"]: r["cnt"]
+              for r in unigram_learn(df, "text", rounds=0).collect()}
+    learned = {r["piece"]: r["cnt"]
+               for r in unigram_learn(df, "text", rounds=2).collect()}
+    # seed counts are substring-multiplicity counts (overlap-inflated);
+    # EM usage counts are disjoint — they must differ, and shrink
+    assert seeded != learned
+    assert sum(learned.values()) < sum(seeded.values())
+    # every learned piece count is bounded by its seed count
+    assert all(learned[p] <= seeded[p] for p in learned if p in seeded)
+
+
+def test_unigram_learn_respects_min_count_and_cap(spark):
+    from github_etl_spark.operators.unigram import unigram_learn
+
+    df = spark.createDataFrame(
+        [(1, "xy xy qq")], "doc_id long, text string"
+    )
+    rows = {r["piece"]: r["cnt"]
+            for r in unigram_learn(df, "text", rounds=1, min_count=2,
+                                   max_vocab=1).collect()}
+    # only ONE multi-char piece can enter the seed vocab (cap=1):
+    # 'xy' (cnt 2) beats 'qq' (cnt 1 < min_count anyway)
+    multi = [p for p in rows if len(p) >= 2]
+    assert multi == ["xy"]
+    # chars persist regardless
+    assert {"x", "y", "q"} <= set(rows)
