@@ -151,3 +151,45 @@ def constraint_report(
         "n_violations",
         (metric >= F.col("threshold")).alias("passed"),
     )
+
+
+def drift_report(
+    base: DataFrame,
+    curr: DataFrame,
+    metrics: list[str],
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Metric drift between two snapshot metric frames (the Deequ
+    metrics-repository pattern: yesterday's profile vs today's).
+
+    ``base``/``curr``: ONE-ROW frames carrying the same metric columns
+    (every metric already deterministic-rounded by its producer).
+    Output: one row per metric — (metric_name, base_value, curr_value,
+    rel_delta, drifted) with rel_delta = round6(|curr-base| /
+    max(|base|, 1)) and drifted = rel_delta > threshold.  The
+    cross-join of two one-row frames costs nothing; the report is a
+    single stack() projection."""
+    b = base.select([F.col(m).alias(f"__b_{m}") for m in metrics])
+    c = curr.select([F.col(m).alias(f"__c_{m}") for m in metrics])
+    parts = [
+        f"'{m}', CAST(__b_{m} AS DOUBLE), CAST(__c_{m} AS DOUBLE)"
+        for m in metrics
+    ]
+    stacked = b.crossJoin(c).select(
+        F.expr(
+            f"stack({len(metrics)}, {', '.join(parts)}) "
+            "AS (metric_name, base_value, curr_value)"
+        )
+    )
+    rel = round_det(
+        F.abs(F.col("curr_value") - F.col("base_value"))
+        / F.greatest(F.abs(F.col("base_value")), F.lit(1.0)),
+        6,
+    )
+    return stacked.select(
+        "metric_name",
+        "base_value",
+        "curr_value",
+        rel.alias("rel_delta"),
+        (rel > F.lit(float(threshold))).alias("drifted"),
+    )

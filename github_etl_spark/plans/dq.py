@@ -141,3 +141,111 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ri = referential_violations(orders, "o_custkey", t["customer"], "c_custkey")
     metrics = rm.crossJoin(okey).crossJoin(ckey).crossJoin(ri)
     return constraint_report(metrics, _CONSTRAINTS)
+
+
+_DRIFT_SPLIT = "TIMESTAMP '1998-01-01 00:00:00'"
+_DRIFT_METRICS = [
+    "n_rows",
+    "completeness_o_custkey",
+    "avg_totalprice",
+    "share_status_f",
+    "n_custkeys",
+]
+
+# One snapshot's metric profile (DuckDB side). Averages go through
+# integer cents (exact BIGINT sum, order-independent) so only the
+# final division is floating point — the cross-engine double-sum trap.
+_DRIFT_PROFILE_SQL = """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             (floor((CAST(count(o_custkey) AS DOUBLE)
+                     / greatest(count(*), 1)) * 1000000 + 0.5) / 1000000)
+               AS completeness_o_custkey,
+             (floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / (100.0 * greatest(count(o_totalprice), 1)))
+                    * 10000 + 0.5) / 10000) AS avg_totalprice,
+             (floor((CAST(sum(CASE WHEN o_orderstatus = 'F'
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / greatest(count(*), 1)) * 1000000 + 0.5) / 1000000)
+               AS share_status_f,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+      FROM orders WHERE o_orderdate {op} {split}
+"""
+
+
+def _drift_row_sql(metric: str) -> str:
+    return f"""
+      SELECT '{metric}' AS metric_name,
+             CAST(b.{metric} AS DOUBLE) AS base_value,
+             CAST(c.{metric} AS DOUBLE) AS curr_value
+      FROM b, c"""
+
+
+@query(
+    "dq_snapshot_drift",
+    oracle="WITH b AS ("
+    + _DRIFT_PROFILE_SQL.format(op="<", split=_DRIFT_SPLIT)
+    + "), c AS ("
+    + _DRIFT_PROFILE_SQL.format(op=">=", split=_DRIFT_SPLIT)
+    + "), rows_ AS ("
+    + " UNION ALL ".join(_drift_row_sql(m) for m in _DRIFT_METRICS)
+    + """)
+    SELECT metric_name, base_value, curr_value,
+           (floor((abs(curr_value - base_value)
+                   / greatest(abs(base_value), 1.0)) * 1000000 + 0.5)
+            / 1000000) AS rel_delta,
+           ((floor((abs(curr_value - base_value)
+                    / greatest(abs(base_value), 1.0)) * 1000000 + 0.5)
+             / 1000000) > 0.05) AS drifted
+    FROM rows_
+    """,
+)
+def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: metric drift between two snapshots of the orders table
+    (pre/post 1998 — stand-ins for yesterday's and today's partitions),
+    the Deequ metrics-repository pattern: profile each snapshot once
+    (count, completeness, cents-exact average price, status share,
+    distinct customers), then report per-metric relative drift with a
+    5% flag.  The drifted share_status_f row is the point: older orders
+    skew 'F'illed, newer ones skew open — the kind of
+    distribution shift a quality gate must catch before training data
+    does.  Scale shape: two partition-prunable scans (each profile is
+    one pass; the average runs through exact integer cents so no
+    double-sum order dependence), then a stack() over one-row frames.
+    """
+    from ..operators.dq import drift_report
+
+    t = load_tables(spark, sf_dir)
+    split = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+
+    def profile(df: DataFrame) -> DataFrame:
+        from ..functions.rounding import round_det
+
+        cents = F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        )
+        n_price = F.greatest(F.count("o_totalprice"), F.lit(1))
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            round_det(
+                F.count("o_custkey")
+                / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                6,
+            ).alias("completeness_o_custkey"),
+            round_det(
+                cents.cast("double") / (100.0 * n_price), 4
+            ).alias("avg_totalprice"),
+            round_det(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+                )
+                / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                6,
+            ).alias("share_status_f"),
+            F.count_distinct("o_custkey").alias("n_custkeys"),
+        )
+
+    orders = t["orders"]
+    base = profile(orders.where(F.col("o_orderdate") < split))
+    curr = profile(orders.where(F.col("o_orderdate") >= split))
+    return drift_report(base, curr, _DRIFT_METRICS, threshold=0.05)

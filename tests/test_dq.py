@@ -103,3 +103,41 @@ def test_constraint_report_empty_table_is_all_pass(spark):
     # guards the division)
     assert all(r["passed"] for r in rep.values())
     assert all(r["n_violations"] == 0 for r in rep.values())
+
+
+def test_drift_report_flags_only_moved_metrics(spark):
+    from github_etl_spark.operators.dq import drift_report
+
+    base = spark.createDataFrame([(100.0, 0.5)], "m1 double, m2 double")
+    curr = spark.createDataFrame([(100.0, 0.6)], "m1 double, m2 double")
+    rep = {r["metric_name"]: r.asDict()
+           for r in drift_report(base, curr, ["m1", "m2"]).collect()}
+    assert rep["m1"]["rel_delta"] == 0.0 and rep["m1"]["drifted"] is False
+    # |0.6-0.5| / max(|0.5|, 1.0) — the denominator floors at 1
+    assert rep["m2"]["rel_delta"] == 0.1 and rep["m2"]["drifted"] is True
+    assert rep["m2"]["base_value"] == 0.5
+
+
+def test_drift_report_small_base_uses_absolute_floor(spark):
+    from github_etl_spark.operators.dq import drift_report
+
+    # |base| < 1 -> denominator floors at 1.0, so near-zero baselines
+    # don't turn noise into infinite relative drift
+    base = spark.createDataFrame([(0.001,)], "m double")
+    curr = spark.createDataFrame([(0.003,)], "m double")
+    row = drift_report(base, curr, ["m"]).first()
+    assert row["rel_delta"] == 0.002
+    assert row["drifted"] is False
+
+
+def test_drift_report_threshold_is_strict(spark):
+    from github_etl_spark.operators.dq import drift_report
+
+    base = spark.createDataFrame([(100.0,)], "m double")
+    curr = spark.createDataFrame([(105.0,)], "m double")
+    assert drift_report(base, curr, ["m"], threshold=0.05).first()[
+        "drifted"
+    ] is False
+    assert drift_report(base, curr, ["m"], threshold=0.049).first()[
+        "drifted"
+    ] is True
