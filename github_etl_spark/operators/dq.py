@@ -49,11 +49,14 @@ from ..functions.rounding import round_det
 @dataclass(frozen=True)
 class Compliance:
     """A named predicate constraint: ``metric`` = fraction of rows
-    satisfying ``predicate`` (NULL counts as a violation)."""
+    satisfying ``predicate`` (NULL counts as a violation).  Pass/fail
+    thresholds live in ``constraint_report``'s (name, threshold) list
+    — deliberately NOT here, so the metric computation stays
+    threshold-free and one metric column can be judged against
+    different gates."""
 
     name: str
     predicate: Column
-    threshold: float = 1.0
 
 
 def row_metrics(
@@ -129,6 +132,8 @@ def constraint_report(
     passed = metric >= threshold.  A single stack() projection: no
     branch recomputes an input scan.
     """
+    if not constraints:
+        raise ValueError("constraint_report needs at least one constraint")
     parts = []
     for name, threshold in constraints:
         parts.append(
@@ -169,6 +174,8 @@ def drift_report(
     max(|base|, 1)) and drifted = rel_delta > threshold.  The
     cross-join of two one-row frames costs nothing; the report is a
     single stack() projection."""
+    if not metrics:
+        raise ValueError("drift_report needs at least one metric")
     b = base.select([F.col(m).alias(f"__b_{m}") for m in metrics])
     c = curr.select([F.col(m).alias(f"__c_{m}") for m in metrics])
     parts = [

@@ -524,4 +524,10 @@ def pagerank_fixed_point(
         ranks.unpersist()
         drop_checkpoint_files(ranks)
         ranks = nxt
+    # The returned frame reads only ITS checkpoint; the edge and degree
+    # snapshots are dead now — release them (same no-copy-per-call
+    # contract as _connected_components_run's round cleanup).
+    for dead in (e, deg):
+        dead.unpersist()
+        drop_checkpoint_files(dead)
     return ranks

@@ -153,7 +153,17 @@ def unigram_segment_kernel(
         def word_seg(w: str) -> tuple[int, str, int]:
             got = cache.get(w)
             if got is None:
-                score, pieces = viterbi_segment(w, vmap, plens)
+                seg = viterbi_segment(w, vmap, plens)
+                if seg is None:
+                    # A custom vocab without full character coverage:
+                    # fail with the quarantine-friendly error class and
+                    # a usable message, not a TypeError unpack deep in
+                    # the executor.
+                    raise ValueError(
+                        f"token {w!r} is not segmentable under the "
+                        "given vocab (missing character coverage)"
+                    )
+                score, pieces = seg
                 got = (score, "|".join(pieces), len(pieces))
                 cache[w] = got
             return got
@@ -276,18 +286,26 @@ def unigram_learn(
             )
         ).alias("piece"),
     )
-    counts = {
+    # Prune IN SPARK before anything crosses to the driver: the
+    # unpruned substring table is corpus-vocabulary-sized (every
+    # distinct substring up to max_piece_len — huge at 100 TB), while
+    # what the driver needs is alphabet + top-max_vocab rows.
+    piece_counts = pieces.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+    chars = {
         r["piece"]: r["cnt"]
-        for r in pieces.groupBy("piece")
-        .agg(F.sum("freq").cast("long").alias("cnt"))
-        .collect()
+        for r in piece_counts.where(F.length("piece") == 1).collect()
     }
-    chars = {p: c for p, c in counts.items() if len(p) == 1}
-    multi = sorted(
-        ((p, c) for p, c in counts.items()
-         if len(p) >= 2 and c >= min_count),
-        key=lambda t: (-t[1], t[0]),
-    )[:max_vocab]
+    multi = [
+        (r["piece"], r["cnt"])
+        for r in piece_counts.where(
+            (F.length("piece") >= 2) & (F.col("cnt") >= min_count)
+        )
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(max_vocab)
+        .collect()
+    ]
     vocab: dict[str, int] = {**chars, **dict(multi)}
 
     for _ in range(rounds):
@@ -327,6 +345,9 @@ def unigram_learn(
             },
         }
 
+    # The result is driver-side (the bounded vocab); release the
+    # distinct-token blocks instead of holding them to app end.
+    toks.unpersist()
     spark = df.sparkSession
     rows = sorted(vocab.items(), key=lambda t: (-t[1], t[0]))
     return spark.createDataFrame(

@@ -141,3 +141,20 @@ def test_drift_report_threshold_is_strict(spark):
     assert drift_report(base, curr, ["m"], threshold=0.049).first()[
         "drifted"
     ] is True
+
+
+def test_empty_constraint_and_metric_lists_rejected(spark):
+    import pytest
+
+    from github_etl_spark.operators.dq import (
+        constraint_report,
+        drift_report,
+        row_metrics,
+    )
+
+    df = spark.createDataFrame([(1,)], "k int")
+    metrics = row_metrics(df, completeness=["k"], compliance=[])
+    with pytest.raises(ValueError, match="at least one constraint"):
+        constraint_report(metrics, [])
+    with pytest.raises(ValueError, match="at least one metric"):
+        drift_report(metrics, metrics, [])

@@ -49,6 +49,12 @@ GLOBAL_AGG_ROWS = {
     # Fixed-literal corpus by design (zlib ratios pinned cross-engine);
     # reads no fixture table, so empty tables don't change its 3 rows.
     "text_compression_ratio_pinned": 3,
+    # Constraint/drift reports are one row PER CONSTRAINT/METRIC by
+    # design: an empty table is a vacuously green 9-row report (zero
+    # violations), not an empty one — the gate must still emit its
+    # verdicts when a partition prunes to nothing.
+    "dq_constraint_report": 9,
+    "dq_snapshot_drift": 5,
 }
 
 

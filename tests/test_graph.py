@@ -325,3 +325,39 @@ def test_pagerank_rejects_non_integral_ids(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(TypeError):
         pagerank_fixed_point(df)
+
+
+def test_pagerank_reliable_checkpoints_cleaned(spark, tmp_path):
+    """With a session checkpoint dir, every intermediate snapshot
+    (edges, degrees, per-round ranks) must be deleted by the time the
+    result is materialized — only the FINAL ranks checkpoint may
+    remain (the no-copy-per-round/no-copy-per-call disk contract the
+    iterative operators share)."""
+    import os
+
+    from github_etl_spark.operators.graph import pagerank_fixed_point
+
+    sc = spark.sparkContext
+    before = sc.getCheckpointDir()
+    ckpt = str(tmp_path / "pr_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 40)], "src long, dst long"
+        )
+        got = pagerank_fixed_point(df, iterations=3)
+        assert got.count() == 40
+        rdd_dirs = [
+            os.path.join(r, d)
+            for r, ds, _ in os.walk(ckpt)
+            for d in ds
+            if d.startswith("rdd-")
+        ]
+        assert len(rdd_dirs) == 1, rdd_dirs
+    finally:
+        if before is not None:
+            sc.setCheckpointDir(before)
+        else:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )

@@ -198,3 +198,12 @@ def test_unigram_learn_respects_min_count_and_cap(spark):
     assert multi == ["xy"]
     # chars persist regardless
     assert {"x", "y", "q"} <= set(rows)
+
+
+def test_kernel_noncovering_vocab_raises_valueerror(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out = unigram_segment_kernel(df, "text", vocab=[("ab", 5)])
+    # the executor-side ValueError surfaces through PySpark's wrapper
+    # exception; the usable message is the contract being pinned
+    with pytest.raises(Exception, match="not segmentable"):
+        out.collect()
