@@ -212,14 +212,14 @@ def bitlen_score(cnt: int, total_bitlen: int) -> int:
     return cnt.bit_length() - total_bitlen
 
 
-def unigram_learn(
+def learn_vocab(
     df: DataFrame,
     text_col: str,
     rounds: int = 3,
     max_piece_len: int = 4,
     min_count: int = 2,
     max_vocab: int = 100,
-) -> DataFrame:
+) -> dict[str, int]:
     """Learn a unigram piece vocabulary by hard (Viterbi) EM — the
     SentencePiece training loop's deterministic integer sibling:
 
@@ -235,7 +235,9 @@ def unigram_learn(
       by token frequency; multi-char pieces below ``min_count`` drop,
       characters floor at count 1 (never dropped — coverage).
 
-    Returns the final vocabulary as (piece, piece_len, cnt).
+    Returns the final vocabulary as a driver-side {piece: count} dict
+    (``unigram_learn`` wraps it as a DataFrame; ``unigram_tokenize_
+    encode`` feeds it back into the segmentation kernel).
 
     **Scale shape** (the property that matters at 100 TB): the corpus
     never leaves the cluster — tokenization, substring seeding and
@@ -348,9 +350,103 @@ def unigram_learn(
     # The result is driver-side (the bounded vocab); release the
     # distinct-token blocks instead of holding them to app end.
     toks.unpersist()
-    spark = df.sparkSession
+    return vocab
+
+
+def unigram_learn(
+    df: DataFrame,
+    text_col: str,
+    rounds: int = 3,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    max_vocab: int = 100,
+) -> DataFrame:
+    """``learn_vocab`` as a DataFrame: (piece, piece_len, cnt), counts
+    descending (piece ascending on ties)."""
+    vocab = learn_vocab(
+        df, text_col, rounds=rounds, max_piece_len=max_piece_len,
+        min_count=min_count, max_vocab=max_vocab,
+    )
     rows = sorted(vocab.items(), key=lambda t: (-t[1], t[0]))
-    return spark.createDataFrame(
+    return df.sparkSession.createDataFrame(
         [(p, len(p), c) for p, c in rows],
         "piece string, piece_len int, cnt long",
     )
+
+
+def unigram_tokenize_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    rounds: int = 3,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    max_vocab: int = 100,
+) -> DataFrame:
+    """END-TO-END unigram tokenization — the unigram sibling of
+    ``bpe_tokenize_encode``: learn the vocabulary by hard EM
+    (``learn_vocab``), assign dense piece ids by (count DESC, piece
+    ASC) rank (1-based; there is no OOV — character coverage is a
+    learn invariant), then Viterbi-segment every document under the
+    FINAL vocabulary's bit-cost scores and emit per-document id
+    sequences:
+
+        (id_col, n_tokens, n_pieces, input_ids)
+
+    with ``input_ids`` the space-joined piece ids in document order
+    (complex outputs are banned catalog-wide). Documents with zero
+    tokens drop, same as the BPE encode contract.
+
+    Scale shape = learn's (corpus never leaves the cluster; bounded
+    vocab to the driver) + one extra Arrow-batched map-only encode
+    pass with the vocab/ids as a closure."""
+    vocab = learn_vocab(
+        df, text_col, rounds=rounds, max_piece_len=max_piece_len,
+        min_count=min_count, max_vocab=max_vocab,
+    )
+    total_bits = sum(vocab.values()).bit_length()
+    scores = {p: bitlen_score(c, total_bits) for p, c in vocab.items()}
+    ids = {
+        p: i + 1
+        for i, (p, _) in enumerate(
+            sorted(vocab.items(), key=lambda t: (-t[1], t[0]))
+        )
+    }
+    plens = tuple(sorted({len(p) for p in vocab}, reverse=True))
+    schema = (
+        f"{id_col} long, n_tokens long, n_pieces long, input_ids string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[str, int]] = {}
+
+        def word_ids(w: str) -> tuple[str, int]:
+            got = cache.get(w)
+            if got is None:
+                seg = viterbi_segment(w, scores, plens)
+                if seg is None:
+                    raise ValueError(
+                        f"token {w!r} not segmentable — learn_vocab's "
+                        "character-coverage invariant was violated"
+                    )
+                pieces = seg[1]
+                got = (" ".join(str(ids[p]) for p in pieces), len(pieces))
+                cache[w] = got
+            return got
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   (id_col, "n_tokens", "n_pieces", "input_ids")}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in _TOKEN_SPLIT.split((text or "").lower())
+                        if t]
+                if not toks:
+                    continue
+                encoded = [word_ids(t) for t in toks]
+                out[id_col].append(did)
+                out["n_tokens"].append(len(toks))
+                out["n_pieces"].append(sum(n for _, n in encoded))
+                out["input_ids"].append(" ".join(s for s, _ in encoded))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -1090,18 +1090,20 @@ def unigram_segment_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_segment_kernel(t["documents"], "text")
 
 
-def _unigram_learn_oracle(
+def _unigram_learn_ctes(
     rounds: int = 3,
     max_piece_len: int = 4,
     min_count: int = 2,
     max_vocab: int = 100,
 ) -> str:
-    """The FULL unigram hard-EM learn loop as one DuckDB statement:
-    substring seeding, then per round (score from integer bit-length,
-    exhaustive-enumeration Viterbi via a recursive CTE, usage
-    re-count, prune) — chained MATERIALIZED CTEs, mirroring
-    operators/unigram.unigram_learn exactly. length(bin(x)) is the
-    cross-engine-exact integer bit-length both sides score with."""
+    """The FULL unigram hard-EM learn loop as a DuckDB CTE chain
+    (shared by the learn AND encode oracles): substring seeding, then
+    per round (score from integer bit-length, exhaustive-enumeration
+    Viterbi via a recursive CTE, usage re-count, prune) — chained
+    MATERIALIZED CTEs, mirroring operators/unigram.learn_vocab
+    exactly. length(bin(x)) is the cross-engine-exact integer
+    bit-length both sides score with. Ends with ``v{rounds}`` =
+    (piece, cnt), no final SELECT."""
     toks = (
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
         "x -> x <> '')"
@@ -1181,12 +1183,84 @@ def _unigram_learn_oracle(
         step.format(r=r, prev=r - 1, min_count=min_count)
         for r in range(1, rounds + 1)
     )
+    return head + body
+
+
+def _unigram_learn_oracle(rounds: int = 3) -> str:
     return (
-        head
-        + body
+        _unigram_learn_ctes(rounds=rounds)
         + f"""
     SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt
     FROM v{rounds}
+    """
+    )
+
+
+def _unigram_encode_oracle(rounds: int = 3) -> str:
+    """End-to-end unigram tokenization oracle: the learn chain, then
+    dense id assignment by (count DESC, piece ASC) rank, one more
+    exhaustive Viterbi pass under the FINAL vocabulary's bit-cost
+    scores, and per-document id reassembly in token order — every
+    stage of operators/unigram.unigram_tokenize_encode replayed."""
+    toks = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+    v = f"v{rounds}"
+    return (
+        _unigram_learn_ctes(rounds=rounds)
+        + f""",
+    pf AS MATERIALIZED (
+      SELECT piece,
+             CAST(length(bin(cnt)) AS BIGINT)
+               - (SELECT CAST(length(bin(sum(cnt))) AS BIGINT)
+                  FROM {v}) AS score,
+             CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
+                  AS BIGINT) AS pid
+      FROM {v}
+    ),
+    sege AS (
+      SELECT token, 0 AS pos, CAST(0 AS BIGINT) AS score,
+             CAST('' AS VARCHAR) AS path, CAST('' AS VARCHAR) AS revkey
+      FROM occ
+      UNION ALL
+      SELECT s.token, s.pos + length(p.piece), s.score + p.score,
+             CASE WHEN s.path = '' THEN p.piece
+                  ELSE s.path || '|' || p.piece END,
+             lpad(CAST(length(p.piece) AS VARCHAR), 2, '0') || s.revkey
+      FROM sege s JOIN pf p
+        ON substr(s.token, s.pos + 1, length(p.piece)) = p.piece
+    ),
+    beste AS MATERIALIZED (
+      SELECT token, path FROM (
+        SELECT token, path,
+               row_number() OVER (PARTITION BY token
+                                  ORDER BY score DESC, revkey DESC) AS rn
+        FROM sege WHERE pos = length(token)
+      ) WHERE rn = 1
+    ),
+    tok_ids AS MATERIALIZED (
+      SELECT token,
+             string_agg(CAST(p.pid AS VARCHAR), ' ' ORDER BY s.ord)
+               AS ids,
+             CAST(count(*) AS BIGINT) AS n_pieces
+      FROM (SELECT token, unnest(string_split(path, '|')) AS piece,
+                   generate_subscripts(string_split(path, '|'), 1) AS ord
+            FROM beste) s
+      JOIN pf p ON p.piece = s.piece
+      GROUP BY token
+    ),
+    dtoks AS (
+      SELECT doc_id, unnest(ws) AS token,
+             generate_subscripts(ws, 1) AS ord
+      FROM (SELECT doc_id, {toks} AS ws FROM documents)
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(t.n_pieces) AS BIGINT) AS n_pieces,
+           string_agg(t.ids, ' ' ORDER BY d.ord) AS input_ids
+    FROM dtoks d JOIN tok_ids t ON t.token = d.token
+    GROUP BY d.doc_id
     """
     )
 
@@ -1207,3 +1281,21 @@ def unigram_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return unigram_learn(t["documents"], "text")
+
+
+@query("unigram_tokenize_encode", oracle=_unigram_encode_oracle())
+def unigram_tokenize_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the FULL unigram tokenizer path end-to-end — hard-EM
+    vocabulary learning, dense id assignment (count DESC, piece ASC;
+    no OOV by the character-coverage invariant), and Viterbi encoding
+    of every document under the final bit-cost scores
+    (operators/unigram.unigram_tokenize_encode) — the unigram sibling
+    of bpe_tokenize_encode, and with it the catalog's deepest pins:
+    the oracle replays learning (chained EM CTEs), id ranking, an
+    exhaustive-enumeration final segmentation, and positional id
+    reassembly in ONE statement. Catalog form emits input_ids
+    space-joined (complex outputs are banned catalog-wide)."""
+    from ..operators.unigram import unigram_tokenize_encode
+
+    t = load_tables(spark, sf_dir)
+    return unigram_tokenize_encode(t["documents"], "text")

@@ -207,3 +207,46 @@ def test_kernel_noncovering_vocab_raises_valueerror(spark):
     # exception; the usable message is the contract being pinned
     with pytest.raises(Exception, match="not segmentable"):
         out.collect()
+
+
+def test_tokenize_encode_end_to_end(spark):
+    from github_etl_spark.operators.unigram import (
+        learn_vocab,
+        unigram_tokenize_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in unigram_tokenize_encode(df, "text", rounds=2).collect()}
+    # empty/NULL docs drop, same as BPE encode
+    assert set(rows) == {1, 2}
+    vocab = learn_vocab(df, "text", rounds=2)
+    ids = {p: i + 1 for i, (p, _) in enumerate(
+        sorted(vocab.items(), key=lambda t: (-t[1], t[0])))}
+    # both tokens segment as whole learned pieces
+    assert rows[1]["input_ids"] == " ".join(
+        str(x) for x in [ids["abab"], ids["abab"], ids["ab"]]
+    )
+    assert rows[1]["n_tokens"] == 3 and rows[1]["n_pieces"] == 3
+    assert rows[2]["input_ids"] == f"{ids['abab']} {ids['ab']}"
+
+
+def test_tokenize_encode_ids_are_dense_and_deterministic(spark):
+    from github_etl_spark.operators.unigram import unigram_tokenize_encode
+
+    df = spark.createDataFrame(
+        [(i, "window value stream") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out1 = {r["doc_id"]: r["input_ids"]
+            for r in unigram_tokenize_encode(df, "text").collect()}
+    out2 = {r["doc_id"]: r["input_ids"]
+            for r in unigram_tokenize_encode(df.repartition(3), "text").collect()}
+    assert out1 == out2
+    # identical docs encode identically
+    assert len(set(out1.values())) == 1
+    used = [int(x) for x in out1[0].split()]
+    assert all(i >= 1 for i in used)
