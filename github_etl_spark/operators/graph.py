@@ -495,8 +495,14 @@ def pagerank_fixed_point(
 
     n = deg.count()
     if n == 0:
-        return deg.select(
-            "node", "deg", F.lit(0).cast("long").alias("rank_fp")
+        # Release the (empty) checkpoints before returning — the
+        # checkpoint-independent empty frame keeps the one-snapshot
+        # disk contract on this path too.
+        for dead in (sym, deg):
+            dead.unpersist()
+            drop_checkpoint_files(dead)
+        return spark.createDataFrame(
+            [], "node long, deg long, rank_fp long"
         )
     base = scale // n
     teleport = (100 - damping_pct) * base

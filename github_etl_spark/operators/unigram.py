@@ -292,9 +292,13 @@ def learn_vocab(
     # unpruned substring table is corpus-vocabulary-sized (every
     # distinct substring up to max_piece_len — huge at 100 TB), while
     # what the driver needs is alphabet + top-max_vocab rows.
+    # Persisted: chars and multi pieces are two filters over the SAME
+    # aggregation — without it the explode-all-substrings pass (the
+    # heaviest seeding stage) runs twice.
     piece_counts = pieces.groupBy("piece").agg(
         F.sum("freq").cast("long").alias("cnt")
     )
+    piece_counts.persist()
     chars = {
         r["piece"]: r["cnt"]
         for r in piece_counts.where(F.length("piece") == 1).collect()
@@ -308,6 +312,7 @@ def learn_vocab(
         .limit(max_vocab)
         .collect()
     ]
+    piece_counts.unpersist()
     vocab: dict[str, int] = {**chars, **dict(multi)}
 
     for _ in range(rounds):

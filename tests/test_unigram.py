@@ -248,5 +248,9 @@ def test_tokenize_encode_ids_are_dense_and_deterministic(spark):
     assert out1 == out2
     # identical docs encode identically
     assert len(set(out1.values())) == 1
+    # DENSE 1-based ids: everything used falls inside 1..|vocab|
+    from github_etl_spark.operators.unigram import learn_vocab
+
+    n_vocab = len(learn_vocab(df, "text"))
     used = [int(x) for x in out1[0].split()]
-    assert all(i >= 1 for i in used)
+    assert all(1 <= i <= n_vocab for i in used)

@@ -962,6 +962,7 @@ def main():
     lines += png_probe(spark, t, ks)
     lines += bpe_probe(spark, t, ks)
     lines += codec_probe(spark, t, ks)
+    lines += pagerank_probe(spark, t)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "SCALE_PROBE.md")
     with open(out, "w") as f:
