@@ -3357,3 +3357,81 @@ def dedup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         vb.select(F.lit("B").alias("ingest"), "doc_id", "verdict", "n_near")
     )
+
+
+@query(
+    "er_fuzzy_entities",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey
+       AND a.s_suppkey < b.s_suppkey
+       AND levenshtein(a.s_name, b.s_name) <= 2
+    ),
+    e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+    reach AS (
+      SELECT s_suppkey AS node, s_suppkey AS r FROM supplier
+      UNION
+      SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node
+    ),
+    lbl AS (SELECT node, CAST(min(r) AS BIGINT) AS entity_id
+            FROM reach GROUP BY node),
+    sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lbl GROUP BY entity_id)
+    SELECT l.node AS s_suppkey, l.entity_id, s.cluster_size,
+           (l.node = l.entity_id) AS is_canonical
+    FROM lbl l JOIN sz s USING (entity_id)
+    """,
+)
+def er_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: entity resolution END-TO-END — the c12 blocked fuzzy-match
+    pairs (nation-blocked Levenshtein <= 2) fed through connected
+    components into a canonical ENTITY table: every supplier gets its
+    component-min entity_id, cluster size, and an is_canonical keeper
+    flag (singletons are their own entity).  The same
+    pairs -> components -> assignment shape as dedup_cluster_canonical,
+    proven here on the record-linkage family; the oracle computes the
+    transitive closure by recursive min-label propagation (set-semantics
+    UNION terminates it) — exhaustive reachability vs the engine's
+    O(log n) star algorithm.  Scale: blocking bounds the pair join,
+    components are bounded by matched records (broadcast back), the
+    record table itself never shuffles."""
+    from ..operators.graph import cluster_assignment
+
+    t = load_tables(spark, sf_dir)
+    sup = t["supplier"]
+    a = sup.select(
+        F.col("s_suppkey").alias("key_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("key_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    pairs = (
+        a.join(b, "nk")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") <= 2)
+        )
+        .select("key_a", "key_b")
+    )
+    assigned = cluster_assignment(
+        sup.select("s_suppkey"), pairs, "s_suppkey",
+        id_a="key_a", id_b="key_b",
+    )
+    sizes = assigned.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        assigned.join(F.broadcast(sizes), "component_id")
+        .select(
+            "s_suppkey",
+            F.col("component_id").alias("entity_id"),
+            "cluster_size",
+            "is_canonical",
+        )
+    )

@@ -361,3 +361,42 @@ def test_pagerank_reliable_checkpoints_cleaned(spark, tmp_path):
             getattr(sc._jsc.sc(), "checkpointDir_$eq")(
                 sc._jvm.scala.Option.empty()
             )
+
+
+def test_er_fuzzy_entities_blocking_and_clusters(spark, tmp_path):
+    """The ER composition on a crafted record table: near-identical
+    names cluster within a block, identical names across blocks do NOT
+    (blocking is a recall/cost trade, pinned explicit), singletons are
+    their own canonical entity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "acme corp", 0),
+        (2, "acme corp.", 0),   # dist 1 -> clusters with 1
+        (3, "acme corp", 1),    # identical name, OTHER block -> singleton
+        (4, "zzz unrelated", 0),
+    ]
+    src = "/root/testdata/sf0.001"
+    import os
+    sf = str(tmp_path)
+    for fn in os.listdir(src):
+        if fn.endswith(".parquet") and fn != "supplier.parquet":
+            os.symlink(os.path.join(src, fn), os.path.join(sf, fn))
+    pq.write_table(
+        pa.table({
+            "s_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+            "s_name": pa.array([r[1] for r in rows]),
+            "s_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+        }),
+        os.path.join(sf, "supplier.parquet"),
+    )
+    from github_etl_spark.plans import QUERIES
+
+    got = {r["s_suppkey"]: r.asDict()
+           for r in QUERIES["er_fuzzy_entities"].fn(spark, sf).collect()}
+    assert got[1]["entity_id"] == 1 and got[2]["entity_id"] == 1
+    assert got[1]["cluster_size"] == 2 and got[2]["cluster_size"] == 2
+    assert got[1]["is_canonical"] is True and got[2]["is_canonical"] is False
+    assert got[3]["entity_id"] == 3 and got[3]["cluster_size"] == 1
+    assert got[4]["is_canonical"] is True
