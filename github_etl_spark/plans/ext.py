@@ -3435,3 +3435,29 @@ def er_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical",
         )
     )
+
+
+@query(
+    "surrogate_keys",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS sk
+    FROM orders
+    """,
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: contiguous surrogate-key assignment
+    (operators/keys.assign_surrogate_keys) — ids 1..N in key order
+    WITHOUT the one-task global window the naive row_number() plan
+    collapses into: range-partitioned distributed sort (materialized
+    once so both passes see identical boundaries), per-partition
+    counts to prefix-sum offsets (one row per partition to the
+    driver), then a map-only Arrow numbering pass.  The oracle IS the
+    naive plan — per-value equality proves the distributed form
+    computes exactly row_number() OVER (ORDER BY key)."""
+    from ..operators.keys import assign_surrogate_keys
+
+    t = load_tables(spark, sf_dir)
+    return assign_surrogate_keys(
+        t["orders"].select("o_orderkey"), "o_orderkey"
+    )
