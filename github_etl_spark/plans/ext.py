@@ -3461,3 +3461,55 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_surrogate_keys(
         t["orders"].select("o_orderkey"), "o_orderkey"
     )
+
+
+@query(
+    "j8_band_join_bucketed",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    -- the band spelled as TWO range conditions, not abs(): DuckDB's
+    -- IEJoin needs inequality pairs (the abs() form degrades to a
+    -- nested loop — measured 130s vs 0.2s at sf0.1, same rows)
+    SELECT okey_a, okey_b, diff_cents FROM (
+      SELECT a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+             abs(a.cents - b.cents) AS diff_cents
+      FROM c a JOIN c b
+        ON b.cents >= a.cents - 50 AND b.cents <= a.cents + 50
+    ) WHERE okey_a < okey_b
+    """,
+)
+def j8_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: KEYLESS band join — order pairs whose total prices are
+    within 50 integer cents, with no equi key to ride.  Spark's only
+    native plan for a bare band predicate is a broadcast-nested-loop /
+    cartesian (O(n*m) compares, single-executor broadcast at scale);
+    operators/asof.band_join quantizes to delta-wide buckets, explodes
+    the left side to bucket+/-1, equi-joins on the bucket (a plain
+    shuffled join) and re-applies the exact predicate — each pair
+    found exactly once.  The oracle is the honest theta join (DuckDB
+    plans it as an IEJoin), so value equality proves the bucketed
+    rewrite loses and invents nothing.  All arithmetic in integer
+    cents: an integer band has no float-boundary ambiguity."""
+    from ..operators.asof import band_join
+
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    a = t["orders"].select(
+        F.col("o_orderkey").alias("okey_a"), cents.alias("cents_a")
+    )
+    b = t["orders"].select(
+        F.col("o_orderkey").alias("okey_b"), cents.alias("cents_b")
+    )
+    return (
+        band_join(a, b, "cents_a", "cents_b", 50)
+        .where(F.col("okey_a") < F.col("okey_b"))
+        .select(
+            "okey_a",
+            "okey_b",
+            F.abs(F.col("cents_a") - F.col("cents_b")).alias("diff_cents"),
+        )
+    )
