@@ -3513,3 +3513,84 @@ def j8_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cents_a") - F.col("cents_b")).alias("diff_cents"),
         )
     )
+
+
+# Sequence-pattern alphabet + pattern, ONE spec for both engines.
+# 'v+cp': one-or-more views, then a click, then a purchase, ADJACENT
+# in the user's event sequence — quantified adjacency is what the
+# funnel operator (subsequence semantics) cannot express.
+_SEQ_CHR_SQL = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END"
+)
+_SEQ_PATTERN = "v+cp"
+
+
+@query(
+    "event_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg({_SEQ_CHR_SQL}, '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, s,
+             CAST(len(regexp_extract_all(s, '{_SEQ_PATTERN}')) AS BIGINT)
+               AS n_matches,
+             regexp_extract(s, '{_SEQ_PATTERN}') AS first_match
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           n_matches,
+           CAST(CASE WHEN n_matches = 0 THEN 0
+                     ELSE instr(s, first_match) END AS BIGINT)
+             AS first_match_pos
+    FROM m
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: sequence pattern matching over per-user event streams (the
+    MATCH_RECOGNIZE family): each user's events collapse to one ordered
+    type string (deterministic (ts, event_id) order), and the pinned
+    regex 'v+cp' — one-or-more views then a click then a purchase,
+    ADJACENT — is counted per user with its first match position.
+    Quantified adjacency is exactly what funnel_conversion's
+    subsequence semantics cannot say. One keyed shuffle (the sequence
+    build); the regex runs in-row at scan speed. Cross-engine: Java
+    and RE2 agree on leftmost non-overlapping matching for this
+    backreference-free pattern, and the oracle recovers the match
+    position as instr(s, first_match) — sound because an EARLIER
+    occurrence of the matched literal would itself have been the
+    leftmost match."""
+    t = load_tables(spark, sf_dir)
+    chr_col = F.expr(_SEQ_CHR_SQL)
+    seq = (
+        t["events"]
+        .select("user_id", "ts", "event_id", chr_col.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "c"))
+                    ),
+                    lambda x: x["c"],
+                ),
+            ).alias("s")
+        )
+    )
+    n = F.regexp_count(F.col("s"), F.lit(_SEQ_PATTERN))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        n.cast("long").alias("n_matches"),
+        F.when(n == 0, F.lit(0))
+        .otherwise(
+            F.regexp_instr(F.col("s"), F.lit(_SEQ_PATTERN))
+        )
+        .cast("long")
+        .alias("first_match_pos"),
+    )

@@ -139,3 +139,51 @@ def test_funnel_differential_random_streams(spark):
         assert got == want
 
     run()
+
+
+def test_event_pattern_match_semantics(spark, tmp_path):
+    """'v+cp' requires ADJACENT view-run -> click -> purchase; an
+    intervening error breaks it (exactly what funnel subsequence
+    semantics would still count). Non-overlapping count + 1-based
+    leftmost position."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path)
+    for fn in os.listdir(src):
+        if fn.endswith(".parquet") and fn != "events.parquet":
+            os.symlink(os.path.join(src, fn), os.path.join(sf, fn))
+    # user 1: v v c p v c p  -> matches at pos 1 ('vvcp') and 5 ('vcp')
+    # user 2: v e c p        -> error breaks adjacency, no match
+    types = {
+        1: ["view", "view", "click", "purchase", "view", "click", "purchase"],
+        2: ["view", "error", "click", "purchase"],
+    }
+    rows = []
+    eid = 0
+    for uid, ts_types in types.items():
+        for i, ty in enumerate(ts_types):
+            rows.append((eid, 1_700_000_000_000_000 + i * 60_000_000, uid, ty))
+            eid += 1
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        os.path.join(sf, "events.parquet"),
+    )
+    from github_etl_spark.plans import QUERIES
+
+    got = {r["user_id"]: r.asDict()
+           for r in QUERIES["event_pattern_match"].fn(spark, sf).collect()}
+    assert got[1]["seq_len"] == 7
+    assert got[1]["n_matches"] == 2
+    assert got[1]["first_match_pos"] == 1
+    assert got[2]["n_matches"] == 0 and got[2]["first_match_pos"] == 0
