@@ -117,8 +117,19 @@ def band_join(
             )
     if delta <= 0:
         raise ValueError(f"delta must be positive, got {delta}")
-    lb = F.floor(F.col(left_val) / F.lit(delta)).cast("long")
-    rb = F.floor(F.col(right_val) / F.lit(delta)).cast("long")
+
+    # EXACT integer floor-division, not F.floor(col/delta): the double
+    # path silently loses precision above 2^53 (a true pair can land
+    # buckets apart and vanish), defeating the integral-only contract.
+    # (v - pmod(v, d)) is an exact multiple of d for either sign, so
+    # the truncating `div` equals floor division.
+    def _bucket(col: str):
+        return F.expr(
+            f"(CAST({col} AS BIGINT) - pmod({col}, {delta})) div {delta}"
+        )
+
+    lb = _bucket(left_val)
+    rb = _bucket(right_val)
     l_exp = left.withColumn(
         "__band_bucket",
         F.explode(F.array(lb - 1, lb, lb + 1)),

@@ -206,18 +206,9 @@ def _connected_components_run(
     max_iterations: int,
     local_finish_edges: int,
 ) -> DataFrame:
-    # A session-level checkpoint dir (setCheckpointDir at startup, the
-    # production default) also selects the reliable path — the fragile
-    # executor-local blocks are only used when NO directory is known.
-    reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if not reliable:
-            # localCheckpoint truncates the per-round lineage doubling
-            # with executor-local blocks (fast, not fault-tolerant).
-            return df.localCheckpoint(eager=True)
-        return df.checkpoint(eager=True)
-    from ..session import drop_checkpoint_files
+    # Reliable-vs-local selection lives in session.eager_checkpoint
+    # (session checkpoint dir => reliable; executor-local otherwise).
+    from ..session import drop_checkpoint_files, eager_checkpoint as _ckpt
 
     e = _ckpt(_canonical_edges(edges, src, dst))
     sig = _signature(e)
@@ -461,15 +452,9 @@ def pagerank_fixed_point(
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
     _require_integral(edges, src, dst)
-    from ..session import drop_checkpoint_files
+    from ..session import drop_checkpoint_files, eager_checkpoint as _ckpt
 
     spark = edges.sparkSession
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
-            eager=True
-        )
 
     # Symmetrize, hash-partition and sort by src ONCE, checkpoint: the
     # edge list is the loop-invariant side of every round's join, and

@@ -78,10 +78,9 @@ def assign_surrogate_keys(
     parts = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(
         order_col
     )
-    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        parts = parts.checkpoint(eager=True)
-    else:
-        parts = parts.localCheckpoint(eager=True)
+    from ..session import eager_checkpoint
+
+    parts = eager_checkpoint(parts)
     # Pass 1: per-partition counts -> prefix-sum offsets. One row per
     # partition crosses to the driver, nothing else.
     counts = (

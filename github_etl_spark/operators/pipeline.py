@@ -807,17 +807,10 @@ def bpe_learn_merges(
             F.lit(" "),
         ).alias("symstr"),
     )
-    from ..session import drop_checkpoint_files
-
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        # eager checkpoint: materializes AND truncates lineage, so the
-        # next round's plan is a scan of this round's result — not the
-        # whole merge history re-analyzed by Catalyst every iteration.
-        if reliable:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    # eager checkpoint: materializes AND truncates lineage, so the
+    # next round's plan is a scan of this round's result — not the
+    # whole merge history re-analyzed by Catalyst every iteration.
+    from ..session import drop_checkpoint_files, eager_checkpoint as _ckpt
 
     vocab = _ckpt(vocab)
     merges: list[tuple] = []

@@ -3394,10 +3394,11 @@ def er_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven here on the record-linkage family; the oracle computes the
     transitive closure by recursive min-label propagation (set-semantics
     UNION terminates it) — exhaustive reachability vs the engine's
-    O(log n) star algorithm.  Scale: blocking bounds the pair join,
-    components are bounded by matched records (broadcast back), the
-    record table itself never shuffles."""
-    from ..operators.graph import cluster_assignment
+    O(log n) star algorithm.  Scale: blocking bounds the pair join;
+    components AND their sizes are computed on the matched-node frame
+    only (bounded by pairs, broadcast back with singleton sizes
+    coalesced to 1), so the record table itself never shuffles."""
+    from ..operators.graph import connected_components
 
     t = load_tables(spark, sf_dir)
     sup = t["supplier"]
@@ -3419,20 +3420,27 @@ def er_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("key_a", "key_b")
     )
-    assigned = cluster_assignment(
-        sup.select("s_suppkey"), pairs, "s_suppkey",
-        id_a="key_a", id_b="key_b",
-    )
-    sizes = assigned.groupBy("component_id").agg(
+    comp = connected_components(pairs, src="key_a", dst="key_b")
+    # Sizes over the MATCHED-node frame (bounded by pairs) — sizing
+    # over the full assignment would shuffle every record to count its
+    # singleton as 1.
+    sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
+    matched = comp.withColumnRenamed("node", "s_suppkey").join(
+        sizes, "component"
+    )
+    entity = F.coalesce(F.col("component"), F.col("s_suppkey"))
     return (
-        assigned.join(F.broadcast(sizes), "component_id")
+        sup.select("s_suppkey")
+        .join(F.broadcast(matched), "s_suppkey", "left")
         .select(
             "s_suppkey",
-            F.col("component_id").alias("entity_id"),
-            "cluster_size",
-            "is_canonical",
+            entity.cast("long").alias("entity_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            (entity == F.col("s_suppkey")).alias("is_canonical"),
         )
     )
 

@@ -229,3 +229,17 @@ def drop_checkpoint_files(df) -> None:
             RuntimeWarning,
             stacklevel=2,
         )
+
+
+def eager_checkpoint(df):
+    """Materialize ``df`` and truncate its lineage, reliable when a
+    session checkpoint dir is configured (setCheckpointDir at startup,
+    the production default), executor-local blocks otherwise — the ONE
+    implementation of the selection idiom every iterative operator
+    uses (connected components, PageRank, BPE learn, surrogate keys);
+    policy changes (e.g. cleanup interaction with
+    ``drop_checkpoint_files``) belong here, not in per-operator
+    copies."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
