@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from github_etl_spark.operators.keys import assign_surrogate_keys
 
