@@ -3602,3 +3602,72 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_match_pos"),
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH v AS (
+      SELECT date_trunc('hour', ts) AS bar_hour, event_type, ts,
+             event_id, value
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY bar_hour, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY bar_hour, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM v
+    )
+    SELECT bar_hour, event_type,
+           (floor(max(CASE WHEN rn_a = 1 THEN value END) * 10000 + 0.5)
+            / 10000) AS open,
+           (floor(max(value) * 10000 + 0.5) / 10000) AS high,
+           (floor(min(value) * 10000 + 0.5) / 10000) AS low,
+           (floor(max(CASE WHEN rn_d = 1 THEN value END) * 10000 + 0.5)
+            / 10000) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_micros
+    FROM r GROUP BY bar_hour, event_type
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: OHLC bar resampling — hourly open/high/low/close per event
+    type, the time-series downsampling every metrics/market pipeline
+    runs.  Open/close are selected by deterministic (ts, event_id)
+    rank windows (the engine mirrors the oracle's construction rather
+    than min_by/arg_min, whose composite-key tie semantics differ
+    between engines); the value total is summed in EXACT integer
+    micros, so the only floats are per-row and the shared rounding.
+    One keyed window + one groupBy over the same key — two exchanges
+    of bar-key width at any scale."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    v = (
+        t["events"]
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+            "event_type", "ts", "event_id", "value",
+        )
+    )
+    key = W.partitionBy("bar_hour", "event_type")
+    asc = key.orderBy(F.asc("ts"), F.asc("event_id"))
+    desc = key.orderBy(F.desc("ts"), F.desc("event_id"))
+    r = v.withColumn("rn_a", F.row_number().over(asc)).withColumn(
+        "rn_d", F.row_number().over(desc)
+    )
+    micros = F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+    return r.groupBy("bar_hour", "event_type").agg(
+        round_det(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4)
+        .alias("open"),
+        round_det(F.max("value"), 4).alias("high"),
+        round_det(F.min("value"), 4).alias("low"),
+        round_det(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4)
+        .alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(micros).cast("long").alias("sum_value_micros"),
+    )

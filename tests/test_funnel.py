@@ -187,3 +187,54 @@ def test_event_pattern_match_semantics(spark, tmp_path):
     assert got[1]["n_matches"] == 2
     assert got[1]["first_match_pos"] == 1
     assert got[2]["n_matches"] == 0 and got[2]["first_match_pos"] == 0
+
+
+def test_ts_ohlc_bars_open_close_semantics(spark, tmp_path):
+    """Open/close are the FIRST/LAST value by (ts, event_id) within
+    the hour bar — including the ts-tie case where event_id breaks."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path)
+    for fn in os.listdir(src):
+        if fn.endswith(".parquet") and fn != "events.parquet":
+            os.symlink(os.path.join(src, fn), os.path.join(sf, fn))
+    base = 1_700_000_000_000_000  # top of some hour, micros
+    rows = [
+        # (event_id, ts_us, value) — one hour bar, ts tie at the end
+        (1, base + 60_000_000, 5.0),
+        (2, base + 120_000_000, 9.0),
+        (3, base + 180_000_000, 1.0),
+        (4, base + 180_000_000, 7.0),  # same ts as 3 -> later by id
+        # next hour: single event
+        (5, base + 3_660_000_000, 2.5),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[2] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        os.path.join(sf, "events.parquet"),
+    )
+    from github_etl_spark.plans import QUERIES
+
+    got = sorted(
+        (r.asDict() for r in QUERIES["ts_ohlc_bars"].fn(spark, sf).collect()),
+        key=lambda d: d["bar_hour"],
+    )
+    assert len(got) == 2
+    b0 = got[0]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (
+        5.0, 9.0, 1.0, 7.0,
+    )
+    assert b0["n_events"] == 4
+    assert b0["sum_value_micros"] == int((5 + 9 + 1 + 7) * 1_000_000)
+    b1 = got[1]
+    assert b1["open"] == b1["close"] == 2.5 and b1["n_events"] == 1
