@@ -3671,3 +3671,119 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(micros).cast("long").alias("sum_value_micros"),
     )
+
+
+@query(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+      FROM toks
+    ),
+    hm AS (
+      SELECT doc_id, i.i AS i,
+             MIN(substr(md5(CAST(i.i AS VARCHAR) || ':' || s), 1, 16)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hm GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sig, b.b AS band,
+             array_to_string(sig[b.b*4+1 : b.b*4+4], '') AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+    ),
+    capped AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+      FROM bands
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE a.rn <= 64 AND b.rn <= 64
+    ),
+    est AS (
+      SELECT id_a, id_b,
+             (floor((len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
+                     / 32.0) * 10000 + 0.5) / 10000) AS est_jaccard
+      FROM pairs
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS c
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+      GROUP BY p.id_a, p.id_b
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh
+              GROUP BY doc_id)
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           (floor((CAST(coalesce(i.c, 0) AS DOUBLE)
+                   / (na.n + nb.n - coalesce(i.c, 0))) * 10000 + 0.5)
+            / 10000) AS exact_jaccard,
+           (floor(abs(e.est_jaccard
+                      - (floor((CAST(coalesce(i.c, 0) AS DOUBLE)
+                                / (na.n + nb.n - coalesce(i.c, 0)))
+                               * 10000 + 0.5) / 10000)) * 10000 + 0.5)
+            / 10000) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes na ON na.doc_id = e.id_a
+    JOIN sizes nb ON nb.doc_id = e.id_b
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: MinHash estimation-error contract — for every LSH candidate
+    pair, the 32-permutation signature-agreement Jaccard ESTIMATE next
+    to the EXACT shingle-set Jaccard and their absolute error, as an
+    oracle row: the sketch-accuracy number (how wrong can 32 hashes
+    be?) becomes a verified measurement instead of a theorem citation,
+    the same move sim_*_recall made for ANN.  Exact Jaccard is
+    computed ONLY on candidate pairs (bounded by the LSH screen, pairs
+    broadcast into the shingle joins) — never all-pairs."""
+    from ..operators.dedup import _shingles, minhash_lsh_candidates
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", hash_family="md5_portable"
+    ).select("id_a", "id_b", "est_jaccard")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("s")
+    )
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = (
+        F.broadcast(pairs.select("id_a", "id_b"))
+        .join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .where(F.col("s_a") == F.col("s_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    c = F.coalesce(F.col("c"), F.lit(0))
+    exact = round_det(
+        c.cast("double") / (F.col("na") + F.col("nb") - c), 4
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            round_det(F.abs(F.col("est_jaccard") - exact), 4).alias(
+                "abs_err"
+            ),
+        )
+    )
