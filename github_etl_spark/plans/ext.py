@@ -304,10 +304,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(t["documents"], "text", "doc_id")
 
 
-@query(
-    "dedup_minhash_lsh_portable",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+# The FULL portable MinHash+LSH candidate pipeline as a shared CTE
+# chain (shingles -> 32 md5 minima -> 8 bands -> 64-cap -> pairs):
+# ONE text used by BOTH dedup_minhash_lsh_portable and
+# minhash_estimate_error, so the pinned parameters (skew cap, band
+# count, prefix width, shingle width) cannot drift between the two
+# oracles.
+_SQL_MINHASH_PAIR_CTES = f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(w) - 2, 0) + 1),
@@ -337,7 +340,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       WHERE a.rn <= 64 AND b.rn <= 64
-    )
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh_portable",
+    oracle=f"""
+    WITH {_SQL_MINHASH_PAIR_CTES}
     SELECT id_a, id_b,
            (floor((len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0)
                   * 10000 + 0.5) / 10000) AS est_jaccard
@@ -3636,15 +3645,16 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: OHLC bar resampling — hourly open/high/low/close per event
     type, the time-series downsampling every metrics/market pipeline
-    runs.  Open/close are selected by deterministic (ts, event_id)
-    rank windows (the engine mirrors the oracle's construction rather
-    than min_by/arg_min, whose composite-key tie semantics differ
-    between engines); the value total is summed in EXACT integer
-    micros, so the only floats are per-row and the shared rounding.
-    One keyed window + one groupBy over the same key — two exchanges
-    of bar-key width at any scale."""
+    runs.  Open/close are MIN/MAX of the (ts, event_id, value) struct
+    inside the single groupBy: (ts, event_id) is a total order, so the
+    value field never participates in the comparison and the result
+    equals the oracle's rank-window selection exactly — while the
+    struct aggregate partial-combines map-side, so the ONE exchange
+    carries a row per bar, not per event (the rank-window form
+    shuffled every event row and sorted each partition twice).  The
+    value total is summed in EXACT integer micros, so the only floats
+    are per-row and the shared rounding."""
     t = load_tables(spark, sf_dir)
-    from pyspark.sql import Window as W
 
     v = (
         t["events"]
@@ -3654,20 +3664,13 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "ts", "event_id", "value",
         )
     )
-    key = W.partitionBy("bar_hour", "event_type")
-    asc = key.orderBy(F.asc("ts"), F.asc("event_id"))
-    desc = key.orderBy(F.desc("ts"), F.desc("event_id"))
-    r = v.withColumn("rn_a", F.row_number().over(asc)).withColumn(
-        "rn_d", F.row_number().over(desc)
-    )
+    stamp = F.struct("ts", "event_id", "value")
     micros = F.floor(F.col("value") * 1000000 + 0.5).cast("long")
-    return r.groupBy("bar_hour", "event_type").agg(
-        round_det(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4)
-        .alias("open"),
+    return v.groupBy("bar_hour", "event_type").agg(
+        round_det(F.min(stamp)["value"], 4).alias("open"),
         round_det(F.max("value"), 4).alias("high"),
         round_det(F.min("value"), 4).alias("low"),
-        round_det(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4)
-        .alias("close"),
+        round_det(F.max(stamp)["value"], 4).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum(micros).cast("long").alias("sum_value_micros"),
     )
@@ -3676,37 +3679,7 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_estimate_error",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
-    sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, greatest(len(w) - 2, 0) + 1),
-               i -> array_to_string(w[i:i+2], ' ')))) AS s
-      FROM toks
-    ),
-    hm AS (
-      SELECT doc_id, i.i AS i,
-             MIN(substr(md5(CAST(i.i AS VARCHAR) || ':' || s), 1, 16)) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
-      GROUP BY doc_id, i.i
-    ),
-    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hm GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, sig, b.b AS band,
-             array_to_string(sig[b.b*4+1 : b.b*4+4], '') AS bucket
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
-    ),
-    capped AS (
-      SELECT *,
-             row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
-      FROM bands
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                      a.sig AS sa, b.sig AS sb
-      FROM capped a JOIN capped b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      WHERE a.rn <= 64 AND b.rn <= 64
-    ),
+    WITH {_SQL_MINHASH_PAIR_CTES},
     est AS (
       SELECT id_a, id_b,
              (floor((len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
@@ -3744,20 +3717,40 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle row: the sketch-accuracy number (how wrong can 32 hashes
     be?) becomes a verified measurement instead of a theorem citation,
     the same move sim_*_recall made for ANN.  Exact Jaccard is
-    computed ONLY on candidate pairs (bounded by the LSH screen, pairs
-    broadcast into the shingle joins) — never all-pairs."""
+    computed ONLY on candidate pairs (bounded by the LSH screen; every
+    frame broadcast downstream — the pair list, the pair-doc shingle
+    sizes — is pair-bounded too, never corpus-bounded) — never
+    all-pairs."""
     from ..operators.dedup import _shingles, minhash_lsh_candidates
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", hash_family="md5_portable"
-    ).select("id_a", "id_b", "est_jaccard")
+    # Checkpointed: pairs feeds the intersection build AND the final
+    # join — without it the whole signature pipeline runs twice. It is
+    # LSH-screen-bounded, so materializing it is cheap at any scale.
+    pairs = (
+        minhash_lsh_candidates(
+            docs, "text", "doc_id", hash_family="md5_portable"
+        )
+        .select("id_a", "id_b", "est_jaccard")
+        .localCheckpoint(eager=True)
+    )
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
     sh = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("s")
     )
-    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    # Shingles of PAIR DOCS only: the corpus-wide shingle frame is
+    # map-only to recompute, but anything grouped/broadcast from here
+    # must be pair-bounded (a full-corpus per-doc size table broadcast
+    # is the same unbounded-broadcast defect class er_fuzzy_entities
+    # had).
+    sh_p = sh.join(F.broadcast(pair_ids), "doc_id", "left_semi")
+    sh_a = sh_p.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sh_b = sh_p.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
     inter = (
         F.broadcast(pairs.select("id_a", "id_b"))
         .join(sh_a, "id_a")
@@ -3766,7 +3759,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sizes = sh_p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     c = F.coalesce(F.col("c"), F.lit(0))

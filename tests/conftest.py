@@ -22,3 +22,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("TEST_SF_DIR", SF_SMOKE)
+
+
+def sf_dir_with_table(tmp_path, name: str, table) -> str:
+    """Fixture dir = sf0.001 with ONE table replaced: symlink every
+    parquet except ``name``, write ``table`` (a pyarrow Table) as
+    ``name``. Shared by the tests that pin operator semantics on a
+    hand-crafted events/supplier table."""
+    import pyarrow.parquet as pq
+
+    dst = str(tmp_path)
+    for fn in os.listdir(SF_SMOKE):
+        if fn.endswith(".parquet") and fn != f"{name}.parquet":
+            os.symlink(os.path.join(SF_SMOKE, fn), os.path.join(dst, fn))
+    pq.write_table(table, os.path.join(dst, f"{name}.parquet"))
+    return dst

@@ -146,16 +146,10 @@ def test_event_pattern_match_semantics(spark, tmp_path):
     intervening error breaks it (exactly what funnel subsequence
     semantics would still count). Non-overlapping count + 1-based
     leftmost position."""
-    import os
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    src = "/root/testdata/sf0.001"
-    sf = str(tmp_path)
-    for fn in os.listdir(src):
-        if fn.endswith(".parquet") and fn != "events.parquet":
-            os.symlink(os.path.join(src, fn), os.path.join(sf, fn))
+    from tests.conftest import sf_dir_with_table
+
     # user 1: v v c p v c p  -> matches at pos 1 ('vvcp') and 5 ('vcp')
     # user 2: v e c p        -> error breaks adjacency, no match
     types = {
@@ -168,17 +162,14 @@ def test_event_pattern_match_semantics(spark, tmp_path):
         for i, ty in enumerate(ts_types):
             rows.append((eid, 1_700_000_000_000_000 + i * 60_000_000, uid, ty))
             eid += 1
-    pq.write_table(
-        pa.table({
-            "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-            "user_id": pa.array([r[2] for r in rows], pa.int64()),
-            "event_type": pa.array([r[3] for r in rows]),
-            "value": pa.array([1.0] * len(rows)),
-            "props": pa.array(["{}"] * len(rows)),
-        }),
-        os.path.join(sf, "events.parquet"),
-    )
+    sf = sf_dir_with_table(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }))
     from github_etl_spark.plans import QUERIES
 
     got = {r["user_id"]: r.asDict()
@@ -192,17 +183,13 @@ def test_event_pattern_match_semantics(spark, tmp_path):
 def test_ts_ohlc_bars_open_close_semantics(spark, tmp_path):
     """Open/close are the FIRST/LAST value by (ts, event_id) within
     the hour bar — including the ts-tie case where event_id breaks."""
-    import os
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    src = "/root/testdata/sf0.001"
-    sf = str(tmp_path)
-    for fn in os.listdir(src):
-        if fn.endswith(".parquet") and fn != "events.parquet":
-            os.symlink(os.path.join(src, fn), os.path.join(sf, fn))
-    base = 1_700_000_000_000_000  # top of some hour, micros
+    from tests.conftest import sf_dir_with_table
+
+    # NOT hour-aligned (22:13:20 UTC); all first-bar events stay within
+    # the remaining 46 min of hour 22, the fifth lands in the next hour
+    base = 1_700_000_000_000_000
     rows = [
         # (event_id, ts_us, value) — one hour bar, ts tie at the end
         (1, base + 60_000_000, 5.0),
@@ -212,17 +199,14 @@ def test_ts_ohlc_bars_open_close_semantics(spark, tmp_path):
         # next hour: single event
         (5, base + 3_660_000_000, 2.5),
     ]
-    pq.write_table(
-        pa.table({
-            "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-            "user_id": pa.array([1] * len(rows), pa.int64()),
-            "event_type": pa.array(["click"] * len(rows)),
-            "value": pa.array([r[2] for r in rows]),
-            "props": pa.array(["{}"] * len(rows)),
-        }),
-        os.path.join(sf, "events.parquet"),
-    )
+    sf = sf_dir_with_table(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([r[2] for r in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    }))
     from github_etl_spark.plans import QUERIES
 
     got = sorted(

@@ -369,7 +369,8 @@ def test_er_fuzzy_entities_blocking_and_clusters(spark, tmp_path):
     (blocking is a recall/cost trade, pinned explicit), singletons are
     their own canonical entity."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
+
+    from tests.conftest import sf_dir_with_table
 
     rows = [
         (1, "acme corp", 0),
@@ -377,20 +378,11 @@ def test_er_fuzzy_entities_blocking_and_clusters(spark, tmp_path):
         (3, "acme corp", 1),    # identical name, OTHER block -> singleton
         (4, "zzz unrelated", 0),
     ]
-    src = "/root/testdata/sf0.001"
-    import os
-    sf = str(tmp_path)
-    for fn in os.listdir(src):
-        if fn.endswith(".parquet") and fn != "supplier.parquet":
-            os.symlink(os.path.join(src, fn), os.path.join(sf, fn))
-    pq.write_table(
-        pa.table({
-            "s_suppkey": pa.array([r[0] for r in rows], pa.int64()),
-            "s_name": pa.array([r[1] for r in rows]),
-            "s_nationkey": pa.array([r[2] for r in rows], pa.int32()),
-        }),
-        os.path.join(sf, "supplier.parquet"),
-    )
+    sf = sf_dir_with_table(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "s_name": pa.array([r[1] for r in rows]),
+        "s_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+    }))
     from github_etl_spark.plans import QUERIES
 
     got = {r["s_suppkey"]: r.asDict()
