@@ -117,6 +117,16 @@ def band_join(
             )
     if delta <= 0:
         raise ValueError(f"delta must be positive, got {delta}")
+    # The helper column must not collide with caller data (casefolded:
+    # Spark resolves names case-insensitively by default).
+    taken = {c.casefold() for c in left.columns} | {
+        c.casefold() for c in right.columns
+    }
+    if "__band_bucket" in taken:
+        raise ValueError(
+            "band_join: an input already has a __band_bucket column; "
+            "rename it before joining"
+        )
 
     # EXACT integer floor-division, not F.floor(col/delta): the double
     # path silently loses precision above 2^53 (a true pair can land
@@ -135,7 +145,11 @@ def band_join(
         F.explode(F.array(lb - 1, lb, lb + 1)),
     )
     r_b = right.withColumn("__band_bucket", rb)
+    # Resolve the band predicate through the frame references, not bare
+    # F.col(): when both sides carry the same value-column name (e.g.
+    # each has `cents`) a bare name is AMBIGUOUS_REFERENCE after the
+    # join; frame-qualified columns always bind to their own side.
     joined = l_exp.join(r_b, "__band_bucket").where(
-        F.abs(F.col(left_val) - F.col(right_val)) <= delta
+        F.abs(l_exp[left_val] - r_b[right_val]) <= delta
     )
     return joined.drop("__band_bucket")

@@ -48,6 +48,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import drop_checkpoint_files, eager_checkpoint
+
 # Pinned piece vocabulary: (piece, integer score). Single characters
 # score 10 (so every [a-z0-9]+ token is segmentable); multi-char
 # pieces are pinned slightly above/below the sum of their parts so the
@@ -193,8 +195,29 @@ def unigram_segment_kernel(
 
 def sql_vocab_values(vocab: list[tuple[str, int]] | None = None) -> str:
     """The pinned vocab as a SQL VALUES list (both engines must read
-    the SAME table)."""
+    the SAME table).
+
+    Pieces are validated as ``[a-z0-9]+`` and <= 99 chars: the first
+    because they are interpolated into SQL literals (a quote would
+    break the oracle), the second because the oracle's tie-break key
+    zero-pads each piece length to 2 digits (lpad(len, 2)) — a longer
+    piece would silently mis-order. Both bounds are unreachable with
+    the pinned/learned vocabs (tokens are [a-z0-9]+, max_piece_len is
+    single digits) but the function accepts arbitrary vocabs."""
     pinned = PINNED_VOCAB if vocab is None else vocab
+    for p, s in pinned:
+        if not p or _TOKEN_SPLIT.search(p):
+            raise ValueError(
+                f"vocab piece {p!r} is not [a-z0-9]+ — it cannot be "
+                "interpolated into the oracle SQL safely"
+            )
+        if len(p) > 99:
+            raise ValueError(
+                f"vocab piece {p!r} is {len(p)} chars; the oracle's "
+                "lpad(len, 2) revkey supports at most 99"
+            )
+        if not isinstance(s, int):
+            raise TypeError(f"vocab score for {p!r} must be int, got {s!r}")
     return ", ".join(f"('{p}', {s})" for p, s in pinned)
 
 
@@ -264,7 +287,12 @@ def learn_vocab(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    toks = toks.localCheckpoint(eager=True)
+    # eager_checkpoint, not a hardcoded localCheckpoint: on a cluster
+    # with a configured checkpoint dir the frame driving every EM
+    # round must be fault-tolerant (the one selection idiom the
+    # sibling iterative operators — BPE learn, PageRank, surrogate
+    # keys — all share).
+    toks = eager_checkpoint(toks)
 
     # Seed counts: in-row substring expansion with multiplicity.
     pos = F.sequence(F.lit(1), F.length("token"))
@@ -353,7 +381,8 @@ def learn_vocab(
         }
 
     # The result is driver-side (the bounded vocab); release the
-    # distinct-token blocks instead of holding them to app end.
+    # distinct-token blocks/files instead of holding them to app end.
+    drop_checkpoint_files(toks)
     toks.unpersist()
     return vocab
 

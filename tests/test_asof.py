@@ -54,3 +54,34 @@ def test_band_join_plans_no_cartesian(spark):
     b = spark.createDataFrame([(i, i * 11) for i in range(50)], "kb long, vb long")
     plan = band_join(a, b, "va", "vb", 25)._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan), plan
+
+
+def test_band_join_shared_column_name(spark):
+    # Both sides carry the SAME value-column name: the band predicate
+    # must bind through the frame references, not a bare F.col().
+    from github_etl_spark.operators.asof import band_join
+
+    a = spark.createDataFrame([(1, 100), (2, 200)], "ka long, cents long")
+    b = spark.createDataFrame([(10, 120), (11, 260)], "kb long, cents long")
+    got = sorted(
+        (r["ka"], r["kb"])
+        for r in band_join(a, b, "cents", "cents", 50)
+        .select("ka", "kb")
+        .collect()
+    )
+    assert got == [(1, 10)]
+
+
+def test_band_join_rejects_preexisting_bucket_column(spark):
+    import pytest
+
+    from github_etl_spark.operators.asof import band_join
+
+    a = spark.createDataFrame([(1, 1, 9)], "ka long, va long, __band_bucket long")
+    b = spark.createDataFrame([(2, 2)], "kb long, vb long")
+    with pytest.raises(ValueError, match="__band_bucket"):
+        band_join(a, b, "va", "vb", 10)
+    # …and casefolded (Spark resolves names case-insensitively)
+    c = spark.createDataFrame([(1, 1, 9)], "ka long, va long, __BAND_BUCKET long")
+    with pytest.raises(ValueError, match="__band_bucket"):
+        band_join(c, b, "va", "vb", 10)

@@ -254,3 +254,17 @@ def test_tokenize_encode_ids_are_dense_and_deterministic(spark):
     n_vocab = len(learn_vocab(df, "text"))
     used = [int(x) for x in out1[0].split()]
     assert all(1 <= i <= n_vocab for i in used)
+
+
+def test_sql_vocab_values_rejects_unsafe_pieces():
+    import pytest
+
+    from github_etl_spark.operators.unigram import sql_vocab_values
+
+    assert sql_vocab_values([("ab", 3)]) == "('ab', 3)"
+    with pytest.raises(ValueError, match="not \\[a-z0-9\\]\\+"):
+        sql_vocab_values([("a'b", 3)])
+    with pytest.raises(ValueError, match="at most 99"):
+        sql_vocab_values([("x" * 100, 1)])
+    with pytest.raises(TypeError, match="must be int"):
+        sql_vocab_values([("ab", "3")])
