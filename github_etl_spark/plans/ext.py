@@ -3007,13 +3007,27 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A basket of size B emits C(B,2) pairs in a SINGLE row — quadratic,
+# the same blowup every other pair generator here caps (cooccurrence
+# max_group_size, minhash max_bucket_size). Baskets larger than this
+# are DROPPED from the whole analysis (pairs, item supports and the
+# basket total alike, so support/confidence stay consistent): a basket
+# containing everything is boilerplate, not co-purchase signal. TPC-H
+# baskets are <= 7 items, so the cap is semantically inert on the test
+# tables while killing the one-mega-order hazard at 100 TB.
+MAX_BASKET_SIZE = 64
+
+
 @query(
     "basket_association_rules",
     headline=True,
-    oracle="""
+    oracle=f"""
     WITH baskets AS (
-      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS items
-      FROM lineitem GROUP BY l_orderkey
+      SELECT l_orderkey, items FROM (
+        SELECT l_orderkey,
+               list_sort(list_distinct(list(l_partkey))) AS items
+        FROM lineitem GROUP BY l_orderkey
+      ) WHERE len(items) <= {MAX_BASKET_SIZE}
     ),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets FROM baskets),
     expl AS (SELECT l_orderkey, unnest(items) AS item FROM baskets),
@@ -3051,12 +3065,27 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     supports from one explode+agg bounded by item cardinality, and the
     basket total is a broadcast 1-row aggregate. The min-support floor
     prunes the rule table before the ranking top-k
-    (TakeOrderedAndProject on rounded lift with a pair tiebreak)."""
+    (TakeOrderedAndProject on rounded lift with a pair tiebreak).
+    Baskets above MAX_BASKET_SIZE are dropped before the in-row O(B²)
+    expansion (see the constant's note; oracle applies the same
+    filter), so one skewed mega-basket can never build a quadratic
+    array in a single row."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_partkey")
+    return basket_rules_from_items(li, max_basket_size=MAX_BASKET_SIZE)
+
+
+def basket_rules_from_items(
+    li: DataFrame, max_basket_size: int | None = MAX_BASKET_SIZE
+) -> DataFrame:
+    """The basket-rules pipeline over a (l_orderkey, l_partkey) frame;
+    ``max_basket_size=None`` disables the cap (scale-probe use only —
+    the catalog query always caps)."""
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
+    if max_basket_size is not None:
+        baskets = baskets.where(F.size("items") <= max_basket_size)
     ps = F.col("items")
     pairs = (
         baskets.select(

