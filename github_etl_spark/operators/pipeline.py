@@ -1025,3 +1025,173 @@ def bpe_tokenize_encode(
     )
     vocab = _vocab_rank(toks, id_col, k, min_df).select("tok", "vocab_id")
     return _assemble_input_ids(toks, vocab, id_col, unk_id)
+
+
+# --------------------------------------------------------------------- DSIR
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_gram_weights(
+    df: DataFrame,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = DSIR_BUCKETS,
+) -> list[int]:
+    """Learn DSIR importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169 —
+    public): hashed-BIGRAM bag-of-features likelihood ratio between a
+    TARGET corpus (rows where ``target_col`` is true) and the RAW
+    corpus (all rows), one integer weight per hash bucket.
+
+    The public form scores log p_target(gram)/p_raw(gram) with add-one
+    smoothing; this engine's pinned contract replaces the float log
+    with the Shannon-Fano integer bit-cost the unigram tokenizer
+    family already uses —
+
+        s_b = (bitlen(ct_b+1) - bitlen(T_t+B)) -
+              (bitlen(cr_b+1) - bitlen(T_r+B))
+
+    (bitlen == length(bin(x)), exact in Spark, DuckDB and Python
+    alike) — so every weight, every per-document score and the
+    resampling decision are cross-engine bit-exact, where libm log
+    ulps would flip accept/reject decisions at rounding boundaries.
+
+    **Scale shape**: ONE corpus scan — grams explode map-side, the
+    groupBy lands on ``n_buckets`` keys (bounded, default 1024), and
+    only that bounded table crosses to the driver (the same idiom as
+    the tokenizer vocab collects). Target and raw counts come out of
+    the SAME aggregation (count + conditional sum), not two scans.
+    Returns the dense ``n_buckets``-long weight list (unseen buckets
+    weigh 0; they can never be probed when apply runs on the same
+    tokenization).
+    """
+    from ..functions.text import dedup_tokens_expr
+
+    grams = df.select(
+        F.col(target_col).cast("long").alias("__is_t"),
+        F.explode(
+            ngrams_expr(dedup_tokens_expr(F.col(text_col)), 2)
+        ).alias("gram"),
+    )
+    counts = (
+        grams.select(
+            "__is_t",
+            portable_hash_bucket(F.col("gram"), n_buckets).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum("__is_t").alias("ct"),
+        )
+        .collect()
+    )
+    tr = sum(int(r["cr"]) for r in counts)
+    tt = sum(int(r["ct"]) for r in counts)
+    weights = [0] * n_buckets
+    for r in counts:
+        weights[int(r["bucket"])] = (
+            (int(r["ct"]) + 1).bit_length() - (tt + n_buckets).bit_length()
+        ) - ((int(r["cr"]) + 1).bit_length() - (tr + n_buckets).bit_length())
+    return weights
+
+
+def dsir_doc_logweights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: list[int],
+) -> DataFrame:
+    """Apply pass: per-document integer log-importance under learned
+    ``dsir_gram_weights`` — (id, n_grams, lw_bits), documents with no
+    bigram dropped.
+
+    MAP-ONLY: the bounded weight list rides into executors as ONE
+    array literal, each document folds its own gram array in-row
+    (aggregate + element_at), so the corpus never shuffles — at 100 TB
+    the apply pass is scan-speed, exactly like the quality filters it
+    composes with."""
+    from ..functions.text import dedup_tokens_expr
+
+    n_buckets = len(weights)
+    warr = F.lit(weights)
+    return (
+        df.select(
+            F.col(id_col),
+            ngrams_expr(dedup_tokens_expr(F.col(text_col)), 2).alias(
+                "__grams"
+            ),
+        )
+        .where(F.size("__grams") > 0)
+        .select(
+            F.col(id_col),
+            F.size("__grams").cast("long").alias("n_grams"),
+            F.aggregate(
+                "__grams",
+                F.lit(0).cast("long"),
+                lambda acc, g: acc
+                + F.element_at(
+                    warr,
+                    (portable_hash_bucket(g, n_buckets) + 1).cast("int"),
+                ),
+            ).alias("lw_bits"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    n_buckets: int = DSIR_BUCKETS,
+    temp: int = 4,
+    draw_bits: int = 16,
+) -> DataFrame:
+    """DSIR end-to-end: learn weights, score every document, then
+    importance-RESAMPLE with acceptance probability
+
+        p(doc) = 2 ** floor((lw_bits - max_lw) / temp)
+
+    — documents at the target-likeness maximum are always kept, the
+    rest decay exponentially (``temp`` tempers the ratio, the standard
+    DSIR knob). The draw is the salted portable md5 hash of the id
+    (deterministic, repartition-stable, engine-replayable; salted so
+    it is independent of the quality sampler's draw on the same ids).
+
+    All integer arithmetic: floor((lw-max)/temp) divides by a power of
+    two in IEEE doubles (exact — keep ``temp`` a power of two) and the
+    acceptance threshold is a left shift, so the kept set is
+    cross-engine bit-exact. max_lw is a broadcast 1-row aggregate;
+    everything after the apply pass is map-side."""
+    if temp & (temp - 1):
+        raise ValueError(f"temp must be a power of two, got {temp}")
+    weights = dsir_gram_weights(df, text_col, target_col, n_buckets)
+    lw = dsir_doc_logweights(df, text_col, id_col, weights)
+    mx = lw.agg(F.max("lw_bits").alias("__max_lw"))
+    e = F.floor(
+        (F.col("lw_bits") - F.col("__max_lw")) / F.lit(float(temp))
+    ).cast("int")
+    draw = portable_hash_bucket(
+        F.concat(F.lit("dsir:"), F.col(id_col).cast("string")),
+        1 << draw_bits,
+    )
+    threshold = F.when(e <= -draw_bits, F.lit(0).cast("long")).otherwise(
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.lit(draw_bits) + e)
+        )
+    )
+    return (
+        lw.crossJoin(F.broadcast(mx))
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("lw_bits"),
+            e.alias("accept_exp"),
+            draw.alias("__draw"),
+            threshold.alias("__thr"),
+        )
+        .where(F.col("__draw") < F.col("__thr"))
+        .drop("__draw", "__thr")
+    )

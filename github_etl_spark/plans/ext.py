@@ -2797,6 +2797,110 @@ def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared DSIR oracle CTEs (Xie et al. 2023 hashed-bigram importance
+# weights, integer bit-cost form — lockstep with
+# operators.pipeline.dsir_gram_weights / dsir_doc_logweights; the 1024
+# matches DSIR_BUCKETS, the 'en' predicate the catalog target).
+_SQL_DSIR_CTES = f"""
+    dsir_toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS ts FROM documents),
+    dsir_grams AS (
+      SELECT doc_id, lang,
+             (CAST(concat('0x', substr(md5(CAST(gram AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1024) AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(ts)),
+                          i -> ts[i] || ' ' || ts[i+1])) AS gram
+            FROM dsir_toks)
+    ),
+    dsir_counts AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ct
+      FROM dsir_grams GROUP BY 1
+    ),
+    dsir_tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+      FROM dsir_counts
+    ),
+    dsir_wt AS (
+      SELECT bucket,
+             CAST((length(bin(ct + 1)) - length(bin(tt + 1024))) -
+                  (length(bin(cr + 1)) - length(bin(tr + 1024)))
+               AS BIGINT) AS s
+      FROM dsir_counts CROSS JOIN dsir_tot
+    ),
+    dsir_doclw AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(w.s) AS BIGINT) AS lw_bits
+      FROM dsir_grams g JOIN dsir_wt w USING (bucket)
+      GROUP BY g.doc_id
+    )"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_SQL_DSIR_CTES}
+    SELECT doc_id, n_grams, lw_bits FROM dsir_doclw
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: DSIR proper (Xie et al. 2023, arXiv:2302.03169) — per-doc
+    integer log-importance of the raw corpus toward the lang='en'
+    TARGET distribution, from learned hashed-bigram bucket weights
+    (operators/pipeline.dsir_gram_weights). Learn = one corpus scan
+    aggregated to 1024 bucket rows (the only thing that crosses to the
+    driver); apply = map-only in-row fold under the broadcast weight
+    array — zero shuffle, scan-speed at 100 TB. Integer bit-cost
+    scores keep every weight and doc score cross-engine exact; the
+    oracle replays both passes as CTEs."""
+    from ..operators.pipeline import dsir_doc_logweights, dsir_gram_weights
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    weights = dsir_gram_weights(
+        docs.withColumn("__is_t", F.col("lang") == "en"), "text", "__is_t"
+    )
+    return dsir_doc_logweights(docs, "text", "doc_id", weights)
+
+
+@query(
+    "dsir_resample",
+    headline=True,
+    oracle=f"""
+    WITH {_SQL_DSIR_CTES},
+    dsir_mx AS (SELECT MAX(lw_bits) AS max_lw FROM dsir_doclw),
+    dsir_dec AS (
+      SELECT d.doc_id, d.n_grams, d.lw_bits,
+             CAST(floor((d.lw_bits - m.max_lw) / 4.0) AS INTEGER)
+               AS accept_exp,
+             (CAST(concat('0x', substr(md5('dsir:' ||
+                CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 65536)
+               AS draw
+      FROM dsir_doclw d CROSS JOIN dsir_mx m
+    )
+    SELECT doc_id, n_grams, lw_bits, accept_exp
+    FROM dsir_dec
+    WHERE draw < CASE WHEN accept_exp <= -16 THEN CAST(0 AS BIGINT)
+                      ELSE (CAST(1 AS BIGINT) << (16 + accept_exp)) END
+    """,
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the DSIR composition end-to-end — learn importance weights
+    toward the lang='en' target, score every document, then
+    importance-resample with p = 2^floor((lw - max_lw)/4): max-weight
+    documents always kept, the rest decaying exponentially, decided by
+    a salted portable-hash draw so the kept subset is deterministic,
+    repartition-stable and engine-replayable (all integer arithmetic —
+    no float log anywhere). max_lw is a broadcast 1-row aggregate; the
+    accept/reject tail is pure map-side expressions."""
+    from ..operators.pipeline import dsir_resample as _resample
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("__is_t", F.col("lang") == "en")
+    return _resample(docs, "text", "doc_id", "__is_t")
+
+
 @query(
     "graph_triangle_count",
     headline=True,

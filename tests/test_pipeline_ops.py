@@ -780,3 +780,100 @@ def test_bpe_learn_reliable_checkpoints_are_cleaned(spark, tmp_path):
         if d.startswith("rdd-")
     ]
     assert leftovers == [], f"leaked checkpoint dirs: {leftovers}"
+
+
+# ----------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_separate_target_from_raw(spark):
+    """Grams exclusive to the target corpus must weigh MORE than grams
+    appearing only outside it; shared boilerplate sits between."""
+    from github_etl_spark.operators.pipeline import (
+        dsir_doc_logweights,
+        dsir_gram_weights,
+        portable_hash_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # target docs: "good clean" bigram, shared "the end"
+        (0, "good clean good clean the end", True),
+        (1, "good clean the end", True),
+        # raw-only docs: "spam junk" bigram, shared "the end"
+        (2, "spam junk spam junk the end", False),
+        (3, "spam junk the end", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    w = dsir_gram_weights(df, "text", "is_t", n_buckets=64)
+    assert len(w) == 64 and all(isinstance(x, int) for x in w)
+
+    def bucket(gram):
+        import hashlib
+
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % 64
+
+    assert w[bucket("good clean")] > w[bucket("the end")] > w[bucket("spam junk")]
+
+    lw = {
+        r["doc_id"]: r["lw_bits"]
+        for r in dsir_doc_logweights(df, "text", "doc_id", w).collect()
+    }
+    # target-exclusive doc scores above the raw-exclusive one
+    assert lw[0] > lw[2]
+    # python replay of doc 1 agrees exactly (integer contract)
+    toks = "good clean the end".split()
+    grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    assert lw[1] == sum(w[bucket(g)] for g in grams)
+
+
+def test_dsir_apply_is_map_only(spark):
+    from github_etl_spark.operators.pipeline import (
+        dsir_doc_logweights,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    plan = (
+        dsir_doc_logweights(df, "text", "doc_id", [0] * 1024)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_dsir_resample_keeps_max_and_validates_temp(spark):
+    import pytest
+
+    from github_etl_spark.operators.pipeline import dsir_resample
+
+    rows = [(i, "good clean " * 5 + "the end", i % 2 == 0) for i in range(8)]
+    rows += [(i + 8, "spam junk " * 5 + "the end", False) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    kept = dsir_resample(df, "text", "doc_id", "is_t").collect()
+    # every max-weight doc has accept_exp == 0 → p = 1 → always kept
+    max_lw = max(r["lw_bits"] for r in kept)
+    top_kept = {r["doc_id"] for r in kept if r["lw_bits"] == max_lw}
+    assert {i for i in range(8)} <= top_kept
+    with pytest.raises(ValueError, match="power of two"):
+        dsir_resample(df, "text", "doc_id", "is_t", temp=3)
+
+
+def test_dsir_empty_and_null_corpus(spark):
+    from github_etl_spark.operators.pipeline import (
+        dsir_doc_logweights,
+        dsir_gram_weights,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, is_t boolean"
+    )
+    w = dsir_gram_weights(empty, "text", "is_t", n_buckets=32)
+    assert w == [0] * 32
+    nulls = spark.createDataFrame(
+        [(0, None, True), (1, "one", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    # NULL text and sub-bigram docs drop; no crash
+    assert dsir_doc_logweights(nulls, "text", "doc_id", w).count() == 0

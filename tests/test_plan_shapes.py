@@ -41,6 +41,11 @@ EXCHANGE_BUDGET = {
     # metric family, never per constraint.
     "dq_constraint_report": 12,
     "dedup_incremental": 9,
+    # 2 = the 1-row max_lw agg (partial→final) feeding its broadcast;
+    # the learn pass is a separate bounded job (grams → 1024-bucket
+    # agg → driver) and the apply/score/resample tail is map-only under
+    # the broadcast weight array — the corpus itself never shuffles.
+    "dsir_resample": 2,
     "dedup_minhash_lsh": 4,
     # 22 reviewed as FINAL: a window-df consolidation measures 18
     # exchanges / 1.2x faster at sf0.1 but funnels every pre-cap
