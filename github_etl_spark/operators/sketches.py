@@ -379,3 +379,104 @@ def grouped_sample_quantiles(
     return ranked.groupBy(*group_cols).agg(
         *aggs, F.max("__n").cast("long").alias("sample_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded MG fold — the streaming micro-batch update rule, batch-replayable
+# ---------------------------------------------------------------------------
+
+SHARDED_SUMMARY_SCHEMA = "shard int, tok string, lower long, dsum long, nrows long"
+
+
+def mg_batch_fragments(
+    items: DataFrame, shard_col: str, tok_col: str
+) -> DataFrame:
+    """One micro-batch's EXACT per-shard counts in sharded-summary
+    form: (shard, tok, count) token rows plus one (shard, NULL, nrows)
+    stats row per shard — the fragment :func:`mg_fold_sharded` folds
+    into the running state, exactly what one arriving micro-batch
+    contributes in streaming/stateful._mg_update_fn."""
+    toks = items.select(
+        F.col(shard_col).cast("int").alias("shard"),
+        F.col(tok_col).cast("string").alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    counts = toks.groupBy("shard", "tok").agg(
+        F.count(F.lit(1)).alias("lower"),
+        F.lit(0).cast("long").alias("dsum"),
+        F.lit(0).cast("long").alias("nrows"),
+    )
+    stats = toks.groupBy("shard").agg(
+        F.lit(None).cast("string").alias("tok"),
+        F.lit(0).cast("long").alias("lower"),
+        F.lit(0).cast("long").alias("dsum"),
+        F.count(F.lit(1)).alias("nrows"),
+    )
+    return counts.unionByName(stats)
+
+
+def mg_fold_sharded(parts: DataFrame, counters: int) -> DataFrame:
+    """Fold sharded MG summary fragments (running state ∪ one batch's
+    fragments): per shard, sum counters per token and apply ONE MG
+    prune — subtract the excess-th smallest combined count from every
+    counter, drop the ≤0, add it to the shard's decrement total. This
+    is PRECISELY the per-micro-batch update rule of
+    ``streaming_heavy_hitters`` (streaming/stateful._mg_update_fn:
+    value_counts add, then one prune), expressed as deterministic
+    DataFrame ops over fragment rows — summary-width data only, never
+    item data, so a fold costs counters×shards rows regardless of
+    stream length. Same prune rule as the unsharded
+    :func:`_prune_summary`; the window partitions by shard."""
+    from pyspark.sql import Window as W
+
+    cand = (
+        parts.where(F.col("tok").isNotNull())
+        .groupBy("shard", "tok")
+        .agg(F.sum("lower").alias("lower"))
+    )
+    stats = (
+        parts.where(F.col("tok").isNull())
+        .groupBy("shard")
+        .agg(
+            F.coalesce(F.sum("dsum"), F.lit(0)).cast("long").alias("dsum"),
+            F.coalesce(F.sum("nrows"), F.lit(0)).cast("long").alias("nrows"),
+        )
+    )
+    ranked = cand.withColumn(
+        "__rk",
+        F.row_number().over(
+            W.partitionBy("shard").orderBy(
+                F.col("lower").asc(), F.col("tok").asc()
+            )
+        ),
+    ).withColumn("__n", F.count(F.lit(1)).over(W.partitionBy("shard")))
+    d_per_shard = (
+        ranked.where(
+            (F.col("__n") > counters)
+            & (F.col("__rk") == F.col("__n") - counters)
+        )
+        .select("shard", F.col("lower").alias("__d"))
+    )
+    kept = (
+        cand.join(F.broadcast(d_per_shard), "shard", "left")
+        .withColumn("__d", F.coalesce(F.col("__d"), F.lit(0).cast("long")))
+        .where(F.col("lower") > F.col("__d"))
+        .select(
+            "shard",
+            "tok",
+            (F.col("lower") - F.col("__d")).cast("long").alias("lower"),
+            F.lit(0).cast("long").alias("dsum"),
+            F.lit(0).cast("long").alias("nrows"),
+        )
+    )
+    stats_row = (
+        stats.join(F.broadcast(d_per_shard), "shard", "left")
+        .withColumn("__d", F.coalesce(F.col("__d"), F.lit(0).cast("long")))
+        .select(
+            "shard",
+            F.lit(None).cast("string").alias("tok"),
+            F.lit(0).cast("long").alias("lower"),
+            (F.col("dsum") + F.col("__d")).cast("long").alias("dsum"),
+            F.col("nrows").cast("long").alias("nrows"),
+        )
+    )
+    return kept.unionByName(stats_row)

@@ -3501,6 +3501,246 @@ def dedup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- streaming replays (r10)
+
+_MG_K = 8  # counters per shard — small enough that the fixture prunes
+_MG_SHARDS = 4
+
+
+def _mg_replay_round_sql(prev: str, b: int, rnd: str) -> str:
+    """One micro-batch MG fold round as DuckDB CTEs: sum the running
+    state with the batch's exact per-shard counts, then apply the ONE
+    prune of streaming/stateful._mg_update_fn (subtract the excess-th
+    smallest combined count per shard). Lockstep with
+    operators/sketches.mg_fold_sharded."""
+    return f"""
+    {rnd}_u AS (
+      SELECT shard, tok, lower, dsum, nrows FROM {prev}
+      UNION ALL
+      SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS lower,
+             CAST(0 AS BIGINT) AS dsum, CAST(0 AS BIGINT) AS nrows
+      FROM mg_toks WHERE batch = {b} GROUP BY shard, tok
+      UNION ALL
+      SELECT shard, CAST(NULL AS VARCHAR) AS tok, CAST(0 AS BIGINT) AS lower,
+             CAST(0 AS BIGINT) AS dsum, CAST(COUNT(*) AS BIGINT) AS nrows
+      FROM mg_toks WHERE batch = {b} GROUP BY shard
+    ),
+    {rnd}_cand AS (
+      SELECT shard, tok, CAST(SUM(lower) AS BIGINT) AS lower
+      FROM {rnd}_u WHERE tok IS NOT NULL GROUP BY 1, 2
+    ),
+    {rnd}_rk AS (
+      SELECT shard, tok, lower,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY lower ASC, tok ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY shard) AS cnt
+      FROM {rnd}_cand
+    ),
+    {rnd}_d AS (
+      SELECT shard,
+             CAST(COALESCE(MAX(CASE WHEN cnt > {_MG_K} AND rk = cnt - {_MG_K}
+                                    THEN lower END), 0) AS BIGINT) AS d
+      FROM {rnd}_rk GROUP BY shard
+    ),
+    {rnd}_s AS (
+      SELECT c.shard, c.tok,
+             CAST(c.lower - COALESCE(d.d, 0) AS BIGINT) AS lower,
+             CAST(0 AS BIGINT) AS dsum, CAST(0 AS BIGINT) AS nrows
+      FROM {rnd}_cand c LEFT JOIN {rnd}_d d USING (shard)
+      WHERE c.lower > COALESCE(d.d, 0)
+      UNION ALL
+      SELECT st.shard, CAST(NULL AS VARCHAR) AS tok, CAST(0 AS BIGINT) AS lower,
+             CAST(st.dsum + COALESCE(d.d, 0) AS BIGINT) AS dsum,
+             CAST(st.nrows AS BIGINT) AS nrows
+      FROM (SELECT shard, SUM(dsum) AS dsum, SUM(nrows) AS nrows
+            FROM {rnd}_u WHERE tok IS NULL GROUP BY shard) st
+      LEFT JOIN {rnd}_d d USING (shard)
+    )"""
+
+
+@query(
+    "streaming_mg_replay",
+    oracle=f"""
+    WITH mg_toks AS (
+      SELECT CAST(doc_id % 3 AS INTEGER) AS batch,
+             CAST((CAST(concat('0x', substr(md5(CAST(tok AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_MG_SHARDS}) AS INTEGER) AS shard,
+             tok
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+    ),
+    mg_s0 AS (
+      SELECT CAST(NULL AS INTEGER) AS shard, CAST(NULL AS VARCHAR) AS tok,
+             CAST(NULL AS BIGINT) AS lower, CAST(NULL AS BIGINT) AS dsum,
+             CAST(NULL AS BIGINT) AS nrows
+      WHERE 1 = 0
+    ),
+    {_mg_replay_round_sql("mg_s0", 0, "mg_r1").strip()},
+    {_mg_replay_round_sql("mg_r1_s", 1, "mg_r2").strip()},
+    {_mg_replay_round_sql("mg_r2_s", 2, "mg_r3").strip()}
+    SELECT s.shard, s.tok, s.lower, st.dsum AS shard_dsum,
+           st.nrows AS shard_nrows, tr.true_count,
+           CAST(CASE WHEN s.lower <= tr.true_count
+                      AND tr.true_count <= s.lower + st.dsum
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bounds
+    FROM mg_r3_s s
+    JOIN (SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS true_count
+          FROM mg_toks GROUP BY 1, 2) tr USING (shard, tok)
+    JOIN (SELECT shard, dsum, nrows FROM mg_r3_s WHERE tok IS NULL) st
+      USING (shard)
+    WHERE s.tok IS NOT NULL
+    """,
+)
+def streaming_mg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the STREAMING heavy-hitter state machine replayed as a
+    fixed three-ingest batch sequence — the oracle-visible sibling of
+    streaming/stateful.streaming_heavy_hitters (pass(T) covers the
+    applyInPandasWithState machinery; THIS row value-checks the fold
+    those emissions carry). Documents' tokens shard onto
+    {_MG_SHARDS} portable-hash Misra-Gries states (md5 family so
+    DuckDB replays sharding exactly; the live operator's xxhash64 only
+    changes which shard a token lands on, not the fold semantics);
+    each ingest folds via operators/sketches.mg_fold_sharded — the
+    PRECISE per-micro-batch rule of _mg_update_fn (sum, then one
+    excess-th-smallest prune). counters={_MG_K} forces real pruning on
+    the fixture (dsum > 0). Output: each surviving counter with its
+    certified interval vs the TRUE stream count, within_bounds
+    asserting lower ≤ t ≤ lower + dsum everywhere — the mergeable-
+    summaries contract (Agarwal et al., PODS'12) as checked rows.
+    Fold cost is summary-width (shards × counters), never item data;
+    the oracle unrolls all three rounds as chained CTEs."""
+    from ..functions.text import dedup_tokens_expr
+    from ..operators.pipeline import portable_hash_bucket
+    from ..operators.sketches import mg_batch_fragments, mg_fold_sharded
+    from ..session import drop_checkpoint_files, eager_checkpoint
+
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(
+            (F.col("doc_id") % 3).cast("int").alias("batch"),
+            F.explode(dedup_tokens_expr(F.col("text"))).alias("tok"),
+        )
+        .withColumn(
+            "shard",
+            portable_hash_bucket(F.col("tok"), _MG_SHARDS).cast("int"),
+        )
+    )
+    state = None
+    for b in range(3):
+        frag = mg_batch_fragments(
+            toks.where(F.col("batch") == b), "shard", "tok"
+        )
+        parts = frag if state is None else state.unionByName(frag)
+        # Materialize each round's summary (shards × counters rows):
+        # exactly what the state store holds between micro-batches, and
+        # it keeps the replay's plan depth O(1) per round instead of
+        # re-deriving every earlier round's windows.
+        prev = state
+        state = eager_checkpoint(mg_fold_sharded(parts, counters=_MG_K))
+        if prev is not None:
+            drop_checkpoint_files(prev)
+        prev = None
+    truth = toks.groupBy("shard", "tok").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    stats = state.where(F.col("tok").isNull()).select(
+        "shard",
+        F.col("dsum").alias("shard_dsum"),
+        F.col("nrows").alias("shard_nrows"),
+    )
+    kept = state.where(F.col("tok").isNotNull()).select(
+        "shard", "tok", "lower"
+    )
+    return (
+        kept.join(truth, ["shard", "tok"])
+        .join(F.broadcast(stats), "shard")
+        .select(
+            "shard",
+            "tok",
+            "lower",
+            "shard_dsum",
+            "shard_nrows",
+            "true_count",
+            (
+                (F.col("lower") <= F.col("true_count"))
+                & (
+                    F.col("true_count")
+                    <= F.col("lower") + F.col("shard_dsum")
+                )
+            )
+            .cast("long")
+            .alias("within_bounds"),
+        )
+    )
+
+
+_BK_K = 32
+_BK_SHARDS = 4
+
+
+@query(
+    "streaming_bottomk_replay",
+    oracle=f"""
+    SELECT hkey, rid, value FROM (
+      SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hkey,
+             o_orderkey AS rid, o_totalprice AS value
+      FROM orders
+    ) ORDER BY hkey ASC, rid ASC LIMIT {_BK_K}
+    """,
+)
+def streaming_bottomk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the STREAMING bottom-k quantile-sketch state machine
+    replayed as a fixed three-ingest batch sequence and folded back —
+    the oracle-visible sibling of
+    streaming/stateful.streaming_bottomk_sample. Orders arrive in
+    three micro-batches, each fold keeps the {_BK_K} hash-smallest
+    rows PER SHARD ({_BK_SHARDS} portable-hash shards — md5 family so
+    the oracle replays the draw; the live operator's xxhash64 only
+    permutes which rows are 'smallest'), and the emitted shard
+    fragments merge by re-taking the global {_BK_K} smallest
+    (operators/sketches.bottomk_merge). The PINNED property: that
+    sequential per-shard fold recovers EXACTLY the whole-stream batch
+    sample — the oracle computes the global bottom-k directly in one
+    pass, so any drift in the fold (a dropped row, a tie broken
+    differently, a shard under-kept) hash-mismatches. Per-round state
+    is shards × k rows regardless of stream length."""
+    from pyspark.sql import Window as W
+
+    from ..operators.pipeline import portable_hash_bucket
+    from ..operators.sketches import _sample_hash
+
+    t = load_tables(spark, sf_dir)
+    keyed = t["orders"].select(
+        (F.col("o_orderkey") % 3).alias("batch"),
+        portable_hash_bucket(F.col("o_orderkey"), _BK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        _sample_hash("o_orderkey", "md5_portable").alias("hkey"),
+        F.col("o_orderkey").alias("rid"),
+        F.col("o_totalprice").alias("value"),
+    )
+    w = W.partitionBy("shard").orderBy(F.col("hkey").asc(), F.col("rid").asc())
+    state = None
+    for b in range(3):
+        batch_rows = keyed.where(F.col("batch") == b).select(
+            "shard", "hkey", "rid", "value"
+        )
+        parts = (
+            batch_rows if state is None else state.unionByName(batch_rows)
+        )
+        state = (
+            parts.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= _BK_K)
+            .drop("__rk")
+        )
+    return (
+        state.orderBy(F.col("hkey").asc(), F.col("rid").asc())
+        .limit(_BK_K)
+        .select("hkey", "rid", "value")
+    )
+
+
 @query(
     "er_fuzzy_entities",
     oracle="""
