@@ -2195,3 +2195,146 @@ def mjpeg_frames_to_bmp(media: DataFrame, every_n: int = 1) -> DataFrame:
         decode_mjpeg_avi,
         lambda px: np.repeat(px, 3, axis=2) if px.shape[2] == 1 else px,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sniffing VIDEO front door + the H.264 binding seam
+# ---------------------------------------------------------------------------
+
+
+def sniff_video_codec(b: bytes) -> tuple[str, str]:
+    """Magic-sniff a video payload's (container, codec) WITHOUT
+    decoding it: Y4M ('YUV4MPEG2' → rawvideo), RIFF AVI (codec = the
+    first 'vids' stream's fccHandler, e.g. 'MJPG' or 'H264'), ISO
+    BMFF/MP4 ('ftyp' box → the major brand, e.g. 'avc1'/'isom'),
+    Matroska/WebM (EBML magic). Raises ValueError when no container
+    signature matches — the same never-silently-wrong contract as the
+    image sniffer (_sniff_decode_image)."""
+    import struct as _struct
+
+    if b.startswith(b"YUV4MPEG2"):
+        return ("y4m", "rawvideo")
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from .mjpeg import _walk_chunks
+
+        (riff_size,) = _struct.unpack_from("<I", b, 4)
+        end = min(len(b), 8 + riff_size)
+        try:
+            for tag, p, s in _walk_chunks(b, 12, end):
+                if tag != b"LIST" or b[p : p + 4] != b"hdrl":
+                    continue
+                for t2, p2, s2 in _walk_chunks(b, p + 4, p + s):
+                    if t2 != b"LIST" or b[p2 : p2 + 4] != b"strl":
+                        continue
+                    for t3, p3, s3 in _walk_chunks(b, p2 + 4, p2 + s2):
+                        if t3 == b"strh" and s3 >= 8 and b[p3 : p3 + 4] == b"vids":
+                            fcc = b[p3 + 4 : p3 + 8]
+                            return (
+                                "avi",
+                                fcc.decode("ascii", "replace").strip("\x00 ")
+                                or "unknown",
+                            )
+        except ValueError:
+            pass  # malformed walk: fall through to the container verdict
+        return ("avi", "unknown")
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return ("mp4", b[8:12].decode("ascii", "replace").strip("\x00 "))
+    if b.startswith(b"\x1a\x45\xdf\xa3"):
+        return ("matroska", "unknown")
+    raise ValueError("not a recognized video container "
+                     "(Y4M/AVI/MP4/Matroska signatures all absent)")
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """Sniffing VIDEO front door: per-frame decode stats over a MIXED
+    video corpus. Y4M and MJPG AVI decode through the real
+    dependency-free codecs (`decode_y4m`, `decode_mjpeg_avi`); every
+    OTHER recognized container/codec — H.264/H.265/VP9 in MP4, an AVI
+    carrying a non-MJPG fourcc, Matroska/WebM — quarantines as a
+    single NULL-stats row whose decode_error NAMES the sniffed
+    container and codec. Loud and predictable: inter-frame compressed
+    video can never silently vanish from, or silently corrupt, a
+    pipeline built on this front door.
+
+    **The H.264 binding seam** (the one remaining library seam —
+    SURVEY.md §2.11 multimodal row): inter-frame codecs are not
+    implementable stdlib-only, so today they take the quarantine
+    branch. To bind a real decoder (PyAV/ffmpeg), replace that branch
+    with `frames, fps = <binding>(payload)` returning the SAME frame-
+    stack contract the two real decoders produce — (n, h, w[, ch])
+    uint8 — and every downstream stage (these stats, `*_frames_to_bmp`,
+    `image_features` → ANN) works unchanged. The seam sits INSIDE this
+    mapInPandas batch loop on purpose: payloads never cross a shuffle,
+    the binding runs executor-side per Arrow batch, and a decoder
+    failure degrades to the same per-row quarantine instead of a task
+    retry storm."""
+    from .mjpeg import decode_mjpeg_avi
+
+    schema = (
+        "media_id long, container string, codec string, frame_index int, "
+        "width int, height int, mean_value double, first_pixel int, "
+        "decode_error string"
+    )
+    cols = (
+        "media_id", "container", "codec", "frame_index", "width",
+        "height", "mean_value", "first_pixel", "decode_error",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def quarantine(mid, container, codec, msg):
+                rows["media_id"].append(mid)
+                rows["container"].append(container)
+                rows["codec"].append(codec)
+                for k in ("frame_index", "width", "height",
+                          "mean_value", "first_pixel"):
+                    rows[k].append(None)
+                rows["decode_error"].append(msg)
+
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                payload = bytes(content) if content is not None else b""
+                try:
+                    container, codec = sniff_video_codec(payload)
+                except ValueError as e:
+                    quarantine(mid, None, None, str(e))
+                    continue
+                try:
+                    if container == "y4m":
+                        lumas, _fps = decode_y4m(payload)
+                        lumas = lumas.astype(np.float64)
+                    elif container == "avi" and codec == "MJPG":
+                        frames, _fps2 = decode_mjpeg_avi(payload)
+                        lumas = frames.astype(np.float64).mean(axis=3)
+                    else:
+                        # >>> H.264 BINDING SEAM: a real decoder slots in
+                        # here (see docstring); until then, quarantine.
+                        quarantine(
+                            mid, container, codec,
+                            f"unsupported video codec {codec!r} in "
+                            f"{container!r} container (H.264-family "
+                            "inter-frame codecs need a real decoder — "
+                            "bind it at video_frame_stats' seam)",
+                        )
+                        continue
+                except ValueError as e:
+                    quarantine(mid, container, codec, str(e))
+                    continue
+                n, h, w = lumas.shape
+                for fi in range(n):
+                    rows["media_id"].append(mid)
+                    rows["container"].append(container)
+                    rows["codec"].append(codec)
+                    rows["frame_index"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_value"].append(float(lumas[fi].mean()))
+                    rows["first_pixel"].append(
+                        int(np.floor(lumas[fi][0, 0] + 0.5))
+                    )
+                    rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)

@@ -2291,3 +2291,79 @@ def test_jpeg_block_cap_is_per_component(monkeypatch):
     monkeypatch.setattr(jpeg_mod, "MAX_COMPONENT_BLOCKS", 3)
     with pytest.raises(ValueError, match="blocks/component"):
         jpeg_mod.decode_jpeg(data)
+
+
+# -------------------------------------------------- video front door + seam
+
+
+def test_sniff_video_codec_signatures():
+    import numpy as np
+    import pytest
+
+    from github_etl_spark.multimodal.media import (
+        encode_y4m,
+        sniff_video_codec,
+    )
+    from github_etl_spark.multimodal.mjpeg import encode_mjpeg_avi
+
+    frames = np.full((2, 4, 4), 7, dtype=np.uint8)
+    assert sniff_video_codec(encode_y4m(frames)) == ("y4m", "rawvideo")
+    avi = encode_mjpeg_avi(frames)
+    assert sniff_video_codec(avi) == ("avi", "MJPG")
+    # the same container carrying an H.264 stream (fccHandler patched)
+    assert sniff_video_codec(avi.replace(b"MJPG", b"H264")) == ("avi", "H264")
+    mp4 = bytes.fromhex("00000014") + b"ftypavc1" + b"\x00" * 8
+    assert sniff_video_codec(mp4) == ("mp4", "avc1")
+    assert sniff_video_codec(b"\x1a\x45\xdf\xa3" + b"\x00" * 16) == (
+        "matroska",
+        "unknown",
+    )
+    with pytest.raises(ValueError, match="not a recognized video container"):
+        sniff_video_codec(b"plainly not video")
+
+
+def test_video_front_door_decodes_real_and_quarantines_h264(spark):
+    """The H.264 seam contract: the mixed-video front door decodes the
+    two real formats and quarantines every inter-frame codec LOUDLY,
+    naming container+codec — the one format family the engine cannot
+    decode stdlib-only fails predictably, never silently."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        encode_y4m,
+        video_frame_stats,
+    )
+    from github_etl_spark.multimodal.mjpeg import encode_mjpeg_avi
+
+    y4m = encode_y4m(np.full((2, 4, 4), 9, dtype=np.uint8))
+    mjpg = encode_mjpeg_avi(np.full((3, 8, 8), 80, dtype=np.uint8))
+    h264_avi = mjpg.replace(b"MJPG", b"H264")
+    mp4 = bytes.fromhex("00000014") + b"ftypavc1" + b"\x00" * 8
+    media = spark.createDataFrame(
+        [(1, y4m), (2, mjpg), (3, h264_avi), (4, mp4), (5, b"garbage")],
+        "media_id long, content binary",
+    )
+    rows = video_frame_stats(media).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+
+    # real formats decode: 2 Y4M frames, 3 MJPG frames, no errors
+    assert [r["frame_index"] for r in by_id[1]] == [0, 1]
+    assert all(r["decode_error"] is None for r in by_id[1] + by_id[2])
+    assert len(by_id[2]) == 3 and by_id[2][0]["codec"] == "MJPG"
+    assert by_id[1][0]["first_pixel"] == 9
+
+    # H.264 in either container: ONE quarantine row naming the codec
+    for mid, container, codec in ((3, "avi", "H264"), (4, "mp4", "avc1")):
+        (q,) = by_id[mid]
+        assert q["container"] == container and q["codec"] == codec
+        assert q["frame_index"] is None and q["mean_value"] is None
+        assert "unsupported video codec" in q["decode_error"]
+        assert codec in q["decode_error"]
+        assert "seam" in q["decode_error"]
+
+    # unrecognized bytes quarantine too (sniff error, not a crash)
+    (g,) = by_id[5]
+    assert g["container"] is None
+    assert "not a recognized video container" in g["decode_error"]
