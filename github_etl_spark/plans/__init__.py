@@ -91,7 +91,30 @@ def _ordered() -> dict[str, Query]:
             return (0, 1, last_round[n], reg_pos[n])  # red on last check
         return (1, 0, last_round[n], reg_pos[n])  # oldest green first
 
-    return {n: QUERIES[n] for n in sorted(QUERIES, key=key)}
+    base = sorted(QUERIES, key=key)
+    # Sibling adjacency: a rows-only query's ledger entry is only
+    # meaningful NEXT TO its oracle-checked sibling (portable/pinned
+    # variant or accuracy contract), so when one enters the driver's
+    # fixed-size window its sibling rides along immediately after it —
+    # the ledger then always shows the pair green together instead of
+    # splitting them across rotation rounds.
+    # The pair anchors at whichever member rotates up FIRST and always
+    # emits (rows-only, sibling) in that order.
+    pair_of: dict[str, tuple[str, str]] = {}
+    for n, q in QUERIES.items():
+        if q.sibling is not None and q.sibling in QUERIES:
+            pair_of[n] = (n, q.sibling)
+            pair_of[q.sibling] = (n, q.sibling)
+    out: list[str] = []
+    seen: set[str] = set()
+    for n in base:
+        if n in seen:
+            continue
+        for m in pair_of.get(n, (n,)):
+            if m not in seen:
+                out.append(m)
+                seen.add(m)
+    return {n: QUERIES[n] for n in out}
 
 
 def spark_queries():

@@ -296,7 +296,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", headline=True)  # xxhash64-based → rows-only check
+@query("dedup_minhash_lsh", headline=True, sibling="minhash_estimate_error")  # xxhash64 → rows-only; sibling pins sketch accuracy
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: MinHash+LSH near-dup candidates (32 hashes, 8 bands × 4 rows).
     Recall vs exact Jaccard asserted in tests/test_dedup.py."""
@@ -368,7 +368,7 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_incremental", headline=True)  # xxhash64 → rows-only check
+@query("dedup_incremental", headline=True, sibling="dedup_incremental_portable")  # xxhash64 → rows-only
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: incremental batch-vs-corpus dedup on the fast xxhash64
     family (production default; the band-bucket values are
@@ -728,7 +728,7 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_compression_ratio")  # zlib kernel — no SQL form, rows-only
+@query("text_compression_ratio", sibling="text_compression_ratio_pinned")  # zlib kernel — no SQL form, rows-only
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: zlib compression-ratio quality signal (Gopher/RefinedWeb
     family). No SQL twin exists (DuckDB has no zlib expression), so the
@@ -1025,7 +1025,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
-@query("sim_lsh_topk")  # approximate — recall asserted in tests
+@query("sim_lsh_topk", sibling="sim_lsh_topk_portable")  # approximate — recall asserted in tests + sibling
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: LSH-bucketed ANN (random hyperplane signs, 16 buckets) — the
     scale path: each query scans ~1/16 of the corpus."""
@@ -1406,7 +1406,7 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_media_pipeline")  # binary payloads — rows-only check (no SQL form)
+@query("mm_media_pipeline", sibling="mm_decode_stats")  # binary payloads — rows-only (no SQL form)
 def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: multimodal pipeline — synthesize binary media from
     `documents`, decode-stats each payload, extract fixed-dim features
@@ -2389,7 +2389,7 @@ def mm_mulaw_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk", headline=True)  # approximate — recall asserted in tests
+@query("sim_ivf_topk", headline=True, sibling="sim_ivf_topk_portable")  # approximate — recall asserted in tests + sibling
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: IVF ANN — sample-trained coarse quantizer (16 cells), probe
     the 4 closest cells per query (~1/4 of the corpus scored). The

@@ -41,4 +41,32 @@ def test_order_covers_every_query_and_oracle_keys_match():
 
 def test_fresh_checkout_degrades_to_registration_order(monkeypatch):
     monkeypatch.setattr(plans, "_check_history", lambda: ({}, {}))
-    assert list(plans._ordered()) == list(QUERIES)
+    # registration order, modulo the sibling-adjacency pull-forward
+    # (a rows-only query always carries its oracle-checked sibling
+    # immediately after it, whatever the history says)
+    pair_of = {}
+    for n, q in QUERIES.items():
+        if q.sibling is not None and q.sibling in QUERIES:
+            pair_of[n] = (n, q.sibling)
+            pair_of[q.sibling] = (n, q.sibling)
+    expect, seen = [], set()
+    for n in QUERIES:
+        for m in pair_of.get(n, (n,)):
+            if m not in seen:
+                expect.append(m)
+                seen.add(m)
+    assert list(plans._ordered()) == expect
+
+
+def test_sibling_rides_adjacent_in_rotation():
+    """Every declared rows-only sibling pair is ADJACENT in rotation
+    order (so a driver window can never show one without the other),
+    every sibling name resolves, and every sibling is oracle-checked."""
+    order = list(plans._ordered())
+    pos = {n: i for i, n in enumerate(order)}
+    pairs = [(n, q.sibling) for n, q in QUERIES.items() if q.sibling]
+    assert pairs, "expected declared siblings for the rows-only set"
+    for n, sib in pairs:
+        assert sib in QUERIES, f"{n} names unknown sibling {sib}"
+        assert QUERIES[sib].oracle is not None, f"sibling {sib} has no oracle"
+        assert pos[sib] == pos[n] + 1, f"{sib} not adjacent to {n}"
