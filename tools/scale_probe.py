@@ -786,6 +786,9 @@ _SECTION_MARKERS = [
     "## JPEG & FLAC compressed-codec probe (round 7)",
     "## PageRank join-strategy probe (round 9)",
     "## Skewed-basket probe (round 10) — basket_association_rules cap",
+    # manually-written section (tools/make_sf1.py + bench.py recipe):
+    # listed so _splice_section never treats it as part of a neighbor
+    "## Full-suite sf1.0 bench (round 10) — the 2x gate measured past sf0.1",
 ]
 
 
