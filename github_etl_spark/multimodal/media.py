@@ -2305,7 +2305,9 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
                     if container == "y4m":
                         lumas, _fps = decode_y4m(payload)
                         lumas = lumas.astype(np.float64)
-                    elif container == "avi" and codec == "MJPG":
+                    elif container == "avi" and codec.upper() == "MJPG":
+                        # case-folded: decode_mjpeg_avi accepts b"mjpg"
+                        # fccHandlers too
                         frames, _fps2 = decode_mjpeg_avi(payload)
                         lumas = frames.astype(np.float64).mean(axis=3)
                     else:

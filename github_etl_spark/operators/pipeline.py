@@ -1083,7 +1083,10 @@ def dsir_gram_weights(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("cr"),
-            F.sum("__is_t").alias("ct"),
+            # coalesce: a bucket whose grams all come from NULL-target
+            # rows sums to NULL (sum skips NULLs), and the driver-side
+            # int() below must see 0 — matching the oracle's ELSE 0.
+            F.coalesce(F.sum("__is_t"), F.lit(0)).alias("ct"),
         )
         .collect()
     )
@@ -1165,8 +1168,8 @@ def dsir_resample(
     acceptance threshold is a left shift, so the kept set is
     cross-engine bit-exact. max_lw is a broadcast 1-row aggregate;
     everything after the apply pass is map-side."""
-    if temp & (temp - 1):
-        raise ValueError(f"temp must be a power of two, got {temp}")
+    if temp <= 0 or temp & (temp - 1):
+        raise ValueError(f"temp must be a positive power of two, got {temp}")
     from ..session import eager_checkpoint
 
     weights = dsir_gram_weights(df, text_col, target_col, n_buckets)

@@ -2367,3 +2367,19 @@ def test_video_front_door_decodes_real_and_quarantines_h264(spark):
     (g,) = by_id[5]
     assert g["container"] is None
     assert "not a recognized video container" in g["decode_error"]
+
+
+def test_video_front_door_decodes_lowercase_mjpg(spark):
+    """decode_mjpeg_avi accepts b'mjpg' fccHandlers; the sniffing front
+    door must route them to the decoder, not the codec quarantine."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import video_frame_stats
+    from github_etl_spark.multimodal.mjpeg import encode_mjpeg_avi
+
+    avi = encode_mjpeg_avi(np.full((2, 8, 8), 50, dtype=np.uint8))
+    low = avi.replace(b"MJPG", b"mjpg")
+    media = spark.createDataFrame([(1, low)], "media_id long, content binary")
+    rows = video_frame_stats(media).collect()
+    assert [r["frame_index"] for r in rows] == [0, 1]
+    assert all(r["decode_error"] is None for r in rows)

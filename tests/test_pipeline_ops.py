@@ -877,3 +877,26 @@ def test_dsir_empty_and_null_corpus(spark):
     )
     # NULL text and sub-bigram docs drop; no crash
     assert dsir_doc_logweights(nulls, "text", "doc_id", w).count() == 0
+
+
+def test_dsir_weights_survive_all_null_target(spark):
+    from github_etl_spark.operators.pipeline import dsir_gram_weights
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha beta", None), (1, "gamma delta", None)],
+        "doc_id long, text string, is_t boolean",
+    )
+    w = dsir_gram_weights(df, "text", "is_t", n_buckets=32)
+    assert len(w) == 32  # no TypeError; NULL target sums read as 0
+
+
+def test_dsir_resample_rejects_temp_zero(spark):
+    import pytest
+
+    from github_etl_spark.operators.pipeline import dsir_resample
+
+    df = spark.createDataFrame(
+        [(0, "a b c", True)], "doc_id long, text string, is_t boolean"
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        dsir_resample(df, "text", "doc_id", "is_t", temp=0)

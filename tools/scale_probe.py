@@ -1040,8 +1040,29 @@ def main():
     lines += bpe_probe(spark, t, ks)
     lines += codec_probe(spark, t, ks)
     lines += pagerank_probe(spark, t)
+    lines += basket_probe(spark)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "SCALE_PROBE.md")
+    # Preserve sections the full run does not regenerate (the manually
+    # written sf1.0 bench results, and any future marker-listed section
+    # this script has no generator for): carry them over verbatim —
+    # a full regen must never silently destroy measured evidence.
+    regenerated = {m for m in _SECTION_MARKERS if m in "\n".join(lines)}
+    try:
+        with open(out) as f:
+            existing = f.read().splitlines()
+    except OSError:
+        existing = []
+    starts = sorted(
+        existing.index(m) for m in _SECTION_MARKERS
+        if m in existing and m not in regenerated
+    )
+    all_marks = sorted(
+        existing.index(m) for m in _SECTION_MARKERS if m in existing
+    )
+    for s in starts:
+        nxt = min((x for x in all_marks if x > s), default=len(existing))
+        lines += [""] + existing[s:nxt]
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
 
