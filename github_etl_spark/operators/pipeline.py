@@ -1205,3 +1205,72 @@ def dsir_resample(
         .where(F.col("__draw") < F.col("__thr"))
         .drop("__draw", "__thr")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    token_budget: int,
+) -> DataFrame:
+    """Token-budget-constrained corpus selection: keep the GLOBAL
+    quality-ordered prefix (frozen model quality DESC, id ASC) whose
+    running token total stays within ``token_budget`` — "fill the
+    training budget with the best tokens first", the curation step
+    between quality scoring and shard writing.
+
+    The naive plan is one globally-ordered running-sum window — a
+    single task at any scale (the DuckDB oracle is exactly that form).
+    This implementation decomposes it: quality quantizes to per-mille
+    buckets (≤ 1001 keys), and the global running sum splits into a
+    cross-bucket prefix (window over the BOUNDED 1001-row bucket
+    table) plus a within-bucket running sum (one keyed window
+    partitioned by bucket, id-ordered) — the same split-the-sort idea
+    as surrogate_keys. A pathologically hot single quality value would
+    re-concentrate its own window; at that point apply the
+    surrogate-keys per-partition-offset idiom INSIDE the bucket.
+
+    Returns (id, quality_pm, n_tokens, cum_tokens) — all integers, so
+    the kept set and every cumulative total are cross-engine exact.
+    Rows with NULL text are excluded (no tokens to budget).
+    """
+    from ..functions.text import model_quality_expr, words_expr
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    scored = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.floor(model_quality_expr(F.col(text_col)) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("quality_pm"),
+        F.size(words_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    bstats = scored.groupBy("quality_pm").agg(
+        F.sum("n_tokens").alias("__bsum")
+    )
+    wb = (
+        Window.orderBy(F.col("quality_pm").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = bstats.select(
+        "quality_pm",
+        F.coalesce(F.sum("__bsum").over(wb), F.lit(0).cast("long")).alias(
+            "__cum_before"
+        ),
+    )
+    ww = (
+        Window.partitionBy("quality_pm")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("__r", F.sum("n_tokens").over(ww))
+        .join(F.broadcast(pre), "quality_pm")
+        .select(
+            F.col(id_col),
+            F.col("quality_pm"),
+            F.col("n_tokens"),
+            (F.col("__cum_before") + F.col("__r")).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= token_budget)
+    )

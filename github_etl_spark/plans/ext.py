@@ -2730,10 +2730,12 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_importance_sample",
-    oracle=f"""
-    WITH base AS (
+# Shared model-quality-score CTEs (lockstep with
+# functions.text.model_quality_expr): `base` computes the raw text
+# features, `scored` the 4dp sigmoid score. Single source for every
+# oracle that consumes the frozen quality model.
+_SQL_MODEL_SCORE_CTES = f"""
+    base AS (
       SELECT doc_id,
              CAST(len({_SQL_WORDS}) AS DOUBLE) AS n_tok,
              CAST(len(list_filter({_SQL_WORDS},
@@ -2754,7 +2756,13 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + 1.0 * least((n_wchars / greatest(n_tok, 1)) / 8.0, 1.0)
              )))) * 10000 + 0.5) / 10000) AS model_score
       FROM base
-    ),
+    )"""
+
+
+@query(
+    "quality_importance_sample",
+    oracle=f"""
+    WITH {_SQL_MODEL_SCORE_CTES},
     weighted AS (
       SELECT doc_id, model_score,
              (floor(least(exp(4.0 * (model_score - 0.5)), 1.0) * 10000 + 0.5)
@@ -2795,6 +2803,47 @@ def quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw") < F.col("p_accept") * 10000)
         .drop("draw")
     )
+
+
+@query(
+    "quality_budget_select",
+    oracle=f"""
+    WITH {_SQL_MODEL_SCORE_CTES},
+    toks AS (
+      SELECT s.doc_id,
+             CAST(floor(s.model_score * 1000 + 0.5) AS BIGINT) AS quality_pm,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+      FROM scored s JOIN documents USING (doc_id)
+      WHERE text IS NOT NULL
+    ),
+    ordered AS (
+      SELECT doc_id, quality_pm, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY quality_pm DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, quality_pm, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ordered WHERE cum_tokens <= 10000
+    """,
+)
+def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: token-budget-constrained corpus selection — the global
+    quality-ordered prefix (frozen model score DESC, doc_id ASC) whose
+    running token total fits a 10k-token budget; "fill the training
+    budget with the best tokens first". The ORACLE is the naive
+    one-task global running-sum window; the engine decomposes it into
+    a bounded cross-bucket prefix (≤1001 per-mille quality buckets)
+    plus ONE keyed within-bucket window (operators/pipeline.
+    budget_select — the surrogate_keys split-the-sort idea), and the
+    all-integer output pins the decomposition exactly equal to the
+    naive form."""
+    from ..operators.pipeline import budget_select
+
+    t = load_tables(spark, sf_dir)
+    return budget_select(t["documents"], "text", "doc_id", 10000)
 
 
 # Shared DSIR oracle CTEs (Xie et al. 2023 hashed-bigram importance

@@ -900,3 +900,38 @@ def test_dsir_resample_rejects_temp_zero(spark):
     )
     with pytest.raises(ValueError, match="power of two"):
         dsir_resample(df, "text", "doc_id", "is_t", temp=0)
+
+
+def test_budget_select_prefix_semantics(spark):
+    """The bucketed decomposition must equal the naive global ordered
+    prefix: cumulative totals are monotone over (quality DESC, id ASC)
+    and the boundary document that would overflow the budget is cut."""
+    from github_etl_spark.operators.pipeline import budget_select
+
+    # quality strictly increases with stopword density here; texts are
+    # sized so the budget cuts INSIDE the best bucket's id order
+    rows = [
+        (1, "the of and to in is it for on a " * 5),   # high quality
+        (2, "the of and to in is it for on a " * 5),   # same bucket as 1
+        (3, "xyzzy qwerty asdf " * 10),                # low quality
+        (4, None),                                     # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in budget_select(df, "text", "doc_id", 75).collect()
+    }
+    # docs 1 and 2 are 50 tokens each in the same quality bucket:
+    # doc 1 fits (cum 50), doc 2 would reach 100 > 75 -> cut; doc 3's
+    # bucket is below and already over budget; doc 4 has no text
+    assert got == {1: (50, 50)}
+    full = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in budget_select(df, "text", "doc_id", 10_000).collect()
+    }
+    assert full == {1: 50, 2: 100, 3: 130}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        budget_select(df, "text", "doc_id", 0)
