@@ -198,7 +198,12 @@ def decode_mjpeg_avi(
                             fcc_type = data[p3 : p3 + 4]
                             handler = data[p3 + 4 : p3 + 8]
                             if fcc_type == b"vids" and video_stream is None:
-                                if handler not in (b"MJPG", b"mjpg"):
+                                # case-insensitive: real muxers emit
+                                # MJPG/mjpg/Mjpg; the sniffing router
+                                # (media.video_frame_stats) folds the
+                                # same way, so router and decoder can
+                                # never disagree on a variant
+                                if handler.upper() != b"MJPG":
                                     raise ValueError(
                                         "AVI video stream is not MJPG "
                                         f"(handler {handler!r})"

@@ -1238,12 +1238,20 @@ def budget_select(
 
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
-    scored = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.floor(model_quality_expr(F.col(text_col)) * 1000 + F.lit(0.5))
-        .cast("long")
-        .alias("quality_pm"),
-        F.size(words_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    from ..session import eager_checkpoint
+
+    # Materialize the scored projection once: the bucket aggregate AND
+    # the window branch both consume it, and the quality model's
+    # regex/lambda chains are the expensive part of this plan — same
+    # reasoning (and measured win) as dsir_resample's checkpoint above.
+    scored = eager_checkpoint(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.floor(model_quality_expr(F.col(text_col)) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("quality_pm"),
+            F.size(words_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
     )
     bstats = scored.groupBy("quality_pm").agg(
         F.sum("n_tokens").alias("__bsum")

@@ -2383,3 +2383,21 @@ def test_video_front_door_decodes_lowercase_mjpg(spark):
     rows = video_frame_stats(media).collect()
     assert [r["frame_index"] for r in rows] == [0, 1]
     assert all(r["decode_error"] is None for r in rows)
+
+
+def test_mixed_case_mjpg_fcc_decodes(spark):
+    """Router and decoder must case-fold the fccHandler the SAME way:
+    a b'Mjpg' AVI decodes end-to-end instead of reaching the decoder
+    and dying on an exact-spelling check."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import video_frame_stats
+    from github_etl_spark.multimodal.mjpeg import decode_mjpeg_avi, encode_mjpeg_avi
+
+    avi = encode_mjpeg_avi(np.full((2, 8, 8), 33, dtype=np.uint8))
+    mixed = avi.replace(b"MJPG", b"Mjpg")
+    frames, fps = decode_mjpeg_avi(mixed)
+    assert frames.shape[0] == 2
+    media = spark.createDataFrame([(1, mixed)], "media_id long, content binary")
+    rows = video_frame_stats(media).collect()
+    assert len(rows) == 2 and all(r["decode_error"] is None for r in rows)

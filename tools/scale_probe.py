@@ -792,12 +792,24 @@ _SECTION_MARKERS = [
 ]
 
 
+def _strip_blanks(lines: list[str]) -> list[str]:
+    a, b = 0, len(lines)
+    while a < b and lines[a] == "":
+        a += 1
+    while b > a and lines[b - 1] == "":
+        b -= 1
+    return lines[a:b]
+
+
 def _splice_section(marker: str, lines: list[str]) -> None:
     """Append-or-replace ONE section of SCALE_PROBE.md, preserving
-    every OTHER known section wherever it sits.  One implementation
-    for all probes: the old per-probe splice copies each hard-coded
-    only its immediate neighbor, so a reordered file (marker-missing
-    append paths append at EOF) could silently drop a section."""
+    every OTHER known section wherever it sits.  IDEMPOTENT: section
+    boundaries are the marker lines themselves, and blank separators
+    are normalized to exactly one on every write — the previous
+    `index(marker) - 1` form assumed a blank line before the marker
+    and ate one line of the PRECEDING section per rerun when the
+    assumption failed (it truncated the pagerank conclusion in the
+    committed doc)."""
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
@@ -805,15 +817,23 @@ def _splice_section(marker: str, lines: list[str]) -> None:
     )
     with open(out) as f:
         existing = f.read().splitlines()
-    idx = existing.index(marker) - 1 if marker in existing else len(existing)
+    idx = existing.index(marker) if marker in existing else len(existing)
+    head = _strip_blanks(existing[:idx])
     tail_starts = [
         existing.index(m)
         for m in _SECTION_MARKERS
         if m != marker and m in existing and existing.index(m) > idx
     ]
-    tail = existing[min(tail_starts) - 1 :] if tail_starts else []
+    tail = _strip_blanks(existing[min(tail_starts):]) if tail_starts else []
+    body = _strip_blanks(lines)
+    parts = [p for p in (head, body, tail) if p]
+    joined: list[str] = []
+    for p in parts:
+        if joined:
+            joined.append("")
+        joined.extend(p)
     with open(out, "w") as f:
-        f.write("\n".join(existing[:idx] + lines + tail) + "\n")
+        f.write("\n".join(joined) + "\n")
 
 
 def main():
@@ -1045,26 +1065,34 @@ def main():
                        "docs", "SCALE_PROBE.md")
     # Preserve sections the full run does not regenerate (the manually
     # written sf1.0 bench results, and any future marker-listed section
-    # this script has no generator for): carry them over verbatim —
-    # a full regen must never silently destroy measured evidence.
-    regenerated = {m for m in _SECTION_MARKERS if m in "\n".join(lines)}
+    # this script has no generator for): carry them over verbatim with
+    # the SAME blank normalization as _splice_section — a full regen
+    # must never silently destroy measured evidence. Non-generated
+    # sections keep their relative order, appended after the generated
+    # body (they were authored at EOF).
+    regenerated = {m for m in _SECTION_MARKERS if m in lines}
     try:
         with open(out) as f:
             existing = f.read().splitlines()
     except OSError:
         existing = []
-    starts = sorted(
-        existing.index(m) for m in _SECTION_MARKERS
-        if m in existing and m not in regenerated
-    )
     all_marks = sorted(
         existing.index(m) for m in _SECTION_MARKERS if m in existing
     )
-    for s in starts:
+    parts = [_strip_blanks(lines)]
+    for s in sorted(
+        existing.index(m) for m in _SECTION_MARKERS
+        if m in existing and m not in regenerated
+    ):
         nxt = min((x for x in all_marks if x > s), default=len(existing))
-        lines += [""] + existing[s:nxt]
+        parts.append(_strip_blanks(existing[s:nxt]))
+    joined: list[str] = []
+    for p in parts:
+        if joined:
+            joined.append("")
+        joined.extend(p)
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(joined) + "\n")
 
 
 if __name__ == "__main__":
