@@ -1100,6 +1100,16 @@ def dsir_gram_weights(
     return weights
 
 
+# Regime boundary for the DSIR apply pass (measured, SCALE_PROBE
+# "DSIR sizing probe"): up to here the weight list inlines as one
+# array literal and the whole fold stays in codegen; past it the
+# literal's per-row cost explodes (1.7 s → 133 s at 131072 buckets,
+# sf0.1) and the Arrow gather kernel takes over. Same
+# expression-vs-kernel switch as similarity._top_cell_expr and the
+# BPE apply chain.
+DSIR_EXPR_MAX_BUCKETS = 4096
+
+
 def dsir_doc_logweights(
     df: DataFrame,
     text_col: str,
@@ -1110,36 +1120,71 @@ def dsir_doc_logweights(
     ``dsir_gram_weights`` — (id, n_grams, lw_bits), documents with no
     bigram dropped.
 
-    MAP-ONLY: the bounded weight list rides into executors as ONE
-    array literal, each document folds its own gram array in-row
-    (aggregate + element_at), so the corpus never shuffles — at 100 TB
-    the apply pass is scan-speed, exactly like the quality filters it
-    composes with."""
+    MAP-ONLY in both regimes — the corpus never shuffles. Up to
+    ``DSIR_EXPR_MAX_BUCKETS`` the weight list rides into executors as
+    ONE array literal and each document folds its gram array in-row
+    (aggregate + element_at, pure codegen — the oracle-replayable
+    path). Past that, the array literal's per-row cost explodes
+    (measured: 80× at 131072 buckets), so the buckets are still
+    computed JVM-side in-row but the weight GATHER runs as an Arrow
+    kernel over a closure numpy array — w[buckets].sum() per document,
+    vectorized, zero exchanges. Both regimes are integer-exact and
+    pinned equal in pytest."""
     from ..functions.text import dedup_tokens_expr
 
     n_buckets = len(weights)
-    warr = F.lit(weights)
-    return (
-        df.select(
-            F.col(id_col),
-            ngrams_expr(dedup_tokens_expr(F.col(text_col)), 2).alias(
-                "__grams"
-            ),
+    grams = ngrams_expr(dedup_tokens_expr(F.col(text_col)), 2)
+    if n_buckets <= DSIR_EXPR_MAX_BUCKETS:
+        warr = F.lit(weights)
+        return (
+            df.select(F.col(id_col), grams.alias("__grams"))
+            .where(F.size("__grams") > 0)
+            .select(
+                F.col(id_col),
+                F.size("__grams").cast("long").alias("n_grams"),
+                F.aggregate(
+                    "__grams",
+                    F.lit(0).cast("long"),
+                    lambda acc, g: acc
+                    + F.element_at(
+                        warr,
+                        (portable_hash_bucket(g, n_buckets) + 1).cast("int"),
+                    ),
+                ).alias("lw_bits"),
+            )
         )
+
+    import numpy as np
+
+    w_np = np.asarray(weights, dtype=np.int64)
+    pre = (
+        df.select(F.col(id_col), grams.alias("__grams"))
         .where(F.size("__grams") > 0)
         .select(
             F.col(id_col),
             F.size("__grams").cast("long").alias("n_grams"),
-            F.aggregate(
-                "__grams",
-                F.lit(0).cast("long"),
-                lambda acc, g: acc
-                + F.element_at(
-                    warr,
-                    (portable_hash_bucket(g, n_buckets) + 1).cast("int"),
-                ),
-            ).alias("lw_bits"),
+            F.transform(
+                "__grams", lambda g: portable_hash_bucket(g, n_buckets)
+            ).alias("__buckets"),
         )
+    )
+
+    def gather(batches):
+        for pdf in batches:
+            lw = [
+                int(w_np[np.asarray(b, dtype=np.int64)].sum())
+                for b in pdf["__buckets"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_grams": pdf["n_grams"],
+                    "lw_bits": lw,
+                }
+            )
+
+    return pre.mapInPandas(
+        gather, f"{id_col} long, n_grams long, lw_bits long"
     )
 
 

@@ -3723,6 +3723,55 @@ def streaming_mg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_totals_replay",
+    oracle="""
+    WITH per_batch AS (
+      SELECT user_id, CAST(event_id % 3 AS INTEGER) AS batch,
+             CAST(COUNT(*) AS BIGINT) AS batch_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, batch, batch_events,
+           CAST(SUM(batch_events) OVER (
+             PARTITION BY user_id ORDER BY batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS total_events
+    FROM per_batch
+    """,
+)
+def streaming_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the running-totals stateful streaming operator
+    (streaming/stateful.running_totals) replayed as a fixed
+    three-ingest batch sequence — one row per (key, batch the key
+    appears in) with that batch's count and the cumulative total, the
+    EXACT emission contract of _update_running_totals. The fold is a
+    per-key sum (order-free), so the replay is one groupBy plus one
+    keyed cumulative window — with this row, all three custom stateful
+    operators (running totals, sharded MG, sharded bottom-k) have
+    their fold semantics in the oracle ledger, not only in pytest."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    per_batch = (
+        t["events"]
+        .groupBy(
+            "user_id", (F.col("event_id") % 3).cast("int").alias("batch")
+        )
+        .agg(F.count(F.lit(1)).alias("batch_events"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("batch")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per_batch.select(
+        "user_id",
+        "batch",
+        "batch_events",
+        F.sum("batch_events").over(w).cast("long").alias("total_events"),
+    )
+
+
 _BK_K = 32
 _BK_SHARDS = 4
 

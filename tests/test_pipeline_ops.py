@@ -935,3 +935,50 @@ def test_budget_select_prefix_semantics(spark):
 
     with pytest.raises(ValueError, match="positive"):
         budget_select(df, "text", "doc_id", 0)
+
+
+def test_dsir_apply_kernel_regime_matches_expression_path(spark):
+    """The two apply regimes (inlined array literal vs Arrow gather
+    kernel) must produce BIT-IDENTICAL (n_grams, lw_bits) for the same
+    vocabulary of weights — the DSIR sibling of the BPE chain/kernel
+    and the _top_cell_expr pins."""
+    import hashlib
+
+    from github_etl_spark.operators.pipeline import (
+        DSIR_EXPR_MAX_BUCKETS,
+        dsir_doc_logweights,
+    )
+
+    texts = [
+        (0, "good clean good clean the end"),
+        (1, "spam junk the end of days"),
+        (2, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    # weights deterministic per bucket; kernel size > boundary
+    nk = DSIR_EXPR_MAX_BUCKETS * 2
+    wk = [((i * 37) % 13) - 6 for i in range(nk)]
+    kern = {
+        r["doc_id"]: (r["n_grams"], r["lw_bits"])
+        for r in dsir_doc_logweights(df, "text", "doc_id", wk).collect()
+    }
+
+    def bucket(g, n):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n
+
+    for did, text in texts:
+        toks = text.split()
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        expect = (len(grams), sum(wk[bucket(g, nk)] for g in grams))
+        assert kern[did] == expect
+    # and the expression path agrees on a small vocab derived the same way
+    ne = 64
+    we = [((i * 37) % 13) - 6 for i in range(ne)]
+    expr = {
+        r["doc_id"]: (r["n_grams"], r["lw_bits"])
+        for r in dsir_doc_logweights(df, "text", "doc_id", we).collect()
+    }
+    for did, text in texts:
+        toks = text.split()
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert expr[did] == (len(grams), sum(we[bucket(g, ne)] for g in grams))

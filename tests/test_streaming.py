@@ -545,3 +545,68 @@ def test_streaming_mg_replay_bounds_hold(spark):
     # counters=8 must actually prune on the fixture, or the row checks
     # nothing interesting
     assert any(r["shard_dsum"] > 0 for r in rows)
+
+
+def test_running_totals_replay_equals_live_rule(spark):
+    """streaming_totals_replay must emit exactly what the live
+    _update_running_totals emissions accumulate to over the same batch
+    sequence — one row per (key, batch the key appears in), cumulative."""
+    import pandas as pd
+
+    from github_etl_spark.streaming.stateful import _update_running_totals
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    batches = {0: [7, 7, 9], 1: [7], 2: [9, 9, 7]}
+    live = []
+    states: dict[int, _FakeState] = {}
+    for b, users in batches.items():
+        for uid in set(users):
+            st = states.setdefault(uid, _FakeState())
+            (out,) = _update_running_totals(
+                (uid,),
+                iter([pd.DataFrame({"user_id": [u for u in users if u == uid]})]),
+                st,
+            )
+            live.append((uid, b, int(out["batch_events"][0]),
+                         int(out["total_events"][0])))
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [(b, u) for b, us in batches.items() for u in us],
+        "batch int, user_id long",
+    )
+    per_batch = rows.groupBy("user_id", "batch").agg(
+        F.count(F.lit(1)).alias("batch_events")
+    )
+    w = (
+        W.partitionBy("user_id").orderBy("batch")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    replay = sorted(
+        (r["user_id"], r["batch"], r["batch_events"], r["total_events"])
+        for r in per_batch.select(
+            "user_id", "batch", "batch_events",
+            F.sum("batch_events").over(w).alias("total_events"),
+        ).collect()
+    )
+    assert replay == sorted(live)

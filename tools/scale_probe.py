@@ -709,6 +709,54 @@ def pagerank_probe(spark, t) -> list[str]:
     return lines
 
 
+def dsir_probe(spark) -> list[str]:
+    """DSIR sizing probe (round 10): learn/apply cost vs n_buckets at
+    sf0.1 — the measurement behind the RUNBOOK claim that 10^4–10^5
+    buckets are still driver-trivial and apply-cost-neutral."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.pipeline import (
+        dsir_doc_logweights,
+        dsir_gram_weights,
+    )
+    from github_etl_spark.tables import load_tables as _lt
+
+    docs = _lt(spark, SF_DIR)["documents"].withColumn(
+        "__is_t", F.col("lang") == "en"
+    )
+    lines = [
+        "## DSIR sizing probe (round 10) — cost vs n_buckets",
+        "",
+        f"sf0.1 documents ({SF_DIR}), local[32]. Learn = one corpus scan",
+        "aggregated to n_buckets rows collected to the driver; apply =",
+        "map-only in both regimes. THIS PROBE FOUND THE REGIME: the",
+        "first run measured the inlined-array-literal fold at 1.7 s /",
+        "8.9 s / 133 s for 1024 / 16384 / 131072 buckets — the literal's",
+        "per-row cost explodes — so dsir_doc_logweights now switches to",
+        "an Arrow gather kernel (JVM in-row buckets, numpy",
+        "w[buckets].sum()) past DSIR_EXPR_MAX_BUCKETS=4096; the table",
+        "below is the post-fix shape: learn bucket-insensitive, apply",
+        "flat, so the RUNBOOK's 10^4-10^5-bucket sizing advice is safe.",
+        "Regenerate: `python tools/scale_probe.py --dsir-only`.",
+        "",
+        "| n_buckets | learn sec | apply sec | nonzero weights |",
+        "|---|---|---|---|",
+    ]
+    dsir_gram_weights(docs, "text", "__is_t", 64)  # JVM warmup
+    for nb in (1024, 16384, 131072):
+        t0 = _time.perf_counter()
+        w = dsir_gram_weights(docs, "text", "__is_t", nb)
+        t1 = _time.perf_counter()
+        dsir_doc_logweights(docs, "text", "doc_id", w).count()
+        t2 = _time.perf_counter()
+        nz = sum(1 for x in w if x)
+        lines.append(f"| {nb} | {t1-t0:.2f} | {t2-t1:.2f} | {nz} |")
+    lines.append("")
+    return lines
+
+
 def basket_probe(spark) -> list[str]:
     """Skewed-basket probe (round 10): 20k normal 6-item baskets plus
     ONE mega-basket of growing size B.  Uncapped, the in-row pair
@@ -789,6 +837,7 @@ _SECTION_MARKERS = [
     # manually-written section (tools/make_sf1.py + bench.py recipe):
     # listed so _splice_section never treats it as part of a neighbor
     "## Full-suite sf1.0 bench (round 10) — the 2x gate measured past sf0.1",
+    "## DSIR sizing probe (round 10) — cost vs n_buckets",
 ]
 
 
@@ -839,7 +888,7 @@ def _splice_section(marker: str, lines: list[str]) -> None:
 def main():
     flags = {
         "--relational-only", "--round6-only", "--png-only", "--bpe-only",
-        "--codec-only", "--pagerank-only", "--basket-only",
+        "--codec-only", "--pagerank-only", "--basket-only", "--dsir-only",
     }
     args = [a for a in sys.argv[1:] if a not in flags]
     relational_only = "--relational-only" in sys.argv[1:]
@@ -882,6 +931,10 @@ def main():
     if "--basket-only" in sys.argv[1:]:
         spark = get_spark("scale_probe")
         _splice_section(_SECTION_MARKERS[6], basket_probe(spark))
+        return
+    if "--dsir-only" in sys.argv[1:]:
+        spark = get_spark("scale_probe")
+        _splice_section(_SECTION_MARKERS[8], dsir_probe(spark))
         return
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
@@ -1061,6 +1114,7 @@ def main():
     lines += codec_probe(spark, t, ks)
     lines += pagerank_probe(spark, t)
     lines += basket_probe(spark)
+    lines += dsir_probe(spark)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "docs", "SCALE_PROBE.md")
     # Preserve sections the full run does not regenerate (the manually
