@@ -1906,6 +1906,107 @@ def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_video_front_door",
+    oracle="""
+    WITH ym AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 4 + 1 AS INT) AS nf,
+             CAST(doc_id % 5 + 2 AS INT) AS w,
+             CAST(doc_id % 3 + 2 AS INT) AS h,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    ypx AS (
+      SELECT media_id, w, h,
+             CAST(i.i // (w * h) AS INT) AS frame_index,
+             i.i % (w * h) AS off,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS v
+      FROM (SELECT media_id, hx, n, w, h,
+                   unnest(range(0, nf * w * h)) AS i FROM ym) i
+    ),
+    yrows AS (
+      SELECT media_id, frame_index, w AS width, h AS height,
+             (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+             MAX(CASE WHEN off = 0 THEN v END) AS first_pixel
+      FROM ypx GROUP BY media_id, frame_index, w, h
+    ),
+    jm AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 3 + 1 AS INT) AS nf,
+             CAST(doc_id % 2 + 1 AS INT) AS bx,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS n
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    jbl AS (
+      SELECT media_id, bx,
+             CAST(i.i // bx AS INT) AS frame_index,
+             i.i % bx AS off,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(concat('0x',
+                         substr(hx, CAST(i.i % n AS INT) * 2 + 1, 2)) AS INT)
+             END AS v
+      FROM (SELECT media_id, hx, n, nf, bx,
+                   unnest(range(0, nf * bx)) AS i FROM jm) i
+    ),
+    jrows AS (
+      SELECT media_id, frame_index,
+             CAST(bx * 8 AS INT) AS width, CAST(8 AS INT) AS height,
+             (floor(AVG(v) * 10000 + 0.5) / 10000) AS mean_value,
+             MAX(CASE WHEN off = 0 THEN v END) AS first_pixel
+      FROM jbl GROUP BY media_id, frame_index, bx
+    )
+    SELECT media_id, 'y4m' AS container, 'rawvideo' AS codec,
+           frame_index, width, height, mean_value, first_pixel
+    FROM yrows
+    UNION ALL
+    SELECT media_id, 'avi' AS container, 'MJPG' AS codec,
+           frame_index, width, height, mean_value, first_pixel
+    FROM jrows
+    """,
+)
+def mm_video_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the SNIFFING video front door itself, oracle-exact over a
+    genuinely MIXED corpus — even doc_ids become real Y4M clips, odd
+    ones real Motion-JPEG AVIs (bit-exact DC-quant-8 regime), and ONE
+    `video_frame_stats` pass sniffs each payload's container by magic
+    and dispatches to the right decoder. The output carries the
+    sniffed (container, codec) per row, so a mis-sniff (or a dispatch
+    to the wrong decoder) hash-mismatches — this pins the DISPATCH,
+    where mm_y4m/mm_mjpeg_frame_stats pin the decoders individually.
+    H.264-family payloads would surface as quarantine rows (fixture-
+    tested in tests/test_multimodal.py); none exist in this corpus, so
+    every row decodes. Map-only: mixed payload bytes never cross a
+    shuffle."""
+    from ..multimodal.media import (
+        synthesize_mjpeg_media,
+        synthesize_y4m_media,
+        video_frame_stats,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    mixed = synthesize_y4m_media(
+        docs.where(F.col("doc_id") % 2 == 0)
+    ).unionByName(synthesize_mjpeg_media(docs.where(F.col("doc_id") % 2 == 1)))
+    stats = video_frame_stats(mixed)
+    return stats.select(
+        "media_id",
+        "container",
+        "codec",
+        "frame_index",
+        "width",
+        "height",
+        round_det("mean_value", 4).alias("mean_value"),
+        "first_pixel",
+    )
+
+
+@query(
     "mm_resize_bmp_stats",
     oracle="""
     WITH m AS (
