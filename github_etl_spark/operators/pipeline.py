@@ -1183,8 +1183,12 @@ def dsir_doc_logweights(
                 }
             )
 
+    # Output schema derives the id type from the input — the regime
+    # switch must not silently change the function's type contract
+    # (a hardcoded `long` crashed Arrow conversion for string ids).
+    id_ddl = pre.schema[id_col].dataType.simpleString()
     return pre.mapInPandas(
-        gather, f"{id_col} long, n_grams long, lw_bits long"
+        gather, f"`{id_col}` {id_ddl}, n_grams long, lw_bits long"
     )
 
 

@@ -982,3 +982,23 @@ def test_dsir_apply_kernel_regime_matches_expression_path(spark):
         toks = text.split()
         grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         assert expr[did] == (len(grams), sum(we[bucket(g, ne)] for g in grams))
+
+
+def test_dsir_kernel_regime_preserves_id_type(spark):
+    """The regime switch must not change the function's type contract:
+    a string id survives the Arrow-kernel path with its own type."""
+    from github_etl_spark.operators.pipeline import (
+        DSIR_EXPR_MAX_BUCKETS,
+        dsir_doc_logweights,
+    )
+
+    df = spark.createDataFrame(
+        [("d-1", "alpha beta gamma"), ("d-2", "one two")],
+        "doc_id string, text string",
+    )
+    out = dsir_doc_logweights(
+        df, "text", "doc_id", [1] * (DSIR_EXPR_MAX_BUCKETS * 2)
+    )
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: r["lw_bits"] for r in out.collect()}
+    assert got == {"d-1": 2, "d-2": 1}  # all-ones weights: lw == n_grams

@@ -850,6 +850,22 @@ def _strip_blanks(lines: list[str]) -> list[str]:
     return lines[a:b]
 
 
+def _join_sections(parts):
+    """Join section line-blocks with exactly one blank separator —
+    the ONE normalization both _splice_section and the full-regen
+    path share (two hand-synced copies would reintroduce the splice
+    corruption this replaced)."""
+    joined: list[str] = []
+    for p in parts:
+        p = _strip_blanks(p)
+        if not p:
+            continue
+        if joined:
+            joined.append("")
+        joined.extend(p)
+    return joined
+
+
 def _splice_section(marker: str, lines: list[str]) -> None:
     """Append-or-replace ONE section of SCALE_PROBE.md, preserving
     every OTHER known section wherever it sits.  IDEMPOTENT: section
@@ -874,15 +890,8 @@ def _splice_section(marker: str, lines: list[str]) -> None:
         if m != marker and m in existing and existing.index(m) > idx
     ]
     tail = _strip_blanks(existing[min(tail_starts):]) if tail_starts else []
-    body = _strip_blanks(lines)
-    parts = [p for p in (head, body, tail) if p]
-    joined: list[str] = []
-    for p in parts:
-        if joined:
-            joined.append("")
-        joined.extend(p)
     with open(out, "w") as f:
-        f.write("\n".join(joined) + "\n")
+        f.write("\n".join(_join_sections([head, lines, tail])) + "\n")
 
 
 def main():
@@ -1133,20 +1142,15 @@ def main():
     all_marks = sorted(
         existing.index(m) for m in _SECTION_MARKERS if m in existing
     )
-    parts = [_strip_blanks(lines)]
-    for s in sorted(
+    parts = [lines]
+    for start in sorted(
         existing.index(m) for m in _SECTION_MARKERS
         if m in existing and m not in regenerated
     ):
-        nxt = min((x for x in all_marks if x > s), default=len(existing))
-        parts.append(_strip_blanks(existing[s:nxt]))
-    joined: list[str] = []
-    for p in parts:
-        if joined:
-            joined.append("")
-        joined.extend(p)
+        nxt = min((x for x in all_marks if x > start), default=len(existing))
+        parts.append(existing[start:nxt])
     with open(out, "w") as f:
-        f.write("\n".join(joined) + "\n")
+        f.write("\n".join(_join_sections(parts)) + "\n")
 
 
 if __name__ == "__main__":
