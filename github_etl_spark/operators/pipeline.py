@@ -1033,6 +1033,18 @@ def bpe_tokenize_encode(
 DSIR_BUCKETS = 1024
 
 
+def dsir_features_expr(text_col) -> Column:
+    """The DSIR hashed-feature set per document: word UNIGRAMS and
+    BIGRAMS with multiplicity (Xie et al. 2023's hashed n-gram bag) —
+    the ONE expression both the learn and apply passes consume, so
+    weights and per-document scores can never disagree on the feature
+    definition."""
+    from ..functions.text import dedup_tokens_expr
+
+    toks = dedup_tokens_expr(text_col)
+    return F.concat(toks, ngrams_expr(toks, 2))
+
+
 def dsir_gram_weights(
     df: DataFrame,
     text_col: str,
@@ -1041,9 +1053,11 @@ def dsir_gram_weights(
 ) -> list[int]:
     """Learn DSIR importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling", arXiv:2302.03169 —
-    public): hashed-BIGRAM bag-of-features likelihood ratio between a
-    TARGET corpus (rows where ``target_col`` is true) and the RAW
-    corpus (all rows), one integer weight per hash bucket.
+    public): hashed n-gram (word unigrams + bigrams, the paper's
+    feature set — ``dsir_features_expr``) bag-of-features likelihood
+    ratio between a TARGET corpus (rows where ``target_col`` is true)
+    and the RAW corpus (all rows), one integer weight per hash
+    bucket.
 
     The public form scores log p_target(gram)/p_raw(gram) with add-one
     smoothing; this engine's pinned contract replaces the float log
@@ -1067,13 +1081,9 @@ def dsir_gram_weights(
     weigh 0; they can never be probed when apply runs on the same
     tokenization).
     """
-    from ..functions.text import dedup_tokens_expr
-
     grams = df.select(
         F.col(target_col).cast("long").alias("__is_t"),
-        F.explode(
-            ngrams_expr(dedup_tokens_expr(F.col(text_col)), 2)
-        ).alias("gram"),
+        F.explode(dsir_features_expr(F.col(text_col))).alias("gram"),
     )
     counts = (
         grams.select(
@@ -1118,7 +1128,8 @@ def dsir_doc_logweights(
 ) -> DataFrame:
     """Apply pass: per-document integer log-importance under learned
     ``dsir_gram_weights`` — (id, n_grams, lw_bits), documents with no
-    bigram dropped.
+    hashed feature (no token) dropped. ``n_grams`` counts the hashed
+    FEATURES (unigrams + bigrams: 2L-1 for an L-token document).
 
     MAP-ONLY in both regimes — the corpus never shuffles. Up to
     ``DSIR_EXPR_MAX_BUCKETS`` the weight list rides into executors as
@@ -1130,10 +1141,8 @@ def dsir_doc_logweights(
     kernel over a closure numpy array — w[buckets].sum() per document,
     vectorized, zero exchanges. Both regimes are integer-exact and
     pinned equal in pytest."""
-    from ..functions.text import dedup_tokens_expr
-
     n_buckets = len(weights)
-    grams = ngrams_expr(dedup_tokens_expr(F.col(text_col)), 2)
+    grams = dsir_features_expr(F.col(text_col))
     if n_buckets <= DSIR_EXPR_MAX_BUCKETS:
         warr = F.lit(weights)
         return (

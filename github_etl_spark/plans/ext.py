@@ -2947,8 +2947,8 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_select(t["documents"], "text", "doc_id", 10000)
 
 
-# Shared DSIR oracle CTEs (Xie et al. 2023 hashed-bigram importance
-# weights, integer bit-cost form — lockstep with
+# Shared DSIR oracle CTEs (Xie et al. 2023 hashed n-gram importance
+# weights — word unigrams + bigrams, integer bit-cost form — lockstep with
 # operators.pipeline.dsir_gram_weights / dsir_doc_logweights; the 1024
 # matches DSIR_BUCKETS, the 'en' predicate the catalog target).
 _SQL_DSIR_CTES = f"""
@@ -2957,7 +2957,9 @@ _SQL_DSIR_CTES = f"""
       SELECT doc_id, lang,
              (CAST(concat('0x', substr(md5(CAST(gram AS VARCHAR)), 1, 8))
                AS BIGINT) % 1024) AS bucket
-      FROM (SELECT doc_id, lang,
+      FROM (SELECT doc_id, lang, unnest(ts) AS gram FROM dsir_toks
+            UNION ALL
+            SELECT doc_id, lang,
                    unnest(list_transform(range(1, len(ts)),
                           i -> ts[i] || ' ' || ts[i+1])) AS gram
             FROM dsir_toks)
@@ -2997,7 +2999,8 @@ _SQL_DSIR_CTES = f"""
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: DSIR proper (Xie et al. 2023, arXiv:2302.03169) — per-doc
     integer log-importance of the raw corpus toward the lang='en'
-    TARGET distribution, from learned hashed-bigram bucket weights
+    TARGET distribution, from learned hashed n-gram (unigram+bigram)
+    bucket weights
     (operators/pipeline.dsir_gram_weights). Learn = one corpus scan
     aggregated to 1024 bucket rows (the only thing that crosses to the
     driver); apply = map-only in-row fold under the broadcast weight

@@ -820,10 +820,11 @@ def test_dsir_weights_separate_target_from_raw(spark):
     }
     # target-exclusive doc scores above the raw-exclusive one
     assert lw[0] > lw[2]
-    # python replay of doc 1 agrees exactly (integer contract)
+    # python replay of doc 1 agrees exactly (integer contract);
+    # features = unigrams + bigrams, the paper's hashed n-gram bag
     toks = "good clean the end".split()
-    grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-    assert lw[1] == sum(w[bucket(g)] for g in grams)
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    assert lw[1] == sum(w[bucket(g)] for g in feats)
 
 
 def test_dsir_apply_is_map_only(spark):
@@ -875,8 +876,9 @@ def test_dsir_empty_and_null_corpus(spark):
         [(0, None, True), (1, "one", False)],
         "doc_id long, text string, is_t boolean",
     )
-    # NULL text and sub-bigram docs drop; no crash
-    assert dsir_doc_logweights(nulls, "text", "doc_id", w).count() == 0
+    # NULL text drops; a single-token doc keeps its unigram feature
+    rows = dsir_doc_logweights(nulls, "text", "doc_id", w).collect()
+    assert [(r["doc_id"], r["n_grams"]) for r in rows] == [(1, 1)]
 
 
 def test_dsir_weights_survive_all_null_target(spark):
@@ -966,10 +968,13 @@ def test_dsir_apply_kernel_regime_matches_expression_path(spark):
     def bucket(g, n):
         return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n
 
-    for did, text in texts:
+    def feats_of(text):
         toks = text.split()
-        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-        expect = (len(grams), sum(wk[bucket(g, nk)] for g in grams))
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    for did, text in texts:
+        feats = feats_of(text)
+        expect = (len(feats), sum(wk[bucket(g, nk)] for g in feats))
         assert kern[did] == expect
     # and the expression path agrees on a small vocab derived the same way
     ne = 64
@@ -979,9 +984,8 @@ def test_dsir_apply_kernel_regime_matches_expression_path(spark):
         for r in dsir_doc_logweights(df, "text", "doc_id", we).collect()
     }
     for did, text in texts:
-        toks = text.split()
-        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-        assert expr[did] == (len(grams), sum(we[bucket(g, ne)] for g in grams))
+        feats = feats_of(text)
+        assert expr[did] == (len(feats), sum(we[bucket(g, ne)] for g in feats))
 
 
 def test_dsir_kernel_regime_preserves_id_type(spark):
@@ -1001,4 +1005,5 @@ def test_dsir_kernel_regime_preserves_id_type(spark):
     )
     assert dict(out.dtypes)["doc_id"] == "string"
     got = {r["doc_id"]: r["lw_bits"] for r in out.collect()}
-    assert got == {"d-1": 2, "d-2": 1}  # all-ones weights: lw == n_grams
+    # all-ones weights: lw == n_feats (unigrams + bigrams)
+    assert got == {"d-1": 5, "d-2": 3}
