@@ -249,3 +249,52 @@ def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = profile(orders.where(F.col("o_orderdate") < split))
     curr = profile(orders.where(F.col("o_orderdate") >= split))
     return drift_report(base, curr, _DRIFT_METRICS, threshold=0.05)
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+             AS BIGINT) AS n_exposed_rows
+    FROM groups GROUP BY group_size
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: k-anonymity verification over a quasi-identifier set — the
+    privacy-governance gate a curation pipeline runs before release:
+    every (nationkey, mktsegment) equivalence class must contain at
+    least k=5 records, or the rows in it are re-identifiable by the
+    quasi-identifiers alone (Sweeney 2002, public). Output is the
+    group-size histogram with per-size violating-group and exposed-row
+    counts — flat integers, so the verdict is cross-engine exact, and
+    the histogram (not just a boolean) tells the operator HOW FAR from
+    k the corpus is. Scale shape: one keyed groupBy on the
+    quasi-identifiers, then a second groupBy on the BOUNDED group-size
+    domain — same adding-a-constraint-adds-a-column economics as the
+    dq report; at 100 TB the first aggregation is the only
+    corpus-width pass."""
+    t = load_tables(spark, sf_dir)
+    k = 5
+    groups = t["customer"].groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(
+            F.when(F.col("group_size") < k, F.col("group_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exposed_rows"),
+    )
