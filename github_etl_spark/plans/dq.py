@@ -258,14 +258,17 @@ def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey, c_mktsegment,
              CAST(COUNT(*) AS BIGINT) AS group_size
       FROM customer GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM groups GROUP BY group_size
     )
-    SELECT group_size,
-           CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+    SELECT group_size, n_groups,
+           CAST(CASE WHEN group_size < 5 THEN n_groups ELSE 0 END AS BIGINT)
              AS n_violating_groups,
-           CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+           CAST(CASE WHEN group_size < 5 THEN group_size * n_groups ELSE 0 END
              AS BIGINT) AS n_exposed_rows
-    FROM groups GROUP BY group_size
+    FROM hist
     """,
 )
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,14 +290,21 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = t["customer"].groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("group_size")
     )
-    return groups.groupBy("group_size").agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum(F.when(F.col("group_size") < k, 1).otherwise(0))
+    hist = groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    # the k-predicate is constant within a histogram row, so the
+    # violation columns are projections of (group_size, n_groups)
+    violating = F.col("group_size") < k
+    return hist.select(
+        "group_size",
+        "n_groups",
+        F.when(violating, F.col("n_groups"))
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("n_violating_groups"),
-        F.sum(
-            F.when(F.col("group_size") < k, F.col("group_size")).otherwise(0)
-        )
+        F.when(violating, F.col("group_size") * F.col("n_groups"))
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("n_exposed_rows"),
     )
