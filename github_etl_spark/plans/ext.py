@@ -3264,6 +3264,187 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quantile_sketch_error",
+    oracle="""
+    WITH qse_joined AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice IS NOT NULL AND o.o_orderkey IS NOT NULL
+    ),
+    qse_vc AS (
+      SELECT c_mktsegment,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM qse_joined GROUP BY 1, 2
+    ),
+    qse_cum AS (
+      SELECT c_mktsegment, v,
+             SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM qse_vc
+    ),
+    qse_nn AS (
+      SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_rows
+      FROM qse_vc GROUP BY 1
+    ),
+    qse_exact AS (
+      SELECT u.c_mktsegment, MAX(n.n_rows) AS n_rows,
+             MIN(CASE WHEN u.cum >= ((n.n_rows - 1) * 50) // 100 + 1
+                      THEN u.v END) AS exact_p50,
+             MIN(CASE WHEN u.cum >= ((n.n_rows - 1) * 90) // 100 + 1
+                      THEN u.v END) AS exact_p90
+      FROM qse_cum u JOIN qse_nn n USING (c_mktsegment)
+      GROUP BY u.c_mktsegment
+    ),
+    qse_sample AS (
+      SELECT c_mktsegment, o_totalprice FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY CAST(concat('0x',
+                   substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   AS BIGINT), o_orderkey
+               ) AS rn
+        FROM qse_joined
+      ) WHERE rn <= 200
+    ),
+    qse_sr AS (
+      SELECT c_mktsegment,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice) AS rn,
+             CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS sn
+      FROM qse_sample
+    ),
+    qse_sketch AS (
+      SELECT c_mktsegment, MAX(sn) AS sample_n,
+             MAX(CASE WHEN rn = ((sn - 1) * 50) // 100 + 1 THEN v END)
+               AS sketch_p50,
+             MAX(CASE WHEN rn = ((sn - 1) * 90) // 100 + 1 THEN v END)
+               AS sketch_p90
+      FROM qse_sr GROUP BY c_mktsegment
+    )
+    SELECT e.c_mktsegment, e.n_rows, s.sample_n,
+           e.exact_p50, s.sketch_p50,
+           CAST(abs(s.sketch_p50 - e.exact_p50) AS BIGINT) AS err_p50_cents,
+           e.exact_p90, s.sketch_p90,
+           CAST(abs(s.sketch_p90 - e.exact_p90) AS BIGINT) AS err_p90_cents
+    FROM qse_exact e JOIN qse_sketch s USING (c_mktsegment)
+    """,
+)
+def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: quantile-sketch ACCURACY as oracle-checked rows — per
+    market segment, the bottom-k(200) portable-hash sample's discrete
+    p50/p90 versus the EXACT per-group discrete quantiles, with
+    absolute errors in integer cents. Completes the accuracy-contract
+    family (minhash_estimate_error for sketch similarity, the ANN
+    recall rows for retrieval): the O(1/√k) sampling-error claim the
+    RUNBOOK cites becomes a measured, cross-engine-exact number per
+    group. The EXACT side never does a one-task global sort: per-group
+    value counts (bounded by the distinct-price domain, far below row
+    count) take one keyed cumulative window, and the quantile is the
+    first value whose cumulative count reaches the integer index
+    ((n-1)·q)//100 — integer arithmetic both engines replay, no float
+    index. Sketch side = the same md5-portable sample the grouped
+    quantile query pins."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sketches import bottomk_sample_grouped
+
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderkey").isNotNull()
+        )
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    vc = (
+        joined.select("c_mktsegment", cents.alias("v"))
+        .groupBy("c_mktsegment", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = vc.withColumn("cum", F.sum("c").over(wc))
+    nn = vc.groupBy("c_mktsegment").agg(F.sum("c").alias("n_rows"))
+    exact = (
+        cum.join(F.broadcast(nn), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr("((n_rows - 1) * 50) div 100 + 1"),
+                    F.col("v"),
+                )
+            ).alias("exact_p50"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr("((n_rows - 1) * 90) div 100 + 1"),
+                    F.col("v"),
+                )
+            ).alias("exact_p90"),
+        )
+    )
+    sample = bottomk_sample_grouped(
+        joined, "o_totalprice", "o_orderkey", ["c_mktsegment"], k=200,
+        hash_family="md5_portable",
+    )
+    sr = (
+        sample.select("c_mktsegment", cents.alias("v"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("c_mktsegment").orderBy("v")
+            ),
+        )
+        .withColumn(
+            "sn",
+            F.count(F.lit(1)).over(W.partitionBy("c_mktsegment")),
+        )
+    )
+    sketch = sr.groupBy("c_mktsegment").agg(
+        F.max("sn").alias("sample_n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("((sn - 1) * 50) div 100 + 1"),
+                F.col("v"),
+            )
+        ).alias("sketch_p50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("((sn - 1) * 90) div 100 + 1"),
+                F.col("v"),
+            )
+        ).alias("sketch_p90"),
+    )
+    return exact.join(sketch, "c_mktsegment").select(
+        "c_mktsegment",
+        "n_rows",
+        "sample_n",
+        "exact_p50",
+        "sketch_p50",
+        F.abs(F.col("sketch_p50") - F.col("exact_p50")).alias(
+            "err_p50_cents"
+        ),
+        "exact_p90",
+        "sketch_p90",
+        F.abs(F.col("sketch_p90") - F.col("exact_p90")).alias(
+            "err_p90_cents"
+        ),
+    )
+
+
 # A basket of size B emits C(B,2) pairs in a SINGLE row — quadratic,
 # the same blowup every other pair generator here caps (cooccurrence
 # max_group_size, minhash max_bucket_size). Baskets larger than this
