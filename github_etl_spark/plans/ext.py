@@ -3264,39 +3264,73 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSE_COARSE = 100000  # $1000-wide coarse cent buckets for phase 1
+
+
+def _qse_exact_q_sql(q: int) -> str:
+    """Phase-2 CTEs locating the exact per-segment q-th percentile:
+    target coarse bucket from the bounded phase-1 table, then a
+    cumulative window over values INSIDE that bucket only (lockstep
+    with the Spark builder)."""
+    return f"""
+    qse_t{q} AS (
+      SELECT c_mktsegment, MIN(coarse) AS coarse FROM qse_cc2
+      WHERE cum >= ((n_rows - 1) * {q}) // 100 + 1 GROUP BY 1
+    ),
+    qse_ti{q} AS (
+      SELECT b.c_mktsegment, b.coarse, b.cum - b.c AS off,
+             ((b.n_rows - 1) * {q}) // 100 + 1 AS idx
+      FROM qse_cc2 b JOIN qse_t{q} t USING (c_mktsegment, coarse)
+    ),
+    qse_in{q} AS (
+      SELECT r.c_mktsegment, r.v, CAST(COUNT(*) AS BIGINT) AS c2,
+             MAX(t.off) AS off, MAX(t.idx) AS idx
+      FROM qse_cr r JOIN qse_ti{q} t
+        ON t.c_mktsegment = r.c_mktsegment AND t.coarse = r.coarse
+      GROUP BY 1, 2
+    ),
+    qse_e{q} AS (
+      SELECT c_mktsegment, MIN(v) AS exact_p{q} FROM (
+        SELECT c_mktsegment, v, off, idx,
+               SUM(c2) OVER (PARTITION BY c_mktsegment ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+        FROM qse_in{q})
+      WHERE off + cumv >= idx GROUP BY 1
+    )"""
+
+
 @query(
     "quantile_sketch_error",
-    oracle="""
+    oracle=f"""
     WITH qse_joined AS (
       SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE o.o_totalprice IS NOT NULL AND o.o_orderkey IS NOT NULL
     ),
-    qse_vc AS (
+    qse_cr AS (
       SELECT c_mktsegment,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
-             CAST(COUNT(*) AS BIGINT) AS c
-      FROM qse_joined GROUP BY 1, 2
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               // {_QSE_COARSE} AS coarse
+      FROM qse_joined
     ),
-    qse_cum AS (
-      SELECT c_mktsegment, v,
-             SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM qse_vc
+    qse_cc AS (
+      SELECT c_mktsegment, coarse, CAST(COUNT(*) AS BIGINT) AS c
+      FROM qse_cr GROUP BY 1, 2
     ),
-    qse_nn AS (
-      SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_rows
-      FROM qse_vc GROUP BY 1
+    qse_cc2 AS (
+      SELECT c_mktsegment, coarse, c,
+             SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY coarse
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+               AS n_rows
+      FROM qse_cc
     ),
-    qse_exact AS (
-      SELECT u.c_mktsegment, MAX(n.n_rows) AS n_rows,
-             MIN(CASE WHEN u.cum >= ((n.n_rows - 1) * 50) // 100 + 1
-                      THEN u.v END) AS exact_p50,
-             MIN(CASE WHEN u.cum >= ((n.n_rows - 1) * 90) // 100 + 1
-                      THEN u.v END) AS exact_p90
-      FROM qse_cum u JOIN qse_nn n USING (c_mktsegment)
-      GROUP BY u.c_mktsegment
+    qse_n AS (
+      SELECT c_mktsegment, MAX(n_rows) AS n_rows FROM qse_cc2 GROUP BY 1
     ),
+    {_qse_exact_q_sql(50).strip()},
+    {_qse_exact_q_sql(90).strip()},
     qse_sample AS (
       SELECT c_mktsegment, o_totalprice FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -3325,12 +3359,17 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sketch_p90
       FROM qse_sr GROUP BY c_mktsegment
     )
-    SELECT e.c_mktsegment, e.n_rows, s.sample_n,
-           e.exact_p50, s.sketch_p50,
-           CAST(abs(s.sketch_p50 - e.exact_p50) AS BIGINT) AS err_p50_cents,
-           e.exact_p90, s.sketch_p90,
-           CAST(abs(s.sketch_p90 - e.exact_p90) AS BIGINT) AS err_p90_cents
-    FROM qse_exact e JOIN qse_sketch s USING (c_mktsegment)
+    SELECT n.c_mktsegment, n.n_rows, s.sample_n,
+           e50.exact_p50, s.sketch_p50,
+           CAST(abs(s.sketch_p50 - e50.exact_p50) AS BIGINT)
+             AS err_p50_cents,
+           e90.exact_p90, s.sketch_p90,
+           CAST(abs(s.sketch_p90 - e90.exact_p90) AS BIGINT)
+             AS err_p90_cents
+    FROM qse_n n
+    JOIN qse_e50 e50 USING (c_mktsegment)
+    JOIN qse_e90 e90 USING (c_mktsegment)
+    JOIN qse_sketch s USING (c_mktsegment)
     """,
 )
 def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3339,15 +3378,20 @@ def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p90 versus the EXACT per-group discrete quantiles, with
     absolute errors in integer cents. Completes the accuracy-contract
     family (minhash_estimate_error for sketch similarity, the ANN
-    recall rows for retrieval): the O(1/√k) sampling-error claim the
-    RUNBOOK cites becomes a measured, cross-engine-exact number per
-    group. The EXACT side never does a one-task global sort: per-group
-    value counts (bounded by the distinct-price domain, far below row
-    count) take one keyed cumulative window, and the quantile is the
-    first value whose cumulative count reaches the integer index
-    ((n-1)·q)//100 — integer arithmetic both engines replay, no float
-    index. Sketch side = the same md5-portable sample the grouped
-    quantile query pins."""
+    recall rows for retrieval): the O(1/sqrt(k)) sampling-error claim
+    the RUNBOOK cites becomes a measured, cross-engine-exact number.
+
+    The EXACT side is a TWO-PHASE quantile, not a one-task sort
+    (o_totalprice is ~100% distinct, so a per-value cumulative window
+    would funnel a segment's whole row count through one task — the
+    first cut did exactly that and the review caught it): phase 1
+    aggregates $1000-wide coarse cent buckets (bounded by the price
+    DOMAIN / 1000, independent of row count) and its cumulative window
+    locates the target bucket + the already-consumed prefix; phase 2
+    re-scans only rows INSIDE each segment's target bucket (a
+    broadcast semi of <= segments rows) and takes the first value
+    whose in-bucket cumulative count reaches the integer index
+    ((n-1)*q)//100. All index arithmetic is integer in both engines."""
     from pyspark.sql import Window as W
 
     from ..operators.sketches import bottomk_sample_grouped
@@ -3363,39 +3407,64 @@ def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
     )
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    vc = (
-        joined.select("c_mktsegment", cents.alias("v"))
-        .groupBy("c_mktsegment", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
+    cr = joined.select(
+        "c_mktsegment",
+        cents.alias("v"),
+        F.expr(
+            f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            f" div {_QSE_COARSE}"
+        ).alias("coarse"),
     )
-    wc = (
+    wseq = (
         W.partitionBy("c_mktsegment")
-        .orderBy("v")
+        .orderBy("coarse")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = vc.withColumn("cum", F.sum("c").over(wc))
-    nn = vc.groupBy("c_mktsegment").agg(F.sum("c").alias("n_rows"))
-    exact = (
-        cum.join(F.broadcast(nn), "c_mktsegment")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.max("n_rows").alias("n_rows"),
-            F.min(
-                F.when(
-                    F.col("cum")
-                    >= F.expr("((n_rows - 1) * 50) div 100 + 1"),
-                    F.col("v"),
-                )
-            ).alias("exact_p50"),
-            F.min(
-                F.when(
-                    F.col("cum")
-                    >= F.expr("((n_rows - 1) * 90) div 100 + 1"),
-                    F.col("v"),
-                )
-            ).alias("exact_p90"),
+    cc2 = (
+        cr.groupBy("c_mktsegment", "coarse")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(wseq))
+        .withColumn(
+            "n_rows",
+            F.sum("c").over(W.partitionBy("c_mktsegment")).cast("long"),
         )
     )
+    nn = cc2.groupBy("c_mktsegment").agg(F.max("n_rows").alias("n_rows"))
+
+    def exact_q(q: int) -> DataFrame:
+        idx = F.expr(f"((n_rows - 1) * {q}) div 100 + 1")
+        tgt = (
+            cc2.where(F.col("cum") >= idx)
+            .groupBy("c_mktsegment")
+            .agg(F.min("coarse").alias("coarse"))
+        )
+        ti = cc2.join(tgt, ["c_mktsegment", "coarse"]).select(
+            "c_mktsegment",
+            "coarse",
+            (F.col("cum") - F.col("c")).alias("off"),
+            idx.alias("idx"),
+        )
+        inb = (
+            cr.join(F.broadcast(ti), ["c_mktsegment", "coarse"])
+            .groupBy("c_mktsegment", "v")
+            .agg(
+                F.count(F.lit(1)).alias("c2"),
+                F.max("off").alias("off"),
+                F.max("idx").alias("idx"),
+            )
+        )
+        wv = (
+            W.partitionBy("c_mktsegment")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            inb.withColumn("cumv", F.sum("c2").over(wv))
+            .where(F.col("off") + F.col("cumv") >= F.col("idx"))
+            .groupBy("c_mktsegment")
+            .agg(F.min("v").alias(f"exact_p{q}"))
+        )
+
     sample = bottomk_sample_grouped(
         joined, "o_totalprice", "o_orderkey", ["c_mktsegment"], k=200,
         hash_family="md5_portable",
@@ -3428,20 +3497,25 @@ def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sketch_p90"),
     )
-    return exact.join(sketch, "c_mktsegment").select(
-        "c_mktsegment",
-        "n_rows",
-        "sample_n",
-        "exact_p50",
-        "sketch_p50",
-        F.abs(F.col("sketch_p50") - F.col("exact_p50")).alias(
-            "err_p50_cents"
-        ),
-        "exact_p90",
-        "sketch_p90",
-        F.abs(F.col("sketch_p90") - F.col("exact_p90")).alias(
-            "err_p90_cents"
-        ),
+    return (
+        nn.join(exact_q(50), "c_mktsegment")
+        .join(exact_q(90), "c_mktsegment")
+        .join(sketch, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            "sample_n",
+            "exact_p50",
+            "sketch_p50",
+            F.abs(F.col("sketch_p50") - F.col("exact_p50")).alias(
+                "err_p50_cents"
+            ),
+            "exact_p90",
+            "sketch_p90",
+            F.abs(F.col("sketch_p90") - F.col("exact_p90")).alias(
+                "err_p90_cents"
+            ),
+        )
     )
 
 
