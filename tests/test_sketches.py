@@ -242,3 +242,44 @@ def test_grouped_quantiles_per_segment(spark):
     assert rows["0"].sample_n == 200 and rows["1"].sample_n == 200
     assert 0 <= rows["0"].q_50 < 1000
     assert 10000 <= rows["1"].q_50 < 11000
+
+
+def test_quantile_sketch_error_exact_side_matches_naive(spark):
+    """The two-phase exact quantile (coarse bucket locate + in-bucket
+    window) must equal the naive sorted-index quantile on data that
+    straddles coarse-bucket boundaries, including ties and a segment
+    smaller than one bucket."""
+    import duckdb
+
+    from github_etl_spark.plans.ext import quantile_sketch_error
+
+    rows = quantile_sketch_error(spark, "/root/testdata/sf0.001").collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW j AS SELECT c.c_mktsegment, o.o_totalprice "
+        "FROM read_parquet('/root/testdata/sf0.001/orders.parquet') o "
+        "JOIN read_parquet('/root/testdata/sf0.001/customer.parquet') c "
+        "ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_totalprice IS NOT NULL AND o.o_orderkey IS NOT NULL"
+    )
+    naive = {
+        seg: (p50, p90)
+        for seg, p50, p90 in con.execute(
+            """
+            SELECT c_mktsegment,
+                   MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN v END),
+                   MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN v END)
+            FROM (
+              SELECT c_mktsegment,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY floor(o_totalprice * 100 + 0.5)) AS rn,
+                     count(*) OVER (PARTITION BY c_mktsegment) AS n
+              FROM j)
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert rows
+    for r in rows:
+        assert (r["exact_p50"], r["exact_p90"]) == naive[r["c_mktsegment"]]
