@@ -2238,7 +2238,12 @@ def sniff_video_codec(b: bytes) -> tuple[str, str]:
             pass  # malformed walk: fall through to the container verdict
         return ("avi", "unknown")
     if len(b) >= 12 and b[4:8] == b"ftyp":
-        return ("mp4", b[8:12].decode("ascii", "replace").strip("\x00 "))
+        # ISO BMFF box size: >= 16 (ftyp carries brand+version+
+        # >=1 compatible brand), or the 1/0 escape values (64-bit /
+        # to-end-of-file). Rejects garbage with 'ftyp' at offset 4.
+        box = int.from_bytes(b[0:4], "big")
+        if box >= 16 or box in (0, 1):
+            return ("mp4", b[8:12].decode("ascii", "replace").strip("\x00 "))
     if b.startswith(b"\x1a\x45\xdf\xa3"):
         return ("matroska", "unknown")
     raise ValueError("not a recognized video container "

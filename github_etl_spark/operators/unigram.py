@@ -216,7 +216,9 @@ def sql_vocab_values(vocab: list[tuple[str, int]] | None = None) -> str:
                 f"vocab piece {p!r} is {len(p)} chars; the oracle's "
                 "lpad(len, 2) revkey supports at most 99"
             )
-        if not isinstance(s, int):
+        if isinstance(s, bool) or not isinstance(s, int):
+            # bool is an int subclass; True would interpolate as
+            # 'True' into the oracle SQL.
             raise TypeError(f"vocab score for {p!r} must be int, got {s!r}")
     return ", ".join(f"('{p}', {s})" for p, s in pinned)
 

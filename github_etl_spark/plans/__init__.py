@@ -80,6 +80,13 @@ def _ordered() -> dict[str, Query]:
     carrying an old green from r02, invisible to r03's ledger).
     Registration order breaks remaining ties; a fresh checkout with no
     ledgers degrades to plain registration order.
+
+    Known displacement trade-off: the sibling pull-forward below can
+    push the query sitting exactly at the driver's window boundary out
+    to the next round. Accepted deliberately — a rows-only entry
+    without its adjacent oracle-checked sibling is worthless to the
+    ledger, while the displaced query is at worst one round staler and
+    rises to the top of the next window by the oldest-green rule.
     """
     last_round, last_green = _check_history()
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
@@ -103,6 +110,13 @@ def _ordered() -> dict[str, Query]:
     pair_of: dict[str, tuple[str, str]] = {}
     for n, q in QUERIES.items():
         if q.sibling is not None and q.sibling in QUERIES:
+            for m in (n, q.sibling):
+                if m in pair_of:
+                    raise ValueError(
+                        f"sibling conflict: {m!r} already paired as "
+                        f"{pair_of[m]!r}; {n!r} declares sibling "
+                        f"{q.sibling!r} — each sibling may anchor one pair"
+                    )
             pair_of[n] = (n, q.sibling)
             pair_of[q.sibling] = (n, q.sibling)
     out: list[str] = []

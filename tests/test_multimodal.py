@@ -2314,6 +2314,15 @@ def test_sniff_video_codec_signatures():
     assert sniff_video_codec(avi.replace(b"MJPG", b"H264")) == ("avi", "H264")
     mp4 = bytes.fromhex("00000014") + b"ftypavc1" + b"\x00" * 8
     assert sniff_video_codec(mp4) == ("mp4", "avc1")
+    # ISO BMFF escape sizes 0 (to-EOF) and 1 (64-bit) still classify
+    for esc in ("00000000", "00000001"):
+        assert sniff_video_codec(
+            bytes.fromhex(esc) + b"ftypisom" + b"\x00" * 8
+        ) == ("mp4", "isom")
+    # garbage with 'ftyp' at offset 4 but an invalid box size (< 16,
+    # not an escape) is NOT an MP4
+    with pytest.raises(ValueError, match="not a recognized video container"):
+        sniff_video_codec(bytes.fromhex("00000008") + b"ftypavc1" + b"\x00" * 8)
     assert sniff_video_codec(b"\x1a\x45\xdf\xa3" + b"\x00" * 16) == (
         "matroska",
         "unknown",

@@ -70,3 +70,22 @@ def test_sibling_rides_adjacent_in_rotation():
         assert sib in QUERIES, f"{n} names unknown sibling {sib}"
         assert QUERIES[sib].oracle is not None, f"sibling {sib} has no oracle"
         assert pos[sib] == pos[n] + 1, f"{sib} not adjacent to {n}"
+
+
+def test_duplicate_sibling_claim_raises(monkeypatch):
+    """Two queries declaring the SAME sibling would silently steal
+    adjacency from each other in _ordered; the registry build must
+    refuse instead."""
+    import pytest
+
+    from github_etl_spark.plans.registry import Query
+
+    fake = dict(QUERIES)
+    fn = next(iter(QUERIES.values())).fn
+    sib = next(n for n, q in QUERIES.items() if q.oracle is not None)
+    fake["_dup_a"] = Query(fn=fn, sibling=sib)
+    fake["_dup_b"] = Query(fn=fn, sibling=sib)
+    monkeypatch.setattr(plans, "QUERIES", fake)
+    monkeypatch.setattr(plans, "_check_history", lambda: ({}, {}))
+    with pytest.raises(ValueError, match="sibling conflict"):
+        plans._ordered()

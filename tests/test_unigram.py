@@ -268,3 +268,6 @@ def test_sql_vocab_values_rejects_unsafe_pieces():
         sql_vocab_values([("x" * 100, 1)])
     with pytest.raises(TypeError, match="must be int"):
         sql_vocab_values([("ab", "3")])
+    # bool is an int subclass but would interpolate as 'True'
+    with pytest.raises(TypeError, match="must be int"):
+        sql_vocab_values([("ab", True)])
