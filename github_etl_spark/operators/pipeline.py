@@ -1045,6 +1045,38 @@ def dsir_features_expr(text_col) -> Column:
     return F.concat(toks, ngrams_expr(toks, 2))
 
 
+def dsir_bucket_frame(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    id_col: str | None = None,
+    target_col: str | None = None,
+) -> DataFrame:
+    """The corpus tokenized and hashed ONCE: per document the array of
+    feature hash buckets (``__buckets``, one entry per unigram/bigram
+    occurrence), plus the id and/or the 0/1 target flag (``__is_t``)
+    when requested.
+
+    This frame is the shared input of BOTH DSIR passes — learn
+    aggregates it, apply folds it — so ``dsir_resample`` tokenizes and
+    md5-hashes the corpus exactly once (checkpointing this frame)
+    instead of once per pass. Tokenize+hash dominates the per-row cost
+    (md5 per gram); the downstream fold is pure integer element_at
+    arithmetic."""
+    cols: list[Column] = []
+    if id_col is not None:
+        cols.append(F.col(id_col))
+    if target_col is not None:
+        cols.append(F.col(target_col).cast("long").alias("__is_t"))
+    cols.append(
+        F.transform(
+            dsir_features_expr(F.col(text_col)),
+            lambda g: portable_hash_bucket(g, n_buckets),
+        ).alias("__buckets")
+    )
+    return df.select(*cols)
+
+
 def dsir_gram_weights(
     df: DataFrame,
     text_col: str,
@@ -1081,15 +1113,16 @@ def dsir_gram_weights(
     weigh 0; they can never be probed when apply runs on the same
     tokenization).
     """
-    grams = df.select(
-        F.col(target_col).cast("long").alias("__is_t"),
-        F.explode(dsir_features_expr(F.col(text_col))).alias("gram"),
-    )
+    bf = dsir_bucket_frame(df, text_col, n_buckets, target_col=target_col)
+    return _dsir_weights_from_buckets(bf, n_buckets)
+
+
+def _dsir_weights_from_buckets(bf: DataFrame, n_buckets: int) -> list[int]:
+    """Learn pass over a ``dsir_bucket_frame`` (needs ``__is_t`` +
+    ``__buckets``): ONE aggregation to ``n_buckets`` rows, only that
+    bounded table crosses to the driver."""
     counts = (
-        grams.select(
-            "__is_t",
-            portable_hash_bucket(F.col("gram"), n_buckets).alias("bucket"),
-        )
+        bf.select("__is_t", F.explode("__buckets").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("cr"),
@@ -1141,24 +1174,28 @@ def dsir_doc_logweights(
     kernel over a closure numpy array — w[buckets].sum() per document,
     vectorized, zero exchanges. Both regimes are integer-exact and
     pinned equal in pytest."""
+    bf = dsir_bucket_frame(df, text_col, len(weights), id_col=id_col)
+    return _dsir_logweights_from_buckets(bf, id_col, weights)
+
+
+def _dsir_logweights_from_buckets(
+    bf: DataFrame, id_col: str, weights: list[int]
+) -> DataFrame:
+    """Apply pass over a ``dsir_bucket_frame`` (needs the id +
+    ``__buckets``): the regime-switched weight fold, map-only."""
     n_buckets = len(weights)
-    grams = dsir_features_expr(F.col(text_col))
     if n_buckets <= DSIR_EXPR_MAX_BUCKETS:
         warr = F.lit(weights)
         return (
-            df.select(F.col(id_col), grams.alias("__grams"))
-            .where(F.size("__grams") > 0)
+            bf.where(F.size("__buckets") > 0)
             .select(
                 F.col(id_col),
-                F.size("__grams").cast("long").alias("n_grams"),
+                F.size("__buckets").cast("long").alias("n_grams"),
                 F.aggregate(
-                    "__grams",
+                    "__buckets",
                     F.lit(0).cast("long"),
-                    lambda acc, g: acc
-                    + F.element_at(
-                        warr,
-                        (portable_hash_bucket(g, n_buckets) + 1).cast("int"),
-                    ),
+                    lambda acc, b: acc
+                    + F.element_at(warr, (b + 1).cast("int")),
                 ).alias("lw_bits"),
             )
         )
@@ -1167,14 +1204,11 @@ def dsir_doc_logweights(
 
     w_np = np.asarray(weights, dtype=np.int64)
     pre = (
-        df.select(F.col(id_col), grams.alias("__grams"))
-        .where(F.size("__grams") > 0)
+        bf.where(F.size("__buckets") > 0)
         .select(
             F.col(id_col),
-            F.size("__grams").cast("long").alias("n_grams"),
-            F.transform(
-                "__grams", lambda g: portable_hash_bucket(g, n_buckets)
-            ).alias("__buckets"),
+            F.size("__buckets").cast("long").alias("n_grams"),
+            F.col("__buckets"),
         )
     )
 
@@ -1230,13 +1264,21 @@ def dsir_resample(
         raise ValueError(f"temp must be a positive power of two, got {temp}")
     from ..session import eager_checkpoint
 
-    weights = dsir_gram_weights(df, text_col, target_col, n_buckets)
+    # Tokenize + md5-hash the corpus ONCE: the checkpointed bucket
+    # frame feeds BOTH the learn aggregation and the apply fold (the
+    # r10 form tokenized twice — once per pass; md5-per-gram dominates
+    # the per-row cost, so the second pass was nearly a full re-run).
+    bf = eager_checkpoint(
+        dsir_bucket_frame(
+            df, text_col, n_buckets, id_col=id_col, target_col=target_col
+        )
+    )
+    weights = _dsir_weights_from_buckets(bf, n_buckets)
     # Materialize the scored table once: the max_lw aggregate AND the
     # accept/reject tail both read it, and without a checkpoint each
-    # would re-run the whole gram fold over the corpus (measured 27 s
-    # -> 12 s at sf1). The frame is (id, 2 longs) — a sliver of the
-    # corpus it summarizes.
-    lw = eager_checkpoint(dsir_doc_logweights(df, text_col, id_col, weights))
+    # would re-run the weight fold over the bucket frame. The frame is
+    # (id, 2 longs) — a sliver of the corpus it summarizes.
+    lw = eager_checkpoint(_dsir_logweights_from_buckets(bf, id_col, weights))
     mx = lw.agg(F.max("lw_bits").alias("__max_lw"))
     e = F.floor(
         (F.col("lw_bits") - F.col("__max_lw")) / F.lit(float(temp))
