@@ -25,7 +25,7 @@ these extend the engine per the EXT mandate). Scale notes inline.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1307,11 +1307,22 @@ def dsir_resample(
     )
 
 
+# A quality_pm bucket with more rows than this runs its within-bucket
+# running sum through the surrogate-keys per-partition-offset idiom
+# instead of one keyed window: the keyed window puts the WHOLE bucket
+# in one task, so a pathologically hot quality value (an all-identical
+# quality corpus is the worst case) would re-concentrate the very sort
+# the bucket decomposition exists to avoid. 1M rows of (id, 2 longs)
+# ≈ tens of MB — comfortably one task; beyond that, split.
+HOT_BUCKET_ROWS = 1_000_000
+
+
 def budget_select(
     df: DataFrame,
     text_col: str,
     id_col: str,
     token_budget: int,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS,
 ) -> DataFrame:
     """Token-budget-constrained corpus selection: keep the GLOBAL
     quality-ordered prefix (frozen model quality DESC, id ASC) whose
@@ -1326,9 +1337,20 @@ def budget_select(
     cross-bucket prefix (window over the BOUNDED 1001-row bucket
     table) plus a within-bucket running sum (one keyed window
     partitioned by bucket, id-ordered) — the same split-the-sort idea
-    as surrogate_keys. A pathologically hot single quality value would
-    re-concentrate its own window; at that point apply the
-    surrogate-keys per-partition-offset idiom INSIDE the bucket.
+    as surrogate_keys.
+
+    **Hot buckets**: a bucket holding more than ``hot_bucket_rows``
+    rows skips the keyed window (which would run that whole bucket in
+    ONE task — an all-identical-quality corpus re-concentrates the
+    very sort the decomposition exists to avoid) and takes the
+    surrogate-keys per-partition-offset idiom INSIDE the bucket:
+    range-partition the hot rows by (bucket, id), sort within
+    partitions, collect ONE token-sum row per (partition, bucket) to
+    build prefix offsets, then a map-only Arrow pass emits
+    offset + in-partition cumulative sum. Both paths produce identical
+    cumulative totals (pinned in pytest); the split is per-bucket, so
+    a corpus with one pathological value and a normal tail pays the
+    extra passes only for the hot rows.
 
     Returns (id, quality_pm, n_tokens, cum_tokens) — all integers, so
     the kept set and every cumulative total are cross-engine exact.
@@ -1354,26 +1376,42 @@ def budget_select(
         )
     )
     bstats = scored.groupBy("quality_pm").agg(
-        F.sum("n_tokens").alias("__bsum")
+        F.sum("n_tokens").alias("__bsum"), F.count(F.lit(1)).alias("__bn")
     )
-    wb = (
-        Window.orderBy(F.col("quality_pm").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # One bounded collect (≤1001 rows) decides which buckets are hot;
+    # the same rows rebuild the cross-bucket prefix table, so the
+    # bucket aggregation runs exactly once.
+    brows = bstats.collect()
+    hot = sorted(
+        int(r["quality_pm"]) for r in brows if r["__bn"] > hot_bucket_rows
     )
-    pre = bstats.select(
-        "quality_pm",
-        F.coalesce(F.sum("__bsum").over(wb), F.lit(0).cast("long")).alias(
-            "__cum_before"
-        ),
-    )
+    acc = 0
+    pre_rows = []
+    for r in sorted(brows, key=lambda r: -r["quality_pm"]):
+        pre_rows.append((int(r["quality_pm"]), acc))
+        acc += int(r["__bsum"])
+    spark = df.sparkSession
+    pre = spark.createDataFrame(
+        pre_rows or [(None, None)], "quality_pm long, __cum_before long"
+    ).where(F.col("quality_pm").isNotNull())
+
     ww = (
         Window.partitionBy("quality_pm")
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cold = scored
+    if hot:
+        cold = scored.where(~F.col("quality_pm").isin(hot))
+    ranked = cold.withColumn("__r", F.sum("n_tokens").over(ww))
+    if hot:
+        ranked = ranked.unionByName(
+            _hot_bucket_running_sum(
+                scored.where(F.col("quality_pm").isin(hot)), id_col
+            )
+        )
     return (
-        scored.withColumn("__r", F.sum("n_tokens").over(ww))
-        .join(F.broadcast(pre), "quality_pm")
+        ranked.join(F.broadcast(pre), "quality_pm")
         .select(
             F.col(id_col),
             F.col("quality_pm"),
@@ -1382,3 +1420,70 @@ def budget_select(
         )
         .where(F.col("cum_tokens") <= token_budget)
     )
+
+
+def _hot_bucket_running_sum(hot_df: DataFrame, id_col: str) -> DataFrame:
+    """Within-bucket running token sum for HOT quality buckets —
+    the surrogate-keys per-partition-offset idiom applied inside the
+    bucket (see assign_surrogate_keys for the two-pass shape).
+
+    1. range-partition + sort by (quality_pm, id): a distributed sort
+       whose partition ids are globally ordered, so a bucket wider
+       than one partition spans CONSECUTIVE partitions;
+    2. collect ONE row per (partition, bucket) — sum of n_tokens —
+       and prefix-sum them per bucket into start offsets (bounded by
+       partition count + hot-bucket count, never by rows);
+    3. a map-only Arrow pass adds offset + in-partition cumulative
+       sum, carrying per-bucket state across Arrow batches.
+
+    Checkpointed between passes for the same reason as surrogate
+    keys: both passes must see the SAME sampled range boundaries.
+    """
+    from ..session import eager_checkpoint
+
+    parts = hot_df.repartitionByRange(
+        F.col("quality_pm"), F.col(id_col)
+    ).sortWithinPartitions("quality_pm", id_col)
+    parts = eager_checkpoint(parts)
+    psums = (
+        parts.select(
+            F.spark_partition_id().alias("__pid"), "quality_pm", "n_tokens"
+        )
+        .groupBy("__pid", "quality_pm")
+        .agg(F.sum("n_tokens").alias("__s"))
+        .collect()
+    )
+    offsets: dict[tuple[int, int], int] = {}
+    run: dict[int, int] = {}
+    for r in sorted(psums, key=lambda r: (r["quality_pm"], r["__pid"])):
+        q = int(r["quality_pm"])
+        offsets[(int(r["__pid"]), q)] = run.get(q, 0)
+        run[q] = run.get(q, 0) + int(r["__s"])
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(parts.schema.fields) + [StructField("__r", LongType())]
+    )
+
+    def runsum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        cur: dict[int, int] = {}
+        for pdf in it:
+            pdf = pdf.copy()
+            starts = [
+                cur.get(q, offsets.get((pid, q), 0))
+                for q in pdf["quality_pm"].astype("int64")
+            ]
+            cums = pdf.groupby("quality_pm")["n_tokens"].cumsum()
+            pdf["__r"] = cums.to_numpy() + pd.array(starts, dtype="int64")
+            for q, tot in (
+                pdf.groupby("quality_pm")["n_tokens"].sum().items()
+            ):
+                qi = int(q)
+                cur[qi] = cur.get(qi, offsets.get((pid, qi), 0)) + int(tot)
+            yield pdf
+
+    return parts.mapInPandas(runsum, schema)

@@ -1007,3 +1007,46 @@ def test_dsir_kernel_regime_preserves_id_type(spark):
     got = {r["doc_id"]: r["lw_bits"] for r in out.collect()}
     # all-ones weights: lw == n_feats (unigrams + bigrams)
     assert got == {"d-1": 5, "d-2": 3}
+
+
+def test_budget_select_hot_bucket_path_matches_window_path(spark):
+    """The surrogate-keys per-partition-offset idiom (hot buckets) and
+    the keyed window (cold buckets) must produce IDENTICAL cumulative
+    totals — forced by hot_bucket_rows=0, which routes every bucket
+    through the offset path, on a corpus with an all-identical-quality
+    hot bucket plus a normal tail."""
+    from github_etl_spark.operators.pipeline import budget_select
+
+    hot_text = "the of and to in is it for on a " * 3
+    rows = [(i, hot_text) for i in range(40)] + [
+        (100, "xyzzy qwerty asdf " * 10),
+        (101, "the the the unique tail doc"),
+        (102, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+
+    def snap(res):
+        return sorted(
+            (r["doc_id"], r["quality_pm"], r["n_tokens"], r["cum_tokens"])
+            for r in res.collect()
+        )
+
+    for budget in (500, 10_000_000):
+        windowed = snap(budget_select(df, "text", "doc_id", budget))
+        offset = snap(
+            budget_select(df, "text", "doc_id", budget, hot_bucket_rows=0)
+        )
+        assert windowed == offset
+        assert windowed  # non-degenerate: something is kept
+    # mixed regime: only the 40-row bucket is hot
+    mixed = snap(
+        budget_select(df, "text", "doc_id", 10_000_000, hot_bucket_rows=10)
+    )
+    assert mixed == snap(budget_select(df, "text", "doc_id", 10_000_000))
+
+
+def test_budget_select_empty_corpus(spark):
+    from github_etl_spark.operators.pipeline import budget_select
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert budget_select(empty, "text", "doc_id", 100).count() == 0
