@@ -2250,7 +2250,73 @@ def sniff_video_codec(b: bytes) -> tuple[str, str]:
                      "(Y4M/AVI/MP4/Matroska signatures all absent)")
 
 
-def video_frame_stats(media: DataFrame) -> DataFrame:
+def pyav_decoder(payload: bytes) -> tuple["np.ndarray", float]:
+    """Inter-frame video decoder bound to PyAV (public ffmpeg
+    bindings) — the real implementation of the H.264 binding seam
+    documented in ``video_frame_stats``. Returns the engine's
+    frame-stack contract, identical to ``decode_y4m`` /
+    ``decode_mjpeg_avi``: ((n, h, w, 3) uint8 RGB, fps).
+
+    OPTIONAL dependency: raises ImportError when PyAV is absent (the
+    dependency-free tree then keeps the loud quarantine branch —
+    ``resolve_interframe_decoder`` handles the probe). Every other
+    failure raises ValueError so the front door degrades to a per-row
+    quarantine, never a task-retry storm."""
+    import io
+
+    import av  # optional public dependency (PyAV / ffmpeg)
+
+    frames = []
+    fps = 0.0
+    try:
+        with av.open(io.BytesIO(payload)) as c:
+            if not c.streams.video:
+                raise ValueError("container has no video stream")
+            stream = c.streams.video[0]
+            if stream.average_rate:
+                fps = float(stream.average_rate)
+            for frame in c.decode(stream):
+                frames.append(frame.to_ndarray(format="rgb24"))
+    except ValueError:
+        raise
+    except Exception as e:  # av's error hierarchy varies by version;
+        # anything it throws must become quarantine-shaped
+        raise ValueError(f"PyAV decode failed: {e}") from e
+    if not frames:
+        raise ValueError("no decodable video frames")
+    return np.stack(frames).astype(np.uint8), fps
+
+
+def resolve_interframe_decoder():
+    """The deployment knob for the H.264 seam: returns ``pyav_decoder``
+    when PyAV is importable, else None (quarantine branch). Resolved
+    ONCE at plan-build time on the driver and captured into the
+    mapInPandas closure, so executors never re-probe imports."""
+    try:
+        import av  # noqa: F401
+
+        return pyav_decoder
+    except ImportError:
+        return None
+
+
+def _stack_to_lumas(frames: "np.ndarray") -> "np.ndarray":
+    """Validate a binding's frame stack against the engine contract —
+    (n, h, w) grayscale or (n, h, w, ch) — and reduce to float64 lumas.
+    A binding returning anything else fails loudly (ValueError → the
+    per-row quarantine) instead of producing silent garbage stats."""
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        return frames.astype(np.float64)
+    if frames.ndim == 4:
+        return frames.astype(np.float64).mean(axis=3)
+    raise ValueError(
+        f"decoder violated the frame-stack contract: expected "
+        f"(n, h, w[, ch]), got shape {frames.shape}"
+    )
+
+
+def video_frame_stats(media: DataFrame, interframe_decoder=None) -> DataFrame:
     """Sniffing VIDEO front door: per-frame decode stats over a MIXED
     video corpus. Y4M and MJPG AVI decode through the real
     dependency-free codecs (`decode_y4m`, `decode_mjpeg_avi`); every
@@ -2261,19 +2327,30 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
     video can never silently vanish from, or silently corrupt, a
     pipeline built on this front door.
 
-    **The H.264 binding seam** (the one remaining library seam —
-    SURVEY.md §2.11 multimodal row): inter-frame codecs are not
-    implementable stdlib-only, so today they take the quarantine
-    branch. To bind a real decoder (PyAV/ffmpeg), replace that branch
-    with `frames, fps = <binding>(payload)` returning the SAME frame-
-    stack contract the two real decoders produce — (n, h, w[, ch])
-    uint8 — and every downstream stage (these stats, `*_frames_to_bmp`,
-    `image_features` → ANN) works unchanged. The seam sits INSIDE this
-    mapInPandas batch loop on purpose: payloads never cross a shuffle,
-    the binding runs executor-side per Arrow batch, and a decoder
-    failure degrades to the same per-row quarantine instead of a task
-    retry storm."""
+    **The H.264 binding seam** (SURVEY.md §2.11 multimodal row):
+    inter-frame codecs are not implementable stdlib-only, so they
+    route through ``interframe_decoder`` — ``None`` (default) resolves
+    the optional PyAV binding via ``resolve_interframe_decoder()``
+    (quarantine when PyAV is absent, so the dependency-free tree
+    behaves exactly as before); ``False`` forces the quarantine branch
+    (pin the dependency-free behavior regardless of environment); a
+    callable ``payload -> (frames, fps)`` binds a custom decoder
+    returning the SAME frame-stack contract the two built-in decoders
+    produce — (n, h, w[, ch]) uint8 — and every downstream stage
+    (these stats, `*_frames_to_bmp`, `image_features` → ANN) works
+    unchanged. The seam sits INSIDE this mapInPandas batch loop on
+    purpose: payloads never cross a shuffle, the binding runs
+    executor-side per Arrow batch (resolved ONCE on the driver and
+    closure-captured), and any decoder failure degrades to the same
+    per-row quarantine instead of a task retry storm — the returned
+    stack is contract-validated (`_stack_to_lumas`) so a misbehaving
+    binding also quarantines loudly."""
     from .mjpeg import decode_mjpeg_avi
+
+    if interframe_decoder is None:
+        interframe_decoder = resolve_interframe_decoder()
+    elif interframe_decoder is False:
+        interframe_decoder = None
 
     schema = (
         "media_id long, container string, codec string, frame_index int, "
@@ -2315,15 +2392,34 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
                         # fccHandlers too
                         frames, _fps2 = decode_mjpeg_avi(payload)
                         lumas = frames.astype(np.float64).mean(axis=3)
+                    elif interframe_decoder is not None:
+                        # >>> H.264 BINDING SEAM, bound: the resolved
+                        # decoder (PyAV or injected) returns the same
+                        # frame-stack contract as the built-in codecs;
+                        # _stack_to_lumas validates it so a misbehaving
+                        # binding quarantines instead of corrupting.
+                        # ANY binding exception quarantines — a flaky
+                        # external lib must not become a task-retry
+                        # storm.
+                        try:
+                            frames, _fps3 = interframe_decoder(payload)
+                            lumas = _stack_to_lumas(frames)
+                        except Exception as e:
+                            quarantine(
+                                mid, container, codec,
+                                "bound inter-frame decoder failed: "
+                                f"{e}",
+                            )
+                            continue
                     else:
-                        # >>> H.264 BINDING SEAM: a real decoder slots in
-                        # here (see docstring); until then, quarantine.
+                        # >>> H.264 BINDING SEAM, unbound: quarantine.
                         quarantine(
                             mid, container, codec,
                             f"unsupported video codec {codec!r} in "
                             f"{container!r} container (H.264-family "
                             "inter-frame codecs need a real decoder — "
-                            "bind it at video_frame_stats' seam)",
+                            "bind PyAV/ffmpeg at video_frame_stats' "
+                            "interframe_decoder seam)",
                         )
                         continue
                 except ValueError as e:

@@ -2332,10 +2332,12 @@ def test_sniff_video_codec_signatures():
 
 
 def test_video_front_door_decodes_real_and_quarantines_h264(spark):
-    """The H.264 seam contract: the mixed-video front door decodes the
-    two real formats and quarantines every inter-frame codec LOUDLY,
-    naming container+codec — the one format family the engine cannot
-    decode stdlib-only fails predictably, never silently."""
+    """The H.264 seam contract, UNBOUND regime (interframe_decoder=
+    False pins the dependency-free behavior regardless of whether
+    PyAV happens to be installed): the mixed-video front door decodes
+    the two real formats and quarantines every inter-frame codec
+    LOUDLY, naming container+codec — the one format family the engine
+    cannot decode stdlib-only fails predictably, never silently."""
     import numpy as np
 
     from github_etl_spark.multimodal.media import (
@@ -2352,7 +2354,7 @@ def test_video_front_door_decodes_real_and_quarantines_h264(spark):
         [(1, y4m), (2, mjpg), (3, h264_avi), (4, mp4), (5, b"garbage")],
         "media_id long, content binary",
     )
-    rows = video_frame_stats(media).collect()
+    rows = video_frame_stats(media, interframe_decoder=False).collect()
     by_id = {}
     for r in rows:
         by_id.setdefault(r["media_id"], []).append(r)
@@ -2410,3 +2412,148 @@ def test_mixed_case_mjpg_fcc_decodes(spark):
     media = spark.createDataFrame([(1, mixed)], "media_id long, content binary")
     rows = video_frame_stats(media).collect()
     assert len(rows) == 2 and all(r["decode_error"] is None for r in rows)
+
+
+# ------------------------------------------------ H.264 seam, BOUND regime
+
+
+def _fake_interframe_decoder(payload):
+    """Deterministic stand-in for PyAV at the binding seam: returns the
+    engine frame-stack contract — (n, h, w, 3) uint8 — derived from the
+    payload bytes so different clips produce different stats."""
+    import numpy as np
+
+    v = (payload[-1] if payload else 0) % 251
+    return np.full((2, 4, 6, 3), v, dtype=np.uint8), 25.0
+
+
+def test_video_front_door_bound_decoder_decodes_h264(spark):
+    """BOUND regime: an injected decoder (same callable shape PyAV
+    binds) turns the former quarantine rows into real per-frame stats,
+    with the SNIFFED container+codec carried through — and the Y4M /
+    MJPG rows still route to the built-in codecs, not the binding."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import (
+        encode_y4m,
+        video_frame_stats,
+    )
+    from github_etl_spark.multimodal.mjpeg import encode_mjpeg_avi
+
+    y4m = encode_y4m(np.full((2, 4, 4), 9, dtype=np.uint8))
+    h264_avi = encode_mjpeg_avi(
+        np.full((3, 8, 8), 80, dtype=np.uint8)
+    ).replace(b"MJPG", b"H264")
+    mp4 = bytes.fromhex("00000014") + b"ftypavc1" + b"\x00" * 7 + b"\x20"
+    media = spark.createDataFrame(
+        [(1, y4m), (3, h264_avi), (4, mp4)],
+        "media_id long, content binary",
+    )
+    rows = video_frame_stats(
+        media, interframe_decoder=_fake_interframe_decoder
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+
+    # Y4M still decodes through the built-in codec (value 9, 4x4)
+    assert [r["frame_index"] for r in by_id[1]] == [0, 1]
+    assert by_id[1][0]["first_pixel"] == 9 and by_id[1][0]["width"] == 4
+
+    # inter-frame clips decode THROUGH THE SEAM: 2 frames each, the
+    # fake's (h=4, w=6) geometry, value = last payload byte % 251,
+    # sniffed container/codec preserved
+    for mid, container, codec, val in (
+        (3, "avi", "H264", h264_avi[-1] % 251),
+        (4, "mp4", "avc1", 0x20),
+    ):
+        frs = by_id[mid]
+        assert [r["frame_index"] for r in frs] == [0, 1]
+        assert all(r["decode_error"] is None for r in frs)
+        assert frs[0]["container"] == container and frs[0]["codec"] == codec
+        assert frs[0]["width"] == 6 and frs[0]["height"] == 4
+        assert frs[0]["first_pixel"] == val
+        assert abs(frs[0]["mean_value"] - val) < 1e-9
+
+
+def test_video_front_door_bound_decoder_failures_quarantine(spark):
+    """A bound decoder that raises — or violates the frame-stack
+    contract — degrades to the per-row quarantine naming the failure,
+    never a task abort."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import video_frame_stats
+
+    mp4 = bytes.fromhex("00000014") + b"ftypavc1" + b"\x00" * 8
+    media = spark.createDataFrame(
+        [(1, mp4)], "media_id long, content binary"
+    )
+
+    def raising(payload):
+        raise RuntimeError("codec exploded")
+
+    (q,) = video_frame_stats(media, interframe_decoder=raising).collect()
+    assert q["frame_index"] is None
+    assert "bound inter-frame decoder failed" in q["decode_error"]
+    assert "codec exploded" in q["decode_error"]
+    assert q["container"] == "mp4" and q["codec"] == "avc1"
+
+    def bad_contract(payload):
+        return np.zeros((4, 4), dtype=np.uint8), 25.0  # 2-D: not a stack
+
+    (q2,) = video_frame_stats(
+        media, interframe_decoder=bad_contract
+    ).collect()
+    assert "frame-stack contract" in q2["decode_error"]
+
+
+def test_resolve_interframe_decoder_matches_environment():
+    """The deployment knob: resolves to the PyAV binding exactly when
+    PyAV is importable, None otherwise (quarantine regime)."""
+    import importlib.util
+
+    from github_etl_spark.multimodal.media import (
+        pyav_decoder,
+        resolve_interframe_decoder,
+    )
+
+    resolved = resolve_interframe_decoder()
+    if importlib.util.find_spec("av") is None:
+        assert resolved is None
+    else:
+        assert resolved is pyav_decoder
+
+
+def test_pyav_decoder_real_roundtrip_when_available():
+    """Exercised only where PyAV is installed: encode a tiny H.264
+    clip with PyAV, decode it back through the seam binding, and check
+    the frame-stack contract."""
+    import importlib.util
+    import io
+
+    import numpy as np
+    import pytest
+
+    if importlib.util.find_spec("av") is None:
+        pytest.skip("PyAV not installed — unbound regime covered above")
+
+    import av
+
+    from github_etl_spark.multimodal.media import pyav_decoder
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as c:
+        stream = c.add_stream("h264", rate=25)
+        stream.width, stream.height, stream.pix_fmt = 64, 48, "yuv420p"
+        for i in range(5):
+            img = np.full((48, 64, 3), i * 30, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for pkt in stream.encode(frame):
+                c.mux(pkt)
+        for pkt in stream.encode():
+            c.mux(pkt)
+    frames, fps = pyav_decoder(buf.getvalue())
+    assert frames.dtype == np.uint8
+    assert frames.ndim == 4 and frames.shape[0] == 5
+    assert frames.shape[1:3] == (48, 64)
+    assert fps == 25.0
