@@ -4612,3 +4612,166 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- event-time fold replays
+
+# Arrival-batch assignment for the event-time replays: three
+# time-correlated micro-batches (days 1-10 / 11-20 / 21+) with every
+# 37th event a STRAGGLER arriving one batch later than its event time
+# says and every 11th arriving TWO batches late — genuine late data at
+# both horizons: one-batch stragglers ride the eviction lag (kept /
+# joined), two-batch ones land after their window or partner state is
+# gone (dropped / pair evicted).
+_EV_BATCH_SQL = (
+    "LEAST(CAST(floor((date_part('day', ts) - 1) / 10) AS INTEGER) + "
+    "CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END + "
+    "CASE WHEN event_id % 11 = 0 THEN 2 ELSE 0 END, 2)"
+)
+
+
+def _ev_batch_col():
+    return F.least(
+        F.floor((F.dayofmonth("ts") - 1) / 10).cast("int")
+        + F.when(F.col("event_id") % 37 == 0, 1).otherwise(0)
+        + F.when(F.col("event_id") % 11 == 0, 2).otherwise(0),
+        F.lit(2),
+    ).cast("int")
+
+
+@query(
+    "streaming_watermark_replay",
+    oracle=f"""
+    WITH swr_ev AS (
+      SELECT ts, event_type, {_EV_BATCH_SQL} AS b FROM events
+    ),
+    swr_bstats AS (SELECT b, MAX(ts) AS bmax FROM swr_ev GROUP BY b),
+    swr_wm AS (
+      SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING) - INTERVAL 2 HOUR AS wm
+      FROM swr_bstats
+      UNION ALL
+      SELECT MAX(b) + 1, MAX(bmax) - INTERVAL 2 HOUR FROM swr_bstats
+    ),
+    swr_kept AS (
+      SELECT date_trunc('hour', e.ts) AS window_start,
+             date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS window_end,
+             e.event_type
+      FROM swr_ev e JOIN swr_wm w ON w.b = e.b
+      WHERE w.wm IS NULL
+         OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > w.wm
+    ),
+    swr_agg AS (
+      SELECT window_start, window_end, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM swr_kept GROUP BY 1, 2, 3
+    )
+    SELECT a.window_start, a.window_end, a.event_type, a.n_events,
+           CAST(MIN(w.b) AS INTEGER) AS emitted_batch
+    FROM swr_agg a LEFT JOIN swr_wm w ON w.wm > a.window_end
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def streaming_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the EVENT-TIME watermark state machine of the streaming
+    tumbling aggregation (streaming/events.tumbling_counts) replayed
+    as a deterministic batch fold — the oracle-visible sibling of the
+    pass(T) streaming path, same treatment the MG/bottom-k/totals
+    folds got in round 10. Events arrive in three time-correlated
+    micro-batches with every 37th a one-batch-late straggler; the
+    replay applies Spark's probed rules — watermark during batch b =
+    max event time over batches < b − 2 h, a row aggregates only while
+    its window's state is live (window_end above the watermark),
+    append-mode emission in the first batch whose watermark passes the
+    window end, terminal flush at stream close — and emits every
+    (window, key) with its count AND its emission batch (NULL = still
+    open at stream end). Late-drop, eviction and emission schedule all
+    hash-checked; tests/test_streaming.py pins the same fold to the
+    LIVE readStream operator on a shared micro-batch sequence.
+    Scale shape: one bounded per-batch watermark table (broadcast) +
+    one keyed groupBy — identical to the live operator's partial-agg +
+    keyed-state shuffle."""
+    from ..streaming.events import tumbling_replay
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("__batch", _ev_batch_col())
+    return tumbling_replay(ev, "__batch", delay="2 hours")
+
+
+@query(
+    "streaming_interval_join_replay",
+    oracle=f"""
+    WITH sij_ev AS (
+      SELECT event_id, user_id, ts, event_type, {_EV_BATCH_SQL} AS b
+      FROM events
+    ),
+    sij_c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts, b AS cb
+      FROM sij_ev WHERE event_type = 'click'
+    ),
+    sij_p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, b AS pb
+      FROM sij_ev WHERE event_type = 'purchase'
+    ),
+    sij_bat AS (
+      SELECT DISTINCT b FROM (
+        SELECT cb AS b FROM sij_c UNION ALL SELECT pb AS b FROM sij_p
+      )
+    ),
+    sij_cm AS (SELECT cb AS b, MAX(click_ts) AS m FROM sij_c GROUP BY 1),
+    sij_pm AS (SELECT pb AS b, MAX(purchase_ts) AS m FROM sij_p GROUP BY 1),
+    sij_wm AS (
+      SELECT b, CASE WHEN crun IS NULL OR prun IS NULL THEN NULL
+                     ELSE LEAST(crun, prun) - INTERVAL 2 HOUR END AS wm
+      FROM (
+        SELECT bat.b,
+               MAX(cm.m) OVER (ORDER BY bat.b ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING) AS crun,
+               MAX(pm.m) OVER (ORDER BY bat.b ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING) AS prun
+        FROM sij_bat bat
+        LEFT JOIN sij_cm cm ON cm.b = bat.b
+        LEFT JOIN sij_pm pm ON pm.b = bat.b
+      )
+    )
+    SELECT c.user_id, c.click_id, c.click_ts,
+           p.purchase_id, p.purchase_ts
+    FROM sij_c c
+    JOIN sij_p p ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
+    LEFT JOIN sij_wm w ON w.b = GREATEST(c.cb, p.pb) - 1
+    WHERE c.cb = p.pb OR w.wm IS NULL
+       OR (c.cb > p.pb AND p.purchase_ts >= w.wm)
+       OR (p.pb > c.cb AND c.click_ts + INTERVAL 6 HOUR >= w.wm)
+    """,
+)
+def streaming_interval_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXT: the watermarked STREAM-STREAM interval join
+    (streaming/events.clicks_to_purchases_join) replayed as a
+    deterministic batch fold. The rules replay what the live engine
+    actually does — probed, not assumed (the pin test threads the same
+    micro-batches through readStream): late rows are NOT pre-filtered
+    (they join whatever state is live), state eviction lags one batch
+    (end of batch k evicts under the watermark DURING k = min across
+    sources of prior-batch maxima − 2 h), so a cross-batch pair
+    survives iff the earlier row beats the watermark during the batch
+    before the later arrival. Same straggler batches as
+    streaming_watermark_replay: some late clicks still pair (state
+    live), older ones find their partner evicted.
+    Scale shape: bounded watermark table broadcast into the probe; the
+    pair join is an equi-join on user_id with band + survival as
+    residual filters — no cartesian."""
+    from ..streaming.events import interval_join_replay
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("__batch", _ev_batch_col())
+    return interval_join_replay(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "__batch",
+        within="6 hours",
+        delay="2 hours",
+    )

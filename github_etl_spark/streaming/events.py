@@ -122,3 +122,201 @@ def clicks_to_purchases_join(
         "purchase_id",
         "purchase_ts",
     )
+
+
+# ------------------------------------------------------------ fold replays
+#
+# The live operators above are pass(T)-only by nature (readStream has
+# no DuckDB analog). These replays make their EVENT-TIME semantics —
+# the late-data drop against a per-batch watermark and the append-mode
+# emission schedule — oracle-visible as deterministic batch folds over
+# an arrival-batch column, the same treatment the stateful MG /
+# bottom-k / running-total folds got (plans/ext.py streaming_*_replay).
+# pytest pins each replay to the live streaming operator on the same
+# micro-batch sequence (tests/test_streaming.py).
+
+
+def tumbling_replay(
+    events: DataFrame,
+    batch_col: str,
+    ts_col: str = "ts",
+    delay: str = "2 hours",
+    key: str = "event_type",
+) -> DataFrame:
+    """Deterministic replay of ``tumbling_counts``' watermark fold.
+
+    Spark's event-time contract, replayed batch-by-batch: the
+    watermark DURING batch b is max(event time over batches < b) −
+    ``delay`` (NULL for the first batch — no watermark yet); a row is
+    aggregated iff its WINDOW END is above that watermark (a window at
+    or below it has been evicted, so the row is dropped); in append
+    mode a (window, key) row is emitted in the first batch whose
+    watermark exceeds the window end. Termination flushes once more
+    with the watermark over ALL batches (probed live: availableNow
+    emits state the final watermark finalizes even with no trailing
+    data batch), so the replay appends a terminal flush row
+    (batch = max+1); windows even the terminal watermark never passed
+    are still open and emit nothing (emitted_batch NULL).
+
+    Scale shape: the watermark table is ONE row per batch (a bounded
+    window over it is fine), broadcast to the row filter and to the
+    emission probe; the only corpus-width work is one keyed groupBy —
+    identical to the live operator's partial-agg + keyed-state
+    shuffle.
+    """
+    from pyspark.sql import Window
+
+    bstats = events.groupBy(F.col(batch_col).alias("__b")).agg(
+        F.max(ts_col).alias("__bmax")
+    )
+    ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bstats.select(
+        "__b",
+        (F.max("__bmax").over(ww) - F.expr(f"INTERVAL {delay}")).alias("__wm"),
+    ).unionByName(
+        # terminal flush: the watermark over ALL batches, emitted-only
+        # (no rows carry this batch id, so the kept-filter join is
+        # unaffected)
+        bstats.agg(
+            (F.max("__b") + 1).alias("__b"),
+            (F.max("__bmax") - F.expr(f"INTERVAL {delay}")).alias("__wm"),
+        )
+    )
+    ws = F.date_trunc("hour", F.col(ts_col))
+    kept = (
+        events.select(
+            F.col(batch_col).alias("__b"),
+            ws.alias("window_start"),
+            (ws + F.expr("INTERVAL 1 HOUR")).alias("window_end"),
+            F.col(key),
+        )
+        .join(F.broadcast(wm), "__b")
+        .where(F.col("__wm").isNull() | (F.col("window_end") > F.col("__wm")))
+    )
+    agg = kept.groupBy("window_start", "window_end", key).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    emit = wm.where(F.col("__wm").isNotNull()).select(
+        F.col("__b").alias("__eb"), F.col("__wm").alias("__ewm")
+    )
+    return (
+        agg.join(
+            F.broadcast(emit), F.col("__ewm") > F.col("window_end"), "left"
+        )
+        .groupBy("window_start", "window_end", key, "n_events")
+        .agg(F.min("__eb").cast("int").alias("emitted_batch"))
+    )
+
+
+def interval_join_replay(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    batch_col: str,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    within: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Deterministic replay of ``clicks_to_purchases_join``'s
+    watermarked stream-stream interval join.
+
+    The semantics, PROBED LIVE rather than assumed (the pin test
+    threads the same micro-batches through the real readStream
+    operator): Spark does NOT pre-filter late input rows on a
+    stream-stream join — a late row still joins whatever state is
+    live — and state eviction LAGS one batch: at the end of batch k
+    the store drops rows the watermark *during* k (computed from
+    batches < k, min across sources, − ``delay``) dominates. So a
+    cross-batch pair (earlier row in batch e, later in batch l > e)
+    is emitted iff the earlier row survived the evictions at the ends
+    of batches e..l-1 — monotone watermark, so exactly iff it beats
+    wm_{l-1}: a click survives while click_ts + ``within`` ≥ wm (it
+    can still match), a purchase while purchase_ts ≥ wm. Same-batch
+    pairs always emit.
+
+    Scale shape: the watermark table is one row per batch (broadcast
+    twice — once per side's survival probe); the pair join is an
+    EQUI-join on ``key`` with the time band and survival checks as
+    residual filters — it shuffles on the key like any stream-stream
+    join, never a cartesian.
+    """
+    from pyspark.sql import Window
+
+    def _bmax(df, name):
+        return df.groupBy(F.col(batch_col).alias("__b")).agg(
+            F.max(ts_col).alias(name)
+        )
+
+    # Per-SOURCE running max over prior batches, THEN min across
+    # sources (Spark's policy applies min to each source's own
+    # watermark, not per-batch): a source with no data yet has no
+    # watermark, which holds the global one back entirely (NULL here).
+    batches = (
+        clicks.select(F.col(batch_col).alias("__b"))
+        .unionByName(purchases.select(F.col(batch_col).alias("__b")))
+        .distinct()
+    )
+    per_b = batches.join(_bmax(clicks, "__cm"), "__b", "left").join(
+        _bmax(purchases, "__pm"), "__b", "left"
+    )
+    ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    crun = F.max("__cm").over(ww)
+    prun = F.max("__pm").over(ww)
+    wm = per_b.select(
+        "__b",
+        F.when(crun.isNull() | prun.isNull(), F.lit(None))
+        .otherwise(F.least(crun, prun) - F.expr(f"INTERVAL {delay}"))
+        .alias("__wm"),
+    )
+
+    c = clicks.select(
+        F.col(key).alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col(ts_col).alias("click_ts"),
+        F.col(batch_col).alias("__cb"),
+    )
+    p = purchases.select(
+        F.col(key).alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col(batch_col).alias("__pb"),
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        ),
+    )
+    # survival check against the watermark during the batch BEFORE the
+    # later arrival (eviction lags one batch — see docstring)
+    probe = wm.select(
+        F.col("__b").alias("__wb"), F.col("__wm").alias("__pwm")
+    )
+    return (
+        pairs.join(
+            F.broadcast(probe),
+            F.greatest("__cb", "__pb") - 1 == F.col("__wb"),
+            "left",
+        )
+        .where(
+            (F.col("__cb") == F.col("__pb"))
+            | F.col("__pwm").isNull()
+            | (
+                (F.col("__cb") > F.col("__pb"))
+                & (F.col("purchase_ts") >= F.col("__pwm"))
+            )
+            | (
+                (F.col("__pb") > F.col("__cb"))
+                & (
+                    F.col("click_ts") + F.expr(f"INTERVAL {within}")
+                    >= F.col("__pwm")
+                )
+            )
+        )
+        .select(
+            "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+        )
+    )

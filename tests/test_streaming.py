@@ -610,3 +610,175 @@ def test_running_totals_replay_equals_live_rule(spark):
         ).collect()
     )
     assert replay == sorted(live)
+
+
+# --------------------------------------------------- event-time fold replays
+
+
+def test_tumbling_replay_equals_live_stream(spark, stream_dir, tmp_path):
+    """The oracle-visible watermark replay (streaming/events.
+    tumbling_replay) must reproduce the LIVE append-mode output on the
+    same micro-batch sequence: identical finalized (window, key,
+    count) rows — including the late-data drop and the terminal
+    flush — and nothing live for windows the replay says are still
+    open (emitted_batch NULL)."""
+    from github_etl_spark.streaming.events import tumbling_replay
+
+    now = time.time()
+    batches = [
+        # b0: two 10:xx clicks, a view, and a 12:30 advancer
+        [
+            _ev(1, 1, "2026-03-01T10:05:00Z"),
+            _ev(2, 1, "2026-03-01T10:20:00Z"),
+            _ev(3, 2, "2026-03-01T11:10:00Z", "view"),
+            _ev(4, 3, "2026-03-01T12:30:00Z", "other"),
+        ],
+        # b1: advancer to 14:00 (wm during b1 is 12:20)
+        [_ev(5, 3, "2026-03-01T14:00:00Z", "other")],
+        # b2: a 10:40 click far behind the 13:50 watermark (dropped)
+        # plus a 16:00 advancer
+        [
+            _ev(6, 1, "2026-03-01T10:40:00Z"),
+            _ev(7, 3, "2026-03-01T16:00:00Z", "other"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        _write_file(stream_dir / f"b{i}.json", rows, now - 20 + 10 * i)
+    agg = tumbling_counts(
+        _events_stream(spark, stream_dir), watermark="10 minutes"
+    )
+    _drain(agg, "replay_pin_out", str(tmp_path / "ck_rp"))
+    live = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM replay_pin_out").collect()
+    }
+
+    rows = [
+        dict(r, batch=i) for i, rs in enumerate(batches) for r in rs
+    ]
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["ts"], r["event_type"], r["batch"])
+         for r in rows],
+        "event_id long, user_id long, ts_s string, event_type string, "
+        "batch int",
+    ).select(
+        "event_id", "user_id",
+        F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+        "event_type", "batch",
+    )
+    rep = tumbling_replay(batch_df, "batch", delay="10 minutes")
+    rep_rows = rep.collect()
+    emitted = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in rep_rows
+        if r.emitted_batch is not None
+    }
+    still_open = {
+        (str(r.window_start), r.event_type)
+        for r in rep_rows
+        if r.emitted_batch is None
+    }
+    assert emitted == live
+    assert still_open  # the 16:00 window is open at stream end
+    assert not (still_open & set(live))
+    # the late 10:40 click is dropped in BOTH: the 10:00 window holds 2
+    assert emitted[("2026-03-01 10:00:00", "click")] == 2
+    # emission schedule: the 10:00 window finalized by b1's 12:20 wm,
+    # the 12:00 window by b2's 13:50 wm, 14:00 by the terminal flush
+    sched = {
+        (str(r.window_start), r.event_type): r.emitted_batch
+        for r in rep_rows
+    }
+    assert sched[("2026-03-01 10:00:00", "click")] == 1
+    assert sched[("2026-03-01 12:00:00", "other")] == 2
+    assert sched[("2026-03-01 14:00:00", "other")] == 3  # terminal flush
+    assert sched[("2026-03-01 16:00:00", "other")] is None
+
+
+def test_interval_join_replay_equals_live_stream(spark, tmp_path):
+    """The stream-stream interval-join replay must reproduce the LIVE
+    joined pairs on the same micro-batch sequence, including the
+    late-click drop against the min-across-sources watermark."""
+    from github_etl_spark.streaming.events import (
+        clicks_to_purchases_join,
+        interval_join_replay,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purchases_dir.mkdir()
+    now = time.time()
+    c_batches = [
+        [_ev(1, 1, "2026-03-01T10:00:00Z"),
+         _ev(2, 2, "2026-03-01T12:00:00Z")],
+        # b1: a LATE click — Spark does NOT pre-filter it, and the
+        # matching purchase 101 is still in state (eviction lags one
+        # batch), so the pair (3, 101) IS emitted live
+        [_ev(3, 1, "2026-03-01T09:00:00Z"),
+         _ev(4, 2, "2026-03-01T12:10:00Z")],
+        # b2: another late click in 101's band — but by now 101's
+        # state was evicted at the end of b1 (09:30 < the 11:50 wm),
+        # so NO pair appears live
+        [_ev(5, 1, "2026-03-01T09:00:00Z")],
+    ]
+    p_batches = [
+        [_ev(100, 1, "2026-03-01T10:30:00Z", "purchase"),
+         _ev(101, 1, "2026-03-01T09:30:00Z", "purchase"),
+         _ev(102, 2, "2026-03-01T12:00:00Z", "purchase")],
+        # b1: pairs with click 4 same-batch; with click 2 (12:00)
+        # cross-batch: 12:40 within 1h
+        [_ev(103, 2, "2026-03-01T12:40:00Z", "purchase")],
+    ]
+    for i, rows in enumerate(c_batches):
+        _write_file(clicks_dir / f"c{i}.json", rows, now - 10 + 10 * i)
+    for i, rows in enumerate(p_batches):
+        _write_file(purchases_dir / f"p{i}.json", rows, now - 10 + 10 * i)
+
+    def _src(d):
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+        )
+
+    joined = clicks_to_purchases_join(
+        _src(clicks_dir), _src(purchases_dir),
+        within="1 hour", watermark="10 minutes",
+    )
+    _drain(joined, "ssj_replay_out", str(tmp_path / "ck_ssjr"))
+    live = sorted(
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_replay_out").collect()
+    )
+
+    def _bdf(batches):
+        rows = [
+            (r["event_id"], r["user_id"], r["ts"], r["event_type"], i)
+            for i, rs in enumerate(batches)
+            for r in rs
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts_s string, event_type string, "
+            "batch int",
+        ).select(
+            "event_id", "user_id",
+            F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+            "event_type", "batch",
+        )
+
+    rep = interval_join_replay(
+        _bdf(c_batches), _bdf(p_batches), "batch",
+        within="1 hour", delay="10 minutes",
+    )
+    replayed = sorted(
+        (r.user_id, r.click_id, r.purchase_id) for r in rep.collect()
+    )
+    assert replayed == live
+    # the b1 late click DID pair with the still-live purchase state…
+    assert (1, 3, 101) in replayed
+    # …the b2 one did not (101 evicted at the end of b1); cross-batch
+    # in-band pairs survive
+    assert (1, 5, 101) not in replayed
+    assert (2, 2, 103) in replayed
