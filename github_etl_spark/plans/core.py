@@ -430,16 +430,59 @@ def a4_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a4_approx_distinct")  # no oracle: HLL sketches differ across engines
+@query("a4_approx_distinct", sibling="approx_distinct_error")
+# no oracle: HLL sketches differ across engines; sibling pins accuracy
 def a4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: approx_count_distinct (HyperLogLog++) — the 100 TB path for
     distincts; rows-only check since sketch estimates are engine-specific.
-    Accuracy vs exact countDistinct is asserted in tests/test_queries.py."""
+    Accuracy vs exact countDistinct is asserted in tests/test_queries.py
+    AND as oracle-checked rows in the `approx_distinct_error` sibling."""
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "approx_distinct_error",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS INTEGER) AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for `a4_approx_distinct` (its oracle-checked
+    sibling — same pattern as minhash_estimate_error): per group the
+    EXACT distinct count (oracle-replayable) plus the claim that the
+    HLL++ estimate at rsd=0.02 lands within 3×rsd (6%) of it. The
+    estimate itself is engine-specific, so the oracle cannot replay
+    its VALUE — it replays the exact side and asserts the band flag is
+    1; a Spark estimate outside the band emits 0 and hash-mismatches.
+    The 3σ band holds with probability ~0.997 per group and the
+    fixture groups sit far inside it (small cardinalities keep HLL++
+    in its sparse, near-exact regime)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_distinct"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("__est"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            (
+                F.abs(F.col("__est") - F.col("exact_distinct"))
+                <= 0.06 * F.col("exact_distinct")
+            )
+            .cast("int")
+            .alias("within_3rsd"),
+        )
     )
 
 
@@ -951,13 +994,15 @@ def a4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a4_hll_sketch")  # sketch bytes are engine-specific → rows-only
+@query("a4_hll_sketch", sibling="hll_sketch_error")
+# sketch bytes are engine-specific → rows-only; sibling pins accuracy
 def a4_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch aggregation: per-group Datasketches HLL sketches
     merged with hll_union_agg — the re-aggregatable form of
     approx_count_distinct (build per partition/day, union across any
     grouping later without rescanning). Estimate accuracy is asserted
-    against exact counts in tests."""
+    against exact counts in tests AND as oracle-checked rows in the
+    `hll_sketch_error` sibling (including the MERGED estimate)."""
     t = load_tables(spark, sf_dir)
     per_flag = t["lineitem"].groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_suppkey").alias("sketch"),
@@ -972,6 +1017,60 @@ def a4_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ALL").alias("l_returnflag"),
             F.lit(None).cast("long").alias("exact_distinct"),
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate"),
+        )
+    )
+
+
+@query(
+    "hll_sketch_error",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS INTEGER) AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS INTEGER) AS within_3rsd
+    FROM lineitem
+    """,
+)
+def hll_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for `a4_hll_sketch` (its oracle-checked
+    sibling): per group AND for the hll_union_agg-MERGED sketch, the
+    EXACT distinct supplier count plus the claim that the Datasketches
+    estimate lands within 6% of it (default lgConfigK=12 → rsd ≈
+    1.04/√4096 ≈ 1.6%, so 6% is nearly 4σ — and the merged-sketch
+    check is the one that matters: a bad union fold would blow the
+    band even when every per-group sketch is fine). Oracle replays the
+    exact side and asserts the band flags; an out-of-band estimate
+    emits 0 and hash-mismatches."""
+    t = load_tables(spark, sf_dir)
+    per_flag = t["lineitem"].groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_suppkey").alias("sketch"),
+        F.count_distinct("l_suppkey").alias("exact_distinct"),
+    )
+    band = lambda est, exact: (  # noqa: E731
+        (F.abs(est - exact) <= 0.06 * exact).cast("int").alias("within_3rsd")
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est")
+    ).crossJoin(
+        F.broadcast(
+            t["lineitem"].agg(
+                F.count_distinct("l_suppkey").alias("exact_distinct")
+            )
+        )
+    )
+    return per_flag.select(
+        "l_returnflag",
+        "exact_distinct",
+        band(F.hll_sketch_estimate("sketch"), F.col("exact_distinct")),
+    ).unionByName(
+        merged.select(
+            F.lit("ALL").alias("l_returnflag"),
+            "exact_distinct",
+            band(F.col("__est"), F.col("exact_distinct")),
         )
     )
 
