@@ -4648,7 +4648,7 @@ def _ev_batch_col():
     swr_bstats AS (SELECT b, MAX(ts) AS bmax FROM swr_ev GROUP BY b),
     swr_wm AS (
       SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
-               PRECEDING AND 1 PRECEDING) - INTERVAL 2 HOUR AS wm
+               PRECEDING AND 2 PRECEDING) - INTERVAL 2 HOUR AS wm
       FROM swr_bstats
       UNION ALL
       SELECT MAX(b) + 1, MAX(bmax) - INTERVAL 2 HOUR FROM swr_bstats
@@ -4679,11 +4679,15 @@ def streaming_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass(T) streaming path, same treatment the MG/bottom-k/totals
     folds got in round 10. Events arrive in three time-correlated
     micro-batches with every 37th a one-batch-late straggler; the
-    replay applies Spark's probed rules — watermark during batch b =
-    max event time over batches < b − 2 h, a row aggregates only while
-    its window's state is live (window_end above the watermark),
-    append-mode emission in the first batch whose watermark passes the
-    window end, terminal flush at stream close — and emits every
+    replay applies Spark's probed rules — the aggregation operator's
+    watermark LAGS the data by TWO batches (max event time over
+    batches ≤ b−2, − 2 h; the value computed after batch b−1 reaches
+    the operator one batch later — probed with a row whose window end
+    sits between the two candidate watermarks), a row aggregates only
+    while its window's state is live (window_end above that lagged
+    watermark), append-mode emission in the first batch whose lagged
+    watermark passes the window end, terminal flush at stream close —
+    and emits every
     (window, key) with its count AND its emission batch (NULL = still
     open at stream end). Late-drop, eviction and emission schedule all
     hash-checked; tests/test_streaming.py pins the same fold to the
@@ -4726,24 +4730,28 @@ def streaming_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT bat.b,
                MAX(cm.m) OVER (ORDER BY bat.b ROWS BETWEEN UNBOUNDED
-                 PRECEDING AND 1 PRECEDING) AS crun,
+                 PRECEDING AND 2 PRECEDING) AS crun,
                MAX(pm.m) OVER (ORDER BY bat.b ROWS BETWEEN UNBOUNDED
-                 PRECEDING AND 1 PRECEDING) AS prun
+                 PRECEDING AND 2 PRECEDING) AS prun
         FROM sij_bat bat
         LEFT JOIN sij_cm cm ON cm.b = bat.b
         LEFT JOIN sij_pm pm ON pm.b = bat.b
       )
+    ),
+    sij_ck AS (
+      SELECT c.* FROM sij_c c JOIN sij_wm w ON w.b = c.cb
+      WHERE w.wm IS NULL OR c.click_ts >= w.wm
+    ),
+    sij_pk AS (
+      SELECT p.* FROM sij_p p JOIN sij_wm w ON w.b = p.pb
+      WHERE w.wm IS NULL OR p.purchase_ts >= w.wm
     )
     SELECT c.user_id, c.click_id, c.click_ts,
            p.purchase_id, p.purchase_ts
-    FROM sij_c c
-    JOIN sij_p p ON c.user_id = p.user_id
+    FROM sij_ck c
+    JOIN sij_pk p ON c.user_id = p.user_id
      AND p.purchase_ts >= c.click_ts
      AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
-    LEFT JOIN sij_wm w ON w.b = GREATEST(c.cb, p.pb) - 1
-    WHERE c.cb = p.pb OR w.wm IS NULL
-       OR (c.cb > p.pb AND p.purchase_ts >= w.wm)
-       OR (p.pb > c.cb AND c.click_ts + INTERVAL 6 HOUR >= w.wm)
     """,
 )
 def streaming_interval_join_replay(
@@ -4753,14 +4761,14 @@ def streaming_interval_join_replay(
     (streaming/events.clicks_to_purchases_join) replayed as a
     deterministic batch fold. The rules replay what the live engine
     actually does — probed, not assumed (the pin test threads the same
-    micro-batches through readStream): late rows are NOT pre-filtered
-    (they join whatever state is live), state eviction lags one batch
-    (end of batch k evicts under the watermark DURING k = min across
-    sources of prior-batch maxima − 2 h), so a cross-batch pair
-    survives iff the earlier row beats the watermark during the batch
-    before the later arrival. Same straggler batches as
-    streaming_watermark_replay: some late clicks still pair (state
-    live), older ones find their partner evicted.
+    micro-batches through readStream): each side's input rows are
+    pre-filtered against the TWO-BATCH-LAGGED min-across-sources
+    watermark (a one-batch-late row still joins; the same row two
+    batches late produces nothing), and given that filter the time
+    bound makes state-eviction timing output-irrelevant, so the
+    surviving semantics are exactly the time-band inner join of the
+    kept rows. Same straggler batches as streaming_watermark_replay:
+    one-batch-late clicks still pair, two-batch-late ones are gone.
     Scale shape: bounded watermark table broadcast into the probe; the
     pair join is an equi-join on user_id with band + survival as
     residual filters — no cartesian."""

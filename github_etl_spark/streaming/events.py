@@ -145,18 +145,26 @@ def tumbling_replay(
 ) -> DataFrame:
     """Deterministic replay of ``tumbling_counts``' watermark fold.
 
-    Spark's event-time contract, replayed batch-by-batch: the
-    watermark DURING batch b is max(event time over batches < b) −
-    ``delay`` (NULL for the first batch — no watermark yet); a row is
-    aggregated iff its WINDOW END is above that watermark (a window at
-    or below it has been evicted, so the row is dropped); in append
-    mode a (window, key) row is emitted in the first batch whose
-    watermark exceeds the window end. Termination flushes once more
-    with the watermark over ALL batches (probed live: availableNow
-    emits state the final watermark finalizes even with no trailing
-    data batch), so the replay appends a terminal flush row
-    (batch = max+1); windows even the terminal watermark never passed
-    are still open and emit nothing (emitted_batch NULL).
+    Spark's event-time contract, PROBED live rather than read off the
+    docs (the probes live in the pin test): the watermark the
+    aggregation operator applies during batch b LAGS the data by TWO
+    batches — max(event time over batches ≤ b−2) − ``delay`` (the
+    value computed at the end of batch b−1 reaches the operator one
+    batch later; NULL for the first two batches). A row is aggregated
+    iff its WINDOW END is above that lagged watermark (a window at or
+    below it has been evicted, so the row is dropped) — the decisive
+    probe: a row whose window end sits BETWEEN the through-(b−1) and
+    through-(b−2) watermarks is KEPT live. In append mode a
+    (window, key) row is emitted in the first batch whose lagged
+    watermark exceeds the window end; at termination availableNow
+    drains with empty batches until the watermark catches up to
+    max(ALL event time) − ``delay`` (probed: state the final watermark
+    finalizes is emitted with no trailing data batch), which the
+    replay collapses into one terminal flush row (batch = max+1).
+    Windows even the terminal watermark never passed are still open
+    and emit nothing (emitted_batch NULL). Filter and emission share
+    the lagged watermark, so a kept late row can never target an
+    already-emitted window — no duplicate emissions, live or replayed.
 
     Scale shape: the watermark table is ONE row per batch (a bounded
     window over it is fine), broadcast to the row filter and to the
@@ -169,7 +177,8 @@ def tumbling_replay(
     bstats = events.groupBy(F.col(batch_col).alias("__b")).agg(
         F.max(ts_col).alias("__bmax")
     )
-    ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    # lag-2 frame: batches ≤ b−2
+    ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -2)
     wm = bstats.select(
         "__b",
         (F.max("__bmax").over(ww) - F.expr(f"INTERVAL {delay}")).alias("__wm"),
@@ -222,23 +231,24 @@ def interval_join_replay(
 
     The semantics, PROBED LIVE rather than assumed (the pin test
     threads the same micro-batches through the real readStream
-    operator): Spark does NOT pre-filter late input rows on a
-    stream-stream join — a late row still joins whatever state is
-    live — and state eviction LAGS one batch: at the end of batch k
-    the store drops rows the watermark *during* k (computed from
-    batches < k, min across sources, − ``delay``) dominates. So a
-    cross-batch pair (earlier row in batch e, later in batch l > e)
-    is emitted iff the earlier row survived the evictions at the ends
-    of batches e..l-1 — monotone watermark, so exactly iff it beats
-    wm_{l-1}: a click survives while click_ts + ``within`` ≥ wm (it
-    can still match), a purchase while purchase_ts ≥ wm. Same-batch
-    pairs always emit.
+    operator): the join pre-filters late INPUT rows against the same
+    TWO-BATCH-LAGGED watermark the aggregation operators apply —
+    min across sources of per-source max event time over batches
+    ≤ b−2, − ``delay`` (the decisive probes: a late row one batch
+    behind the data still joins — the lagged watermark hasn't reached
+    it — while the same row two batches behind produces nothing).
+    Given that input filter, state-eviction timing is OUTPUT-
+    IRRELEVANT: the time bound ties every in-band partner of a
+    non-late row to the watermark, so any state the store may have
+    dropped could no longer match anyway (shown case-by-case in the
+    pin test). The replay is therefore exactly: filter each side by
+    its arrival batch's lagged watermark, then the plain time-band
+    inner join.
 
-    Scale shape: the watermark table is one row per batch (broadcast
-    twice — once per side's survival probe); the pair join is an
-    EQUI-join on ``key`` with the time band and survival checks as
-    residual filters — it shuffles on the key like any stream-stream
-    join, never a cartesian.
+    Scale shape: the watermark table is one row per batch, broadcast
+    into each side's filter; the pair join is an EQUI-join on ``key``
+    with the time band as a residual filter — it shuffles on the key
+    like any stream-stream join, never a cartesian.
     """
     from pyspark.sql import Window
 
@@ -259,7 +269,8 @@ def interval_join_replay(
     per_b = batches.join(_bmax(clicks, "__cm"), "__b", "left").join(
         _bmax(purchases, "__pm"), "__b", "left"
     )
-    ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    # lag-2 frame (batches ≤ b−2), matching the aggregation operators
+    ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -2)
     crun = F.max("__cm").over(ww)
     prun = F.max("__pm").over(ww)
     wm = per_b.select(
@@ -269,19 +280,25 @@ def interval_join_replay(
         .alias("__wm"),
     )
 
-    c = clicks.select(
+    def _kept(df):
+        return (
+            df.withColumn("__b", F.col(batch_col))
+            .join(F.broadcast(wm), "__b")
+            .where(F.col("__wm").isNull() | (F.col(ts_col) >= F.col("__wm")))
+            .drop("__wm")
+        )
+
+    c = _kept(clicks).select(
         F.col(key).alias("user_id"),
         F.col("event_id").alias("click_id"),
         F.col(ts_col).alias("click_ts"),
-        F.col(batch_col).alias("__cb"),
     )
-    p = purchases.select(
+    p = _kept(purchases).select(
         F.col(key).alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         F.col(ts_col).alias("purchase_ts"),
-        F.col(batch_col).alias("__pb"),
     )
-    pairs = c.join(
+    return c.join(
         p,
         (F.col("user_id") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
@@ -289,34 +306,4 @@ def interval_join_replay(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
         ),
-    )
-    # survival check against the watermark during the batch BEFORE the
-    # later arrival (eviction lags one batch — see docstring)
-    probe = wm.select(
-        F.col("__b").alias("__wb"), F.col("__wm").alias("__pwm")
-    )
-    return (
-        pairs.join(
-            F.broadcast(probe),
-            F.greatest("__cb", "__pb") - 1 == F.col("__wb"),
-            "left",
-        )
-        .where(
-            (F.col("__cb") == F.col("__pb"))
-            | F.col("__pwm").isNull()
-            | (
-                (F.col("__cb") > F.col("__pb"))
-                & (F.col("purchase_ts") >= F.col("__pwm"))
-            )
-            | (
-                (F.col("__pb") > F.col("__cb"))
-                & (
-                    F.col("click_ts") + F.expr(f"INTERVAL {within}")
-                    >= F.col("__pwm")
-                )
-            )
-        )
-        .select(
-            "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
-        )
-    )
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")

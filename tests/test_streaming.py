@@ -683,16 +683,68 @@ def test_tumbling_replay_equals_live_stream(spark, stream_dir, tmp_path):
     assert not (still_open & set(live))
     # the late 10:40 click is dropped in BOTH: the 10:00 window holds 2
     assert emitted[("2026-03-01 10:00:00", "click")] == 2
-    # emission schedule: the 10:00 window finalized by b1's 12:20 wm,
-    # the 12:00 window by b2's 13:50 wm, 14:00 by the terminal flush
+    # emission schedule under the LAGGED watermark: the 10:00 window
+    # finalized by b2 (lag-2 wm 12:20), everything else by the
+    # terminal flush (15:50), the 16:00 window still open
     sched = {
         (str(r.window_start), r.event_type): r.emitted_batch
         for r in rep_rows
     }
-    assert sched[("2026-03-01 10:00:00", "click")] == 1
-    assert sched[("2026-03-01 12:00:00", "other")] == 2
+    assert sched[("2026-03-01 10:00:00", "click")] == 2
+    assert sched[("2026-03-01 12:00:00", "other")] == 3
     assert sched[("2026-03-01 14:00:00", "other")] == 3  # terminal flush
     assert sched[("2026-03-01 16:00:00", "other")] is None
+
+
+def test_tumbling_replay_watermark_lags_two_batches(
+    spark, stream_dir, tmp_path
+):
+    """THE decisive lag probe, pinned: a late row whose window end sits
+    BETWEEN the through-(b−1) watermark (14:50 — would drop it) and the
+    through-(b−2) watermark (12:50 — keeps it) is KEPT by the live
+    operator, so the replay must apply the two-batch-lagged watermark,
+    not the textbook one-batch form."""
+    from github_etl_spark.streaming.events import tumbling_replay
+
+    now = time.time()
+    batches = [
+        [_ev(1, 1, "2026-03-01T10:05:00Z"),
+         _ev(2, 1, "2026-03-01T13:00:00Z")],
+        [_ev(3, 1, "2026-03-01T15:00:00Z")],
+        # late 13:30: window [13:00,14:00) end 14:00 ∈ (12:50, 14:50]
+        [_ev(4, 1, "2026-03-01T13:30:00Z"),
+         _ev(5, 1, "2026-03-01T17:00:00Z")],
+    ]
+    for i, rows in enumerate(batches):
+        _write_file(stream_dir / f"b{i}.json", rows, now - 20 + 10 * i)
+    agg = tumbling_counts(
+        _events_stream(spark, stream_dir), watermark="10 minutes"
+    )
+    _drain(agg, "lag_pin_out", str(tmp_path / "ck_lag"))
+    live = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM lag_pin_out").collect()
+    }
+    assert live[("2026-03-01 13:00:00", "click")] == 2  # late row KEPT
+
+    rows = [dict(r, batch=i) for i, rs in enumerate(batches) for r in rs]
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["ts"], r["event_type"], r["batch"])
+         for r in rows],
+        "event_id long, user_id long, ts_s string, event_type string, "
+        "batch int",
+    ).select(
+        "event_id", "user_id",
+        F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+        "event_type", "batch",
+    )
+    rep_rows = tumbling_replay(batch_df, "batch", delay="10 minutes").collect()
+    emitted = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in rep_rows
+        if r.emitted_batch is not None
+    }
+    assert emitted == live
 
 
 def test_interval_join_replay_equals_live_stream(spark, tmp_path):
@@ -712,14 +764,14 @@ def test_interval_join_replay_equals_live_stream(spark, tmp_path):
     c_batches = [
         [_ev(1, 1, "2026-03-01T10:00:00Z"),
          _ev(2, 2, "2026-03-01T12:00:00Z")],
-        # b1: a LATE click — Spark does NOT pre-filter it, and the
-        # matching purchase 101 is still in state (eviction lags one
-        # batch), so the pair (3, 101) IS emitted live
+        # b1: a LATE click — the lagged watermark (through b−2 = none
+        # yet) hasn't reached it, so it still joins purchase 101:
+        # the pair (3, 101) IS emitted live
         [_ev(3, 1, "2026-03-01T09:00:00Z"),
          _ev(4, 2, "2026-03-01T12:10:00Z")],
-        # b2: another late click in 101's band — but by now 101's
-        # state was evicted at the end of b1 (09:30 < the 11:50 wm),
-        # so NO pair appears live
+        # b2: the same click TWO batches late — the lagged watermark
+        # is now 11:50 (through b0) and 09:00 < 11:50 pre-filters it:
+        # NO pair appears live
         [_ev(5, 1, "2026-03-01T09:00:00Z")],
     ]
     p_batches = [
@@ -776,9 +828,89 @@ def test_interval_join_replay_equals_live_stream(spark, tmp_path):
         (r.user_id, r.click_id, r.purchase_id) for r in rep.collect()
     )
     assert replayed == live
-    # the b1 late click DID pair with the still-live purchase state…
+    # one-batch-late click still pairs (lagged wm hasn't reached it)…
     assert (1, 3, 101) in replayed
-    # …the b2 one did not (101 evicted at the end of b1); cross-batch
-    # in-band pairs survive
+    # …the two-batch-late one is pre-filtered; cross-batch in-band
+    # pairs survive
     assert (1, 5, 101) not in replayed
     assert (2, 2, 103) in replayed
+
+
+def test_interval_join_prefilter_beats_live_state(spark, tmp_path):
+    """THE decisive pre-filter probe, pinned: a two-batch-late click
+    whose in-band partners are all STILL IN STATE (none evictable yet)
+    produces NO pairs live — proving the join pre-filters late input
+    rows against the lagged watermark rather than merely evicting
+    state; and an equal-timestamp same-batch pair joins (band is
+    inclusive)."""
+    from github_etl_spark.streaming.events import (
+        clicks_to_purchases_join,
+        interval_join_replay,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purchases_dir.mkdir()
+    now = time.time()
+    c_batches = [
+        [_ev(1, 7, "2026-03-01T12:00:00Z")],
+        [_ev(2, 7, "2026-03-01T13:00:00Z")],
+        # late click 09:30 < lagged wm 11:50 (through b0) — but its
+        # in-band partners 100/101/102 are ALL alive in state
+        # (≥ any watermark the store could have applied): pre-filtered
+        [_ev(3, 7, "2026-03-01T09:30:00Z"),
+         _ev(4, 7, "2026-03-01T16:00:00Z")],
+    ]
+    p_batches = [
+        [_ev(100, 7, "2026-03-01T11:55:00Z", "purchase"),
+         _ev(101, 7, "2026-03-01T12:00:00Z", "purchase")],
+        [_ev(102, 7, "2026-03-01T13:00:00Z", "purchase")],
+        [_ev(103, 7, "2026-03-01T16:00:00Z", "purchase")],
+    ]
+    for i, rows in enumerate(c_batches):
+        _write_file(clicks_dir / f"c{i}.json", rows, now - 20 + 10 * i)
+    for i, rows in enumerate(p_batches):
+        _write_file(purchases_dir / f"p{i}.json", rows, now - 20 + 10 * i)
+
+    def _src(d):
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+        )
+
+    joined = clicks_to_purchases_join(
+        _src(clicks_dir), _src(purchases_dir),
+        within="6 hours", watermark="10 minutes",
+    )
+    _drain(joined, "ssj_pref_out", str(tmp_path / "ck_ssjp"))
+    live = sorted(
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_pref_out").collect()
+    )
+    assert (1, 101) in live  # equal-ts same-batch pair joins
+    assert all(c != 3 for c, _ in live)  # the late click yields nothing
+
+    def _bdf(batches):
+        rows = [
+            (r["event_id"], r["user_id"], r["ts"], r["event_type"], i)
+            for i, rs in enumerate(batches)
+            for r in rs
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts_s string, event_type string, "
+            "batch int",
+        ).select(
+            "event_id", "user_id",
+            F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+            "event_type", "batch",
+        )
+
+    rep = interval_join_replay(
+        _bdf(c_batches), _bdf(p_batches), "batch",
+        within="6 hours", delay="10 minutes",
+    )
+    replayed = sorted((r.click_id, r.purchase_id) for r in rep.collect())
+    assert replayed == live
