@@ -4783,3 +4783,109 @@ def streaming_interval_join_replay(
         within="6 hours",
         delay="2 hours",
     )
+
+
+def _sess_round_sql(prev: str, b: int, out: str) -> str:
+    """One session-replay round as DuckDB CTEs (the MG-replay unroll
+    idiom): finalize open sessions the batch-``b`` lagged watermark
+    passed, drop late rows (initial end at/below it), then
+    gaps-and-islands-merge surviving state with the kept fragments
+    (overlap-or-touch, matching _merge_session_fragments)."""
+    wm = f"(SELECT wm FROM ssn_wm WHERE b = {b})"
+    return f"""
+    {out}_fin AS (
+      SELECT key, s_start, s_end, n FROM {prev}
+      WHERE {wm} IS NOT NULL AND s_end < {wm}
+    ),
+    {out}_in AS (
+      SELECT key, s_start, s_end, n FROM {prev}
+      WHERE {wm} IS NULL OR s_end >= {wm}
+      UNION ALL
+      SELECT user_id, ts, ts + INTERVAL 6 HOUR, CAST(1 AS BIGINT)
+      FROM ssn_ev
+      WHERE b = {b}
+        AND ({wm} IS NULL OR ts + INTERVAL 6 HOUR > {wm})
+    ),
+    {out} AS (
+      SELECT key, MIN(s_start) AS s_start, MAX(s_end) AS s_end,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM (
+        SELECT *, SUM(CASE WHEN pe IS NULL OR s_start > pe
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key ORDER BY s_start, s_end
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM (SELECT *, MAX(s_end)
+                     OVER (PARTITION BY key ORDER BY s_start, s_end
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pe
+              FROM {out}_in)
+      ) GROUP BY key, g
+    )"""
+
+
+@query(
+    "streaming_session_replay",
+    oracle=f"""
+    WITH ssn_ev AS (
+      SELECT user_id, ts, {_EV_BATCH_SQL} AS b FROM events
+    ),
+    ssn_bstats AS (SELECT b, MAX(ts) AS bmax FROM ssn_ev GROUP BY b),
+    ssn_wm AS (
+      SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 2 PRECEDING) - INTERVAL 2 HOUR AS wm
+      FROM ssn_bstats
+      UNION ALL
+      SELECT MAX(b) + 1, MAX(bmax) - INTERVAL 2 HOUR FROM ssn_bstats
+    ),
+    ssn_s0 AS (
+      SELECT CAST(NULL AS BIGINT) AS key,
+             CAST(NULL AS TIMESTAMP) AS s_start,
+             CAST(NULL AS TIMESTAMP) AS s_end,
+             CAST(NULL AS BIGINT) AS n
+      WHERE 1 = 0
+    ),
+    {_sess_round_sql("ssn_s0", 0, "ssn_r0").strip()},
+    {_sess_round_sql("ssn_r0", 1, "ssn_r1").strip()},
+    {_sess_round_sql("ssn_r1", 2, "ssn_r2").strip()},
+    ssn_fin3 AS (
+      SELECT key, s_start, s_end, n FROM ssn_r2
+      WHERE s_end < (SELECT wm FROM ssn_wm WHERE b = 3)
+    ),
+    ssn_open AS (
+      SELECT key, s_start, s_end, n FROM ssn_r2
+      WHERE s_end >= (SELECT wm FROM ssn_wm WHERE b = 3)
+    )
+    SELECT key AS user_id, s_start AS session_start,
+           s_end AS session_end, n AS n_events,
+           CAST(eb AS INTEGER) AS emitted_batch
+    FROM (
+      SELECT *, 0 AS eb FROM ssn_r0_fin
+      UNION ALL SELECT *, 1 AS eb FROM ssn_r1_fin
+      UNION ALL SELECT *, 2 AS eb FROM ssn_r2_fin
+      UNION ALL SELECT *, 3 AS eb FROM ssn_fin3
+      UNION ALL SELECT *, NULL AS eb FROM ssn_open
+    )
+    """,
+)
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the watermarked SESSION-WINDOW state machine
+    (streaming/events.session_counts) replayed as a deterministic
+    arrival-batch fold — the hard member of the event-time family
+    (sessions MERGE across batches, so each round is a genuine
+    stateful fold, unrolled MG-replay-style in both engines). Probed
+    live rules (pinned in tests/test_streaming.py): two-batch-lagged
+    watermark; a row drops iff its initial session end is at/below it;
+    finalization runs BEFORE the batch's merge (an emitted session is
+    never resurrected — a late-but-kept neighbor starts fresh);
+    fragments merge on overlap-or-touch; termination drains with the
+    final watermark, still-open sessions emit NULL. Same straggler
+    batches as the other replays. Scale shape: bounded watermark
+    table; one keyed window + groupBy per round — the same per-batch
+    keyed-state shuffle the live operator pays."""
+    from ..streaming.events import session_replay
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("__batch", _ev_batch_col())
+    return session_replay(
+        ev, "__batch", [0, 1, 2], gap="6 hours", delay="2 hours"
+    )

@@ -307,3 +307,144 @@ def interval_join_replay(
             <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
         ),
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+def _merge_session_fragments(frags: DataFrame, key: str) -> DataFrame:
+    """Interval-merge (start, end, n) session fragments per key —
+    Spark's session merge rule, probed live: fragments merge when they
+    overlap OR TOUCH (an event exactly at the previous session's end
+    extends it), i.e. a new group starts only when start > running max
+    end. Classic gaps-and-islands window over the per-key fragments."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("s_start", "s_end")
+    prev_end = F.max("s_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (
+        prev_end.isNull() | (F.col("s_start") > prev_end)
+    ).cast("int")
+    grp = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        frags.withColumn("__grp", grp)
+        .groupBy(key, "__grp")
+        .agg(
+            F.min("s_start").alias("s_start"),
+            F.max("s_end").alias("s_end"),
+            F.sum("n").alias("n"),
+        )
+        .drop("__grp")
+    )
+
+
+def session_replay(
+    events: DataFrame,
+    batch_col: str,
+    batch_ids: list[int],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Deterministic replay of ``session_counts``' watermarked
+    session-window fold — the hard member of the event-time family,
+    because sessions MERGE across batches. Rules probed live (pinned
+    in tests/test_streaming.py):
+
+    - the operator's watermark lags the data by TWO batches
+      (max event time over batches ≤ b−2 − ``delay``), same as the
+      tumbling aggregation;
+    - an incoming row is dropped iff its own initial session end
+      (ts + ``gap``) is at or below that watermark;
+    - finalization runs BEFORE merging the batch's rows: an open
+      session whose end the watermark passed emits and leaves state,
+      and a late-but-kept row landing next to it starts a FRESH
+      session rather than resurrecting the emitted one (probed: the
+      live operator emits the split pair);
+    - kept rows merge with the surviving open sessions, overlap-or-
+      touch (an event exactly at a session's end extends it — probed);
+    - termination drains with the watermark over ALL batches
+      (collapsed to one terminal flush id = max batch + 1); sessions
+      it never passes stay open and emit nothing (emitted_batch NULL).
+
+    ``batch_ids`` is the ordered micro-batch sequence — the fold
+    unrolls one round per batch (the MG-replay idiom), each round's
+    state eager-checkpointed so plan depth stays O(1). Scale shape:
+    the watermark table is one bounded row per batch; each round is
+    one keyed window + groupBy over open state + batch rows — the same
+    keyed-state shuffle the live operator pays per micro-batch.
+    """
+    from pyspark.sql import Window
+
+    from ..session import eager_checkpoint
+
+    bstats = events.groupBy(F.col(batch_col).alias("__b")).agg(
+        F.max(ts_col).alias("__bmax")
+    )
+    ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -2)
+    wm = bstats.select(
+        "__b",
+        (F.max("__bmax").over(ww) - F.expr(f"INTERVAL {delay}")).alias("__wm"),
+    ).unionByName(
+        bstats.agg(
+            (F.max("__b") + 1).alias("__b"),
+            (F.max("__bmax") - F.expr(f"INTERVAL {delay}")).alias("__wm"),
+        )
+    )
+    wm = eager_checkpoint(wm)
+
+    state = None  # (key, s_start, s_end, n)
+    emitted = []
+    terminal = max(batch_ids) + 1
+    for b in [*batch_ids, terminal]:
+        w_b = F.broadcast(
+            wm.where(F.col("__b") == F.lit(b)).select("__wm")
+        )
+        if state is not None:
+            st = state.crossJoin(w_b)
+            fin = st.where(
+                F.col("__wm").isNotNull() & (F.col("s_end") < F.col("__wm"))
+            )
+            emitted.append(
+                fin.select(
+                    key, "s_start", "s_end", "n",
+                    F.lit(b).cast("int").alias("emitted_batch"),
+                )
+            )
+            state = st.where(
+                F.col("__wm").isNull() | (F.col("s_end") >= F.col("__wm"))
+            ).drop("__wm")
+        if b == terminal:
+            break
+        frags = (
+            events.where(F.col(batch_col) == b)
+            .select(
+                F.col(key),
+                F.col(ts_col).alias("s_start"),
+                (F.col(ts_col) + F.expr(f"INTERVAL {gap}")).alias("s_end"),
+                F.lit(1).cast("long").alias("n"),
+            )
+            .crossJoin(w_b)
+            .where(F.col("__wm").isNull() | (F.col("s_end") > F.col("__wm")))
+            .drop("__wm")
+        )
+        parts = frags if state is None else state.unionByName(frags)
+        # One checkpoint per round: every earlier round's windows would
+        # otherwise re-derive under this one (O(1) plan depth, the MG
+        # replay idiom). Files kept until the action — the emitted
+        # branches still read them.
+        state = eager_checkpoint(_merge_session_fragments(parts, key))
+    open_rows = state.select(
+        key, "s_start", "s_end", "n",
+        F.lit(None).cast("int").alias("emitted_batch"),
+    )
+    out = open_rows
+    for e in emitted:
+        out = out.unionByName(e)
+    return out.select(
+        F.col(key),
+        F.col("s_start").alias("session_start"),
+        F.col("s_end").alias("session_end"),
+        F.col("n").alias("n_events"),
+        "emitted_batch",
+    )

@@ -914,3 +914,89 @@ def test_interval_join_prefilter_beats_live_state(spark, tmp_path):
     )
     replayed = sorted((r.click_id, r.purchase_id) for r in rep.collect())
     assert replayed == live
+
+
+def test_session_replay_equals_live_stream(spark, stream_dir, tmp_path):
+    """The session-window replay must reproduce the LIVE append-mode
+    sessions on the same micro-batch sequence — covering the lag-2
+    late drop, cross-batch merge with OPEN state, the
+    finalize-BEFORE-merge split (an emitted session is not
+    resurrected by a late-but-kept neighbor), and the overlap-or-touch
+    merge rule."""
+    from github_etl_spark.streaming.events import session_counts, session_replay
+
+    now = time.time()
+    batches = [
+        # b0: u1 session seed; u3 seed; u5 two-event session; u6
+        # TOUCHING pair (10:30 == 10:00+gap -> one session); u9 advancer
+        [
+            _ev(1, 1, "2026-03-01T10:00:00Z"),
+            _ev(2, 3, "2026-03-01T12:35:00Z"),
+            _ev(3, 5, "2026-03-01T12:00:00Z"),
+            _ev(4, 5, "2026-03-01T12:15:00Z"),
+            _ev(20, 6, "2026-03-01T10:00:00Z"),
+            _ev(21, 6, "2026-03-01T10:30:00Z"),
+            _ev(5, 9, "2026-03-01T13:00:00Z"),
+        ],
+        # b1: u1 merge with open state (lag-2 wm still none); u9 advancer
+        [
+            _ev(6, 1, "2026-03-01T10:20:00Z"),
+            _ev(7, 9, "2026-03-01T15:00:00Z"),
+        ],
+        # b2 (lag-2 wm = 12:50): u1 10:45 dropped (11:15 <= 12:50);
+        # u3 12:55 merges with the still-open [12:35,13:05);
+        # u5 12:40 lands next to the FINALIZING [12:00,12:45) -> split;
+        # u9 advancer to 17:00
+        [
+            _ev(8, 1, "2026-03-01T10:45:00Z"),
+            _ev(9, 3, "2026-03-01T12:55:00Z"),
+            _ev(10, 5, "2026-03-01T12:40:00Z"),
+            _ev(11, 9, "2026-03-01T17:00:00Z"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        _write_file(stream_dir / f"b{i}.json", rows, now - 20 + 10 * i)
+    agg = session_counts(
+        _events_stream(spark, stream_dir),
+        gap="30 minutes", watermark="10 minutes",
+    )
+    _drain(agg, "sess_pin_out", str(tmp_path / "ck_sess"))
+    live = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in spark.sql("SELECT * FROM sess_pin_out").collect()
+    }
+
+    rows = [dict(r, batch=i) for i, rs in enumerate(batches) for r in rs]
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["ts"], r["event_type"], r["batch"])
+         for r in rows],
+        "event_id long, user_id long, ts_s string, event_type string, "
+        "batch int",
+    ).select(
+        "event_id", "user_id",
+        F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+        "event_type", "batch",
+    )
+    rep_rows = session_replay(
+        batch_df, "batch", [0, 1, 2], gap="30 minutes", delay="10 minutes"
+    ).collect()
+    emitted = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in rep_rows
+        if r.emitted_batch is not None
+    }
+    still_open = {
+        (r.user_id, str(r.session_start), str(r.session_end))
+        for r in rep_rows
+        if r.emitted_batch is None
+    }
+    assert emitted == live
+    assert not (still_open & set(live))
+    # the named behaviors, explicitly:
+    k = ("2026-03-01 10:00:00", "2026-03-01 10:50:00")
+    assert emitted[(1, *k)] == 2           # b2 late row dropped; b1 merged
+    assert emitted[(3, "2026-03-01 12:35:00", "2026-03-01 13:25:00")] == 2
+    assert emitted[(5, "2026-03-01 12:00:00", "2026-03-01 12:45:00")] == 2
+    assert emitted[(5, "2026-03-01 12:40:00", "2026-03-01 13:10:00")] == 1
+    assert emitted[(6, "2026-03-01 10:00:00", "2026-03-01 11:00:00")] == 2
+    assert (9, "2026-03-01 17:00:00", "2026-03-01 17:30:00") in still_open
