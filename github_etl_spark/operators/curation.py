@@ -1,0 +1,349 @@
+"""Web-corpus curation recipes: C4, Gopher, CCNet.
+
+The three canonical public cleaning recipes a pretraining pipeline
+runs over raw web text, each re-expressed Spark-first:
+
+* **C4** (Raffel et al. 2020, §2.2): line-level retention rules
+  (terminal punctuation, minimum words, boilerplate phrases) plus the
+  cross-corpus three-sentence-span dedup that keeps only the first
+  occurrence of any span of three consecutive retained lines.
+* **Gopher quality rules** (Rae et al. 2021, Table A1): document-level
+  bounds on word count, mean word length, symbol-to-word ratio,
+  bullet/ellipsis line fractions, alphabetic-word fraction, and
+  stopword presence — a pure map-only gate.
+* **CCNet perplexity bucketing** (Wenzek et al. 2020): per-language
+  head/middle/tail split at the 33rd/66th percentile of each
+  document's language-model score (here the corpus-self unigram LM
+  shared with `text_unigram_logprob`).
+
+The driver's `documents` fixture is single-line word salad, so the
+line-level rules operate on a DETERMINISTIC derived rendering (the
+same fixture-synthesis idiom the multimodal family uses for binary
+payloads): words are regrouped into 6-word lines; every 5th line gets
+a bullet prefix, every 7th an ellipsis terminal, every 3rd-cycle line
+no terminal punctuation, and every 11th an injected boilerplate token
+— so each rule fires on real rows in both engines. The derivation is
+replayed expression-for-expression in the DuckDB oracles
+(plans/curation.py), making the whole recipe an exact cross-engine
+contract, not a heuristic.
+
+Scale shape: C4 line rules and the Gopher gate are map-only (pure JVM
+expressions, zero exchanges); C4's span dedup is ONE span-keyed
+aggregation plus one span-keyed join (partial aggregation collapses
+hot boilerplate spans map-side; AQE handles residual join skew);
+CCNet is the unigram-LM token join plus one bounded per-language
+percentile aggregate broadcast back. Nothing here is quadratic and no
+payload wider than a line crosses a shuffle.
+
+No reference analog (the reference is a GitHub REST ETL,
+/root/reference/main.py); these fulfil the EXT north-star mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_det
+from ..functions.text import EN_STOPWORDS, words_expr
+
+# Derived-line rendering constants, shared verbatim with the oracle
+# SQL in plans/curation.py — change one, change both.
+LINE_WORDS = 6       # words per derived line
+BULLET_MOD = 5       # line j gets a "- " bullet prefix iff j % 5 == 0
+BOILER_MOD = 11      # line j gets " javascript" appended iff j % 11 == 5
+ELLIPSIS_MOD = 7     # line j ends in "..." iff j % 7 == 3
+NOPUNCT_MOD = 3      # else line j has NO terminal "." iff j % 3 == 2
+
+# C4 line-retention rules (Raffel et al. 2020 §2.2).
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_SPAN_LINES = 3
+_SPAN_SEP = "\x01"
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def derived_lines_expr(text_col) -> Column:
+    """Deterministic multi-line rendering of a document.
+
+    Regroups the lowercased whitespace words into LINE_WORDS-word
+    lines and decorates line j (0-based) by pure position arithmetic
+    (bullet prefix, boilerplate token, ellipsis / period / bare
+    terminal) so every downstream line rule has real positive and
+    negative rows. Pure JVM expressions, map-only; identical
+    derivation lives in plans/curation._SQL_LINES.
+    """
+    ws = words_expr(text_col)
+
+    def line(j: Column) -> Column:
+        return F.concat(
+            F.when(j % BULLET_MOD == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.concat_ws(" ", F.slice(ws, j * LINE_WORDS + 1, LINE_WORDS)),
+            F.when(j % BOILER_MOD == 5, F.lit(" javascript")).otherwise(
+                F.lit("")
+            ),
+            F.when(j % ELLIPSIS_MOD == 3, F.lit("..."))
+            .when(j % NOPUNCT_MOD != 2, F.lit("."))
+            .otherwise(F.lit("")),
+        )
+
+    n_lines = F.ceil(F.size(ws) / F.lit(float(LINE_WORDS))).cast("int")
+    return F.when(
+        F.size(ws) == 0, F.array().cast("array<string>")
+    ).otherwise(F.transform(F.sequence(F.lit(0), n_lines - 1), line))
+
+
+def c4_line_keep_expr(line: Column) -> Column:
+    """C4 §2.2 line-retention predicate over one derived line.
+
+    Retained iff the line ends in terminal punctuation, carries at
+    least C4_MIN_LINE_WORDS alphabetic words (the bullet dash is not a
+    word), and contains none of the boilerplate markers ("javascript",
+    "lorem ipsum", a curly brace).
+    """
+    n_words = F.size(
+        F.filter(F.split(line, " "), lambda t: t.rlike("[a-z]"))
+    )
+    return (
+        line.rlike("[.!?]$")
+        & (n_words >= C4_MIN_LINE_WORDS)
+        & ~line.contains("javascript")
+        & ~line.contains("lorem ipsum")
+        & ~line.contains("{")
+    )
+
+
+def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4 cleaning summary per document: line filter + span dedup.
+
+    Returns (id, n_lines, n_kept, keep_doc, n_spans, n_dup_spans):
+    counts of derived lines, retained lines, the >=3-retained-lines
+    page keep flag, three-consecutive-retained-line spans, and spans
+    that duplicate an earlier occurrence anywhere in the corpus
+    ("earlier" = the global (id, position) minimum — C4 keeps only the
+    first occurrence of any three-sentence span).
+
+    Plan: the line filter is map-only; spans explode to one row per
+    (doc, position) keyed by the span's md5; the keeper is ONE
+    span-keyed min-struct aggregation (partial-combined, so a hot
+    boilerplate span collapses map-side) joined back to the span rows;
+    per-doc dup counts rejoin the map-side stats on the id. No window
+    over span occurrences (a corpus-hot span would funnel its copies
+    through one task); no payload beyond three lines crosses any
+    exchange. The line-derivation frame is eager-checkpointed once —
+    it feeds three consumers (span explode, span-count rejoin, final
+    stats) and the per-line regex cascade is the query's dominant map
+    cost, so recomputing it per consumer would triple the scan work.
+    """
+    from ..session import eager_checkpoint
+
+    lines = derived_lines_expr(F.col(text_col))
+    stats = eager_checkpoint(
+        df.select(
+            F.col(id_col),
+            F.filter(lines, c4_line_keep_expr).alias("kept_lines"),
+            F.size(lines).alias("n_lines"),
+        ).select(
+            id_col,
+            "n_lines",
+            "kept_lines",
+            F.size("kept_lines").alias("n_kept"),
+            (F.size("kept_lines") >= C4_MIN_KEPT_LINES).alias("keep_doc"),
+        )
+    )
+
+    spans = stats.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("n_kept") < C4_SPAN_LINES,
+                F.array().cast("array<struct<pos:int,span_key:string>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.col("n_kept") - C4_SPAN_LINES
+                    ),
+                    lambda j: F.struct(
+                        j.cast("int").alias("pos"),
+                        F.md5(
+                            F.concat_ws(
+                                _SPAN_SEP,
+                                F.slice(
+                                    F.col("kept_lines"),
+                                    j + 1,
+                                    C4_SPAN_LINES,
+                                ),
+                            )
+                        ).alias("span_key"),
+                    ),
+                )
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.span_key").alias("span_key"))
+
+    keeper = spans.groupBy("span_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep_at")
+    )
+    dup_counts = (
+        spans.join(keeper, "span_key")
+        .select(
+            id_col,
+            (
+                (F.col(id_col) != F.col(f"keep_at.{id_col}"))
+                | (F.col("pos") != F.col("keep_at.pos"))
+            ).cast("long").alias("is_dup"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("is_dup").alias("n_dup_spans"),
+        )
+    )
+    return (
+        stats.drop("kept_lines")
+        .join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "n_kept",
+            "keep_doc",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+
+
+def gopher_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Table A1) as ONE map-only
+    projection: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio ('#' + '...' occurrences over words),
+    bullet-line and ellipsis-line fractions over the derived lines,
+    alphabetic-word fraction, and >=2 distinct stopwords. All pure JVM
+    expressions; `keep` is the conjunction. Fractions are 4-decimal
+    rounded so the verdicts replay exactly in the oracle.
+    """
+    ws = words_expr(F.col(text_col))
+    lines = derived_lines_expr(F.col(text_col))
+    rendered = F.concat_ws("\n", lines)
+    n_words = F.size(ws)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_wl = round_det(
+        F.aggregate(
+            ws,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        )
+        / F.greatest(n_words, F.lit(1)).cast("double"),
+        4,
+    )
+    n_hash = F.length(rendered) - F.length(F.replace(rendered, F.lit("#")))
+    n_ellipsis = (
+        F.length(rendered) - F.length(F.replace(rendered, F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = round_det(
+        (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)).cast("double"),
+        4,
+    )
+    bullet_frac = round_det(
+        F.size(F.filter(lines, lambda l: l.startswith("- ")))
+        / n_lines.cast("double"),
+        4,
+    )
+    ellipsis_frac = round_det(
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        / n_lines.cast("double"),
+        4,
+    )
+    alpha_frac = round_det(
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+        / F.greatest(n_words, F.lit(1)).cast("double"),
+        4,
+    )
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop_distinct = F.size(
+        F.array_distinct(
+            F.filter(ws, lambda x: F.array_contains(stops, x))
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop_distinct.alias("n_stop_distinct"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS)
+    )
+    return out.select("*", keep.alias("keep"))
+
+
+def ccnet_buckets(
+    df: DataFrame, text_col: str, id_col: str, lang_col: str
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): per-document corpus-self unigram LM score (shared rule with
+    `text_unigram_logprob` — avg ln(count/total), 4-decimal rounded),
+    then a per-LANGUAGE split at the 33rd/66th percentile of that
+    score. Higher log-prob = lower perplexity = `head`.
+
+    Plan: token-keyed join against the vocabulary-bounded frequency
+    table (the unigram-LM shape), then the cut points are one
+    per-language exact-percentile aggregate — output bounded by
+    |languages| — broadcast back for an in-row comparison. No global
+    window, no per-language sort.
+    """
+    toks = df.select(
+        F.col(id_col), F.col(lang_col), F.explode(words_expr(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, lang_col)
+        .agg(
+            round_det(
+                F.avg(F.log(F.col("c") / F.col("n").cast("double"))), 4
+            ).alias("avg_logprob")
+        )
+    )
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile("avg_logprob", [1.0 / 3.0, 2.0 / 3.0]).alias("cs")
+    ).select(
+        lang_col,
+        round_det(F.element_at("cs", 1), 4).alias("c33"),
+        round_det(F.element_at("cs", 2), 4).alias("c66"),
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        id_col,
+        lang_col,
+        "avg_logprob",
+        F.when(F.col("avg_logprob") > F.col("c66"), F.lit("head"))
+        .when(F.col("avg_logprob") > F.col("c33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

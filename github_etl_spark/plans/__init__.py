@@ -20,6 +20,7 @@ from . import ext  # noqa: E402,F401
 from . import html  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import dq  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 
 def _check_history() -> tuple[dict[str, int], dict[str, bool]]:
