@@ -1299,3 +1299,233 @@ def unigram_tokenize_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return unigram_tokenize_encode(t["documents"], "text")
+
+
+# ------------------------------------------------------- WordPiece catalog
+
+# Pinned WordPiece encode vocabulary: the sf0.01 corpus alphabet (both
+# bare and ##-continuation forms) plus the merge tokens learned ONCE by
+# operators/wordpiece.wordpiece_learn (n_merges=16, min_count=2 — the
+# run is reproduced by `wordpiece_learn_vocab`'s first 8 rows), MINUS
+# every piece containing 'q' ('q', '##q', 'qu'): the deliberate OOV
+# hole makes the [UNK] collapse rule fire on real rows ('query',
+# 'unique', …) in both engines instead of staying untested. Production
+# encodes under its own learned vocab; the catalog pins one so the
+# greedy longest-match semantics get an exact cross-engine hash check
+# (the _BPE_PINNED_MERGES idiom).
+_WP_PINNED_CHARS = "abcdefghijklmnoprstuvwy"  # no q (OOV hole), no x/z (absent)
+_WP_PINNED_MERGED = [
+    "li", "wi", "lin", "win", "wind", "fi", "bi", "##in",
+    "big", "ag", "agg", "th", "##sh", "##ch", "fil",
+]
+_WP_PINNED_VOCAB: tuple[str, ...] = tuple(
+    [c for c in _WP_PINNED_CHARS]
+    + ["##" + c for c in _WP_PINNED_CHARS]
+    + _WP_PINNED_MERGED
+)
+
+
+def _wordpiece_learn_oracle(n_rounds: int = 8, min_count: int = 2) -> str:
+    """The FULL iterative WordPiece learn loop as one DuckDB statement
+    — the `_bpe_learn_oracle` construction with the two WordPiece
+    deltas: (a) each round also aggregates SYMBOL counts and the
+    winner maximizes the scaled-integer likelihood score
+    ``(pair_count * 10^12) // (left_count * right_count)`` (HUGEINT —
+    exact, never a float ratio; ties by pair count then
+    lexicographic), and (b) the initial segmentation ##-prefixes every
+    non-initial character and a merge strips the right side's ##.
+    Same double-space symbol encoding (plain literal replace
+    reproduces left-to-right non-overlapping fusion), same
+    MATERIALIZED-CTE-per-round shape, same min_count early stop."""
+    parts = [
+        f"""
+    wf AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT freq,
+             ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+               i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+                         ELSE '##' || substr(word, CAST(i AS INT), 1) END),
+               '  ') || ' ' AS s
+      FROM wf
+    )"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+    sy{k} AS MATERIALIZED (
+      SELECT sym, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT freq, unnest(string_split(trim(s), '  ')) AS sym FROM v{k-1})
+      GROUP BY sym
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT freq, string_split(trim(s), '  ') AS syms FROM v{k-1}),
+           unnest(range(1, len(syms))) AS t(i)
+      GROUP BY l, r
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT p.l, p.r, p.c, sl.c AS lc, sr.c AS rc,
+             CAST((CAST(p.c AS HUGEINT) * 1000000000000)
+                  // (CAST(sl.c AS HUGEINT) * sr.c) AS BIGINT) AS score
+      FROM p{k} p JOIN sy{k} sl ON p.l = sl.sym JOIN sy{k} sr ON p.r = sr.sym
+      ORDER BY score DESC, p.c DESC, p.l ASC, p.r ASC LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT freq,
+             replace(s,
+               ' ' || (SELECT l FROM w{k}) || '  ' || (SELECT r FROM w{k}) || ' ',
+               ' ' || (SELECT l FROM w{k}) || substr((SELECT r FROM w{k}), 3)
+                   || ' ') AS s
+      FROM v{k-1}
+      WHERE (SELECT c FROM w{k}) >= {min_count}
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS rank, l, r, c, lc, rc, score FROM w{k} WHERE c >= {min_count}"
+        for k in range(1, n_rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    m AS ({unions})
+    SELECT CAST(rank AS INT) AS rank, l AS sym_left, r AS sym_right,
+           l || substr(r, 3) AS merged, c AS pair_count,
+           lc AS left_count, rc AS right_count, score AS score_scaled
+    FROM m"""
+    )
+
+
+def _wp_vocab_values() -> str:
+    """The pinned vocab as a DuckDB VALUES list (piece, raw form
+    without ##, continuation flag, raw length). Pieces are [a-z#]
+    only — validated here so a future pin edit cannot silently break
+    the SQL literal (the sql_vocab_values lesson, unigram.py)."""
+    rows = []
+    for p in sorted(_WP_PINNED_VOCAB):
+        if not p or not all(ch.isascii() and (ch.islower() or ch == "#") for ch in p):
+            raise ValueError(f"unquotable pinned vocab piece: {p!r}")
+        raw = p[2:] if p.startswith("##") else p
+        cont = "true" if p.startswith("##") else "false"
+        rows.append(f"('{p}', '{raw}', {cont}, {len(raw)})")
+    return ", ".join(rows)
+
+
+def _wordpiece_encode_oracle(rounds: int = 10) -> str:
+    """Greedy longest-match-first WordPiece encode as an UNROLLED
+    DuckDB statement: one MATERIALIZED CTE per consumed piece — each
+    round a LATERAL longest-match probe into the pinned vocab VALUES
+    table (##-continuation form past position 0), a no-op once the
+    word is consumed or failed. ``rounds`` must cover the corpus's
+    longest word (8 across the fixture scales; 10 pinned) — a longer
+    word would leave a tail unconsumed in the oracle while the
+    engine's loop finishes, and the driver hash gate would expose the
+    divergence loudly. A word with no match at any position collapses
+    to [UNK] (the BERT rule)."""
+    parts = [
+        f"""
+    vocab(piece, raw, cont, plen) AS (VALUES {_wp_vocab_values()}),
+    words AS (
+      SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    e0 AS MATERIALIZED (
+      SELECT doc_id, pos, word, 0 AS i, CAST('' AS VARCHAR) AS acc,
+             false AS failed
+      FROM words
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""
+    e{k} AS MATERIALIZED (
+      SELECT e.doc_id, e.pos, e.word,
+        CASE WHEN e.failed OR e.i >= length(e.word) OR m.plen IS NULL
+             THEN e.i ELSE e.i + m.plen END AS i,
+        CASE WHEN e.failed OR e.i >= length(e.word) OR m.plen IS NULL
+             THEN e.acc ELSE e.acc || ' ' || m.piece END AS acc,
+        (e.failed OR (e.i < length(e.word) AND m.plen IS NULL)) AS failed
+      FROM e{k-1} e LEFT JOIN LATERAL (
+        SELECT v.piece, v.plen FROM vocab v
+        WHERE v.cont = (e.i > 0) AND e.i < length(e.word)
+          AND substr(e.word, e.i + 1, v.plen) = v.raw
+        ORDER BY v.plen DESC LIMIT 1) m ON true
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    wordpieces AS (
+      SELECT doc_id, pos,
+             CASE WHEN failed THEN '[UNK]' ELSE trim(acc) END AS wp,
+             failed
+      FROM e{rounds}
+    )
+    SELECT doc_id,
+           CAST(sum(len(string_split(wp, ' '))) AS BIGINT) AS n_pieces,
+           CAST(count(*) FILTER (failed) AS BIGINT) AS n_unk,
+           string_agg(wp, ' ' ORDER BY pos) AS pieces
+    FROM wordpieces GROUP BY doc_id"""
+    )
+
+
+@query("wordpiece_learn_vocab", oracle=_wordpiece_learn_oracle(8, 2))
+def wordpiece_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: WordPiece merge-table learning
+    (operators/wordpiece.wordpiece_learn — Schuster & Nakajima 2012,
+    the HF-trainer likelihood-ratio rule), oracle-checked IN FULL:
+    all 8 rounds replayed as chained materialized CTEs, winner =
+    max scaled-integer score ``(pair_count * 10^12) div (left_count *
+    right_count)`` — the third tokenizer family next to
+    bpe_learn_merges (raw pair count) and unigram_learn_vocab
+    (global-likelihood pruning). Scale shape: corpus collapses once to
+    (word, freq); each round is two vocabulary-sized aggs + one
+    TakeOrdered(1); only the winning row crosses to the driver."""
+    from ..operators.wordpiece import wordpiece_learn
+
+    t = load_tables(spark, sf_dir)
+    m = wordpiece_learn(t["documents"], "text", n_merges=8, min_count=2)
+    return m.select(
+        "rank",
+        F.col("left").alias("sym_left"),
+        F.col("right").alias("sym_right"),
+        "merged",
+        "pair_count",
+        "left_count",
+        "right_count",
+        "score_scaled",
+    )
+
+
+@query("wordpiece_encode_pinned", headline=True, oracle=_wordpiece_encode_oracle())
+def wordpiece_encode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: WordPiece encode under the pinned vocabulary
+    (operators/wordpiece.wordpiece_encode_kernel) — greedy
+    longest-match-first with ##-continuations and the whole-word
+    [UNK] collapse (the BERT WordpieceTokenizer rule; the pinned
+    vocab's deliberate 'q' hole keeps the UNK path exercised on real
+    rows). Map-only broadcast Arrow kernel — greedy matching is
+    sequential PER WORD so there is no regexp-chain sibling regime;
+    the corpus never shuffles, distinct words memoize per batch. The
+    oracle unrolls the match loop as LATERAL longest-match probes.
+    Catalog form: pieces space-joined, docs with zero tokens drop
+    (the bpe_apply_pinned contract)."""
+    from ..operators.wordpiece import UNK, wordpiece_encode_kernel
+
+    t = load_tables(spark, sf_dir)
+    enc = wordpiece_encode_kernel(
+        t["documents"], "text", _WP_PINNED_VOCAB, out_col="__pieces"
+    )
+    return enc.select(
+        "doc_id",
+        F.size("__pieces").cast("long").alias("n_pieces"),
+        F.size(
+            F.filter("__pieces", lambda p: p == F.lit(UNK))
+        ).cast("long").alias("n_unk"),
+        F.array_join("__pieces", " ").alias("pieces"),
+    ).filter(F.col("n_pieces") > 0)
