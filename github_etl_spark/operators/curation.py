@@ -147,12 +147,18 @@ def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     from ..session import eager_checkpoint
 
-    lines = derived_lines_expr(F.col(text_col))
+    # Stage the line derivation behind its own projection so the
+    # transform lambda builds each row's array once (filter + size
+    # both read it; CollapseProject keeps the boundary rather than
+    # duplicate a non-cheap lambda — the gopher_gate measurement).
     stats = eager_checkpoint(
         df.select(
             F.col(id_col),
-            F.filter(lines, c4_line_keep_expr).alias("kept_lines"),
-            F.size(lines).alias("n_lines"),
+            derived_lines_expr(F.col(text_col)).alias("__lns"),
+        ).select(
+            F.col(id_col),
+            F.filter(F.col("__lns"), c4_line_keep_expr).alias("kept_lines"),
+            F.size("__lns").alias("n_lines"),
         ).select(
             id_col,
             "n_lines",
@@ -233,9 +239,21 @@ def gopher_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     alphabetic-word fraction, and >=2 distinct stopwords. All pure JVM
     expressions; `keep` is the conjunction. Fractions are 4-decimal
     rounded so the verdicts replay exactly in the oracle.
+
+    The word and derived-line arrays are staged through their own
+    projection so each builds ONCE per row: several metrics read each
+    array, and CollapseProject keeps the boundary because inlining
+    would duplicate the non-cheap transform lambdas (runtime
+    subexpression elimination inside one projection does not cover
+    higher-order-function lambdas).
     """
-    ws = words_expr(F.col(text_col))
-    lines = derived_lines_expr(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        words_expr(F.col(text_col)).alias("__ws"),
+        derived_lines_expr(F.col(text_col)).alias("__lns"),
+    )
+    ws = F.col("__ws")
+    lines = F.col("__lns")
     rendered = F.concat_ws("\n", lines)
     n_words = F.size(ws)
     n_lines = F.greatest(F.size(lines), F.lit(1))
@@ -277,7 +295,7 @@ def gopher_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.filter(ws, lambda x: F.array_contains(stops, x))
         )
     )
-    out = df.select(
+    out = staged.select(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
