@@ -4889,3 +4889,115 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_replay(
         ev, "__batch", [0, 1, 2], gap="6 hours", delay="2 hours"
     )
+
+
+def _dedup_replay_oracle(delay_sql: str = "INTERVAL 2 HOUR") -> str:
+    """The dropDuplicatesWithinWatermark state machine unrolled as
+    DuckDB CTEs — one (evict, late-split, anti/semi probe, min-keeper)
+    block per arrival batch (the MG-replay unroll idiom). Rules match
+    streaming/events.dedup_replay's probed contract verbatim: lag-2
+    watermark for BOTH the late drop (ts <= wm) and eviction
+    (ts0 + delay <= wm, applied before the batch's rows), emit resets
+    state with the row's own event time, suppressed duplicates do not
+    extend expiry, deterministic min-ts keeper within a batch."""
+    parts = [
+        f"""
+    sdr_ev AS MATERIALIZED (
+      SELECT event_id % 101 AS dk, ts, {_EV_BATCH_SQL} AS b FROM events
+    ),
+    sdr_bstats AS (SELECT b, MAX(ts) AS bmax FROM sdr_ev GROUP BY b),
+    sdr_wm AS MATERIALIZED (
+      SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 2 PRECEDING) - {delay_sql} AS wm
+      FROM sdr_bstats
+    ),
+    st0 AS (SELECT CAST(NULL AS BIGINT) AS dk,
+                   CAST(NULL AS TIMESTAMP) AS ts0 WHERE 1 = 0)"""
+    ]
+    for b in (0, 1, 2):
+        wm = f"(SELECT wm FROM sdr_wm WHERE b = {b})"
+        parts.append(
+            f"""
+    alive{b} AS MATERIALIZED (
+      SELECT dk, ts0 FROM st{b}
+      WHERE {wm} IS NULL OR ts0 + {delay_sql} > {wm}
+    ),
+    late{b} AS (
+      SELECT dk, ts, 'late_dropped' AS verdict FROM sdr_ev
+      WHERE b = {b} AND {wm} IS NOT NULL AND ts <= {wm}
+    ),
+    live{b} AS MATERIALIZED (
+      SELECT dk, ts FROM sdr_ev
+      WHERE b = {b} AND ({wm} IS NULL OR ts > {wm})
+    ),
+    suppst{b} AS (
+      SELECT l.dk, l.ts, 'dup_suppressed' AS verdict
+      FROM live{b} l JOIN alive{b} a USING (dk)
+    ),
+    cand{b} AS (
+      SELECT l.dk, l.ts FROM live{b} l
+      LEFT JOIN alive{b} a USING (dk) WHERE a.dk IS NULL
+    ),
+    keep{b} AS MATERIALIZED (
+      SELECT dk, MIN(ts) AS ts FROM cand{b} GROUP BY dk
+    ),
+    suppb{b} AS (
+      SELECT c.dk, c.ts, 'dup_suppressed' AS verdict
+      FROM cand{b} c JOIN keep{b} k USING (dk) WHERE c.ts <> k.ts
+    ),
+    st{b + 1} AS MATERIALIZED (
+      SELECT dk, ts0 FROM alive{b}
+      UNION ALL SELECT dk, ts AS ts0 FROM keep{b}
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"""SELECT dk, ts, {b} AS batch, verdict FROM (
+          SELECT dk, ts, verdict FROM late{b}
+          UNION ALL SELECT dk, ts, verdict FROM suppst{b}
+          UNION ALL SELECT dk, ts, 'emitted' AS verdict FROM keep{b}
+          UNION ALL SELECT dk, ts, verdict FROM suppb{b})"""
+        for b in (0, 1, 2)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT dk, ts, CAST(batch AS INTEGER) AS batch, verdict
+    FROM ({unions})"""
+    )
+
+
+@query("streaming_dedup_replay", oracle=_dedup_replay_oracle())
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the event-time state machine of streaming dedup
+    (streaming/events.dedup_within_watermark —
+    ``dropDuplicatesWithinWatermark``) replayed as a deterministic
+    batch fold, completing the replay family (tumbling / session /
+    interval join / dedup). Rules PROBED live, not assumed (pinned in
+    tests/test_streaming.py): the lag-2 watermark drives BOTH the
+    late drop (ts <= wm, equality probed) and state eviction
+    (ts0 + delay <= wm, applied before the batch's rows — an expiring
+    key's same-batch re-arrival EMITS), emission resets state with
+    the row's own event time, and a suppressed duplicate does NOT
+    extend expiry. The dedup key is event_id % 101, so keys recur
+    across the three arrival batches and every verdict path — emit,
+    state-suppress, batch-suppress, late-drop, evict-then-re-emit —
+    carries real rows. Output is one verdict row per arrival
+    (exact (key, ts, batch) duplicate arrivals collapse into the
+    single emitted row in both engines), so keeps, drops AND
+    suppressions are hash-checked.
+    Scale shape: one bounded broadcast watermark row per batch; each
+    round one keyed anti/semi probe + one keyed min — the live
+    operator's keyed-state shuffle, with per-round eager checkpoints
+    holding plan depth O(1)."""
+    from ..streaming.events import dedup_replay
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        (F.col("event_id") % 101).alias("dk"),
+        "ts",
+        _ev_batch_col().alias("__batch"),
+    )
+    return dedup_replay(
+        ev, "__batch", [0, 1, 2], ts_col="ts", key="dk", delay="2 hours"
+    )

@@ -448,3 +448,125 @@ def session_replay(
         F.col("n").alias("n_events"),
         "emitted_batch",
     )
+
+
+def dedup_replay(
+    events: DataFrame,
+    batch_col: str,
+    batch_ids: list[int],
+    ts_col: str = "ts",
+    key: str = "dk",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Deterministic replay of ``dedup_within_watermark``'s
+    (``dropDuplicatesWithinWatermark``) event-time state machine —
+    the fourth member of the replay family. Rules probed live
+    (pinned in tests/test_streaming.py), not read off the docs:
+
+    - the operator applies the TWO-BATCH-LAGGED watermark (max event
+      time over batches ≤ b−2, − ``delay``; NULL for the first two
+      batches) to BOTH decisions below — same lag as the aggregation;
+    - a batch-b row is LATE-DROPPED iff ts <= that watermark (probed
+      at equality: a fresh key exactly AT the watermark is dropped);
+    - state entries evict BEFORE the batch's rows apply: an entry
+      (key, ts0) is gone iff ts0 + ``delay`` <= the lagged watermark
+      (probed at equality: expiry == watermark evicts, and the same
+      batch's re-arrival of that key EMITS);
+    - a surviving row emits iff its key holds no live state; emitting
+      (re)creates state with the row's own event time. A SUPPRESSED
+      duplicate does NOT extend the state's expiry (probed: a dup
+      suppressed at 10:25 against state expiring 10:10 did not stop
+      the next batch's re-arrival from emitting);
+    - dedup emits on arrival (no terminal flush); state at stream
+      close simply dies.
+
+    Within one batch the live operator keeps an ARBITRARY first
+    arrival per key; the replay pins the deterministic min
+    (ts, then the remaining columns) keeper — the pin-test fixture
+    carries one arrival per (key, batch) so the live run agrees, and
+    the catalog oracle applies the identical rule.
+
+    Returns one row PER INPUT ROW: (key, ts, batch, verdict) with
+    verdict ∈ emitted / dup_suppressed / late_dropped — keeps, drops
+    and suppressions are all hash-visible, not just the kept set.
+
+    Scale shape: the watermark table is one bounded row per batch
+    (broadcast everywhere); each round is one keyed anti/semi probe +
+    one keyed min — the same keyed-state shuffle the live operator
+    pays per micro-batch; per-round eager checkpoints keep plan depth
+    O(1) (the MG-replay idiom).
+    """
+    from pyspark.sql import Window
+
+    from ..session import eager_checkpoint
+
+    bstats = events.groupBy(F.col(batch_col).alias("__b")).agg(
+        F.max(ts_col).alias("__bmax")
+    )
+    ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -2)
+    wm = eager_checkpoint(
+        bstats.select(
+            "__b",
+            (F.max("__bmax").over(ww) - F.expr(f"INTERVAL {delay}")).alias(
+                "__wm"
+            ),
+        )
+    )
+
+    state = None  # (key, __ts0)
+    out = []
+    for b in batch_ids:
+        w_b = F.broadcast(wm.where(F.col("__b") == F.lit(b)).select("__wm"))
+        if state is not None:
+            state = (
+                state.crossJoin(w_b)
+                .where(
+                    F.col("__wm").isNull()
+                    | (F.col("__ts0") + F.expr(f"INTERVAL {delay}") > F.col("__wm"))
+                )
+                .drop("__wm")
+            )
+        rows = events.where(F.col(batch_col) == b).select(
+            F.col(key), F.col(ts_col).alias("__ts")
+        ).crossJoin(w_b)
+        late = rows.where(
+            F.col("__wm").isNotNull() & (F.col("__ts") <= F.col("__wm"))
+        ).select(key, "__ts", F.lit("late_dropped").alias("verdict"))
+        live = rows.where(
+            F.col("__wm").isNull() | (F.col("__ts") > F.col("__wm"))
+        ).drop("__wm")
+        if state is not None:
+            supp_state = live.join(state.select(key), key, "left_semi").select(
+                key, "__ts", F.lit("dup_suppressed").alias("verdict")
+            )
+            cand = live.join(state.select(key), key, "left_anti")
+        else:
+            supp_state = live.limit(0).select(
+                key, "__ts", F.lit("dup_suppressed").alias("verdict")
+            )
+            cand = live
+        keeper = cand.groupBy(key).agg(F.min("__ts").alias("__kts"))
+        emitted = keeper.select(
+            key,
+            F.col("__kts").alias("__ts"),
+            F.lit("emitted").alias("verdict"),
+        )
+        supp_batch = (
+            cand.join(keeper, key)
+            .where(F.col("__ts") != F.col("__kts"))
+            .select(key, "__ts", F.lit("dup_suppressed").alias("verdict"))
+        )
+        out.append(
+            late.unionByName(supp_state)
+            .unionByName(emitted)
+            .unionByName(supp_batch)
+            .withColumn("batch", F.lit(b).cast("int"))
+        )
+        new_state = keeper.select(key, F.col("__kts").alias("__ts0"))
+        state = eager_checkpoint(
+            new_state if state is None else state.unionByName(new_state)
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select(key, F.col("__ts").alias("ts"), "batch", "verdict")

@@ -1000,3 +1000,74 @@ def test_session_replay_equals_live_stream(spark, stream_dir, tmp_path):
     assert emitted[(5, "2026-03-01 12:40:00", "2026-03-01 13:10:00")] == 1
     assert emitted[(6, "2026-03-01 10:00:00", "2026-03-01 11:00:00")] == 2
     assert (9, "2026-03-01 17:00:00", "2026-03-01 17:30:00") in still_open
+
+
+def test_dedup_replay_equals_live_stream(spark, stream_dir, tmp_path):
+    """The oracle-visible dedup replay (streaming/events.dedup_replay)
+    must reproduce the LIVE dropDuplicatesWithinWatermark output on
+    the same micro-batch sequence — including the probed edges: state
+    suppression, the lag-2 late drop at equality (ts == wm dropped),
+    eviction at equality (expiry == wm evicts, same-batch re-arrival
+    emits), and no expiry extension by a suppressed duplicate."""
+    from github_etl_spark.streaming.events import dedup_replay
+
+    now = time.time()
+    batches = [
+        # b0: A@10:00 (emit; expiry 10:10 under 10m delay), advancer
+        # to 10:20 so the later lag-2 watermark lands EXACTLY on the
+        # expiry
+        [_ev(1, 1, "2026-03-01T10:00:00Z"),
+         _ev(99, 1, "2026-03-01T10:20:00Z")],
+        # b1 (lag-2 wm NULL): duplicate A@10:05 — state alive, must be
+        # suppressed and must NOT extend expiry; fresh B@10:09
+        [_ev(1, 1, "2026-03-01T10:05:00Z"),
+         _ev(2, 1, "2026-03-01T10:09:00Z"),
+         _ev(98, 1, "2026-03-01T12:00:00Z")],
+        # b2 (lag-2 wm = 10:20-10m = 10:10): A's expiry == wm →
+        # evicted, so A@10:26 RE-EMITS; fresh C exactly AT the
+        # watermark (10:10) is late-dropped; fresh D just above
+        # (10:10:01) emits
+        [_ev(1, 1, "2026-03-01T10:26:00Z"),
+         _ev(3, 1, "2026-03-01T10:10:00Z"),
+         _ev(4, 1, "2026-03-01T10:10:01Z"),
+         _ev(97, 1, "2026-03-01T12:30:00Z")],
+    ]
+    for i, rows in enumerate(batches):
+        _write_file(stream_dir / f"b{i}.json", rows, now - 30 + 10 * i)
+
+    live = dedup_within_watermark(
+        _events_stream(spark, stream_dir), keys=["event_id"],
+        watermark="10 minutes",
+    )
+    _drain(live, "dedup_replay_pin_out", str(tmp_path / "ck_ddr"))
+    live_rows = {
+        (r.event_id, str(r.ts))
+        for r in spark.sql("SELECT * FROM dedup_replay_pin_out").collect()
+    }
+
+    rows = [dict(r, batch=i) for i, rs in enumerate(batches) for r in rs]
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["batch"]) for r in rows],
+        "dk long, ts_s string, batch int",
+    ).select(
+        "dk",
+        F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+        "batch",
+    )
+    rep = dedup_replay(
+        batch_df, "batch", [0, 1, 2], ts_col="ts", key="dk",
+        delay="10 minutes",
+    )
+    rep_rows = rep.collect()
+    emitted = {
+        (r.dk, str(r.ts)) for r in rep_rows if r.verdict == "emitted"
+    }
+    assert emitted == live_rows
+    verdicts = {(r.dk, r.batch): r.verdict for r in rep_rows}
+    assert verdicts[(1, 0)] == "emitted"
+    assert verdicts[(1, 1)] == "dup_suppressed"   # state alive in b1
+    assert verdicts[(1, 2)] == "emitted"          # evicted at expiry==wm
+    assert verdicts[(3, 2)] == "late_dropped"     # ts == wm exactly
+    assert verdicts[(4, 2)] == "emitted"          # one second above wm
+    # every input row got exactly one verdict
+    assert len(rep_rows) == sum(len(b) for b in batches)
