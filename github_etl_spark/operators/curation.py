@@ -231,6 +231,85 @@ def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def c4_page_keep_expr(lns: Column) -> Column:
+    """C4's page-keep gate over a staged derived-lines column: at
+    least C4_MIN_KEPT_LINES retained lines ("pages with fewer than 3
+    sentences were removed"). Shared by c4_clean's summary and the
+    pipeline_web_curation composition."""
+    return F.size(F.filter(lns, c4_line_keep_expr)) >= C4_MIN_KEPT_LINES
+
+
+def _gopher_metrics(ws: Column, lines: Column) -> dict[str, Column]:
+    """The Gopher rule metrics from staged word/line array columns —
+    ONE definition shared by gopher_gate (which emits them as output
+    columns) and gopher_keep_expr (which folds them straight into the
+    verdict), so the two can never drift."""
+    rendered = F.concat_ws("\n", lines)
+    n_words = F.size(ws)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_hash = F.length(rendered) - F.length(F.replace(rendered, F.lit("#")))
+    n_ellipsis = (
+        F.length(rendered) - F.length(F.replace(rendered, F.lit("...")))
+    ) / F.lit(3)
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return {
+        "n_words": n_words,
+        "mean_word_len": round_det(
+            F.aggregate(
+                ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            4,
+        ),
+        "symbol_ratio": round_det(
+            (n_hash + n_ellipsis)
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            4,
+        ),
+        "bullet_frac": round_det(
+            F.size(F.filter(lines, lambda l: l.startswith("- ")))
+            / n_lines.cast("double"),
+            4,
+        ),
+        "ellipsis_frac": round_det(
+            F.size(F.filter(lines, lambda l: l.endswith("...")))
+            / n_lines.cast("double"),
+            4,
+        ),
+        "alpha_frac": round_det(
+            F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            4,
+        ),
+        "n_stop_distinct": F.size(
+            F.array_distinct(
+                F.filter(ws, lambda x: F.array_contains(stops, x))
+            )
+        ),
+    }
+
+
+def _gopher_keep_from(m: dict[str, Column]) -> Column:
+    return (
+        (m["n_words"] >= GOPHER_MIN_WORDS)
+        & (m["n_words"] <= GOPHER_MAX_WORDS)
+        & (m["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (m["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (m["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+        & (m["bullet_frac"] <= GOPHER_MAX_BULLET_FRAC)
+        & (m["ellipsis_frac"] <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (m["alpha_frac"] >= GOPHER_MIN_ALPHA_FRAC)
+        & (m["n_stop_distinct"] >= GOPHER_MIN_STOPWORDS)
+    )
+
+
+def gopher_keep_expr(ws: Column, lines: Column) -> Column:
+    """The Gopher keep verdict as one expression over staged word/line
+    array columns (for compositions that only gate, never emit the
+    metrics). Identical rounded metrics to gopher_gate."""
+    return _gopher_keep_from(_gopher_metrics(ws, lines))
+
+
 def gopher_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021, Table A1) as ONE map-only
     projection: word-count bounds, mean-word-length bounds,
@@ -252,70 +331,15 @@ def gopher_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         words_expr(F.col(text_col)).alias("__ws"),
         derived_lines_expr(F.col(text_col)).alias("__lns"),
     )
-    ws = F.col("__ws")
-    lines = F.col("__lns")
-    rendered = F.concat_ws("\n", lines)
-    n_words = F.size(ws)
-    n_lines = F.greatest(F.size(lines), F.lit(1))
-    mean_wl = round_det(
-        F.aggregate(
-            ws,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.length(x),
-        )
-        / F.greatest(n_words, F.lit(1)).cast("double"),
-        4,
-    )
-    n_hash = F.length(rendered) - F.length(F.replace(rendered, F.lit("#")))
-    n_ellipsis = (
-        F.length(rendered) - F.length(F.replace(rendered, F.lit("...")))
-    ) / F.lit(3)
-    symbol_ratio = round_det(
-        (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)).cast("double"),
-        4,
-    )
-    bullet_frac = round_det(
-        F.size(F.filter(lines, lambda l: l.startswith("- ")))
-        / n_lines.cast("double"),
-        4,
-    )
-    ellipsis_frac = round_det(
-        F.size(F.filter(lines, lambda l: l.endswith("...")))
-        / n_lines.cast("double"),
-        4,
-    )
-    alpha_frac = round_det(
-        F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
-        / F.greatest(n_words, F.lit(1)).cast("double"),
-        4,
-    )
-    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop_distinct = F.size(
-        F.array_distinct(
-            F.filter(ws, lambda x: F.array_contains(stops, x))
-        )
-    )
+    m = _gopher_metrics(F.col("__ws"), F.col("__lns"))
     out = staged.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-        alpha_frac.alias("alpha_frac"),
-        n_stop_distinct.alias("n_stop_distinct"),
+        *[m[name].alias(name) for name in (
+            "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+            "ellipsis_frac", "alpha_frac", "n_stop_distinct",
+        )],
     )
-    keep = (
-        (F.col("n_words") >= GOPHER_MIN_WORDS)
-        & (F.col("n_words") <= GOPHER_MAX_WORDS)
-        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
-        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
-        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
-        & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
-        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS)
-    )
+    keep = _gopher_keep_from({name: F.col(name) for name in m})
     return out.select("*", keep.alias("keep"))
 
 

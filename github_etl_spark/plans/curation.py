@@ -14,8 +14,10 @@ points) — value equality between the two shapes is the check.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_round
+from ..operators.pipeline import sql_hash_bucket
 from ..tables import load_tables
 from .ext import _SQL_STOPS_EN, _SQL_WORDS
 from .registry import query
@@ -41,6 +43,45 @@ _SQL_C4_KEEP = """
       AND NOT contains(l, 'javascript')
       AND NOT contains(l, 'lorem ipsum')
       AND NOT contains(l, '{')
+"""
+
+# Gopher metric expressions over CTE columns (ws, lns, r, n_words) —
+# ONE definition composed by the gopher_quality_gate oracle and the
+# pipeline_web_curation oracle, mirroring operators/curation.
+# _gopher_metrics so neither engine's two consumers can drift.
+_SQL_GOPHER_M: dict[str, str] = {
+    "mean_word_len": sql_round(
+        "COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)"
+        " / CAST(greatest(n_words, 1) AS DOUBLE)", 4),
+    "symbol_ratio": sql_round(
+        "((length(r) - length(replace(r, '#', '')))"
+        " + (length(r) - length(replace(r, '...', ''))) / 3.0)"
+        " / CAST(greatest(n_words, 1) AS DOUBLE)", 4),
+    "bullet_frac": sql_round(
+        "CAST(len(list_filter(lns, l -> l LIKE '- %')) AS DOUBLE)"
+        " / CAST(greatest(len(lns), 1) AS DOUBLE)", 4),
+    "ellipsis_frac": sql_round(
+        "CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE)"
+        " / CAST(greatest(len(lns), 1) AS DOUBLE)", 4),
+    "alpha_frac": sql_round(
+        "CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)"
+        " / CAST(greatest(n_words, 1) AS DOUBLE)", 4),
+    "n_stop_distinct": (
+        "CAST(len(list_distinct(list_filter(ws,"
+        f" x -> list_contains({_SQL_STOPS_EN}, x)))) AS INTEGER)"
+    ),
+}
+
+# The keep verdict with the metrics inlined (for WHERE-only consumers).
+_SQL_GOPHER_KEEP = f"""
+      (n_words >= 50 AND n_words <= 100000
+       AND {_SQL_GOPHER_M["mean_word_len"]} >= 3.0
+       AND {_SQL_GOPHER_M["mean_word_len"]} <= 10.0
+       AND {_SQL_GOPHER_M["symbol_ratio"]} <= 0.1
+       AND {_SQL_GOPHER_M["bullet_frac"]} <= 0.9
+       AND {_SQL_GOPHER_M["ellipsis_frac"]} <= 0.3
+       AND {_SQL_GOPHER_M["alpha_frac"]} >= 0.8
+       AND {_SQL_GOPHER_M["n_stop_distinct"]} >= 2)
 """
 
 
@@ -106,20 +147,12 @@ def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT doc_id, n_words,
-        {sql_round("COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)"
-                   " / CAST(greatest(n_words, 1) AS DOUBLE)", 4)} AS mean_word_len,
-        {sql_round("((length(r) - length(replace(r, '#', '')))"
-                   " + (length(r) - length(replace(r, '...', ''))) / 3.0)"
-                   " / CAST(greatest(n_words, 1) AS DOUBLE)", 4)} AS symbol_ratio,
-        {sql_round("CAST(len(list_filter(lns, l -> l LIKE '- %')) AS DOUBLE)"
-                   " / CAST(greatest(len(lns), 1) AS DOUBLE)", 4)} AS bullet_frac,
-        {sql_round("CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE)"
-                   " / CAST(greatest(len(lns), 1) AS DOUBLE)", 4)} AS ellipsis_frac,
-        {sql_round("CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)"
-                   " / CAST(greatest(n_words, 1) AS DOUBLE)", 4)} AS alpha_frac,
-        CAST(len(list_distinct(list_filter(ws,
-             x -> list_contains({_SQL_STOPS_EN}, x)))) AS INTEGER)
-          AS n_stop_distinct
+        {_SQL_GOPHER_M["mean_word_len"]} AS mean_word_len,
+        {_SQL_GOPHER_M["symbol_ratio"]} AS symbol_ratio,
+        {_SQL_GOPHER_M["bullet_frac"]} AS bullet_frac,
+        {_SQL_GOPHER_M["ellipsis_frac"]} AS ellipsis_frac,
+        {_SQL_GOPHER_M["alpha_frac"]} AS alpha_frac,
+        {_SQL_GOPHER_M["n_stop_distinct"]} AS n_stop_distinct
       FROM feat
     )
     SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
@@ -183,3 +216,101 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return ccnet_buckets(t["documents"], "text", "doc_id", "lang")
+
+
+@query(
+    "pipeline_web_curation",
+    headline=True,
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, lang, {_SQL_WORDS} AS ws FROM documents),
+    feat AS (
+      SELECT doc_id, text, lang, ws, {_SQL_LINES} AS lns,
+             array_to_string({_SQL_LINES}, chr(10)) AS r,
+             CAST(len(ws) AS INTEGER) AS n_words
+      FROM w
+    ),
+    gated AS (
+      SELECT doc_id, text, lang FROM feat
+      WHERE len(list_filter(lns, l -> {_SQL_C4_KEEP})) >= 3
+        AND {_SQL_GOPHER_KEEP}
+    ),
+    dedup AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, text
+      FROM gated GROUP BY text
+    ),
+    toks AS (
+      SELECT doc_id, lang, unnest({_SQL_WORDS}) AS tok FROM dedup
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM toks),
+    scored AS (
+      SELECT doc_id, lang,
+             {sql_round("avg(ln(c / CAST(n.n AS DOUBLE)))", 4)} AS avg_logprob
+      FROM toks JOIN freq USING (tok) CROSS JOIN n
+      GROUP BY doc_id, lang
+    ),
+    cuts AS (
+      SELECT lang,
+             {sql_round("quantile_cont(avg_logprob, 1.0/3.0)", 4)} AS c33,
+             {sql_round("quantile_cont(avg_logprob, 2.0/3.0)", 4)} AS c66
+      FROM scored GROUP BY lang
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, avg_logprob,
+             CASE WHEN avg_logprob > c66 THEN 'head'
+                  WHEN avg_logprob > c33 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM scored JOIN cuts USING (lang)
+    )
+    SELECT doc_id, lang, avg_logprob, ppl_bucket,
+           CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
+                WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed WHERE ppl_bucket <> 'tail'
+    """,
+)
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT composite: the full WEB-CORPUS curation pipeline as ONE
+    oracle-checked unit — C4 page gate AND Gopher quality gate (both
+    from one staged word/line derivation) → exact-dedup keeper (min
+    doc_id per text) → CCNet perplexity bucketing with the cut points
+    learned on the GATED, DEDUPED survivor corpus (the composition
+    point: the per-language percentiles differ from the standalone
+    ccnet_perplexity_buckets query's, because a real pipeline buckets
+    the cleaned corpus, not the raw one) → tail bucket dropped →
+    deterministic hash split. Each stage is individually verified
+    elsewhere; this pins their ORDER and the population every
+    statistic is computed over. Shuffle shape: one groupBy(text) for
+    dedup, the unigram-LM token join, one bounded per-language
+    percentile aggregate; gates and split are per-row."""
+    from ..operators.curation import (
+        c4_page_keep_expr,
+        ccnet_buckets,
+        derived_lines_expr,
+        gopher_keep_expr,
+    )
+    from ..operators.pipeline import hash_split
+    from ..functions.text import words_expr
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        words_expr(F.col("text")).alias("__ws"),
+        derived_lines_expr(F.col("text")).alias("__lns"),
+    )
+    gated = staged.where(
+        c4_page_keep_expr(F.col("__lns"))
+        & gopher_keep_expr(F.col("__ws"), F.col("__lns"))
+    )
+    dedup = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    bucketed = ccnet_buckets(dedup, "text", "doc_id", "lang").withColumnRenamed(
+        "bucket", "ppl_bucket"
+    )
+    head = bucketed.where(F.col("ppl_bucket") != "tail")
+    return hash_split(head, "doc_id").select(
+        "doc_id", "lang", "avg_logprob", "ppl_bucket", "split"
+    )

@@ -40,6 +40,9 @@ def empty_sf_dir(tmp_path_factory):
 GLOBAL_AGG_ROWS = {
     "s8_existence_probe": 1,  # the probe's answer IS "snapshot_exists=0"
     "a4_hll_sketch": 1,  # the cross-group "ALL" union row
+    # its accuracy-contract sibling carries the same global merged row
+    # (exact 0, estimate 0 — trivially within band) on empty input
+    "hll_sketch_error": 1,
     "graph_triangle_count": 1,  # global (n_triangles=0, n_edges=0, n_nodes=0)
     "quantile_sketch_bottomk": 1,  # global agg: NULL quantiles over an empty sample
     "tpch_q14_promo_share": 1,  # global ratio: one NULL row over zero revenue
