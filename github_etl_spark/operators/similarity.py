@@ -1319,3 +1319,106 @@ def ivfpq_topk(
     if rerank:
         return pq_rerank_exact(corpus, topped, id_col, vec_col, k)
     return topped.select("query_id", "neighbor_id", "rank", "score")
+
+
+def rp_distortion(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    table: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection DISTORTION contract:
+    for consecutive-id vector pairs, the squared L2 distance in the
+    k=``n_planes``-dimensional md5-portable projection (the same
+    integer plane family the LSH bucketer uses, `md5_int_planes`)
+    versus the true squared distance — the "pairwise distances survive
+    projection" guarantee a 100 TB user relies on when they shrink
+    embeddings before ANN, measured as rows instead of cited as a
+    theorem (the minhash_estimate_error idiom, applied to JL).
+
+    INTEGER-EXACT cross-engine: vectors quantize to BIGINT once
+    (floor(v*1000+0.5), the portable-LSH rule), plane components are
+    md5-derived integers, every dot/square runs in BIGINT/DECIMAL(38)
+    (HUGEINT in the oracle), and the reported ratio is one scaled
+    integer division — no float sum whose ordering could flip a
+    rounding. est/true ratio estimator: ``ratio_scaled =
+    (proj_d2 * dim * 10^4) div (S_total * true_d2)`` with S_total =
+    sum of ALL plane components squared (so proj_d2/(k*sigma^2) in
+    exact arithmetic); 10^4 = 1.0. ``within_band`` flags ratio in
+    [0.5, 2.0] — k=16 concentrates to ~±2*sqrt(2/k)≈0.7, so the band
+    holds for the vast majority of pairs and a broken projection
+    (wrong planes, dropped dims) floods it with zeros.
+
+    Scale shape: map-only per-pair arithmetic after ONE sorted
+    equi-self-join on (id, id+1); the plane table rides in the plan as
+    literals (bounded by k*dim)."""
+    planes = md5_int_planes(dim=64, n_planes=n_planes, table=table)
+    s_total = sum(c * c for p in planes for c in p)
+    dim = len(planes[0])
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    base = emb.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(F.col(id_col), qv.alias("qv"))
+    a = base.select(
+        F.col(id_col).alias("vec_id_a"), F.col("qv").alias("qa")
+    )
+    b = base.select(
+        (F.col(id_col) - 1).alias("vec_id_a"),
+        F.col(id_col).alias("vec_id_b"),
+        F.col("qv").alias("qb"),
+    )
+    pairs = a.join(b, "vec_id_a")
+    dq = F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x - y)
+    pairs = pairs.select(
+        "vec_id_a", "vec_id_b", dq.alias("dq")
+    )
+    true_d2 = F.aggregate(
+        F.col("dq"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+
+    def dr(p: list[int]):
+        lit = F.array(*[F.lit(c).cast("long") for c in p])
+        return F.aggregate(
+            F.zip_with(F.col("dq"), lit, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    proj = None
+    for p in planes:
+        sq = (dr(p).cast("decimal(38,0)")) * (dr(p).cast("decimal(38,0)"))
+        proj = sq if proj is None else proj + sq
+    out = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        true_d2.alias("true_d2"),
+        proj.alias("__proj"),
+    ).select(
+        "vec_id_a",
+        "vec_id_b",
+        "true_d2",
+        F.when(
+            F.col("true_d2") > 0,
+            F.expr(
+                f"CAST((__proj * {dim * 10000}) div "
+                f"(CAST({s_total} AS DECIMAL(38,0)) * true_d2) AS BIGINT)"
+            ),
+        ).alias("ratio_scaled"),
+    )
+    return out.select(
+        "vec_id_a",
+        "vec_id_b",
+        "true_d2",
+        "ratio_scaled",
+        F.when(
+            F.col("ratio_scaled").isNotNull()
+            & (F.col("ratio_scaled") >= 5000)
+            & (F.col("ratio_scaled") <= 20000),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("within_band"),
+    )

@@ -5001,3 +5001,74 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_replay(
         ev, "__batch", [0, 1, 2], ts_col="ts", key="dk", delay="2 hours"
     )
+
+
+def _rp_distortion_oracle(n_planes: int = 16, table: int = 7) -> str:
+    """JL distortion contract oracle: same md5-derived integer planes
+    (inlined as list literals), same quantization, every product in
+    HUGEINT — the whole contract is integer division, no float sums."""
+    from ..operators.similarity import md5_int_planes
+
+    planes = md5_int_planes(dim=64, n_planes=n_planes, table=table)
+    s_total = sum(c * c for p in planes for c in p)
+    dim = len(planes[0])
+    drs = []
+    for j, p in enumerate(planes):
+        lit = "[" + ",".join(str(c) for c in p) + "]"
+        drs.append(
+            f"CAST((SELECT SUM(x.a * x.b) FROM (SELECT UNNEST(dq) AS a, "
+            f"UNNEST({lit}) AS b) x) AS HUGEINT)"
+        )
+    proj = " + ".join(f"({d} * {d})" for d in drs)
+    return f"""
+    WITH rp_q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    rp_pairs AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             list_transform(range(1, len(a.qv) + 1),
+               i -> a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)]) AS dq
+      FROM rp_q a JOIN rp_q b ON b.vec_id = a.vec_id + 1
+    ),
+    rp_m AS (
+      SELECT vec_id_a, vec_id_b,
+             CAST((SELECT SUM(x.a * x.a)
+                   FROM (SELECT UNNEST(dq) AS a) x) AS BIGINT) AS true_d2,
+             ({proj}) AS proj
+      FROM rp_pairs
+    )
+    SELECT vec_id_a, vec_id_b, true_d2,
+           CASE WHEN true_d2 > 0
+                THEN CAST((proj * {dim * 10000})
+                          // (CAST({s_total} AS HUGEINT) * true_d2) AS BIGINT)
+                END AS ratio_scaled,
+           CASE WHEN true_d2 > 0
+                 AND (proj * {dim * 10000})
+                     // (CAST({s_total} AS HUGEINT) * true_d2)
+                     BETWEEN 5000 AND 20000
+                THEN 1 ELSE 0 END AS within_band
+    FROM rp_m
+    """
+
+
+@query("embedding_rp_distortion", oracle=_rp_distortion_oracle())
+def embedding_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: Johnson-Lindenstrauss random-projection distortion
+    contract (operators/similarity.rp_distortion) — per consecutive
+    vector pair, true squared L2 distance vs its k=16 md5-portable
+    projection estimate as ONE scaled-integer ratio, with the
+    [0.5, 2.0] concentration band flagged. Completes the
+    accuracy-contract family (minhash / quantile / distinct-count /
+    ANN recall) for the dimensionality-reduction step a 100 TB
+    pipeline runs before ANN. Integer-exact end-to-end: quantized
+    BIGINT vectors, integer planes, DECIMAL(38)/HUGEINT squares,
+    integer division — no float summation order anywhere. Map-only
+    after one sorted equi-self-join on (id, id+1)."""
+    from ..operators.similarity import rp_distortion
+
+    t = load_tables(spark, sf_dir)
+    return rp_distortion(t["embeddings"])
