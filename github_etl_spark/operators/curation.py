@@ -310,6 +310,33 @@ def gopher_keep_expr(ws: Column, lines: Column) -> Column:
     return _gopher_keep_from(_gopher_metrics(ws, lines))
 
 
+def web_gate_expr(text_col) -> Column:
+    """C4 page keep AND Gopher keep as ONE pushdown-proof expression.
+
+    A projection-staged alias is NOT enough under a filter: Catalyst's
+    predicate pushdown substitutes the alias's defining expression
+    into the condition PER REFERENCE (measured: 60 copies of the line
+    derivation, 228 of the word split in pipeline_web_curation's first
+    cut). Here the word/line arrays are built once into a one-element
+    struct array and every metric reads the LAMBDA VARIABLE — a bound
+    variable cannot be inlined, so the arrays derive exactly once per
+    row no matter where the optimizer moves the predicate."""
+    packed = F.array(
+        F.struct(
+            words_expr(text_col).alias("ws"),
+            derived_lines_expr(text_col).alias("lns"),
+        )
+    )
+    return F.element_at(
+        F.transform(
+            packed,
+            lambda s: c4_page_keep_expr(s["lns"])
+            & _gopher_keep_from(_gopher_metrics(s["ws"], s["lns"])),
+        ),
+        1,
+    )
+
+
 def gopher_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021, Table A1) as ONE map-only
     projection: word-count bounds, mean-word-length bounds,

@@ -283,29 +283,23 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is computed over. Shuffle shape: one groupBy(text) for
     dedup, the unigram-LM token join, one bounded per-language
     percentile aggregate; gates and split are per-row."""
-    from ..operators.curation import (
-        c4_page_keep_expr,
-        ccnet_buckets,
-        derived_lines_expr,
-        gopher_keep_expr,
-    )
+    from ..operators.curation import ccnet_buckets, web_gate_expr
     from ..operators.pipeline import hash_split
-    from ..functions.text import words_expr
 
     docs = load_tables(spark, sf_dir)["documents"]
-    staged = docs.select(
-        "doc_id",
-        "text",
-        "lang",
-        words_expr(F.col("text")).alias("__ws"),
-        derived_lines_expr(F.col("text")).alias("__lns"),
+    gated = docs.select("doc_id", "text", "lang").where(
+        web_gate_expr(F.col("text"))
     )
-    gated = staged.where(
-        c4_page_keep_expr(F.col("__lns"))
-        & gopher_keep_expr(F.col("__ws"), F.col("__lns"))
-    )
-    dedup = gated.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    from ..session import eager_checkpoint
+
+    # The survivor frame feeds several consumers inside the CCNet
+    # stage (token freq, corpus total, per-doc scoring); without a
+    # materialization each consumer re-runs the whole gate scan
+    # (measured: 6 Filter copies of the gate in the optimized plan).
+    dedup = eager_checkpoint(
+        gated.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+        )
     )
     bucketed = ccnet_buckets(dedup, "text", "doc_id", "lang").withColumnRenamed(
         "bucket", "ppl_bucket"

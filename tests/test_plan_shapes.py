@@ -23,6 +23,23 @@ SF = "/root/testdata/sf0.001"
 # Reviewed exchange budgets (see docs/PLANS.md for the narrative).
 EXCHANGE_BUDGET = {
     "a4_group_agg": 1,
+    # 4 = span-key groupBy (keeper agg) + keeper join + per-doc dup
+    # groupBy + stats rejoin; the line filter itself is map-only and
+    # the line frame is checkpointed once for its three consumers.
+    "c4_clean": 4,
+    # 12 = the unigram-LM token join (tok-keyed freq groupBy + join)
+    # + per-doc scoring groupBy + the bounded per-language percentile
+    # agg, with AQE broadcast subtrees re-counted (the corpus total
+    # and the |languages|-row cut table both broadcast back).
+    "ccnet_perplexity_buckets": 12,
+    # 12 = the CCNet tail of the composite (same shape as above) plus
+    # one dedup groupBy(text); the C4+Gopher gate is ONE map-only
+    # pushdown-proof expression (web_gate_expr) and the survivor
+    # frame is checkpointed, so the gate scan runs exactly once.
+    "pipeline_web_curation": 12,
+    # 0 = greedy longest-match runs entirely inside the broadcast
+    # Arrow kernel — the corpus never shuffles.
+    "wordpiece_encode_pinned": 0,
     # 11 = basket build + pair agg (+AQE subtrees for the three
     # broadcast stat sides) + min-support prune + TakeOrdered; the
     # basket arrays shuffle once, pairs expand in-row
