@@ -281,3 +281,66 @@ def wordpiece_encode_kernel(
         return texts.map(enc)
 
     return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+def corpus_alphabet(df: DataFrame, text_col: str) -> list[str]:
+    """Sorted distinct characters of the corpus's words — the
+    WordPiece initial alphabet. Bounded by alphabet size (one
+    distinct agg crosses to the driver)."""
+    from .pipeline import word_freq_table
+
+    rows = (
+        word_freq_table(df, text_col)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substring(F.col("word"), i, F.lit(1)),
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def wordpiece_tokenize_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_merges: int = 8,
+    min_count: int = 2,
+    k: int = 200,
+    min_df: int = 2,
+    unk_id: int = 0,
+) -> DataFrame:
+    """End-to-end WordPiece tokenization — the full production
+    text→ids path, the trio-completing sibling of bpe_tokenize_encode
+    and unigram_tokenize_encode: learn the merge table
+    (likelihood-ratio trainer), assemble the vocabulary (corpus
+    alphabet in bare + ## forms, plus every merged token — so encode
+    has no OOV by construction, the character-coverage invariant),
+    greedy-encode every document (broadcast Arrow kernel), induce the
+    top-``k`` PIECE vocabulary with dense ids (`_vocab_rank`'s
+    count-then-lexicographic order, min_df floor) and emit per-doc
+    ``array<long>`` piece-id sequences with sub-top-k pieces →
+    ``unk_id``.
+
+    Scale shape: learn rounds are vocabulary-sized aggs; the alphabet
+    and merge table are the only driver-side lists (both bounded);
+    encode is map-only; the id tail is `_assemble_input_ids`' one
+    corpus-sized groupBy with in-array (pos, id) sorting."""
+    merges = wordpiece_learn(df, text_col, n_merges, min_count)
+    merged = [r["merged"] for r in merges.orderBy("rank").collect()]
+    chars = corpus_alphabet(df, text_col)
+    vocab = set(chars) | {CONT + c for c in chars} | set(merged)
+
+    from .pipeline import _assemble_input_ids, _vocab_rank
+
+    enc = wordpiece_encode_kernel(df, text_col, vocab, out_col="__pieces")
+    toks = enc.select(
+        F.col(id_col), F.posexplode("__pieces").alias("pos", "tok")
+    )
+    ids = _vocab_rank(toks, id_col, k, min_df).select("tok", "vocab_id")
+    return _assemble_input_ids(toks, ids, id_col, unk_id)

@@ -1325,18 +1325,11 @@ _WP_PINNED_VOCAB: tuple[str, ...] = tuple(
 )
 
 
-def _wordpiece_learn_oracle(n_rounds: int = 8, min_count: int = 2) -> str:
-    """The FULL iterative WordPiece learn loop as one DuckDB statement
-    — the `_bpe_learn_oracle` construction with the two WordPiece
-    deltas: (a) each round also aggregates SYMBOL counts and the
-    winner maximizes the scaled-integer likelihood score
-    ``(pair_count * 10^12) // (left_count * right_count)`` (HUGEINT —
-    exact, never a float ratio; ties by pair count then
-    lexicographic), and (b) the initial segmentation ##-prefixes every
-    non-initial character and a merge strips the right side's ##.
-    Same double-space symbol encoding (plain literal replace
-    reproduces left-to-right non-overlapping fusion), same
-    MATERIALIZED-CTE-per-round shape, same min_count early stop."""
+def _wp_learn_parts(n_rounds: int, min_count: int) -> list[str]:
+    """The WordPiece learn loop's CTE parts (wf, v0, then per round
+    sy{k}/p{k}/w{k}/v{k}) — shared by `_wordpiece_learn_oracle` and
+    the end-to-end oracle so the replayed trainer can never drift
+    between the two pins."""
     parts = [
         f"""
     wf AS MATERIALIZED (
@@ -1384,6 +1377,22 @@ def _wordpiece_learn_oracle(n_rounds: int = 8, min_count: int = 2) -> str:
       WHERE (SELECT c FROM w{k}) >= {min_count}
     )"""
         )
+    return parts
+
+
+def _wordpiece_learn_oracle(n_rounds: int = 8, min_count: int = 2) -> str:
+    """The FULL iterative WordPiece learn loop as one DuckDB statement
+    — the `_bpe_learn_oracle` construction with the two WordPiece
+    deltas: (a) each round also aggregates SYMBOL counts and the
+    winner maximizes the scaled-integer likelihood score
+    ``(pair_count * 10^12) // (left_count * right_count)`` (HUGEINT —
+    exact, never a float ratio; ties by pair count then
+    lexicographic), and (b) the initial segmentation ##-prefixes every
+    non-initial character and a merge strips the right side's ##.
+    Same double-space symbol encoding (plain literal replace
+    reproduces left-to-right non-overlapping fusion), same
+    MATERIALIZED-CTE-per-round shape, same min_count early stop."""
+    parts = _wp_learn_parts(n_rounds, min_count)
     unions = " UNION ALL ".join(
         f"SELECT {k} AS rank, l, r, c, lc, rc, score FROM w{k} WHERE c >= {min_count}"
         for k in range(1, n_rounds + 1)
@@ -1415,20 +1424,14 @@ def _wp_vocab_values() -> str:
     return ", ".join(rows)
 
 
-def _wordpiece_encode_oracle(rounds: int = 10) -> str:
-    """Greedy longest-match-first WordPiece encode as an UNROLLED
-    DuckDB statement: one MATERIALIZED CTE per consumed piece — each
-    round a LATERAL longest-match probe into the pinned vocab VALUES
-    table (##-continuation form past position 0), a no-op once the
-    word is consumed or failed. ``rounds`` must cover the corpus's
-    longest word (8 across the fixture scales; 10 pinned) — a longer
-    word would leave a tail unconsumed in the oracle while the
-    engine's loop finishes, and the driver hash gate would expose the
-    divergence loudly. A word with no match at any position collapses
-    to [UNK] (the BERT rule)."""
+def _wp_encode_parts(rounds: int, vocab_cte: str) -> list[str]:
+    """The greedy longest-match unroll (words, e0..e{rounds}) as CTE
+    parts, probing ``vocab_cte`` (columns piece, raw, cont, plen) —
+    shared by the pinned-vocab encode oracle and the end-to-end
+    oracle, where the vocab is DERIVED from the learn CTEs instead of
+    a VALUES literal."""
     parts = [
         f"""
-    vocab(piece, raw, cont, plen) AS (VALUES {_wp_vocab_values()}),
     words AS (
       SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
       FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
@@ -1450,12 +1453,30 @@ def _wordpiece_encode_oracle(rounds: int = 10) -> str:
              THEN e.acc ELSE e.acc || ' ' || m.piece END AS acc,
         (e.failed OR (e.i < length(e.word) AND m.plen IS NULL)) AS failed
       FROM e{k-1} e LEFT JOIN LATERAL (
-        SELECT v.piece, v.plen FROM vocab v
+        SELECT v.piece, v.plen FROM {vocab_cte} v
         WHERE v.cont = (e.i > 0) AND e.i < length(e.word)
           AND substr(e.word, e.i + 1, v.plen) = v.raw
         ORDER BY v.plen DESC LIMIT 1) m ON true
     )"""
         )
+    return parts
+
+
+def _wordpiece_encode_oracle(rounds: int = 10) -> str:
+    """Greedy longest-match-first WordPiece encode as an UNROLLED
+    DuckDB statement: one MATERIALIZED CTE per consumed piece — each
+    round a LATERAL longest-match probe into the pinned vocab VALUES
+    table (##-continuation form past position 0), a no-op once the
+    word is consumed or failed. ``rounds`` must cover the corpus's
+    longest word (8 across the fixture scales; 10 pinned) — a longer
+    word would leave a tail unconsumed in the oracle while the
+    engine's loop finishes, and the driver hash gate would expose the
+    divergence loudly. A word with no match at any position collapses
+    to [UNK] (the BERT rule)."""
+    parts = [
+        f"""
+    vocab(piece, raw, cont, plen) AS (VALUES {_wp_vocab_values()})"""
+    ] + _wp_encode_parts(rounds, "vocab")
     return (
         "WITH "
         + ",".join(parts)
@@ -1529,3 +1550,116 @@ def wordpiece_encode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_unk"),
         F.array_join("__pieces", " ").alias("pieces"),
     ).filter(F.col("n_pieces") > 0)
+
+
+def _wordpiece_e2e_oracle(
+    n_merges: int = 8, min_count: int = 2, rounds: int = 10
+) -> str:
+    """The FULL WordPiece production path in ONE DuckDB statement —
+    the trio-completing deepest pin next to bpe_tokenize_encode and
+    unigram_tokenize_encode: the 8-round likelihood-ratio learn loop
+    (`_wp_learn_parts`), the vocabulary DERIVED from it (corpus
+    alphabet in bare + ## forms ∪ the surviving merge tokens — no
+    VALUES literal anywhere, so the encode is pinned against the
+    TRAINED vocab), the greedy longest-match unroll probing that
+    derived vocab, and the shared piece-vocabulary id tail
+    (count-then-lexicographic dense ranks, min_df floor, sub-top-k →
+    0, positional reassembly)."""
+    merged_unions = " UNION ALL ".join(
+        f"SELECT l || substr(r, 3) AS piece FROM w{k} WHERE c >= {min_count}"
+        for k in range(1, n_merges + 1)
+    )
+    parts = _wp_learn_parts(n_merges, min_count)
+    parts.append(
+        f"""
+    alpha AS MATERIALIZED (
+      SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS ch
+      FROM wf, unnest(range(1, length(word) + 1)) AS t(i)
+    ),
+    wpv AS MATERIALIZED (
+      SELECT piece,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                  ELSE piece END AS raw,
+             piece LIKE '##%' AS cont,
+             length(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                         ELSE piece END) AS plen
+      FROM (
+        SELECT ch AS piece FROM alpha
+        UNION ALL SELECT '##' || ch FROM alpha
+        UNION ALL {merged_unions}
+      )
+    )"""
+    )
+    parts.extend(_wp_encode_parts(rounds, "wpv"))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    wp2 AS (
+      SELECT doc_id, pos,
+             string_split(CASE WHEN failed THEN '[UNK]' ELSE trim(acc) END,
+                          ' ') AS ps
+      FROM e{rounds}
+    ),
+    ptoks AS (
+      SELECT doc_id, pos AS wpos, unnest(ps) AS tok,
+             unnest(range(len(ps))) AS ppos
+      FROM wp2
+    ),
+    toks2 AS (
+      SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY wpos, ppos) - 1
+               AS pos
+      FROM ptoks
+    ),
+    vocab_agg AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS term_count,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
+      FROM toks2 GROUP BY tok
+    ),
+    vocab_top AS (
+      SELECT * FROM vocab_agg WHERE doc_count >= 2
+      ORDER BY term_count DESC, tok ASC LIMIT 200
+    ),
+    vocab_ids AS (
+      SELECT tok,
+             CAST(row_number() OVER (ORDER BY term_count DESC, tok ASC)
+                  AS BIGINT) AS vocab_id
+      FROM vocab_top
+    ),
+    encx AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, 0) AS tid
+      FROM toks2 t LEFT JOIN vocab_ids v USING (tok)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           array_to_string(list(tid ORDER BY pos), ' ') AS input_ids
+    FROM encx GROUP BY doc_id"""
+    )
+
+
+@query("wordpiece_tokenize_encode", oracle=_wordpiece_e2e_oracle())
+def wordpiece_tokenize_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the FULL WordPiece tokenizer path end-to-end — learn the
+    merge table with the likelihood-ratio trainer, assemble the
+    vocabulary (corpus alphabet bare + ## forms ∪ merged tokens, so
+    encode has no OOV by construction), greedy-encode every document,
+    induce the top-200 piece vocabulary (min_df 2, dense ids), and
+    emit per-document piece-id sequences
+    (operators/wordpiece.wordpiece_tokenize_encode). With
+    bpe_tokenize_encode and unigram_tokenize_encode this completes
+    end-to-end pins for all three tokenizer families; the oracle
+    replays training, vocabulary assembly, greedy matching against the
+    TRAINED vocab, and positional id reassembly in one statement."""
+    from ..operators.wordpiece import wordpiece_tokenize_encode
+
+    t = load_tables(spark, sf_dir)
+    enc = wordpiece_tokenize_encode(
+        t["documents"], "text", "doc_id", n_merges=8, min_count=2,
+        k=200, min_df=2,
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("input_ids", " ").alias("input_ids"),
+    )
