@@ -416,3 +416,47 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# The pinned phrase blocklist for the catalog gate (C4 §2.2 also
+# dropped pages matching a phrase blocklist). Three phrases occur in
+# the fixture corpus, one never does — the zero path stays exercised.
+BLOCKLIST_PHRASES = ("slow query", "big table", "merge join", "drop table")
+
+
+def blocklist_gate(
+    df: DataFrame, text_col: str, id_col: str,
+    phrases: tuple[str, ...] = BLOCKLIST_PHRASES,
+) -> DataFrame:
+    """Phrase-blocklist page filter (the C4 "bad words" gate shape):
+    per document, total occurrence count across the pinned phrases on
+    the whitespace-normalized lowercased text, and the keep verdict
+    (zero hits). Counting rule: literal space-padded replace — hits
+    are left-to-right non-overlapping and two ADJACENT instances share
+    their boundary space so the second is not counted; both engines
+    apply the identical rule, so the contract is exact (the gate's
+    keep verdict is unaffected — any hit is a drop).
+
+    Map-only pure JVM expressions; the blocklist rides in the plan as
+    literals. A production deployment with thousands of patterns moves
+    the match into a broadcast Arrow kernel over a compiled trie
+    (Aho-Corasick) behind the same (id, n_hits, keep) contract —
+    `search_phrase_match` documents the single-phrase primitive.
+    """
+    norm = F.concat(
+        F.lit(" "), F.concat_ws(" ", words_expr(F.col(text_col))), F.lit(" ")
+    )
+    staged = df.select(F.col(id_col), norm.alias("__norm"))
+    hits = None
+    for ph in phrases:
+        pad = f" {ph} "
+        h = (
+            F.length("__norm")
+            - F.length(F.replace(F.col("__norm"), F.lit(pad)))
+        ) / F.lit(len(pad))
+        hits = h if hits is None else hits + h
+    return staged.select(
+        F.col(id_col),
+        hits.cast("long").alias("n_hits"),
+        (hits.cast("long") == 0).alias("keep"),
+    )

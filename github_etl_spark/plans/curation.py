@@ -308,3 +308,36 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(head, "doc_id").select(
         "doc_id", "lang", "avg_logprob", "ppl_bucket", "split"
     )
+
+
+def _blocklist_oracle() -> str:
+    from ..operators.curation import BLOCKLIST_PHRASES
+
+    terms = " + ".join(
+        f"((length(norm) - length(replace(norm, ' {ph} ', ''))) / {len(ph) + 2})"
+        for ph in BLOCKLIST_PHRASES
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    n AS (
+      SELECT doc_id, ' ' || array_to_string(ws, ' ') || ' ' AS norm FROM w
+    )
+    SELECT doc_id,
+           CAST({terms} AS BIGINT) AS n_hits,
+           CAST({terms} AS BIGINT) = 0 AS keep
+    FROM n
+    """
+
+
+@query("blocklist_filter", oracle=_blocklist_oracle())
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: phrase-blocklist page gate (C4 §2.2's "bad words" filter
+    shape; operators/curation.blocklist_gate) — per document the total
+    occurrence count across the pinned phrase list on the
+    whitespace-normalized text, and the zero-hit keep verdict.
+    Map-only; the deployment path for thousand-pattern lists (compiled
+    trie in a broadcast Arrow kernel) is documented on the operator."""
+    from ..operators.curation import blocklist_gate
+
+    t = load_tables(spark, sf_dir)
+    return blocklist_gate(t["documents"], "text", "doc_id")

@@ -1071,3 +1071,72 @@ def test_dedup_replay_equals_live_stream(spark, stream_dir, tmp_path):
     assert verdicts[(4, 2)] == "emitted"          # one second above wm
     # every input row got exactly one verdict
     assert len(rep_rows) == sum(len(b) for b in batches)
+
+
+def test_dedup_replay_matches_scalar_simulation(spark):
+    """Differential: the DataFrame fold vs a direct scalar simulation
+    of the probed dropDuplicatesWithinWatermark rules, over randomized
+    (seeded) batch sequences — keys recur, timestamps collide, and
+    watermarks advance irregularly."""
+    import random
+    from datetime import datetime, timedelta
+
+    from github_etl_spark.streaming.events import dedup_replay
+
+    rng = random.Random(1137)
+    base = datetime(2026, 3, 1)
+    delay = timedelta(minutes=10)
+    n_batches = 4
+    rows = []
+    for b in range(n_batches):
+        for _ in range(rng.randint(3, 8)):
+            rows.append(
+                (
+                    rng.randint(1, 5),  # dk: heavy collisions
+                    base + timedelta(minutes=rng.randint(0, 90) + 25 * b),
+                    b,
+                )
+            )
+
+    # scalar simulation of the probed rules
+    bmax = {}
+    for dk, ts, b in rows:
+        bmax[b] = max(bmax.get(b, ts), ts)
+    def wm(b):
+        prior = [bmax[x] for x in range(b - 1) if x in bmax]
+        return (max(prior) - delay) if prior else None
+    state: dict[int, datetime] = {}
+    expect: dict[tuple, str] = {}
+    for b in range(n_batches):
+        w = wm(b)
+        if w is not None:
+            state = {k: t0 for k, t0 in state.items() if t0 + delay > w}
+        batch = [(dk, ts) for dk, ts, bb in rows if bb == b]
+        live = [(dk, ts) for dk, ts in batch if w is None or ts > w]
+        for dk, ts in batch:
+            if not (w is None or ts > w):
+                expect[(dk, ts, b)] = "late_dropped"
+        keeper = {}
+        for dk, ts in live:
+            if dk in state:
+                expect[(dk, ts, b)] = "dup_suppressed"
+            else:
+                keeper.setdefault(dk, []).append(ts)
+        for dk, tss in keeper.items():
+            kts = min(tss)
+            for ts in tss:
+                if ts != kts:
+                    expect[(dk, ts, b)] = "dup_suppressed"
+            expect[(dk, kts, b)] = "emitted"
+            state[dk] = kts
+    df = spark.createDataFrame(rows, "dk long, ts timestamp, batch int")
+    got = {
+        (r.dk, r.ts, r.batch): r.verdict
+        for r in dedup_replay(
+            df, "batch", list(range(n_batches)), ts_col="ts", key="dk",
+            delay="10 minutes",
+        ).collect()
+    }
+    # exact (dk, ts, batch) duplicate arrivals collapse in the replay;
+    # compare on the distinct-arrival key set
+    assert got == expect

@@ -133,3 +133,38 @@ def test_encode_kernel_matches_scalar(spark):
     for i, t in enumerate(texts):
         expected = [p for w in t.split() for p in wordpiece_pieces(w, vs)]
         assert got[i] == expected
+
+
+def test_greedy_pieces_properties():
+    """Hypothesis: for random words and vocabs, the greedy result
+    either reassembles the word exactly (## stripped, first piece
+    bare, all later pieces ##-prefixed) or is the whole-word [UNK]."""
+    from hypothesis import given, settings, strategies as st
+
+    chars = "abcd"
+    piece_st = st.text(alphabet=chars, min_size=1, max_size=3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet=chars, min_size=1, max_size=8),
+        bare=st.sets(piece_st, max_size=8),
+        cont=st.sets(piece_st, max_size=8),
+    )
+    def check(word, bare, cont):
+        vocab = set(bare) | {CONT + p for p in cont}
+        got = wordpiece_pieces(word, vocab)
+        if got == [UNK]:
+            return
+        assert got[0] in vocab and not got[0].startswith(CONT)
+        for p in got[1:]:
+            assert p in vocab and p.startswith(CONT)
+        assert got[0] + "".join(p[len(CONT):] for p in got[1:]) == word
+        # longest-match-first: the first piece is the LONGEST bare
+        # vocab prefix of the word
+        longest = max(
+            (j for j in range(1, len(word) + 1) if word[:j] in vocab),
+            default=0,
+        )
+        assert len(got[0]) == longest
+
+    check()
