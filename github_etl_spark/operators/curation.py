@@ -383,13 +383,21 @@ def ccnet_buckets(
     table (the unigram-LM shape), then the cut points are one
     per-language exact-percentile aggregate — output bounded by
     |languages| — broadcast back for an in-row comparison. No global
-    window, no per-language sort.
+    window, no per-language sort. The frequency table is materialized
+    once and the corpus total derived from it (sum of counts) —
+    Spark has no automatic subplan reuse, so without this the corpus
+    would be re-tokenized for the frequency table, the total, AND the
+    join probe side (the unigram_logprob rule; review-caught here).
     """
     toks = df.select(
         F.col(id_col), F.col(lang_col), F.explode(words_expr(F.col(text_col))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = toks.agg(F.count("*").alias("n"))
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    total = freq.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(freq, "tok")
         .crossJoin(F.broadcast(total))

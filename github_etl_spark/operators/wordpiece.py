@@ -122,7 +122,12 @@ def wordpiece_learn(
     Each round: pair counts + symbol counts (both vocabulary-sized
     aggs over the checkpointed working table), score join, ONE
     TakeOrdered(1) winner — score desc, pair count desc, then
-    lexicographic (left, right)."""
+    lexicographic (left, right). ``min_count`` filters the CANDIDATE
+    set before ranking (the HF-trainer min_frequency semantic):
+    the likelihood ratio is maximized at 10^12 by any hapax pair
+    whose symbols occur nowhere else, so ranking first and checking
+    min_count after would let one rare typo word halt training for
+    the whole corpus (review-caught)."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if min_count < 1:
@@ -146,6 +151,7 @@ def wordpiece_learn(
             syms = _symbol_counts(vocab)
             top = (
                 bpe_pair_counts(vocab)
+                .where(F.col("pair_count") >= min_count)
                 .join(
                     syms.select(
                         F.col("sym").alias("left"),
@@ -175,7 +181,7 @@ def wordpiece_learn(
                 .limit(1)
                 .collect()
             )
-            if not top or top[0]["pair_count"] < min_count:
+            if not top:
                 break
             r = top[0]
             merged = merged_symbol(r["left"], r["right"])
@@ -287,8 +293,6 @@ def corpus_alphabet(df: DataFrame, text_col: str) -> list[str]:
     """Sorted distinct characters of the corpus's words — the
     WordPiece initial alphabet. Bounded by alphabet size (one
     distinct agg crosses to the driver)."""
-    from .pipeline import word_freq_table
-
     rows = (
         word_freq_table(df, text_col)
         .select(

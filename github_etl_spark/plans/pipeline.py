@@ -1365,6 +1365,7 @@ def _wp_learn_parts(n_rounds: int, min_count: int) -> list[str]:
              CAST((CAST(p.c AS HUGEINT) * 1000000000000)
                   // (CAST(sl.c AS HUGEINT) * sr.c) AS BIGINT) AS score
       FROM p{k} p JOIN sy{k} sl ON p.l = sl.sym JOIN sy{k} sr ON p.r = sr.sym
+      WHERE p.c >= {min_count}
       ORDER BY score DESC, p.c DESC, p.l ASC, p.r ASC LIMIT 1
     ),
     v{k} AS MATERIALIZED (

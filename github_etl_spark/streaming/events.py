@@ -378,16 +378,26 @@ def session_replay(
 
     from ..session import eager_checkpoint
 
+    # Anchored on the SUPPLIED batch ids (empty batch → NULL-watermark
+    # row, never an empty per-round frame that would wipe open-session
+    # state); the terminal flush row likewise carries max(batch_ids)+1
+    # so it is found even when the LAST batch has no rows — same
+    # review-caught rule as dedup_replay below.
+    terminal = max(batch_ids) + 1
+    ids = events.sparkSession.createDataFrame(
+        [(int(b),) for b in batch_ids], "__b int"
+    )
     bstats = events.groupBy(F.col(batch_col).alias("__b")).agg(
         F.max(ts_col).alias("__bmax")
     )
     ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -2)
-    wm = bstats.select(
+    joined = ids.join(bstats, "__b", "left")
+    wm = joined.select(
         "__b",
         (F.max("__bmax").over(ww) - F.expr(f"INTERVAL {delay}")).alias("__wm"),
     ).unionByName(
-        bstats.agg(
-            (F.max("__b") + 1).alias("__b"),
+        joined.agg(
+            F.lit(terminal).cast("int").alias("__b"),
             (F.max("__bmax") - F.expr(f"INTERVAL {delay}")).alias("__wm"),
         )
     )
@@ -395,7 +405,6 @@ def session_replay(
 
     state = None  # (key, s_start, s_end, n)
     emitted = []
-    terminal = max(batch_ids) + 1
     for b in [*batch_ids, terminal]:
         w_b = F.broadcast(
             wm.where(F.col("__b") == F.lit(b)).select("__wm")
@@ -500,12 +509,23 @@ def dedup_replay(
 
     from ..session import eager_checkpoint
 
+    # Anchor the watermark table on the SUPPLIED batch ids, not just
+    # the observed ones: a batch id with zero rows must still yield a
+    # (possibly NULL) watermark row, or the per-round
+    # `wm.where(__b = b)` frame comes back EMPTY and the crossJoin
+    # below silently wipes all dedup state (review-caught — the live
+    # operator and the oracle both treat a missing watermark as NULL
+    # and keep state alive). F.max skips the NULL __bmax an empty
+    # batch contributes.
+    ids = events.sparkSession.createDataFrame(
+        [(int(b),) for b in batch_ids], "__b int"
+    )
     bstats = events.groupBy(F.col(batch_col).alias("__b")).agg(
         F.max(ts_col).alias("__bmax")
     )
     ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -2)
     wm = eager_checkpoint(
-        bstats.select(
+        ids.join(bstats, "__b", "left").select(
             "__b",
             (F.max("__bmax").over(ww) - F.expr(f"INTERVAL {delay}")).alias(
                 "__wm"

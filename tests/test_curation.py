@@ -131,6 +131,5 @@ def test_ccnet_bucket_ordering(spark):
     assert [r.bucket for r in by_lp] == ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
     # monotone: every head logprob > every middle > every tail
     lp = {b: [r.avg_logprob for r in rows if r.bucket == b] for b in ("head", "middle", "tail")}
-    assert min(lp["head"]) > max(lp["middle"]) > max(lp["tail"]) or min(
-        lp["middle"]
-    ) > max(lp["tail"])
+    assert min(lp["head"]) > max(lp["middle"])
+    assert min(lp["middle"]) > max(lp["tail"])

