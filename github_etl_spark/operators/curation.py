@@ -123,35 +123,18 @@ def c4_line_keep_expr(line: Column) -> Column:
     )
 
 
-def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """C4 cleaning summary per document: line filter + span dedup.
-
-    Returns (id, n_lines, n_kept, keep_doc, n_spans, n_dup_spans):
-    counts of derived lines, retained lines, the >=3-retained-lines
-    page keep flag, three-consecutive-retained-line spans, and spans
-    that duplicate an earlier occurrence anywhere in the corpus
-    ("earlier" = the global (id, position) minimum — C4 keeps only the
-    first occurrence of any three-sentence span).
-
-    Plan: the line filter is map-only; spans explode to one row per
-    (doc, position) keyed by the span's md5; the keeper is ONE
-    span-keyed min-struct aggregation (partial-combined, so a hot
-    boilerplate span collapses map-side) joined back to the span rows;
-    per-doc dup counts rejoin the map-side stats on the id. No window
-    over span occurrences (a corpus-hot span would funnel its copies
-    through one task); no payload beyond three lines crosses any
-    exchange. The line-derivation frame is eager-checkpointed once —
-    it feeds three consumers (span explode, span-count rejoin, final
-    stats) and the per-line regex cascade is the query's dominant map
-    cost, so recomputing it per consumer would triple the scan work.
-    """
+def c4_kept_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Eager-checkpointed per-document line-filter frame:
+    (id, n_lines, kept_lines, n_kept, keep_doc). Checkpointed because
+    it feeds multiple consumers (span explode, span-count rejoin,
+    final stats) and the per-line regex cascade is the dominant map
+    cost; the line derivation is staged behind its own projection so
+    the transform lambda builds each row's array once (filter + size
+    both read it; CollapseProject keeps the boundary rather than
+    duplicate a non-cheap lambda — the gopher_gate measurement)."""
     from ..session import eager_checkpoint
 
-    # Stage the line derivation behind its own projection so the
-    # transform lambda builds each row's array once (filter + size
-    # both read it; CollapseProject keeps the boundary rather than
-    # duplicate a non-cheap lambda — the gopher_gate measurement).
-    stats = eager_checkpoint(
+    return eager_checkpoint(
         df.select(
             F.col(id_col),
             derived_lines_expr(F.col(text_col)).alias("__lns"),
@@ -168,7 +151,12 @@ def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
     )
 
-    spans = stats.select(
+
+def c4_spans_from(stats: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, span_key) — every C4_SPAN_LINES-consecutive-kept-line
+    span of a `c4_kept_lines` frame, keyed by md5. In-row expansion
+    then one explode; the span payload never exceeds the key."""
+    return stats.select(
         id_col,
         F.explode(
             F.when(
@@ -195,7 +183,107 @@ def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 )
             )
         ).alias("s"),
-    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.span_key").alias("span_key"))
+    ).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.span_key").alias("span_key")
+    )
+
+
+def span_incremental_verdicts(
+    corpus: DataFrame, batch: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental C4 span dedup: classify an ingest BATCH's
+    three-sentence spans against the already-ingested CORPUS — the
+    per-crawl form of `c4_clean`'s global span dedup (at 100 TB you
+    never re-dedup the whole corpus per ingest; the dedup_incremental
+    architecture applied to the span family).
+
+    Per batch document: total spans, spans already present anywhere in
+    the corpus (`n_dup_corpus`), spans whose first occurrence is
+    earlier WITHIN the batch (`n_dup_batch` — min (id, pos) keeper,
+    corpus hits excluded), and genuinely new spans (`n_new` — the rows
+    an append would add to the span store).
+
+    Scale shape: the corpus side collapses to its DISTINCT span keys
+    (one span-keyed partial-combined agg — the "store"; on disk this
+    is the materialized relation, here derived inline so the catalog
+    oracle can replay it); the BATCH side is broadcast into the
+    membership probe, so the store is scanned but never shuffled —
+    per-ingest cost is one store pass plus batch-sized work, exactly
+    the dedup_incremental contract."""
+    store = (
+        c4_spans_from(c4_kept_lines(corpus, text_col, id_col), id_col)
+        .select("span_key")
+        .distinct()
+    )
+    bstats = c4_kept_lines(batch, text_col, id_col)
+    bspans = c4_spans_from(bstats, id_col)
+    probed = bspans.join(
+        F.broadcast(store.select("span_key", F.lit(1).alias("__hit"))),
+        "span_key",
+        "left",
+    ).select(
+        id_col,
+        "pos",
+        "span_key",
+        F.col("__hit").isNotNull().alias("in_corpus"),
+    )
+    keeper = (
+        probed.where(~F.col("in_corpus"))
+        .groupBy("span_key")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep_at"))
+    )
+    verdicts = probed.join(keeper, "span_key", "left").select(
+        id_col,
+        F.when(F.col("in_corpus"), F.lit("dup_corpus"))
+        .when(
+            (F.col(id_col) == F.col(f"keep_at.{id_col}"))
+            & (F.col("pos") == F.col("keep_at.pos")),
+            F.lit("new"),
+        )
+        .otherwise(F.lit("dup_batch"))
+        .alias("verdict"),
+    )
+    counts = verdicts.groupBy(id_col).pivot(
+        "verdict", ["dup_corpus", "dup_batch", "new"]
+    ).count()
+    return (
+        bstats.select(id_col, "n_kept", "keep_doc")
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            "n_kept",
+            "keep_doc",
+            F.coalesce("dup_corpus", F.lit(0)).cast("long").alias("n_dup_corpus"),
+            F.coalesce("dup_batch", F.lit(0)).cast("long").alias("n_dup_batch"),
+            F.coalesce("new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+
+
+def c4_clean(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4 cleaning summary per document: line filter + span dedup.
+
+    Returns (id, n_lines, n_kept, keep_doc, n_spans, n_dup_spans):
+    counts of derived lines, retained lines, the >=3-retained-lines
+    page keep flag, three-consecutive-retained-line spans, and spans
+    that duplicate an earlier occurrence anywhere in the corpus
+    ("earlier" = the global (id, position) minimum — C4 keeps only the
+    first occurrence of any three-sentence span).
+
+    Plan: the line filter is map-only; spans explode to one row per
+    (doc, position) keyed by the span's md5; the keeper is ONE
+    span-keyed min-struct aggregation (partial-combined, so a hot
+    boilerplate span collapses map-side) joined back to the span rows;
+    per-doc dup counts rejoin the map-side stats on the id. No window
+    over span occurrences (a corpus-hot span would funnel its copies
+    through one task); no payload beyond three lines crosses any
+    exchange. The line-derivation frame is eager-checkpointed once —
+    it feeds three consumers (span explode, span-count rejoin, final
+    stats) and the per-line regex cascade is the query's dominant map
+    cost, so recomputing it per consumer would triple the scan work.
+    """
+    stats = c4_kept_lines(df, text_col, id_col)
+    spans = c4_spans_from(stats, id_col)
 
     keeper = spans.groupBy("span_key").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep_at")

@@ -341,3 +341,80 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return blocklist_gate(t["documents"], "text", "doc_id")
+
+
+@query(
+    "span_dedup_incremental",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    lines AS (SELECT doc_id, {_SQL_LINES} AS lns FROM w),
+    kl AS (
+      SELECT doc_id, list_filter(lns, l -> {_SQL_C4_KEEP}) AS kept
+      FROM lines
+    ),
+    spans AS (
+      SELECT doc_id, CAST(j AS INTEGER) AS pos,
+             md5(array_to_string(kept[(j+1):(j+3)], chr(1))) AS span_key
+      FROM kl, unnest(range(len(kept) - 2)) AS t(j)
+      WHERE len(kept) >= 3
+    ),
+    store AS (SELECT DISTINCT span_key FROM spans WHERE doc_id % 5 <> 0),
+    b AS (SELECT * FROM spans WHERE doc_id % 5 = 0),
+    probed AS (
+      SELECT b.doc_id, b.pos, b.span_key,
+             s.span_key IS NOT NULL AS in_corpus
+      FROM b LEFT JOIN store s USING (span_key)
+    ),
+    nk AS (
+      SELECT doc_id, span_key,
+             row_number() OVER (PARTITION BY span_key
+                                ORDER BY doc_id, pos) AS rn
+      FROM probed WHERE NOT in_corpus
+    ),
+    verd AS (
+      SELECT doc_id, 'dup_corpus' AS verdict FROM probed WHERE in_corpus
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN rn = 1 THEN 'new' ELSE 'dup_batch' END AS verdict
+      FROM nk
+    ),
+    counts AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (verdict = 'dup_corpus') AS BIGINT)
+               AS n_dup_corpus,
+             CAST(count(*) FILTER (verdict = 'dup_batch') AS BIGINT)
+               AS n_dup_batch,
+             CAST(count(*) FILTER (verdict = 'new') AS BIGINT) AS n_new
+      FROM verd GROUP BY doc_id
+    )
+    SELECT k.doc_id, CAST(len(kept) AS INTEGER) AS n_kept,
+           len(kept) >= 3 AS keep_doc,
+           COALESCE(c.n_dup_corpus, 0) AS n_dup_corpus,
+           COALESCE(c.n_dup_batch, 0) AS n_dup_batch,
+           COALESCE(c.n_new, 0) AS n_new
+    FROM kl k LEFT JOIN counts c ON k.doc_id = c.doc_id
+    WHERE k.doc_id % 5 = 0
+    """,
+)
+def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: incremental C4 span dedup — an ingest batch (every 5th
+    document) classified against the already-ingested corpus's
+    three-sentence-span store
+    (operators/curation.span_incremental_verdicts): per batch doc the
+    spans already known to the corpus, the within-batch later
+    duplicates (min (id, pos) keeper), and the genuinely new spans an
+    append would add. The per-crawl form of c4_clean's global span
+    dedup, in the dedup_incremental architecture: the corpus collapses
+    to its distinct span keys ONCE (the store — scanned, never
+    shuffled), the batch side is broadcast into the membership probe.
+    The oracle ranks within-batch occurrences with the naive window
+    spec; the engine uses the partial-aggregated min-struct keeper."""
+    from ..operators.curation import span_incremental_verdicts
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return span_incremental_verdicts(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+    )

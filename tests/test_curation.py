@@ -133,3 +133,36 @@ def test_ccnet_bucket_ordering(spark):
     lp = {b: [r.avg_logprob for r in rows if r.bucket == b] for b in ("head", "middle", "tail")}
     assert min(lp["head"]) > max(lp["middle"])
     assert min(lp["middle"]) > max(lp["tail"])
+
+
+def test_span_incremental_verdict_paths(spark):
+    """All three verdict paths on hand-crafted docs: a batch doc
+    duplicating a corpus doc (dup_corpus), two identical batch docs
+    (first = new, second = dup_batch), and a fresh batch doc (new).
+    The sf0.01 fixture happens to exercise dup_batch zero times, so
+    this pin keeps the path covered."""
+    from github_etl_spark.operators.curation import span_incremental_verdicts
+
+    t_corpus = " ".join(f"w{i}" for i in range(60))
+    t_batch_dup = t_corpus
+    t_twin = " ".join(f"x{i}" for i in range(60))
+    t_fresh = " ".join(f"y{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(0, t_corpus)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, t_batch_dup), (11, t_twin), (12, t_twin), (13, t_fresh)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_incremental_verdicts(
+            corpus, batch, "text", "doc_id"
+        ).collect()
+    }
+    assert out[10].n_dup_corpus == out[10].n_kept - 2  # all spans known
+    assert out[10].n_new == 0 and out[10].n_dup_batch == 0
+    assert out[11].n_new > 0 and out[11].n_dup_batch == 0
+    assert out[12].n_dup_batch == out[11].n_new  # twin loses every span
+    assert out[12].n_new == 0 and out[12].n_dup_corpus == 0
+    assert out[13].n_new > 0 and out[13].n_dup_corpus == 0
