@@ -404,9 +404,10 @@ def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans already known to the corpus, the within-batch later
     duplicates (min (id, pos) keeper), and the genuinely new spans an
     append would add. The per-crawl form of c4_clean's global span
-    dedup, in the dedup_incremental architecture: the corpus collapses
-    to its distinct span keys ONCE (the store — scanned, never
-    shuffled), the batch side is broadcast into the membership probe.
+    dedup, in the dedup_incremental architecture: the BATCH's distinct
+    span keys are broadcast to semi-filter the corpus span stream
+    map-side (the store is scanned, never shuffled, never collected),
+    and only the bounded hit set is broadcast back into the probe.
     The oracle ranks within-batch occurrences with the naive window
     spec; the engine uses the partial-aggregated min-struct keeper."""
     from ..operators.curation import span_incremental_verdicts

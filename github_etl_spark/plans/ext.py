@@ -4646,12 +4646,16 @@ def _ev_batch_col():
       SELECT ts, event_type, {_EV_BATCH_SQL} AS b FROM events
     ),
     swr_bstats AS (SELECT b, MAX(ts) AS bmax FROM swr_ev GROUP BY b),
+    -- Batch-id spine (see _dedup_replay_oracle): id-distance lag over
+    -- supplied batch ids, NULL bmax of an empty batch skipped by MAX.
+    swr_ids AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(b)),
     swr_wm AS (
       SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
                PRECEDING AND 2 PRECEDING) - INTERVAL 2 HOUR AS wm
-      FROM swr_bstats
+      FROM swr_ids LEFT JOIN swr_bstats USING (b)
       UNION ALL
-      SELECT MAX(b) + 1, MAX(bmax) - INTERVAL 2 HOUR FROM swr_bstats
+      SELECT MAX(b) + 1, MAX(bmax) - INTERVAL 2 HOUR
+      FROM swr_ids LEFT JOIN swr_bstats USING (b)
     ),
     swr_kept AS (
       SELECT date_trunc('hour', e.ts) AS window_start,
@@ -4830,12 +4834,16 @@ def _sess_round_sql(prev: str, b: int, out: str) -> str:
       SELECT user_id, ts, {_EV_BATCH_SQL} AS b FROM events
     ),
     ssn_bstats AS (SELECT b, MAX(ts) AS bmax FROM ssn_ev GROUP BY b),
+    -- Batch-id spine (see _dedup_replay_oracle): id-distance lag over
+    -- supplied batch ids, NULL bmax of an empty batch skipped by MAX.
+    ssn_ids AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(b)),
     ssn_wm AS (
       SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
                PRECEDING AND 2 PRECEDING) - INTERVAL 2 HOUR AS wm
-      FROM ssn_bstats
+      FROM ssn_ids LEFT JOIN ssn_bstats USING (b)
       UNION ALL
-      SELECT MAX(b) + 1, MAX(bmax) - INTERVAL 2 HOUR FROM ssn_bstats
+      SELECT MAX(b) + 1, MAX(bmax) - INTERVAL 2 HOUR
+      FROM ssn_ids LEFT JOIN ssn_bstats USING (b)
     ),
     ssn_s0 AS (
       SELECT CAST(NULL AS BIGINT) AS key,
@@ -4906,10 +4914,16 @@ def _dedup_replay_oracle(delay_sql: str = "INTERVAL 2 HOUR") -> str:
       SELECT event_id % 101 AS dk, ts, {_EV_BATCH_SQL} AS b FROM events
     ),
     sdr_bstats AS (SELECT b, MAX(ts) AS bmax FROM sdr_ev GROUP BY b),
+    -- Batch-id spine: the lag-2 watermark is an ID-distance lag over
+    -- the SUPPLIED batch ids (an empty batch still advances the lag,
+    -- its NULL bmax skipped by MAX) — mirroring the engine's
+    -- ids.join(bstats, 'left'), not a row-distance window over
+    -- observed batches only.
+    sdr_ids AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(b)),
     sdr_wm AS MATERIALIZED (
       SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
                PRECEDING AND 2 PRECEDING) - {delay_sql} AS wm
-      FROM sdr_bstats
+      FROM sdr_ids LEFT JOIN sdr_bstats USING (b)
     ),
     st0 AS (SELECT CAST(NULL AS BIGINT) AS dk,
                    CAST(NULL AS TIMESTAMP) AS ts0 WHERE 1 = 0)"""

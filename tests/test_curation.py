@@ -39,8 +39,7 @@ def _expected_lines(words: list[str]) -> list[str]:
             line += "..."
         elif j % NOPUNCT_MOD != 2:
             line += "."
-        return_line = line
-        out.append(return_line)
+        out.append(line)
     return out
 
 
