@@ -41,7 +41,7 @@ No reference analog (the reference is a GitHub REST ETL,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_det
@@ -247,13 +247,30 @@ def span_incremental_verdicts(
     though the probed frame feeds two consumers (keeper + verdicts),
     and so no BroadcastExchange subtree contains the corpus scan at
     all — tests/test_plan_shapes.py asserts both properties."""
-    from ..session import eager_checkpoint
-
     bstats = c4_kept_lines(batch, text_col, id_col)
     bspans = c4_spans_from(bstats, id_col)
     store = c4_spans_from(
         c4_kept_lines(corpus, text_col, id_col), id_col
     ).select("span_key")
+    rows = span_verdict_rows(bspans, store, id_col)
+    return _span_doc_summary(bstats, rows, id_col)
+
+
+def span_verdict_rows(
+    bspans: DataFrame, store: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-span verdict rows (id, pos, span_key, verdict) for a batch
+    span frame probed against a span store — the shared classification
+    core of the inline (`span_incremental_verdicts`) and materialized
+    (`span_index_check`) paths, so the two cannot diverge (the index
+    roundtrip test asserts exact equality, the incremental.py idiom).
+
+    verdict ∈ {dup_corpus, dup_batch, new}: in the store; a later
+    within-batch occurrence of a not-in-store span (min (id, pos)
+    keeper); the keeper occurrence itself — exactly the rows an append
+    adds to the store."""
+    from ..session import eager_checkpoint
+
     hits = eager_checkpoint(
         span_store_hits(store, bspans.select("span_key").distinct())
     )
@@ -272,8 +289,10 @@ def span_incremental_verdicts(
         .groupBy("span_key")
         .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep_at"))
     )
-    verdicts = probed.join(keeper, "span_key", "left").select(
+    return probed.join(keeper, "span_key", "left").select(
         id_col,
+        "pos",
+        "span_key",
         F.when(F.col("in_corpus"), F.lit("dup_corpus"))
         .when(
             (F.col(id_col) == F.col(f"keep_at.{id_col}"))
@@ -283,7 +302,14 @@ def span_incremental_verdicts(
         .otherwise(F.lit("dup_batch"))
         .alias("verdict"),
     )
-    counts = verdicts.groupBy(id_col).pivot(
+
+
+def _span_doc_summary(
+    bstats: DataFrame, verdict_rows: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-doc (id, n_kept, keep_doc, n_dup_corpus, n_dup_batch,
+    n_new) from a `span_verdict_rows` frame."""
+    counts = verdict_rows.groupBy(id_col).pivot(
         "verdict", ["dup_corpus", "dup_batch", "new"]
     ).count()
     return (
@@ -297,6 +323,150 @@ def span_incremental_verdicts(
             F.coalesce("dup_batch", F.lit(0)).cast("long").alias("n_dup_batch"),
             F.coalesce("new", F.lit(0)).cast("long").alias("n_new"),
         )
+    )
+
+
+# ------------------------------------------------ materialized span store
+
+_SPAN_META_SUFFIX = "_meta"
+
+
+def _span_meta() -> dict:
+    """Span-keying parameters pinned into the store's meta sidecar.
+    The span key is a pure function of the module's derivation
+    constants; recording them makes silent constant drift between
+    build time and check time a loud error instead of wrong verdicts."""
+    return {
+        "span_lines": C4_SPAN_LINES,
+        "min_line_words": C4_MIN_LINE_WORDS,
+        "min_kept_lines": C4_MIN_KEPT_LINES,
+        "line_words": LINE_WORDS,
+        "key": "md5",
+    }
+
+
+def span_index_build(
+    corpus: DataFrame, path: str, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the span store: the corpus's DISTINCT
+    three-sentence-span keys at `{path}/spans` (partitioned by
+    `ingest_batch`, build rows in partition −1), keying parameters at
+    `{path}_meta` (one-line JSON via the Spark text writer).
+
+    The meta sidecar is written FIRST — the incremental.py
+    crash-ordering contract: a crash mid-build leaves a store the
+    check reads with the right parameters (possibly incomplete —
+    rebuild), never one silently probed with the wrong keying. The
+    build-time DISTINCT is the one corpus-wide shuffle the store ever
+    pays; every later ingest probes and appends batch-bounded sets
+    (span_index_check / span_index_append) without rescanning raw
+    corpus text — the whole point of the incremental form."""
+    import json as _json
+
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(_json.dumps(_span_meta()),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path + _SPAN_META_SUFFIX)
+    (
+        c4_spans_from(c4_kept_lines(corpus, text_col, id_col), id_col)
+        .select("span_key")
+        .distinct()
+        .withColumn("ingest_batch", F.lit(-1).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(f"{path}/spans")
+    )
+
+
+def _read_span_meta(spark: SparkSession, path: str) -> dict:
+    import json as _json
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.text(path + _SPAN_META_SUFFIX).head()
+    except AnalysisException:  # path missing entirely
+        row = None
+    if row is None or not row[0]:
+        raise ValueError(
+            f"span store at {path!r} has no meta sidecar at "
+            f"{path + _SPAN_META_SUFFIX!r} — incomplete build? Rebuild "
+            "with span_index_build."
+        )
+    meta = _json.loads(row[0])
+    current = _span_meta()
+    if meta != current:
+        raise ValueError(
+            f"span store at {path!r} was built with keying {meta}, but "
+            f"this code keys with {current} — span keys would not "
+            "match. Rebuild with span_index_build."
+        )
+    return meta
+
+
+def _span_store(
+    spark: SparkSession, path: str, exclude_batch: int | None
+) -> DataFrame:
+    store = spark.read.parquet(f"{path}/spans")
+    if exclude_batch is not None:
+        # Partition-pruned mask (not a scan): a replayed streaming
+        # batch excludes its OWN partition so a prior crashed attempt's
+        # half-published keys can't flip its verdicts
+        # (streaming/span_gate.py).
+        store = store.where(F.col("ingest_batch") != int(exclude_batch))
+    return store.select("span_key")
+
+
+def span_index_check(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Classify a batch against a MATERIALIZED span store — same
+    output as `span_incremental_verdicts` (exact equality pinned by
+    the roundtrip test) without rescanning the corpus's raw text:
+    per-ingest cost is one store-parquet scan (span keys only, no
+    text) plus batch-sized work."""
+    _read_span_meta(spark, path)
+    bstats = c4_kept_lines(batch, text_col, id_col)
+    bspans = c4_spans_from(bstats, id_col)
+    rows = span_verdict_rows(
+        bspans, _span_store(spark, path, exclude_batch), id_col
+    )
+    return _span_doc_summary(bstats, rows, id_col)
+
+
+def span_index_append(
+    spark: SparkSession,
+    path: str,
+    new_keys: DataFrame,
+    ingest_batch: int | None = None,
+) -> None:
+    """Append a batch's NEW span keys (the `verdict == 'new'` rows of
+    `span_verdict_rows` — already distinct by the keeper rule, already
+    disjoint from the store by the probe) so the next batch dedups
+    against them.
+
+    With an `ingest_batch` id the write DYNAMIC-OVERWRITES exactly the
+    `ingest_batch=N` partition — a replayed streaming batch
+    republishes its own partition instead of double-appending
+    (idempotent under foreachBatch's at-least-once delivery). Without
+    one, rows land in the build partition (−1) with plain append
+    semantics."""
+    _read_span_meta(spark, path)
+    batch_id = -1 if ingest_batch is None else int(ingest_batch)
+    mode = "append" if ingest_batch is None else "overwrite"
+    (
+        new_keys.select("span_key")
+        .withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(f"{path}/spans")
     )
 
 

@@ -419,3 +419,199 @@ def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
     )
+
+
+def _pretraining_e2e_oracle() -> str:
+    """The FULL pretraining-data path in ONE DuckDB statement, every
+    stage's SQL reused from its standalone oracle so the fragments
+    cannot drift: web-curation gate (C4 page rule + Gopher) → exact
+    dedup keeper → portable MinHash+LSH near-dup pairs (agreement ≥
+    0.5) → connected components → per-component canonical keeper →
+    leakage-safe hash split ON THE COMPONENT id → top-200/min_df-2
+    vocabulary induced on the SURVIVOR corpus (the composition point:
+    different vocab than the standalone tokenize_encode's, which sees
+    the raw corpus) → token-id encode (OOV→0) → FFD sequence packing
+    (capacity 256, 32 portable-hash shards) → per-(split, shard)
+    manifest. The manifest's sum_tid pins the vocabulary ids and OOV
+    mapping; n_packs/n_overflow pin the packing; n_docs/n_tokens pin
+    every gate and keeper upstream."""
+    from ..operators.pipeline import sql_hash_bucket
+    from .ext import minhash_pair_ctes
+    from .pipeline import pack_ffd_ctes
+
+    split_b = sql_hash_bucket("k.component_id")
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, text, lang, {_SQL_WORDS} AS ws FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, text, lang, ws, {_SQL_LINES} AS lns,
+             array_to_string({_SQL_LINES}, chr(10)) AS r,
+             CAST(len(ws) AS INTEGER) AS n_words
+      FROM w
+    ),
+    gated AS (
+      SELECT doc_id, text FROM feat
+      WHERE len(list_filter(lns, l -> {_SQL_C4_KEEP})) >= 3
+        AND {_SQL_GOPHER_KEEP}
+    ),
+    exact AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id, text FROM gated GROUP BY text
+    ),
+    {minhash_pair_ctes("exact", "mh_")},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / 32.0 >= 0.5
+    ),
+    und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(node, other) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r2.node, u.dst FROM reach r2 JOIN und u ON u.src = r2.other
+    ),
+    comp AS (
+      SELECT node AS doc_id, LEAST(node, MIN(other)) AS component
+      FROM reach GROUP BY node
+    ),
+    labeled AS (
+      SELECT e.doc_id,
+             CAST(COALESCE(c.component, e.doc_id) AS BIGINT) AS component_id
+      FROM exact e LEFT JOIN comp c USING (doc_id)
+    ),
+    keepers AS (
+      SELECT component_id, MIN(doc_id) AS doc_id
+      FROM labeled GROUP BY component_id
+    ),
+    kept AS MATERIALIZED (
+      SELECT k.doc_id, e.text,
+             CASE WHEN {split_b} < 80 THEN 'train'
+                  WHEN {split_b} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM keepers k JOIN exact e USING (doc_id)
+    ),
+    ktoks AS MATERIALIZED (SELECT doc_id, unnest({_SQL_WORDS}) AS tok FROM kept),
+    vocab_agg AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS term_count
+      FROM ktoks GROUP BY tok HAVING count(DISTINCT doc_id) >= 2
+    ),
+    vocab_top AS (
+      SELECT * FROM vocab_agg ORDER BY term_count DESC, tok ASC LIMIT 200
+    ),
+    vocab AS (
+      SELECT tok,
+             CAST(row_number() OVER (ORDER BY term_count DESC, tok ASC)
+                  AS BIGINT) AS vocab_id
+      FROM vocab_top
+    ),
+    enc AS (
+      SELECT t.doc_id, COALESCE(v.vocab_id, 0) AS tid
+      FROM ktoks t LEFT JOIN vocab v USING (tok)
+    ),
+    encagg AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(tid) AS BIGINT) AS sum_tid
+      FROM enc GROUP BY doc_id
+    ),
+    sized AS (
+      SELECT doc_id, n_tokens,
+             CAST({sql_hash_bucket("doc_id", 32)} AS INTEGER) AS shard
+      FROM encagg
+    ),
+    {pack_ffd_ctes("sized", 256)}
+    SELECT k.split, p.shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT p.pack_id) AS BIGINT) AS n_packs,
+           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (p.overflow) AS BIGINT) AS n_overflow,
+           CAST(sum(g.sum_tid) AS BIGINT) AS sum_tid
+    FROM packed p JOIN kept k USING (doc_id) JOIN encagg g USING (doc_id)
+    GROUP BY k.split, p.shard
+    """
+
+
+@query(
+    "pipeline_pretraining_e2e",
+    headline=True,
+    oracle=_pretraining_e2e_oracle(),
+)
+def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT composite: the END-TO-END pretraining-data pipeline as ONE
+    oracle-checked unit — web-curation gate (C4 + Gopher, one staged
+    derivation) → exact-dedup keeper → near-dup dedup on the portable
+    MinHash+LSH family (agreement ≥ 0.5 → connected components →
+    min-id canonical keeper) → LEAKAGE-SAFE split (hash of the
+    component id, so a near-dup pair can never straddle train/test)
+    → tokenize_encode with the vocabulary induced on the SURVIVOR
+    corpus → FFD sequence packing (capacity 256, 32 portable shards)
+    → per-(split, shard) training-shards manifest.
+
+    Every stage is individually oracle-verified elsewhere
+    (pipeline_web_curation, dedup_minhash_lsh_portable,
+    split_leakage_safe, tokenize_encode, pack_sequences,
+    shards_manifest); this query pins their ORDER and the population
+    each stage sees — the vocabulary, the split proportions and the
+    pack fills all differ from the standalone queries' because a real
+    pipeline computes them over the curated, deduped survivor set.
+    The manifest's sum_tid column pins the induced vocabulary ids
+    end-to-end.
+
+    Shuffle shape: gate is map-only into an eager-checkpointed
+    survivor frame; one groupBy(text) exact dedup; the LSH band
+    groupBy + in-row pair expansion (never a self-join); CC's star
+    rounds on the bounded pair graph; component keeper groupBy; the
+    vocab agg broadcast back for a map-side encode; one shard-keyed
+    applyInPandas FFD; the manifest agg is 96-row bounded. The
+    checkpoints (exact, kept, enc) exist because each feeds 2-3
+    consumers and Spark has no automatic subplan reuse."""
+    from ..operators.curation import web_gate_expr
+    from ..operators.dedup import minhash_lsh_candidates
+    from ..operators.graph import cluster_assignment
+    from ..operators.pipeline import hash_split, pack_greedy, tokenize_encode
+    from ..session import eager_checkpoint
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    gated = docs.select("doc_id", "text").where(web_gate_expr(F.col("text")))
+    exact = eager_checkpoint(
+        gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    pairs = minhash_lsh_candidates(
+        exact, "text", "doc_id", hash_family="md5_portable"
+    ).where(F.col("est_jaccard") >= 0.5)
+    labeled = cluster_assignment(exact.select("doc_id"), pairs, "doc_id")
+    keepers = labeled.groupBy("component_id").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = eager_checkpoint(
+        hash_split(keepers, "component_id")
+        .join(exact.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "text", "split")
+    )
+    enc = eager_checkpoint(
+        tokenize_encode(kept, "text", "doc_id", k=200, min_df=2).select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "CAST(aggregate(input_ids, CAST(0 AS BIGINT),"
+                " (a, x) -> a + x) AS BIGINT)"
+            ).alias("sum_tid"),
+        )
+    )
+    packed = pack_greedy(
+        enc.select("doc_id", "n_tokens"), "doc_id", "n_tokens", capacity=256
+    )
+    return (
+        packed.join(F.broadcast(kept.select("doc_id", "split")), "doc_id")
+        .join(F.broadcast(enc.select("doc_id", "sum_tid")), "doc_id")
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("overflow"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overflow"),
+            F.sum("sum_tid").cast("long").alias("sum_tid"),
+        )
+    )

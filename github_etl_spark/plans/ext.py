@@ -306,41 +306,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The FULL portable MinHash+LSH candidate pipeline as a shared CTE
 # chain (shingles -> 32 md5 minima -> 8 bands -> 64-cap -> pairs):
-# ONE text used by BOTH dedup_minhash_lsh_portable and
-# minhash_estimate_error, so the pinned parameters (skew cap, band
-# count, prefix width, shingle width) cannot drift between the two
-# oracles.
-_SQL_MINHASH_PAIR_CTES = f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
-    sh AS (
+# ONE text used by dedup_minhash_lsh_portable, minhash_estimate_error
+# AND the pretraining e2e composite (over its curated survivor
+# relation), so the pinned parameters (skew cap, band count, prefix
+# width, shingle width) cannot drift between the oracles.
+
+
+def minhash_pair_ctes(rel: str = "documents", prefix: str = "") -> str:
+    """The portable MinHash pair CTE chain over relation ``rel``
+    (columns doc_id, text), CTE names prefixed so a composite can
+    embed it without name collisions. The final CTE is
+    ``{prefix}pairs`` with (id_a, id_b, sa, sb)."""
+    p = prefix
+    return f"""{p}toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM {rel}),
+    {p}sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(w) - 2, 0) + 1),
                i -> array_to_string(w[i:i+2], ' ')))) AS s
-      FROM toks
+      FROM {p}toks
     ),
-    hm AS (
+    {p}hm AS (
       SELECT doc_id, i.i AS i,
              MIN(substr(md5(CAST(i.i AS VARCHAR) || ':' || s), 1, 16)) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+      FROM {p}sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
       GROUP BY doc_id, i.i
     ),
-    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hm GROUP BY doc_id),
-    bands AS (
+    {p}sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM {p}hm GROUP BY doc_id),
+    {p}bands AS (
       SELECT doc_id, sig, b.b AS band,
              array_to_string(sig[b.b*4+1 : b.b*4+4], '') AS bucket
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+      FROM {p}sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
     ),
-    capped AS (
+    {p}capped AS (
       SELECT *,
              row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
-      FROM bands
+      FROM {p}bands
     ),
-    pairs AS (
+    {p}pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                       a.sig AS sa, b.sig AS sb
-      FROM capped a JOIN capped b
+      FROM {p}capped a JOIN {p}capped b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       WHERE a.rn <= 64 AND b.rn <= 64
     )"""
+
+
+_SQL_MINHASH_PAIR_CTES = minhash_pair_ctes()
 
 
 @query(

@@ -216,14 +216,63 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pack_sequences_oracle() -> str:
-    """DuckDB replay of the sharded FFD in pack_greedy: a recursive CTE
-    per shard walks documents in (n_tokens DESC, doc_id ASC) order
+def pack_ffd_ctes(sized_rel: str, capacity: int = 256) -> str:
+    """DuckDB replay of the sharded FFD in pack_greedy as CTE parts
+    over ``sized_rel`` (columns doc_id, n_tokens, shard): a recursive
+    CTE per shard walks documents in (n_tokens DESC, doc_id ASC) order
     carrying the open-bin remaining-capacity list, first fit = lowest
     surviving index of `list_min` over candidate bin indexes. Depth =
     max docs per shard (~rows/32), so the recursion stays shallow at
-    any sf. This upgrades the catalog's one procedural rows-only entry
-    to a full value-for-value check of the packing itself."""
+    any sf. The final CTE is ``packed`` with (doc_id, shard, n_tokens,
+    pack_id, overflow). Shared by pack_sequences and the pretraining
+    e2e composite (plans/curation.py) so the FFD replay cannot drift.
+    Must sit under a WITH RECURSIVE header."""
+    return f"""ranked AS MATERIALIZED (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, doc_id ASC) AS r
+      FROM {sized_rel}
+    ),
+    ffd AS (
+      SELECT shard, CAST(0 AS BIGINT) AS r,
+             CAST([] AS BIGINT[]) AS bins,
+             CAST([] AS INTEGER[]) AS placed
+      FROM (SELECT DISTINCT shard FROM ranked)
+      UNION ALL
+      SELECT shard, r,
+             CASE WHEN fit IS NULL THEN list_append(bins, {capacity} - n_tokens)
+                  ELSE list_transform(bins, (rem, i) ->
+                         CASE WHEN i = fit THEN rem - n_tokens ELSE rem END)
+             END AS bins,
+             list_append(placed,
+               CAST(CASE WHEN fit IS NULL THEN len(bins) ELSE fit - 1 END
+                    AS INTEGER)) AS placed
+      FROM (
+        SELECT s.shard, s.r + 1 AS r, s.bins, s.placed, d.n_tokens,
+               list_min(list_transform(s.bins, (rem, i) ->
+                  CASE WHEN d.n_tokens <= {capacity} AND rem >= d.n_tokens
+                       THEN i ELSE NULL END)) AS fit
+        FROM ffd s JOIN ranked d ON d.shard = s.shard AND d.r = s.r + 1
+      ) t
+    ),
+    final AS (
+      SELECT shard, placed, r,
+             row_number() OVER (PARTITION BY shard ORDER BY r DESC) AS rn
+      FROM ffd
+    ),
+    packed AS (
+      SELECT d.doc_id, d.shard, d.n_tokens,
+             CAST(d.shard AS BIGINT) * 4294967296
+               + f.placed[CAST(d.r AS INTEGER)] AS pack_id,
+             d.n_tokens > {capacity} AS overflow
+      FROM final f JOIN ranked d ON d.shard = f.shard
+      WHERE f.rn = 1
+    )"""
+
+
+def _pack_sequences_oracle() -> str:
+    """pack_greedy's FFD replay over raw word counts — see
+    pack_ffd_ctes for the recursion contract."""
     from ..operators.pipeline import sql_hash_bucket
 
     bucket = sql_hash_bucket("doc_id", 32)
@@ -234,45 +283,8 @@ def _pack_sequences_oracle() -> str:
              CAST({bucket} AS INTEGER) AS shard
       FROM documents
     ),
-    ranked AS (
-      SELECT shard, doc_id, n_tokens,
-             row_number() OVER (PARTITION BY shard
-                                ORDER BY n_tokens DESC, doc_id ASC) AS r
-      FROM sized
-    ),
-    ffd AS (
-      SELECT shard, CAST(0 AS BIGINT) AS r,
-             CAST([] AS BIGINT[]) AS bins,
-             CAST([] AS INTEGER[]) AS placed
-      FROM (SELECT DISTINCT shard FROM ranked)
-      UNION ALL
-      SELECT shard, r,
-             CASE WHEN fit IS NULL THEN list_append(bins, 256 - n_tokens)
-                  ELSE list_transform(bins, (rem, i) ->
-                         CASE WHEN i = fit THEN rem - n_tokens ELSE rem END)
-             END AS bins,
-             list_append(placed,
-               CAST(CASE WHEN fit IS NULL THEN len(bins) ELSE fit - 1 END
-                    AS INTEGER)) AS placed
-      FROM (
-        SELECT s.shard, s.r + 1 AS r, s.bins, s.placed, d.n_tokens,
-               list_min(list_transform(s.bins, (rem, i) ->
-                  CASE WHEN d.n_tokens <= 256 AND rem >= d.n_tokens
-                       THEN i ELSE NULL END)) AS fit
-        FROM ffd s JOIN ranked d ON d.shard = s.shard AND d.r = s.r + 1
-      ) t
-    ),
-    final AS (
-      SELECT shard, placed, r,
-             row_number() OVER (PARTITION BY shard ORDER BY r DESC) AS rn
-      FROM ffd
-    )
-    SELECT d.doc_id, d.shard, d.n_tokens,
-           CAST(d.shard AS BIGINT) * 4294967296
-             + f.placed[CAST(d.r AS INTEGER)] AS pack_id,
-           d.n_tokens > 256 AS overflow
-    FROM final f JOIN ranked d ON d.shard = f.shard
-    WHERE f.rn = 1
+    {pack_ffd_ctes("sized", 256)}
+    SELECT doc_id, shard, n_tokens, pack_id, overflow FROM packed
     """
 
 
@@ -1426,28 +1438,36 @@ def _wp_vocab_values() -> str:
 
 
 def _wp_encode_parts(rounds: int, vocab_cte: str) -> list[str]:
-    """The greedy longest-match unroll (words, e0..e{rounds}) as CTE
-    parts, probing ``vocab_cte`` (columns piece, raw, cont, plen) —
-    shared by the pinned-vocab encode oracle and the end-to-end
-    oracle, where the vocab is DERIVED from the learn CTEs instead of
-    a VALUES literal."""
+    """The greedy longest-match unroll as CTE parts, probing
+    ``vocab_cte`` (columns piece, raw, cont, plen) — shared by the
+    pinned-vocab encode oracle and the end-to-end oracle, where the
+    vocab is DERIVED from the learn CTEs instead of a VALUES literal.
+
+    The unroll runs over DISTINCT words only (the encode is a pure
+    per-word function); the final ``wenc`` CTE maps word → (wp,
+    failed) and consumers re-join it to the ``words`` occurrence
+    frame. The earlier per-occurrence unroll paid the LATERAL probe
+    once per word OCCURRENCE — ~445 s at sf1 for 55 s of engine time;
+    deduplicating cuts the oracle by the corpus's word-duplication
+    factor (same hash, it is the identical function applied once per
+    key instead of once per row)."""
     parts = [
         f"""
     words AS (
       SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
       FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
     ),
+    uwords AS MATERIALIZED (SELECT DISTINCT word FROM words),
     e0 AS MATERIALIZED (
-      SELECT doc_id, pos, word, 0 AS i, CAST('' AS VARCHAR) AS acc,
-             false AS failed
-      FROM words
+      SELECT word, 0 AS i, CAST('' AS VARCHAR) AS acc, false AS failed
+      FROM uwords
     )"""
     ]
     for k in range(1, rounds + 1):
         parts.append(
             f"""
     e{k} AS MATERIALIZED (
-      SELECT e.doc_id, e.pos, e.word,
+      SELECT e.word,
         CASE WHEN e.failed OR e.i >= length(e.word) OR m.plen IS NULL
              THEN e.i ELSE e.i + m.plen END AS i,
         CASE WHEN e.failed OR e.i >= length(e.word) OR m.plen IS NULL
@@ -1460,6 +1480,15 @@ def _wp_encode_parts(rounds: int, vocab_cte: str) -> list[str]:
         ORDER BY v.plen DESC LIMIT 1) m ON true
     )"""
         )
+    parts.append(
+        f"""
+    wenc AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN failed THEN '[UNK]' ELSE trim(acc) END AS wp,
+             failed
+      FROM e{rounds}
+    )"""
+    )
     return parts
 
 
@@ -1481,12 +1510,10 @@ def _wordpiece_encode_oracle(rounds: int = 10) -> str:
     return (
         "WITH "
         + ",".join(parts)
-        + f""",
+        + """,
     wordpieces AS (
-      SELECT doc_id, pos,
-             CASE WHEN failed THEN '[UNK]' ELSE trim(acc) END AS wp,
-             failed
-      FROM e{rounds}
+      SELECT w.doc_id, w.pos, x.wp, x.failed
+      FROM words w JOIN wenc x USING (word)
     )
     SELECT doc_id,
            CAST(sum(len(string_split(wp, ' '))) AS BIGINT) AS n_pieces,
@@ -1597,10 +1624,8 @@ def _wordpiece_e2e_oracle(
         + ",".join(parts)
         + f""",
     wp2 AS (
-      SELECT doc_id, pos,
-             string_split(CASE WHEN failed THEN '[UNK]' ELSE trim(acc) END,
-                          ' ') AS ps
-      FROM e{rounds}
+      SELECT w.doc_id, w.pos, string_split(x.wp, ' ') AS ps
+      FROM words w JOIN wenc x USING (word)
     ),
     ptoks AS (
       SELECT doc_id, pos AS wpos, unnest(ps) AS tok,

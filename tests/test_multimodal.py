@@ -8,6 +8,7 @@ null/empty payloads, payload-aware partitioning.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from github_etl_spark.multimodal.media import (
     decode_stats,
@@ -2557,3 +2558,120 @@ def test_pyav_decoder_real_roundtrip_when_available():
     assert frames.ndim == 4 and frames.shape[0] == 5
     assert frames.shape[1:3] == (48, 64)
     assert fps == 25.0
+
+
+class _FakeAvError(Exception):
+    """Stands in for av.FFmpegError — pyav_decoder must wrap ANY
+    non-ValueError the library throws into the quarantine shape."""
+
+
+class _FakeFrame:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def to_ndarray(self, format):  # noqa: A002 - PyAV's own signature
+        assert format == "rgb24"
+        return self._arr
+
+
+class _FakeStream:
+    def __init__(self, average_rate):
+        self.average_rate = average_rate
+
+
+class _FakeContainer:
+    def __init__(self, frames, average_rate, raise_on_decode=None):
+        self._frames = frames
+        self.streams = type(
+            "S", (), {"video": [_FakeStream(average_rate)] if frames is not None else []}
+        )()
+        self._raise = raise_on_decode
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def decode(self, stream):
+        if self._raise is not None:
+            raise self._raise
+        yield from self._frames
+
+
+@pytest.fixture
+def fake_av(monkeypatch):
+    """Install a minimal fake `av` module (sys.modules) so
+    pyav_decoder's REAL body — open/stream-probe/decode-loop/
+    frame-stack assembly — executes in the dependency-free tree (the
+    one code path the r11 verdict flagged as never run here). The
+    per-test container is set via `fake_av.container`."""
+    import sys
+    import types
+
+    mod = types.ModuleType("av")
+    mod.container = None
+
+    def _open(fileobj):
+        assert fileobj.read(4) is not None  # a real file-like came in
+        fileobj.seek(0)
+        return mod.container
+
+    mod.open = _open
+    monkeypatch.setitem(sys.modules, "av", mod)
+    return mod
+
+
+def test_pyav_decoder_body_with_fake_av(fake_av):
+    """Happy path through pyav_decoder's own frame-stack assembly:
+    known frames come back as one (n, h, w, 3) uint8 stack with the
+    stream's fps."""
+    import numpy as np
+
+    from github_etl_spark.multimodal.media import pyav_decoder
+
+    frames = [
+        _FakeFrame(np.full((4, 6, 3), i * 40, dtype=np.uint8))
+        for i in range(3)
+    ]
+    from fractions import Fraction
+
+    fake_av.container = _FakeContainer(frames, Fraction(30000, 1001))
+    stack, fps = pyav_decoder(b"\x00" * 32)
+    assert stack.shape == (3, 4, 6, 3) and stack.dtype == np.uint8
+    assert (stack[2] == 80).all()
+    assert abs(fps - 30000 / 1001) < 1e-9
+
+
+def test_pyav_decoder_fake_av_failure_modes(fake_av):
+    """The three quarantine-shaped failures, through the real body:
+    no video stream, library exception (wrapped), zero frames."""
+    import pytest as _pytest
+
+    from github_etl_spark.multimodal.media import pyav_decoder
+
+    fake_av.container = _FakeContainer(None, None)
+    with _pytest.raises(ValueError, match="no video stream"):
+        pyav_decoder(b"\x00" * 8)
+
+    fake_av.container = _FakeContainer(
+        [], 25.0, raise_on_decode=_FakeAvError("bitstream corrupt")
+    )
+    with _pytest.raises(ValueError, match="PyAV decode failed.*bitstream"):
+        pyav_decoder(b"\x00" * 8)
+
+    fake_av.container = _FakeContainer([], 25.0)
+    with _pytest.raises(ValueError, match="no decodable video frames"):
+        pyav_decoder(b"\x00" * 8)
+
+
+def test_resolve_interframe_decoder_binds_fake_av(fake_av):
+    """With (a fake) `av` importable the deployment knob resolves to
+    the real binding — the both-ways environment test's other arm, now
+    exercised even where PyAV is absent."""
+    from github_etl_spark.multimodal.media import (
+        pyav_decoder,
+        resolve_interframe_decoder,
+    )
+
+    assert resolve_interframe_decoder() is pyav_decoder

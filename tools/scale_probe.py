@@ -896,6 +896,69 @@ def hot_bucket_probe(spark) -> list[str]:
     return lines
 
 
+def span_store_probe(spark, docs, ks) -> list[str]:
+    """Span-store probe (round 12): fixed 100-doc batch classified
+    against a K-growing MATERIALIZED span store — the flatness claim
+    of the incremental span family (the dedup_incremental section's
+    twin). Build cost may track corpus size (one-time); the per-ingest
+    check must grow only with the store-scan term: the batch keys are
+    broadcast, the store is scanned but never shuffled."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.curation import (
+        span_index_build,
+        span_index_check,
+    )
+
+    root = tempfile.mkdtemp(prefix="scale_probe_spans_")
+    batch = (
+        docs.limit(100).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    lines = [
+        "## Span-store probe (round 12) — fixed batch vs growing store",
+        "",
+        "Fixed 100-doc batch, span store built from the K-replicated",
+        "corpus (`span_index_build` → parquet keys; `span_index_check`",
+        "probes it without rescanning raw corpus text). Flat check",
+        "column = the incremental design claim: per-ingest cost is the",
+        "store SCAN plus batch-sized work, never a store-sized shuffle",
+        "or broadcast (the r11 broadcast-direction defect would make",
+        "this column collect the whole store per check).",
+        "Regenerate: `python tools/scale_probe.py --span-store-only`.",
+        "",
+        "| K | docs | store rows | build sec | check sec (100 docs) |",
+        "|---|---|---|---|---|",
+    ]
+    for k in ks:
+        d = replicate(docs, "doc_id", k)
+        n_docs = d.count()
+        idx = os.path.join(root, f"span_store_k{k}")
+        t0 = _time.perf_counter()
+        span_index_build(d, idx)
+        t_build = _time.perf_counter() - t0
+        n_store = spark.read.parquet(f"{idx}/spans").count()
+        t0 = _time.perf_counter()
+        span_index_check(spark, idx, batch).count()
+        t_check = _time.perf_counter() - t0
+        lines.append(
+            f"| {k} | {n_docs} | {n_store} | {t_build:.1f} | {t_check:.1f} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Store rows grow sub-K (replication repeats spans — the",
+        "build-time DISTINCT collapses them); the check column's",
+        "growth is the parquet span-key scan only, with the probe",
+        "joins bounded by the batch's ~few-hundred distinct keys",
+        "(tests/test_plan_shapes.py pins the broadcast direction).",
+        "",
+    ]
+    return lines
+
+
 _SECTION_MARKERS = [
     "## Relational & graph probe — triangles, bloom join, heavy hitters",
     "## Q9 join tree & BMP decode probe (round 6)",
@@ -909,6 +972,7 @@ _SECTION_MARKERS = [
     "## Full-suite sf1.0 bench (round 10) — the 2x gate measured past sf0.1",
     "## DSIR sizing probe (round 10) — cost vs n_buckets",
     "## Hot-bucket probe (round 11) — budget_select offset idiom",
+    "## Span-store probe (round 12) — fixed batch vs growing store",
 ]
 
 
@@ -969,7 +1033,7 @@ def main():
     flags = {
         "--relational-only", "--round6-only", "--png-only", "--bpe-only",
         "--codec-only", "--pagerank-only", "--basket-only", "--dsir-only",
-        "--hot-bucket-only",
+        "--hot-bucket-only", "--span-store-only",
     }
     args = [a for a in sys.argv[1:] if a not in flags]
     relational_only = "--relational-only" in sys.argv[1:]
@@ -1020,6 +1084,13 @@ def main():
     if "--hot-bucket-only" in sys.argv[1:]:
         spark = get_spark("scale_probe")
         _splice_section(_SECTION_MARKERS[9], hot_bucket_probe(spark))
+        return
+    if "--span-store-only" in sys.argv[1:]:
+        spark = get_spark("scale_probe")
+        t = load_tables(spark, SF_DIR, register=False)
+        _splice_section(
+            _SECTION_MARKERS[10], span_store_probe(spark, t["documents"], ks)
+        )
         return
     spark = get_spark("scale_probe")
     t = load_tables(spark, SF_DIR, register=False)
