@@ -190,3 +190,44 @@ def test_span_gate_replay_is_idempotent(spark, tmp_path):
     # A LATER batch does see batch 7's spans (exclusion is per-id).
     v = span_index_check(spark, store, batch, exclude_batch=8).head()
     assert v.n_new == 0 and v.n_dup_corpus > 0
+
+
+def test_span_check_exclude_batch_is_partition_pruned(spark, tmp_path):
+    """The replay mask (`exclude_batch=N`) must reach the store scan
+    as a PartitionFilter — a post-scan Filter would read every batch's
+    files on a store with thousands of ingest partitions. Asserted on
+    the LAZY store probe (the check itself checkpoints the hit set, so
+    the store scan runs inside the checkpoint-time job and is absent
+    from the final plan)."""
+    import re
+
+    from github_etl_spark.operators.curation import (
+        _span_store,
+        span_store_hits,
+    )
+
+    corpus, batch = _split(spark)
+    store = str(tmp_path / "span_store")
+    span_index_build(corpus, store)
+    bkeys = (
+        c4_spans_from(c4_kept_lines(batch, "text", "doc_id"), "doc_id")
+        .select("span_key")
+        .distinct()
+    )
+    plan = (
+        span_store_hits(_span_store(spark, store, exclude_batch=3), bkeys)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # (The scan line's Location path is elided in toString, so match
+    # on the partition column rather than the store's path.)
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "ingest_batch" in ln
+    ]
+    assert scans, plan[:1500]
+    for ln in scans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", ln)
+        assert m and "ingest_batch" in m.group(1), ln
+        assert "= 3" in m.group(1), ln
