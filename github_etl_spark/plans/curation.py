@@ -580,16 +580,26 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact, "text", "doc_id", hash_family="md5_portable"
     ).where(F.col("est_jaccard") >= 0.5)
     labeled = cluster_assignment(exact.select("doc_id"), pairs, "doc_id")
-    keepers = labeled.groupBy("component_id").agg(
-        F.min("doc_id").alias("doc_id")
+    # cluster_assignment already marks the component's min-id row
+    # (is_canonical) — a map-side filter, not another corpus-wide
+    # groupBy on component_id (review-caught).
+    keepers = labeled.where(F.col("is_canonical")).select(
+        "component_id", "doc_id"
     )
     kept = eager_checkpoint(
         hash_split(keepers, "component_id")
         .join(exact.select("doc_id", "text"), "doc_id")
         .select("doc_id", "text", "split")
     )
+    # The encoded frame carries split so the manifest needs ONE
+    # doc-keyed join after packing — and no broadcast hint anywhere:
+    # these frames are survivor-corpus-sized (one row per document),
+    # the unbounded-broadcast class the span-store fix removed; at
+    # scale the join shuffles co-partitioned on doc_id, locally AQE
+    # broadcasts on its own.
     enc = eager_checkpoint(
-        tokenize_encode(kept, "text", "doc_id", k=200, min_df=2).select(
+        tokenize_encode(kept, "text", "doc_id", k=200, min_df=2)
+        .select(
             "doc_id",
             "n_tokens",
             F.expr(
@@ -597,13 +607,13 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (a, x) -> a + x) AS BIGINT)"
             ).alias("sum_tid"),
         )
+        .join(kept.select("doc_id", "split"), "doc_id")
     )
     packed = pack_greedy(
         enc.select("doc_id", "n_tokens"), "doc_id", "n_tokens", capacity=256
     )
     return (
-        packed.join(F.broadcast(kept.select("doc_id", "split")), "doc_id")
-        .join(F.broadcast(enc.select("doc_id", "sum_tid")), "doc_id")
+        packed.join(enc.select("doc_id", "split", "sum_tid"), "doc_id")
         .groupBy("split", "shard")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

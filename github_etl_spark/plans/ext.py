@@ -4640,6 +4640,19 @@ _EV_BATCH_SQL = (
     "CASE WHEN event_id % 11 = 0 THEN 2 ELSE 0 END, 2)"
 )
 
+# The replay micro-batch sequence, shared by every engine replay call
+# (batch_ids=) and every oracle's batch-id spine: the lag-2 watermark
+# is an ID-distance lag over the SUPPLIED batch ids — an empty batch
+# still advances the lag, its NULL max-ts skipped by MAX. ONE
+# definition so the batch count cannot drift between the four
+# replay pairs (it is also the LEAST(..., 2) cap in _EV_BATCH_SQL).
+_EV_BATCH_IDS = [0, 1, 2]
+_SQL_EV_BATCH_SPINE = (
+    "(SELECT * FROM (VALUES "
+    + ", ".join(f"({b})" for b in _EV_BATCH_IDS)
+    + ") AS t(b))"
+)
+
 
 def _ev_batch_col():
     return F.least(
@@ -4657,9 +4670,9 @@ def _ev_batch_col():
       SELECT ts, event_type, {_EV_BATCH_SQL} AS b FROM events
     ),
     swr_bstats AS (SELECT b, MAX(ts) AS bmax FROM swr_ev GROUP BY b),
-    -- Batch-id spine (see _dedup_replay_oracle): id-distance lag over
+    -- Batch-id spine (_SQL_EV_BATCH_SPINE): id-distance lag over
     -- supplied batch ids, NULL bmax of an empty batch skipped by MAX.
-    swr_ids AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(b)),
+    swr_ids AS (SELECT b FROM {_SQL_EV_BATCH_SPINE} sp),
     swr_wm AS (
       SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
                PRECEDING AND 2 PRECEDING) - INTERVAL 2 HOUR AS wm
@@ -4714,7 +4727,9 @@ def streaming_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     ev = t["events"].withColumn("__batch", _ev_batch_col())
-    return tumbling_replay(ev, "__batch", delay="2 hours")
+    return tumbling_replay(
+        ev, "__batch", delay="2 hours", batch_ids=_EV_BATCH_IDS
+    )
 
 
 @query(
@@ -4732,11 +4747,9 @@ def streaming_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, b AS pb
       FROM sij_ev WHERE event_type = 'purchase'
     ),
-    sij_bat AS (
-      SELECT DISTINCT b FROM (
-        SELECT cb AS b FROM sij_c UNION ALL SELECT pb AS b FROM sij_p
-      )
-    ),
+    -- Batch-id spine (_SQL_EV_BATCH_SPINE), not observed batches —
+    -- same empty-batch contract as the other three replay oracles.
+    sij_bat AS (SELECT b FROM {_SQL_EV_BATCH_SPINE} sp),
     sij_cm AS (SELECT cb AS b, MAX(click_ts) AS m FROM sij_c GROUP BY 1),
     sij_pm AS (SELECT pb AS b, MAX(purchase_ts) AS m FROM sij_p GROUP BY 1),
     sij_wm AS (
@@ -4797,6 +4810,7 @@ def streaming_interval_join_replay(
         "__batch",
         within="6 hours",
         delay="2 hours",
+        batch_ids=_EV_BATCH_IDS,
     )
 
 
@@ -4845,9 +4859,9 @@ def _sess_round_sql(prev: str, b: int, out: str) -> str:
       SELECT user_id, ts, {_EV_BATCH_SQL} AS b FROM events
     ),
     ssn_bstats AS (SELECT b, MAX(ts) AS bmax FROM ssn_ev GROUP BY b),
-    -- Batch-id spine (see _dedup_replay_oracle): id-distance lag over
+    -- Batch-id spine (_SQL_EV_BATCH_SPINE): id-distance lag over
     -- supplied batch ids, NULL bmax of an empty batch skipped by MAX.
-    ssn_ids AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(b)),
+    ssn_ids AS (SELECT b FROM {_SQL_EV_BATCH_SPINE} sp),
     ssn_wm AS (
       SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
                PRECEDING AND 2 PRECEDING) - INTERVAL 2 HOUR AS wm
@@ -4906,7 +4920,7 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t["events"].withColumn("__batch", _ev_batch_col())
     return session_replay(
-        ev, "__batch", [0, 1, 2], gap="6 hours", delay="2 hours"
+        ev, "__batch", _EV_BATCH_IDS, gap="6 hours", delay="2 hours"
     )
 
 
@@ -4925,12 +4939,12 @@ def _dedup_replay_oracle(delay_sql: str = "INTERVAL 2 HOUR") -> str:
       SELECT event_id % 101 AS dk, ts, {_EV_BATCH_SQL} AS b FROM events
     ),
     sdr_bstats AS (SELECT b, MAX(ts) AS bmax FROM sdr_ev GROUP BY b),
-    -- Batch-id spine: the lag-2 watermark is an ID-distance lag over
-    -- the SUPPLIED batch ids (an empty batch still advances the lag,
-    -- its NULL bmax skipped by MAX) — mirroring the engine's
-    -- ids.join(bstats, 'left'), not a row-distance window over
-    -- observed batches only.
-    sdr_ids AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(b)),
+    -- Batch-id spine (_SQL_EV_BATCH_SPINE): the lag-2 watermark is an
+    -- ID-distance lag over the SUPPLIED batch ids (an empty batch
+    -- still advances the lag, its NULL bmax skipped by MAX) —
+    -- mirroring the engine's ids.join(bstats, 'left'), not a
+    -- row-distance window over observed batches only.
+    sdr_ids AS (SELECT b FROM {_SQL_EV_BATCH_SPINE} sp),
     sdr_wm AS MATERIALIZED (
       SELECT b, MAX(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
                PRECEDING AND 2 PRECEDING) - {delay_sql} AS wm
@@ -5024,7 +5038,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ev_batch_col().alias("__batch"),
     )
     return dedup_replay(
-        ev, "__batch", [0, 1, 2], ts_col="ts", key="dk", delay="2 hours"
+        ev, "__batch", _EV_BATCH_IDS, ts_col="ts", key="dk", delay="2 hours"
     )
 
 

@@ -142,6 +142,7 @@ def tumbling_replay(
     ts_col: str = "ts",
     delay: str = "2 hours",
     key: str = "event_type",
+    batch_ids: list[int] | None = None,
 ) -> DataFrame:
     """Deterministic replay of ``tumbling_counts``' watermark fold.
 
@@ -177,6 +178,16 @@ def tumbling_replay(
     bstats = events.groupBy(F.col(batch_col).alias("__b")).agg(
         F.max(ts_col).alias("__bmax")
     )
+    # Anchor the watermark spine on the SUPPLIED batch ids when given
+    # (the dedup_replay/session_replay contract): the live operator's
+    # watermark advances on every micro-batch, so an EMPTY batch must
+    # still occupy a spine row (NULL __bmax, skipped by F.max) or the
+    # lag-2 frame measures row distance instead of batch distance.
+    if batch_ids is not None:
+        ids = events.sparkSession.createDataFrame(
+            [(int(b),) for b in batch_ids], "__b int"
+        )
+        bstats = ids.join(bstats, "__b", "left")
     # lag-2 frame: batches ≤ b−2
     ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -2)
     wm = bstats.select(
@@ -225,6 +236,7 @@ def interval_join_replay(
     key: str = "user_id",
     within: str = "1 hour",
     delay: str = "2 hours",
+    batch_ids: list[int] | None = None,
 ) -> DataFrame:
     """Deterministic replay of ``clicks_to_purchases_join``'s
     watermarked stream-stream interval join.
@@ -261,11 +273,21 @@ def interval_join_replay(
     # sources (Spark's policy applies min to each source's own
     # watermark, not per-batch): a source with no data yet has no
     # watermark, which holds the global one back entirely (NULL here).
-    batches = (
-        clicks.select(F.col(batch_col).alias("__b"))
-        .unionByName(purchases.select(F.col(batch_col).alias("__b")))
-        .distinct()
-    )
+    # Anchor the spine on the SUPPLIED batch ids when given (the
+    # dedup_replay/session_replay contract) — the live operator's
+    # watermark advances on every micro-batch, including one with zero
+    # rows on both sides; observed-only batches would lag by row
+    # distance instead of id distance.
+    if batch_ids is not None:
+        batches = clicks.sparkSession.createDataFrame(
+            [(int(b),) for b in batch_ids], "__b int"
+        )
+    else:
+        batches = (
+            clicks.select(F.col(batch_col).alias("__b"))
+            .unionByName(purchases.select(F.col(batch_col).alias("__b")))
+            .distinct()
+        )
     per_b = batches.join(_bmax(clicks, "__cm"), "__b", "left").join(
         _bmax(purchases, "__pm"), "__b", "left"
     )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.curation import (
+    _read_span_meta,
     _span_doc_summary,
     _span_store,
     c4_kept_lines,
@@ -58,6 +59,13 @@ def make_span_gate(
     never store-sized."""
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        # Validate the store's keying BEFORE classifying — without
+        # this, a store built under older keying constants would
+        # mis-classify every span and durably PUBLISH the wrong
+        # summary before span_index_append finally raised
+        # (review-caught: the check path validates, the gate must
+        # too).
+        _read_span_meta(spark, store_path)
         batch_df.persist()
         try:
             bstats = c4_kept_lines(batch_df, text_col, id_col)

@@ -49,12 +49,14 @@ EXCHANGE_BUDGET = {
     # the joined-piece string are computed in-row).
     "bpe_apply_pinned": 0,
     # 5 = the tail past the build-time checkpoints (exact survivors,
-    # split-keyed kept frame, encoded stats): the FFD shard groupBy
-    # (applyInPandas) + the two-exchange COUNT(DISTINCT pack_id) agg
-    # pair; kept/enc sides broadcast into the manifest joins. The
-    # upstream stages (gate scan, dedup groupBys, LSH bands, CC
-    # rounds, vocab agg) run once at checkpoint time — their shapes
-    # are pinned by their standalone queries' budgets.
+    # split-keyed kept frame, encoded doc stats): the FFD shard
+    # groupBy (applyInPandas) + ONE doc-keyed manifest join (both
+    # sides doc-sized, so NO broadcast hint — the unbounded-broadcast
+    # class; AQE may still broadcast at runtime) + the two-exchange
+    # COUNT(DISTINCT pack_id) agg pair. The upstream stages (gate
+    # scan, dedup groupBys, LSH bands, CC rounds, vocab agg) run once
+    # at checkpoint time — their shapes are pinned by their standalone
+    # queries' budgets.
     "pipeline_pretraining_e2e": 5,
     "corpus_profile": 1,
     "dedup_cluster_canonical": 1,

@@ -1193,3 +1193,88 @@ def test_session_replay_survives_trailing_empty_batch(spark):
     # state wipe: exactly one session row survives with both events
     assert len(out) == 1 and out[0].n_events == 2
     assert emitted == [] and out[0].emitted_batch is None
+
+
+def test_tumbling_replay_empty_batch_advances_watermark(spark):
+    """With the supplied-ids spine an EMPTY batch still occupies a
+    spine row, so the lag-2 watermark is an id-distance lag: at batch
+    2 the watermark derives from batch 0 (batch 1 contributed no max),
+    and at the terminal flush from all observed data — matching the
+    live operator, whose watermark advances every micro-batch. Without
+    batch_ids the observed-only spine would treat batch 2 as the
+    SECOND row and keep the watermark NULL there."""
+    from datetime import datetime
+
+    from github_etl_spark.streaming.events import tumbling_replay
+
+    rows = [
+        ("click", datetime(2026, 3, 1, 10, 30), 0),
+        # batch 1 intentionally empty
+        # batch 2: a row whose window (09:00-10:00) ended BELOW the
+        # batch-2 lagged watermark (10:30 - 2h = 08:30 < 10:00 — wait,
+        # the watermark must EXCEED the window end to drop it), so use
+        # a long delay-relative gap: window end 06:00 < 08:30 → drop.
+        ("click", datetime(2026, 3, 1, 5, 30), 2),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, batch int")
+    out = tumbling_replay(
+        df, "batch", ts_col="ts", delay="2 hours", key="event_type",
+        batch_ids=[0, 1, 2],
+    ).collect()
+    # id-distance spine: batch-2 watermark = max(batch 0) - 2h = 08:30;
+    # the 05:30 row's window ends 06:00 <= 08:30 → late-dropped, so
+    # only the 10:00-11:00 window exists.
+    assert len(out) == 1
+    (w,) = out
+    assert w.window_start == datetime(2026, 3, 1, 10, 0) and w.n_events == 1
+    # Observed-only spine (no batch_ids): batch 2 is the second
+    # OBSERVED batch, lag-2 watermark NULL → the late row is KEPT.
+    out2 = tumbling_replay(
+        df, "batch", ts_col="ts", delay="2 hours", key="event_type"
+    ).collect()
+    assert len(out2) == 2
+
+
+def test_interval_join_replay_empty_batch_advances_watermark(spark):
+    """Same id-distance contract for the stream-stream join: a click
+    arriving in batch 2 below the batch-0-derived lagged watermark is
+    pre-filtered even though batch 1 carried no rows on either side."""
+    from datetime import datetime
+
+    from github_etl_spark.streaming.events import interval_join_replay
+
+    clicks = spark.createDataFrame(
+        [
+            (1, 100, datetime(2026, 3, 1, 12, 0), 0),
+            # batch 1 empty on both sides
+            (1, 101, datetime(2026, 3, 1, 8, 0), 2),  # below 10:00 wm
+        ],
+        "user_id long, event_id long, ts timestamp, batch int",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, 200, datetime(2026, 3, 1, 12, 0), 0),
+            (1, 201, datetime(2026, 3, 1, 8, 30), 2),
+        ],
+        "user_id long, event_id long, ts timestamp, batch int",
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join_replay(
+            clicks, purchases, "batch", within="1 hour", delay="2 hours",
+            batch_ids=[0, 1, 2],
+        ).collect()
+    }
+    # batch-2 lagged wm = min(12:00, 12:00) - 2h = 10:00: both batch-2
+    # rows (08:00 click, 08:30 purchase) are pre-filtered; only the
+    # batch-0 pair joins.
+    assert got == {(100, 200)}
+    # Observed-only spine: batch 2 is the second observed batch → wm
+    # NULL → the late pair also joins.
+    got2 = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join_replay(
+            clicks, purchases, "batch", within="1 hour", delay="2 hours",
+        ).collect()
+    }
+    assert got2 == {(100, 200), (101, 201)}
