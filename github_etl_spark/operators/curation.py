@@ -440,6 +440,31 @@ def span_index_check(
     return _span_doc_summary(bstats, rows, id_col)
 
 
+def span_index_fold(spark: SparkSession, path: str) -> int:
+    """Fold the span store's per-ingest partitions into one fresh
+    partition (sinks/compact.fold_partitions — write-first crash-safe
+    ordering; every intermediate state is a duplicated superset, which
+    membership semantics ignore). Returns the number of partitions
+    folded (0 = nothing to do). Run on a QUIESCED stream only: folding
+    erases batch identity, so a replayed micro-batch can no longer
+    exclude its own rows (the fold_partitions caveat). Verdicts are
+    invariant under folding — pinned in tests/test_span_index.py."""
+    from ..sinks.compact import fold_partitions, partition_stats
+
+    _read_span_meta(spark, path)
+    table = f"{path}/spans"
+    existing = [
+        int(p["partition"]["ingest_batch"]) for p in partition_stats(table)
+    ]
+    if len(existing) <= 1:
+        return 0
+    return len(
+        fold_partitions(
+            spark, table, "ingest_batch", into_value=min(existing) - 1
+        )
+    )
+
+
 def span_index_append(
     spark: SparkSession,
     path: str,

@@ -342,3 +342,37 @@ def dedup_index_append(
         ),
         "bands",
     )
+
+
+def dedup_index_fold(spark: SparkSession, path: str) -> int:
+    """Fold BOTH dedup-index stores' per-ingest partitions into one
+    fresh partition each (sinks/compact.fold_partitions — write-first
+    crash-safe ordering; every intermediate state is a duplicated
+    superset, which the membership probe and the capped band-bucket
+    candidate screen both tolerate: duplicates add candidate pairs
+    that dropDuplicates collapses). The two stores fold to the SAME
+    fresh id so their partition layouts stay aligned. Returns the
+    total partitions folded. Run on a QUIESCED stream only — folding
+    erases batch identity, so `exclude_batch` replay masking no longer
+    sees a replayed batch's rows (the fold_partitions caveat).
+    Verdicts are invariant under folding — pinned in
+    tests/test_incremental.py."""
+    from ..sinks.compact import fold_partitions, partition_stats
+
+    _read_meta(spark, path)  # store must exist with valid params
+    tables = [f"{path}/fingerprints", f"{path}/bands"]
+    existing: list[int] = []
+    for t in tables:
+        existing += [
+            int(p["partition"]["ingest_batch"]) for p in partition_stats(t)
+        ]
+    if not existing:
+        return 0
+    into = min(existing) - 1
+    n = 0
+    for t in tables:
+        parts = partition_stats(t)
+        if len({p["partition"]["ingest_batch"] for p in parts}) <= 1:
+            continue
+        n += len(fold_partitions(spark, t, "ingest_batch", into_value=into))
+    return n

@@ -126,3 +126,79 @@ def compact_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return frag
+
+
+def fold_partitions(
+    spark: SparkSession,
+    table_path: str,
+    part_col: str,
+    into_value: int,
+    dedupe: bool = True,
+) -> list[dict]:
+    """Fold EVERY partition of a Hive-partitioned parquet table into
+    ONE fresh partition — the PARTITION-COUNT maintenance op for
+    per-ingest membership stores (the span store, the dedup index),
+    complementing `compact_partitions`' per-partition small-file
+    rewrite: a streaming gate adds one ``ingest_batch=N`` directory
+    per micro-batch, and after thousands of batches scan cost is
+    dominated by directory listing and per-partition footers, not
+    bytes.
+
+    Crash-safe for SET-semantics tables with no transaction log, by
+    write ordering alone: ``into_value`` must be a FRESH partition
+    value (raises otherwise); the consolidated rows land there FIRST
+    (a purely additive append — no existing file is touched), and only
+    then are the source partition directories deleted. A crash at any
+    point leaves the table a duplicated SUPERSET of the original —
+    harmless for membership/probe semantics (distinct keys, semi-join
+    probes, capped-bucket candidate screens) — and a re-run converges
+    to the single folded partition. NOT safe for tables where row
+    multiplicity matters; callers own that contract.
+
+    Streaming caveat: folding erases batch identity, so a replayed
+    micro-batch can no longer mask its own rows via ``exclude_batch``
+    — run fold only on a QUIESCED stream (no in-flight batch that may
+    replay), the standard constraint for compacting streaming state.
+
+    Local-filesystem deletes (shutil), like the snapshot retention
+    sweep — at cloud scale swap for the Hadoop FileSystem API.
+    """
+    import shutil
+
+    stats = partition_stats(table_path)
+    if any(set(p["partition"]) != {part_col} for p in stats):
+        raise ValueError(
+            f"fold_partitions expects single-column {part_col!r} "
+            f"partitioning at {table_path!r}"
+        )
+    values = {p["partition"][part_col] for p in stats}
+    if str(into_value) in values:
+        raise ValueError(
+            f"into_value {into_value} already exists at {table_path!r} — "
+            "folding INTO a live partition is not crash-safe (a partial "
+            "overwrite would lose its prior rows); pick a fresh value"
+        )
+    if len(values) <= 1:
+        return []
+    df = spark.read.parquet(table_path)
+    data_cols = [c for c in df.columns if c != part_col]
+    merged = df.select(*data_cols)
+    if dedupe:
+        merged = merged.distinct()
+    (
+        merged.withColumn(
+            part_col,
+            F.lit(int(into_value)).cast(dict(df.dtypes)[part_col]),
+        )
+        .write.mode("append")
+        .partitionBy(part_col)
+        .parquet(table_path)
+    )
+    for p in stats:
+        shutil.rmtree(
+            os.path.join(
+                table_path, f"{part_col}={p['partition'][part_col]}"
+            ),
+            ignore_errors=True,
+        )
+    return stats

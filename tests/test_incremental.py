@@ -198,3 +198,37 @@ def test_gate_replay_is_idempotent(spark, tmp_path):
     # And a LATER batch does see batch 7's rows (exclusion is per-id).
     v = dedup_index_check(spark, index, batch, exclude_batch=8).head()
     assert v.verdict == "exact_dup"
+
+
+def test_dedup_index_fold_preserves_verdicts(spark, tmp_path):
+    """Folding both index stores into one fresh partition each leaves
+    every verdict unchanged (membership + capped candidate screen both
+    tolerate the fold) and one partition per store."""
+    from github_etl_spark.operators.incremental import dedup_index_fold
+
+    corpus, batch = _split(spark)
+    path = str(tmp_path / "dedup_index")
+    dedup_index_build(corpus, path)
+    first = dedup_index_check(spark, path, batch)
+    survivors = batch.join(
+        F.broadcast(first.filter("verdict = 'new'").select("doc_id")),
+        "doc_id",
+    )
+    dedup_index_append(spark, path, survivors, ingest_batch=5)
+    before = sorted(
+        (r.doc_id, r.verdict, r.n_near)
+        for r in dedup_index_check(spark, path, batch).collect()
+    )
+    assert dedup_index_fold(spark, path) == 4  # 2 stores x (-1, 5)
+    after = sorted(
+        (r.doc_id, r.verdict, r.n_near)
+        for r in dedup_index_check(spark, path, batch).collect()
+    )
+    assert after == before
+    for sub in ("fingerprints", "bands"):
+        parts = {
+            r.ingest_batch
+            for r in spark.read.parquet(f"{path}/{sub}")
+            .select("ingest_batch").distinct().collect()
+        }
+        assert parts == {-2}, (sub, parts)

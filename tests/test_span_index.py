@@ -231,3 +231,62 @@ def test_span_check_exclude_batch_is_partition_pruned(spark, tmp_path):
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", ln)
         assert m and "ingest_batch" in m.group(1), ln
         assert "= 3" in m.group(1), ln
+
+
+def test_span_index_fold_preserves_verdicts(spark, tmp_path):
+    """Folding the store's per-ingest partitions into one fresh
+    partition must not change any verdict (set semantics), must leave
+    exactly ONE partition, and a re-run after a simulated crash
+    (leftover source partition = duplicated superset) converges."""
+    import os
+    import shutil
+
+    from github_etl_spark.operators.curation import span_index_fold
+    from github_etl_spark.streaming.span_gate import make_span_gate
+
+    corpus, batch = _split(spark)
+    store = str(tmp_path / "span_store")
+    span_index_build(corpus, store)
+    out = str(tmp_path / "verdicts")
+    gate = make_span_gate(spark, store, out)
+    for b, seed in [(0, "alpha"), (1, "beta")]:
+        gate(
+            spark.createDataFrame(
+                [(9000 + b, _doc_text(seed))], "doc_id long, text string"
+            ),
+            b,
+        )
+    before = _rows(span_index_check(spark, store, batch))
+    # Simulate the crash window: copy one source partition aside so it
+    # can be restored as a leftover AFTER the fold's deletes ran.
+    src_dir = os.path.join(store, "spans", "ingest_batch=0")
+    saved = str(tmp_path / "saved_part")
+    shutil.copytree(src_dir, saved)
+    n = span_index_fold(spark, store)
+    assert n == 3  # build(-1) + two gate batches
+    assert _rows(span_index_check(spark, store, batch)) == before
+    parts = {
+        r.ingest_batch
+        for r in spark.read.parquet(f"{store}/spans")
+        .select("ingest_batch").distinct().collect()
+    }
+    assert parts == {-2}  # min(-1,0,1) - 1
+    # Crash leftover: restore the old partition → duplicated superset;
+    # verdicts unchanged, and a re-run folds back to one partition.
+    shutil.copytree(saved, src_dir)
+    assert _rows(span_index_check(spark, store, batch)) == before
+    assert span_index_fold(spark, store) == 2
+    assert _rows(span_index_check(spark, store, batch)) == before
+
+
+def test_fold_partitions_refuses_live_target(spark, tmp_path):
+    from github_etl_spark.operators.curation import span_index_build
+    from github_etl_spark.sinks.compact import fold_partitions
+
+    corpus, _ = _split(spark)
+    store = str(tmp_path / "span_store")
+    span_index_build(corpus, store)
+    with pytest.raises(ValueError, match="crash-safe"):
+        fold_partitions(
+            spark, f"{store}/spans", "ingest_batch", into_value=-1
+        )
