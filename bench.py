@@ -4,12 +4,19 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Each query is timed as a full plan → execute → count, repeated
-``BENCH_REPS`` times (default 3) with the MEDIAN reported — r03's
+Each query is timed as a full plan → execute → count, run
+``BENCH_REPS`` times (default 3): the FIRST run is the query's own
+warmup and is DISCARDED (it carries whole-stage-codegen JIT and page
+-cache warming), the median of the remaining runs is reported — r03's
 single-shot timings produced two false 2× "regressions" that were
-pure load noise (VERDICT r03). No caching between queries; the JVM is
-warmed once with a trivial action so the first measured query doesn't
-pay session startup.
+pure load noise (VERDICT r03). Through r12 warmup was a separate full
+suite pass at sf0.001; profiling showed that pass cost MORE wall time
+(157 s) than a discarded full pass at sf0.1 (78 s), because tiny-SF
+runs are pure fixed overhead — checkpoint IO, store builds — and the
+overrun made the driver skip the same-host control in r12 (primary
+498 s > 420 s budget, VERDICT r12 item 1). No caching between
+queries; the JVM is warmed once with a trivial action so the first
+query's discard run doesn't also pay session startup.
 
 Same-host control run: cross-round medians are only comparable if the
 host load is — r05's apparent regressions vanished when the r04 tree
@@ -75,7 +82,16 @@ def _run_control(repo: str, ref: str) -> dict:
         err = getattr(e, "stderr", "") or str(e)
         return {"ref": ref, "error": f"worktree add failed: {err.strip()}"}
     try:
-        env = dict(os.environ, BENCH_NO_CONTROL="1")
+        # The control inherits a REDUCED rep count (default 2 — for
+        # r13+ pins that's 1 discard + 1 measured; for older pins a
+        # median of 2): the control exists to normalize host load for
+        # the SUITE aggregate, and halving its reps is what keeps
+        # primary + control inside the driver's bench window.
+        env = dict(
+            os.environ,
+            BENCH_NO_CONTROL="1",
+            BENCH_REPS=os.environ.get("BENCH_CONTROL_REPS", "2"),
+        )
         proc = subprocess.run(
             [sys.executable, os.path.join(wt, "bench.py")],
             capture_output=True, text=True, timeout=900, env=env, cwd=wt,
@@ -140,34 +156,28 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("github_etl_spark_bench")
-    # JVM/session warmup — not counted. One pass of the headline suite at
-    # the smallest available SF exercises the same operator shapes
-    # (parquet scan, hash agg, joins, window, codegen) so measured runs
-    # see a JIT-warm JVM rather than charging all compilation to the
-    # alphabetically first query. Warmup problems are REPORTED, not
-    # swallowed — a silently-skipped warmup would inflate the first
-    # measured query with no trace.
-    spark.range(1000).count()
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
-    for _name, fn in sorted(headline_queries().items()):
-        try:
-            fn(spark, warm_dir).count()
-        except Exception as e:
-            print(f"# warmup {_name} failed: {e}", file=sys.stderr)
+    spark.range(1000).count()  # JVM spinup — not counted.
 
+    # reps = total executions per query; run 0 is the query's own
+    # warmup (discarded unless reps == 1). Per-query discard replaces
+    # the r04–r12 separate sf0.001 warmup pass: same JIT coverage,
+    # half the wall time (see module docstring).
     reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     failures: list[str] = []
     for name, fn in sorted(headline_queries().items()):
         runs: list[float] = []
+        warm = None
         n = 0
         try:
-            for _ in range(reps):
+            for i in range(reps):
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                if i == 0 and reps > 1:
+                    warm = dt
+                else:
+                    runs.append(dt)
         except Exception as e:
             # One broken query must not discard the other timings or the
             # contract-required JSON line.
@@ -176,8 +186,10 @@ def main() -> None:
             continue
         timings[name] = round(statistics.median(runs), 3)
         spread = f"[{min(runs):.3f}..{max(runs):.3f}]"
+        warm_s = f", warm {warm:.3f}s" if warm is not None else ""
         print(
-            f"# {name}: {n} rows, median of {reps} = {timings[name]}s {spread}",
+            f"# {name}: {n} rows, median of {len(runs)} = "
+            f"{timings[name]}s {spread}{warm_s}",
             file=sys.stderr,
         )
 
@@ -224,6 +236,21 @@ def main() -> None:
             print(f"# control failed: {control['error']}", file=sys.stderr)
         else:
             result["control"] = control
+            # Carried ratio over the SHARED query set, computed here so
+            # the judge artifact carries the load-normalized cross-round
+            # signal directly (VERDICT r12 item 1) instead of each reader
+            # re-deriving it. <1.0 = this tree is faster than the pinned
+            # tree on this host right now.
+            shared = sorted(set(timings) & set(control.get("queries", {})))
+            csum = sum(control["queries"][q] for q in shared)
+            psum = sum(timings[q] for q in shared)
+            if shared and csum > 0:
+                result["carried"] = {
+                    "n_shared": len(shared),
+                    "primary_s": round(psum, 3),
+                    "control_s": round(csum, 3),
+                    "ratio": round(psum / csum, 3),
+                }
     # The driver tail-captures stdout (~2 KiB) and parses the LAST JSON
     # line; r06's single line (38 query medians + the control's 37)
     # outgrew the window, its head was truncated, and BENCH_r06.json
@@ -261,6 +288,8 @@ def main() -> None:
         }
         if control.get("failed"):
             compact["control"]["failed"] = control["failed"]
+        if "carried" in result:
+            compact["carried_ratio"] = result["carried"]["ratio"]
     elif "control_error" in result:
         ce = result["control_error"]
         compact["control_error"] = {
@@ -273,7 +302,7 @@ def main() -> None:
         # Shed optional fields until it fits (they all live in the
         # detail file); an assert would skip the line and the exit
         # code exactly in the mass-failure case where it matters.
-        for key in ("control_error", "control", "failed", "detail"):
+        for key in ("control_error", "control", "carried_ratio", "failed", "detail"):
             compact.pop(key, None)
             line = json.dumps(compact)
             if len(line) < 1024:
