@@ -480,11 +480,33 @@ def span_index_append(
     `ingest_batch=N` partition — a replayed streaming batch
     republishes its own partition instead of double-appending
     (idempotent under foreachBatch's at-least-once delivery). Without
-    one, rows land in the build partition (−1) with plain append
-    semantics."""
+    one, rows land in the build partition (−1); that path is made
+    retry-idempotent by anti-joining the store's existing keys before
+    the append (ADVICE r12 — a crashed-then-rerun batchless call would
+    otherwise double-append the same keys with no replay mask to
+    catch it; membership verdicts tolerate duplicates, storage does
+    not). The anti-join's store scan is why streaming ingest should
+    always pass an `ingest_batch` id instead."""
     _read_span_meta(spark, path)
     batch_id = -1 if ingest_batch is None else int(ingest_batch)
     mode = "append" if ingest_batch is None else "overwrite"
+    if ingest_batch is None:
+        from pyspark.errors import AnalysisException
+
+        from ..session import eager_checkpoint
+
+        try:
+            existing = spark.read.parquet(f"{path}/spans").select("span_key")
+        except AnalysisException:
+            existing = None  # empty/missing store: nothing to dedupe against
+        if existing is not None:
+            # Checkpoint breaks lineage so the write below never reads
+            # the path it is appending to.
+            new_keys = eager_checkpoint(
+                new_keys.select("span_key").join(
+                    existing, "span_key", "left_anti"
+                )
+            )
     (
         new_keys.select("span_key")
         .withColumn("ingest_batch", F.lit(batch_id).cast("long"))

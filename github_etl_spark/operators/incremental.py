@@ -369,10 +369,23 @@ def dedup_index_fold(spark: SparkSession, path: str) -> int:
     if not existing:
         return 0
     into = min(existing) - 1
+    # Fold only when SOME table actually has partitions to
+    # consolidate — but then fold BOTH tables (fold_single=True), so
+    # the "same fresh id, aligned layouts" invariant in the docstring
+    # holds even when one store ingested a single batch while the
+    # other ingested many (ADVICE r12: the old per-table ≤1 skip let
+    # fingerprints sit at batch −1 while bands folded to −2).
+    per_table = {
+        t: len({p["partition"]["ingest_batch"] for p in partition_stats(t)})
+        for t in tables
+    }
+    if max(per_table.values()) <= 1:
+        return 0
     n = 0
     for t in tables:
-        parts = partition_stats(t)
-        if len({p["partition"]["ingest_batch"] for p in parts}) <= 1:
-            continue
-        n += len(fold_partitions(spark, t, "ingest_batch", into_value=into))
+        n += len(
+            fold_partitions(
+                spark, t, "ingest_batch", into_value=into, fold_single=True
+            )
+        )
     return n

@@ -625,3 +625,182 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_tid").cast("long").alias("sum_tid"),
         )
     )
+
+
+def _pretrain_gate_replay_oracle() -> str:
+    """The STREAMING pretraining composite's verdict chain as ONE
+    DuckDB statement over a seed + three-ingest fold, every fragment
+    reused from its standalone oracle so they cannot drift: the
+    web-gate predicate (pipeline_web_curation), the fingerprint/
+    MinHash gate round (plans/ext._gate_round_sql — the
+    dedup_gate_replay fragment), and the span probe/keeper/summary
+    round (span_dedup_incremental). Both membership relations grow
+    with each round's admitted survivors — the inline form of the two
+    store appends (see streaming/pretrain_gate.pretrain_fold_verdicts
+    for why distinct-spans-of(corpus) ≡ the appended span store).
+    Per-doc base CTEs (words, gate, kept lines, spans, signatures) are
+    population-independent, so they are computed ONCE over all
+    documents and MATERIALIZED (multi-round consumers would otherwise
+    re-inline the whole derivation per reference — the r12
+    pretraining-composite lesson); round membership is by id-list
+    joins only."""
+    from .ext import _SQL_MINHASH_CTES, _gate_round_sql
+
+    def span_round(surv: str, corpus: str, t: str) -> str:
+        return f"""
+    store_{t} AS MATERIALIZED (
+      SELECT DISTINCT s.span_key
+      FROM spans s JOIN {corpus} c ON c.doc_id = s.doc_id
+    ),
+    probed_{t} AS (
+      SELECT s.doc_id, s.pos, s.span_key,
+             st.span_key IS NOT NULL AS in_corpus
+      FROM spans s
+      JOIN {surv} b ON b.doc_id = s.doc_id
+      LEFT JOIN store_{t} st ON st.span_key = s.span_key
+    ),
+    nk_{t} AS (
+      SELECT doc_id, span_key,
+             row_number() OVER (PARTITION BY span_key
+                                ORDER BY doc_id, pos) AS rn
+      FROM probed_{t} WHERE NOT in_corpus
+    ),
+    sverd_{t} AS (
+      SELECT doc_id, 'dup_corpus' AS verdict FROM probed_{t} WHERE in_corpus
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN rn = 1 THEN 'new' ELSE 'dup_batch' END AS verdict
+      FROM nk_{t}
+    ),
+    scnt_{t} AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (verdict = 'dup_corpus') AS BIGINT)
+               AS n_dup_corpus,
+             CAST(count(*) FILTER (verdict = 'dup_batch') AS BIGINT)
+               AS n_dup_batch,
+             CAST(count(*) FILTER (verdict = 'new') AS BIGINT) AS n_new
+      FROM sverd_{t} GROUP BY doc_id
+    ),
+    ssum_{t} AS (
+      SELECT k.doc_id, CAST(len(k.kept) AS INTEGER) AS n_kept,
+             CAST(len(k.kept) >= 3 AS INTEGER) AS keep_doc,
+             COALESCE(c.n_dup_corpus, 0) AS n_dup_corpus,
+             COALESCE(c.n_dup_batch, 0) AS n_dup_batch,
+             COALESCE(c.n_new, 0) AS n_new
+      FROM kl k
+      JOIN {surv} b2 ON b2.doc_id = k.doc_id
+      LEFT JOIN scnt_{t} c ON c.doc_id = k.doc_id
+    )"""
+
+    def out_round(t: str, tag: str) -> str:
+        return f"""
+    out_{t} AS (
+      SELECT '{tag}' AS ingest, b.doc_id,
+             g.doc_id IS NOT NULL AS passed_gate,
+             CASE WHEN g.doc_id IS NULL THEN 'gated'
+                  ELSE v_{t}.verdict END AS verdict,
+             CASE WHEN g.doc_id IS NULL THEN NULL
+                  ELSE v_{t}.n_near END AS n_near,
+             s.n_kept, s.keep_doc, s.n_dup_corpus, s.n_dup_batch, s.n_new
+      FROM b_{t} b
+      LEFT JOIN gate g ON g.doc_id = b.doc_id
+      LEFT JOIN v_{t} ON v_{t}.doc_id = b.doc_id
+      LEFT JOIN ssum_{t} s ON s.doc_id = b.doc_id
+    )"""
+
+    rounds = []
+    for t, tag, prev in (("a", "A", None), ("b", "B", "a"), ("c", "C", "b")):
+        grow = (
+            f"""
+    corpus_{t} AS MATERIALIZED (
+      SELECT doc_id FROM corpus_{prev}
+      UNION ALL SELECT doc_id FROM surv_{prev}
+    ),"""
+            if prev
+            else """
+    corpus_a AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE doc_id % 4 = 3
+    ),"""
+        )
+        rounds.append(
+            f"""{grow}
+    ga_{t} AS (
+      SELECT b.doc_id FROM b_{t} b JOIN gate g ON g.doc_id = b.doc_id
+    ),
+    {_gate_round_sql(f"ga_{t}", f"corpus_{t}", t).strip()},
+    surv_{t} AS MATERIALIZED (
+      SELECT doc_id FROM v_{t} WHERE verdict = 'new'
+    ),
+    {span_round(f"surv_{t}", f"corpus_{t}", t).strip()},
+    {out_round(t, tag).strip()}"""
+        )
+    all_rounds = ",".join(rounds)
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, ws, {_SQL_LINES} AS lns,
+             array_to_string({_SQL_LINES}, chr(10)) AS r,
+             CAST(len(ws) AS INTEGER) AS n_words
+      FROM w
+    ),
+    gate AS MATERIALIZED (
+      SELECT doc_id FROM feat
+      WHERE len(list_filter(lns, l -> {_SQL_C4_KEEP})) >= 3
+        AND {_SQL_GOPHER_KEEP}
+    ),
+    kl AS MATERIALIZED (
+      SELECT doc_id, list_filter(lns, l -> {_SQL_C4_KEEP}) AS kept
+      FROM feat
+    ),
+    spans AS MATERIALIZED (
+      SELECT doc_id, CAST(j AS INTEGER) AS pos,
+             md5(array_to_string(kept[(j+1):(j+3)], chr(1))) AS span_key
+      FROM kl, unnest(range(len(kept) - 2)) AS t(j)
+      WHERE len(kept) >= 3
+    ),
+    {_SQL_MINHASH_CTES.strip()},
+    b_a AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+    b_b AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+    b_c AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+    {all_rounds}
+    SELECT * FROM out_a
+    UNION ALL SELECT * FROM out_b
+    UNION ALL SELECT * FROM out_c
+    """
+
+
+@query(
+    "pretrain_gate_replay",
+    headline=True,
+    oracle=_pretrain_gate_replay_oracle(),
+)
+def pretrain_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the STREAMING pretraining-ingest composite
+    (streaming/pretrain_gate.py — web gate → fingerprint/MinHash store
+    → span store → idempotent per-batch publish) replayed as a
+    deterministic seed + three-ingest batch fold, the oracle-visible
+    sibling of the live foreachBatch pipeline (pass(T) pins the
+    exactly-once machinery and the live ≡ fold equality; THIS row
+    value-checks the chained classification semantics the stream
+    feeds on). Seed corpus doc_id%4==3 seeds both stores; ingests
+    A/B/C (doc_id%4∈{0,1,2}) each pass the C4+Gopher gate, dedup
+    against the grown fingerprint corpus, and their admitted
+    survivors' spans probe the grown span store — survivors then JOIN
+    both membership relations for the next round, exactly the two
+    store appends. md5-portable hash family so every fingerprint,
+    signature, band bucket and span key replays in DuckDB
+    value-for-value. Per-round shape: stores scanned never shuffled,
+    batch broadcast on both probes, survivors eager-checkpointed."""
+    from ..streaming.pretrain_gate import pretrain_fold_verdicts
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    seed = docs.where(F.col("doc_id") % 4 == 3)
+    batches = [
+        (tag, docs.where(F.col("doc_id") % 4 == i))
+        for i, tag in enumerate(("A", "B", "C"))
+    ]
+    return pretrain_fold_verdicts(
+        seed, batches, hash_family="md5_portable"
+    )

@@ -3791,8 +3791,8 @@ def mm_features_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8 bands, 3-word shingles) — the same relations the
 # dedup_incremental_portable oracle builds inline.
 _SQL_MINHASH_CTES = f"""
-    toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
-    fp AS (
+    toks AS MATERIALIZED (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    fp AS MATERIALIZED (
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
       FROM toks
@@ -3810,7 +3810,7 @@ _SQL_MINHASH_CTES = f"""
       GROUP BY doc_id, i.i
     ),
     sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hm GROUP BY doc_id),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, sig, b.b AS band,
              array_to_string(sig[b.b*4+1 : b.b*4+4], '') AS bucket
       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b

@@ -134,6 +134,7 @@ def fold_partitions(
     part_col: str,
     into_value: int,
     dedupe: bool = True,
+    fold_single: bool = False,
 ) -> list[dict]:
     """Fold EVERY partition of a Hive-partitioned parquet table into
     ONE fresh partition — the PARTITION-COUNT maintenance op for
@@ -178,7 +179,13 @@ def fold_partitions(
             "folding INTO a live partition is not crash-safe (a partial "
             "overwrite would lose its prior rows); pick a fresh value"
         )
-    if len(values) <= 1:
+    if len(values) <= 1 and not fold_single:
+        # Nothing to consolidate. ``fold_single=True`` overrides for
+        # callers that fold SIBLING tables to one shared fresh id and
+        # need the partition LAYOUTS to stay aligned even when one
+        # sibling has a single (or zero) partition (dedup_index_fold).
+        return []
+    if not stats:
         return []
     df = spark.read.parquet(table_path)
     data_cols = [c for c in df.columns if c != part_col]
@@ -194,11 +201,25 @@ def fold_partitions(
         .partitionBy(part_col)
         .parquet(table_path)
     )
+    # Surface failed deletes instead of masking them (ADVICE r12):
+    # attempt every source directory first, then raise listing the
+    # stragglers — the table is a duplicated superset at that point
+    # (harmless under membership semantics) and a re-run converges,
+    # but a silent half-fold would leak storage forever.
+    failed: list[str] = []
     for p in stats:
-        shutil.rmtree(
-            os.path.join(
-                table_path, f"{part_col}={p['partition'][part_col]}"
-            ),
-            ignore_errors=True,
+        src = os.path.join(
+            table_path, f"{part_col}={p['partition'][part_col]}"
+        )
+        try:
+            shutil.rmtree(src)
+        except OSError as e:
+            failed.append(f"{src}: {e}")
+    if failed:
+        raise RuntimeError(
+            f"fold_partitions: consolidated rows are written to "
+            f"{part_col}={into_value} but {len(failed)} source "
+            f"partition(s) could not be deleted (table is a duplicated "
+            f"superset; re-run to converge): " + "; ".join(failed)
         )
     return stats

@@ -187,7 +187,14 @@ def tumbling_replay(
         ids = events.sparkSession.createDataFrame(
             [(int(b),) for b in batch_ids], "__b int"
         )
-        bstats = ids.join(bstats, "__b", "left")
+        # FULL outer, not left: an observed batch id missing from the
+        # supplied list must still occupy a spine row — the row filter
+        # below joins events to the spine INNER on __b, so a left join
+        # would silently DROP every event in an unlisted batch
+        # (ADVICE r12). The union keeps the live-operator semantics
+        # (every micro-batch advances the watermark) under an
+        # incomplete caller-supplied list.
+        bstats = ids.join(bstats, "__b", "full")
     # lag-2 frame: batches ≤ b−2
     ww = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -2)
     wm = bstats.select(
@@ -278,16 +285,26 @@ def interval_join_replay(
     # watermark advances on every micro-batch, including one with zero
     # rows on both sides; observed-only batches would lag by row
     # distance instead of id distance.
+    observed = (
+        clicks.select(F.col(batch_col).alias("__b"))
+        .unionByName(purchases.select(F.col(batch_col).alias("__b")))
+        .distinct()
+    )
     if batch_ids is not None:
-        batches = clicks.sparkSession.createDataFrame(
-            [(int(b),) for b in batch_ids], "__b int"
-        )
-    else:
+        # Union the OBSERVED ids into the supplied spine: `_kept` joins
+        # events to the spine INNER on __b, so a supplied list missing
+        # an observed batch would silently drop that batch's rows
+        # (ADVICE r12) — and the live watermark advances on every
+        # micro-batch regardless of what the caller lists.
         batches = (
-            clicks.select(F.col(batch_col).alias("__b"))
-            .unionByName(purchases.select(F.col(batch_col).alias("__b")))
+            clicks.sparkSession.createDataFrame(
+                [(int(b),) for b in batch_ids], "__b int"
+            )
+            .unionByName(observed)
             .distinct()
         )
+    else:
+        batches = observed
     per_b = batches.join(_bmax(clicks, "__cm"), "__b", "left").join(
         _bmax(purchases, "__pm"), "__b", "left"
     )
