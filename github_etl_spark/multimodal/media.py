@@ -53,6 +53,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -243,28 +244,179 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def torch_feature_encoder(model_path: str):
+    """Batch-infer binding to the OPTIONAL public `torch` dependency —
+    the real implementation of the embedding-encoder seam in
+    `extract_features` (the `pyav_decoder` treatment applied to the
+    encoder: a genuine body behind an import probe, exercised in the
+    dependency-free tree via a sys.modules-injected fake torch —
+    tests/test_multimodal.py).
+
+    Loads a TorchScript module ONCE per call site (i.e. once per
+    executor task via the lazy resolve inside the mapInPandas body)
+    and returns a closure mapping an (n, d_in) float32 pre-feature
+    matrix to the L2-normalized (n, d_out) float32 embedding matrix.
+    Raises ImportError when torch is absent (the probe's signal) and
+    ValueError when the module mis-shapes its output — a wrong model
+    must be loud, never silently approximate."""
+    import torch  # optional public dependency
+
+    model = torch.jit.load(model_path)
+    if hasattr(model, "eval"):
+        model.eval()
+
+    def _encode(pre: np.ndarray) -> np.ndarray:
+        with torch.no_grad():
+            out = np.asarray(
+                model(torch.from_numpy(pre)).numpy(), dtype=np.float32
+            )
+        if out.ndim != 2 or out.shape[0] != pre.shape[0]:
+            raise ValueError(
+                f"encoder returned shape {out.shape} for a batch of "
+                f"{pre.shape[0]} rows"
+            )
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return out / norms
+
+    return _encode
+
+
+def resolve_feature_encoder():
+    """Deployment probe for the real embedding encoder (the
+    `resolve_interframe_decoder` idiom): bound when
+    ``SPARK_GRAFT_ENCODER_PATH`` names a TorchScript module, None when
+    the knob is unset (callers keep the deterministic bucket
+    featurizer). A SET path with torch unimportable raises — that
+    deployment ASKED for model inference, and a silent fallback would
+    ship bucket-feature vectors into an index built for model
+    embeddings."""
+    path = os.environ.get("SPARK_GRAFT_ENCODER_PATH")
+    if not path:
+        return None
+    try:
+        import torch  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "SPARK_GRAFT_ENCODER_PATH is set but `torch` is not "
+            "importable on this worker — install torch or unset the knob"
+        ) from e
+    return torch_feature_encoder(path)
+
+
+def extract_features(media: DataFrame, dim: int = 16, encoder=None) -> DataFrame:
     """Fixed-dim feature vector per item (the embed step before
-    similarity search / near-dup). Fake featurizer: per-bucket byte
+    similarity search / near-dup). Default featurizer: per-bucket byte
     means, L2-normalized — deterministic, vectorized, and shaped exactly
-    like a real encoder's output (`array<float>[dim]`). For actual
-    image files use the real-path siblings `bmp_features` /
+    like a real encoder's output (`array<float>[dim]`). When a real
+    encoder is bound — `encoder=` directly, or the
+    ``SPARK_GRAFT_ENCODER_PATH`` TorchScript probe
+    (`resolve_feature_encoder`, resolved lazily INSIDE the task so the
+    model loads on executors, not the driver) — the same pre-feature
+    matrix batch-infers through it, one Arrow batch per call. For
+    actual image files use the real-path siblings `bmp_features` /
     `image_features` (the latter sniffs BMP/PNG/QOI/JPEG)."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     schema = f"media_id long, features array<float>"  # noqa: F541
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if _HAVE_REAL_CODECS:  # pragma: no cover
-            raise NotImplementedError("real model path: batch-infer encoder here")
+        enc = encoder if encoder is not None else resolve_feature_encoder()
         for pdf in it:
-            feats = [
+            pre = [
                 _bucket_features(_as_u8(c).astype(np.float32), dim)
                 for c in pdf["content"]
             ]
+            if enc is None:
+                feats = pre
+            else:
+                mat = np.asarray(pre, dtype=np.float32).reshape(-1, dim)
+                feats = list(enc(mat))
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return media.mapInPandas(batches, schema=schema)
+
+
+# ------------------------------------------- frozen linear text encoder
+
+# Frozen integer weight matrix for `embed_text_linear` — a pure
+# function of (i, j) so the Spark expression and the DuckDB oracle
+# inline IDENTICAL literals (the quality_model_score frozen-weights
+# pattern applied to vectors). Values span [-6, 6]: small enough that
+# e_i = W·f stays far inside int64 for any real document.
+EMBED_FEATURES = 16  # hash-bucketed bag-of-words feature width
+EMBED_DIM = 8
+
+
+def embed_weight(i: int, j: int) -> int:
+    return ((7 * i + 11 * j) % 13) - 6
+
+
+def embed_text_linear(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents → embedding vectors as a VERIFIED derivation: a
+    frozen integer-quantized linear encoder over hash-bucketed
+    bag-of-words counts. f_j = count of words whose portable md5
+    bucket (operators/pipeline.portable_hash_bucket) is j;
+    e_i = Σ_j W[i][j]·f_j with the frozen `embed_weight` matrix —
+    exact integer math end to end, so the DuckDB oracle
+    (`mm_embed_text`) replays every vector bit-for-bit. The engine's
+    `embeddings` fixture table remains an INPUT; this row is the
+    documents→embeddings derivation the pretraining pipeline needs,
+    with the real-model seam (`extract_features` + TorchScript probe)
+    swapping in for the frozen matrix at deployment.
+
+    Scale shape: ONE map-only projection — tokenize, bucket, count,
+    matrix-multiply are all JVM expressions per row; no shuffle, no
+    UDF, no model on the driver. Emits the vector as a space-joined
+    string (catalog-wide complex-cell ban) plus integer checksums."""
+    from ..functions.text import words_expr
+    from ..operators.pipeline import portable_hash_bucket
+
+    words = words_expr(F.col(text_col))
+    # Element-wise portable bucket of each word, computed once into a
+    # lambda-bound array so the per-feature counts below cannot
+    # re-derive it per reference (the web_gate_expr staging trick).
+    packed = F.array(
+        F.struct(
+            F.transform(
+                words, lambda w: portable_hash_bucket(w, EMBED_FEATURES)
+            ).alias("b")
+        )
+    )
+
+    def feat(j: int):
+        return F.get(
+            F.transform(
+                packed, lambda p: F.size(F.filter(p["b"], lambda b: b == j))
+            ),
+            0,
+        ).cast("long")
+
+    feats = [feat(j).alias(f"__f{j}") for j in range(EMBED_FEATURES)]
+    staged = df.select(F.col(id_col), *feats)
+    dims = [
+        sum(
+            (F.col(f"__f{j}") * F.lit(embed_weight(i, j)))
+            for j in range(EMBED_FEATURES)
+        ).alias(f"__e{i}")
+        for i in range(EMBED_DIM)
+    ]
+    e = staged.select(id_col, *dims)
+    vec = F.array(*[F.col(f"__e{i}") for i in range(EMBED_DIM)])
+    return e.select(
+        id_col,
+        F.array_join(vec, " ").alias("embedding"),
+        F.aggregate(vec, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_e"
+        ),
+        F.aggregate(
+            vec, F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("l2_sq"),
+    )
 
 
 def repartition_by_payload(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:

@@ -773,7 +773,11 @@ def _pretrain_gate_replay_oracle() -> str:
 
 @query(
     "pretrain_gate_replay",
-    headline=True,
+    # Not headline: the fold recomputes the grown corpus's inline
+    # relations per round BY DESIGN (it is the oracle/replay vehicle;
+    # the production path is the materialized stores, whose per-ingest
+    # cost is corpus-independent — docs/SCALE_PROBE.md), so benching
+    # it would time the replay harness, not the engine.
     oracle=_pretrain_gate_replay_oracle(),
 )
 def pretrain_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2675,3 +2675,184 @@ def test_resolve_interframe_decoder_binds_fake_av(fake_av):
     )
 
     assert resolve_interframe_decoder() is pyav_decoder
+
+
+# ------------------------------------------ encoder seam (fake torch)
+
+
+class _FakeTensor:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def numpy(self):
+        return self._arr
+
+
+class _FakeLinearModel:
+    """Deterministic stand-in TorchScript module: out = pre @ W.T."""
+
+    def __init__(self, w):
+        self.w = w
+        self.evaled = False
+
+    def eval(self):
+        self.evaled = True
+
+    def __call__(self, tensor):
+        return _FakeTensor(tensor.numpy() @ self.w.T)
+
+
+class _FakeBadShapeModel:
+    def eval(self):
+        pass
+
+    def __call__(self, tensor):
+        return _FakeTensor(tensor.numpy().reshape(-1))
+
+
+@pytest.fixture
+def fake_torch(monkeypatch):
+    """Install a minimal fake `torch` (sys.modules) so
+    torch_feature_encoder's REAL body — jit.load, eval, no_grad,
+    from_numpy round-trip, shape validation, L2 normalization —
+    executes in the dependency-free tree (the r12 verdict's encoder
+    item: the PyAV fake-module treatment applied to the model seam).
+    The per-test model is set via `fake_torch.model`."""
+    import sys
+    import types
+
+    mod = types.ModuleType("torch")
+    mod.model = None
+    mod.from_numpy = _FakeTensor
+
+    class _NoGrad:
+        def __enter__(self):
+            return None
+
+        def __exit__(self, *a):
+            return False
+
+    mod.no_grad = _NoGrad
+    jit = types.ModuleType("torch.jit")
+
+    def _load(path):
+        assert isinstance(path, str) and path
+        return mod.model
+
+    jit.load = _load
+    mod.jit = jit
+    monkeypatch.setitem(sys.modules, "torch", mod)
+    monkeypatch.setitem(sys.modules, "torch.jit", jit)
+    return mod
+
+
+def test_torch_encoder_body_with_fake_torch(fake_torch):
+    """Happy path through torch_feature_encoder's own batch-infer
+    body: known linear weights come back as the L2-normalized matrix
+    product, eval() was called, zero rows round-trip."""
+    from github_etl_spark.multimodal.media import torch_feature_encoder
+
+    rng_w = np.array(
+        [[(7 * i + 11 * j) % 5 - 2 for j in range(16)] for i in range(4)],
+        dtype=np.float32,
+    )
+    fake_torch.model = _FakeLinearModel(rng_w)
+    enc = torch_feature_encoder("/fake/model.pt")
+    assert fake_torch.model.evaled
+    pre = np.arange(32, dtype=np.float32).reshape(2, 16)
+    out = enc(pre)
+    want = pre @ rng_w.T
+    want = want / np.linalg.norm(want, axis=1, keepdims=True)
+    assert out.shape == (2, 4) and out.dtype == np.float32
+    assert np.allclose(out, want, atol=1e-6)
+    assert enc(np.zeros((0, 16), dtype=np.float32)).shape == (0, 4)
+
+
+def test_torch_encoder_bad_shape_raises(fake_torch):
+    from github_etl_spark.multimodal.media import torch_feature_encoder
+
+    fake_torch.model = _FakeBadShapeModel()
+    enc = torch_feature_encoder("/fake/model.pt")
+    with pytest.raises(ValueError, match="encoder returned shape"):
+        enc(np.ones((3, 16), dtype=np.float32))
+
+
+def test_resolve_feature_encoder_probe(fake_torch, monkeypatch):
+    """The deployment knob: unset → None (bucket-featurizer fallback);
+    set with (fake) torch importable → a bound encoder the
+    extract_features body can call."""
+    from github_etl_spark.multimodal import media
+
+    monkeypatch.delenv("SPARK_GRAFT_ENCODER_PATH", raising=False)
+    assert media.resolve_feature_encoder() is None
+
+    fake_torch.model = _FakeLinearModel(np.eye(16, dtype=np.float32))
+    monkeypatch.setenv("SPARK_GRAFT_ENCODER_PATH", "/fake/model.pt")
+    enc = media.resolve_feature_encoder()
+    pre = np.ones((1, 16), dtype=np.float32)
+    assert np.allclose(enc(pre), pre / np.linalg.norm(pre))
+
+
+def test_resolve_feature_encoder_missing_torch_is_loud(monkeypatch):
+    """A SET model path with torch genuinely unimportable must raise,
+    not silently fall back — bucket features in a model-embedding
+    index would be a quiet data corruption."""
+    import builtins
+    import sys
+
+    from github_etl_spark.multimodal import media
+
+    monkeypatch.setenv("SPARK_GRAFT_ENCODER_PATH", "/fake/model.pt")
+    monkeypatch.delitem(sys.modules, "torch", raising=False)
+    real_import = builtins.__import__
+
+    def _no_torch(name, *a, **k):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("No module named 'torch'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", _no_torch)
+    with pytest.raises(ImportError, match="SPARK_GRAFT_ENCODER_PATH"):
+        media.resolve_feature_encoder()
+
+
+def test_extract_features_with_injected_encoder(spark, sf_dir):
+    """The mapInPandas batch-infer path end-to-end through Spark with
+    an injected deterministic encoder closure: every output vector is
+    the encoder image of that row's bucket pre-features, and the
+    default (no encoder) output is the pre-features themselves."""
+    import numpy as _np
+
+    from github_etl_spark.multimodal.media import _as_u8, _bucket_features
+
+    media_df = _media(spark, sf_dir)
+
+    def enc(pre):
+        w = _np.array(
+            [[1.0 if (i + j) % 3 == 0 else -0.5 for j in range(16)]
+             for i in range(4)],
+            dtype=_np.float32,
+        )
+        out = pre @ w.T
+        n = _np.linalg.norm(out, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return (out / n).astype(_np.float32)
+
+    got = {
+        r.media_id: list(r.features)
+        for r in extract_features(media_df, dim=16, encoder=enc).collect()
+    }
+    payloads = {
+        r.media_id: r.content for r in media_df.select(
+            "media_id", "content"
+        ).collect()
+    }
+    assert set(got) == set(payloads)
+    for mid, content in payloads.items():
+        pre = _np.asarray(
+            [_bucket_features(_as_u8(content).astype(_np.float32), 16)],
+            dtype=_np.float32,
+        )
+        want = enc(pre)[0]
+        assert len(got[mid]) == 4
+        assert _np.allclose(_np.array(got[mid]), want, atol=1e-5), mid
