@@ -441,9 +441,16 @@ def ivf_topk(
     sample_size: int = 4096,
     seed: int = 42,
     arrow: bool = True,
+    train_on: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine: score only corpus vectors whose
     cell is among the query's `nprobe` closest centroids.
+
+    ``train_on`` (default: the corpus) restricts centroid TRAINING to
+    a sub-frame while still assigning/scoring the full corpus — the
+    inline form of querying an index built before later appends
+    arrived (`ivf_index_append`'s stale-centroid regime), used by the
+    equivalence pin in tests/test_similarity.py.
 
     Cost per query ≈ (nprobe / n_centroids) of the corpus vs brute
     force; recall rises with nprobe (asserted in tests). The probed
@@ -461,7 +468,8 @@ def ivf_topk(
     Pre-filter and fail upstream if that should be a hard error.
     """
     centroids = train_ivf_centroids(
-        corpus, vec_col, n_centroids, sample_size, seed=seed
+        corpus if train_on is None else train_on,
+        vec_col, n_centroids, sample_size, seed=seed,
     )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, arrow=arrow)
     q = _probed_queries(queries, centroids, id_col, vec_col, nprobe, arrow)
@@ -575,12 +583,18 @@ def ivf_build_index(
     build_id = hashlib.md5(
         json.dumps(centroids).encode("utf-8")
     ).hexdigest()
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, arrow=arrow).withColumn(
-        "build_id", F.lit(build_id)
+    assigned = (
+        ivf_assign(corpus, centroids, id_col, vec_col, arrow=arrow)
+        .withColumn("build_id", F.lit(build_id))
+        # Build rows live in ingest_batch −1; `ivf_index_append` adds
+        # later vectors under their own batch partition (second
+        # partition level, so `cell` directory pruning is unchanged)
+        # with dynamic-overwrite idempotence.
+        .withColumn("ingest_batch", F.lit(-1).cast("long"))
     )
     writer = assigned.write.mode("overwrite")
     if centroids:
-        writer = writer.partitionBy("cell")
+        writer = writer.partitionBy("cell", "ingest_batch")
     # Empty corpus → no centroids → skip partitionBy: a partitioned
     # write of a 0-row frame emits only _SUCCESS (no parquet footer)
     # and a later read fails UNABLE_TO_INFER_SCHEMA. Writing it
@@ -593,6 +607,88 @@ def ivf_build_index(
         1
     ).write.mode("overwrite").text(path + "_centroids")
     return centroids
+
+
+def _read_ivf_sidecar(spark, path: str) -> tuple[list, str | None]:
+    """(centroids, build_id) from the `ivf_build_index` sidecar —
+    shared by the query and append paths so a missing/partial build
+    fails identically everywhere."""
+    import json
+
+    sidecar_path = path + "_centroids"
+    try:
+        head = spark.read.text(sidecar_path).head()
+    except Exception as e:  # AnalysisException — sidecar dir missing
+        raise FileNotFoundError(
+            f"IVF centroid sidecar not found at {sidecar_path!r} — "
+            "was ivf_build_index run (and did it finish)?"
+        ) from e
+    if head is None:
+        raise ValueError(
+            f"IVF centroid sidecar at {sidecar_path!r} is empty — "
+            "partial/failed ivf_build_index write; rebuild the index."
+        )
+    meta = json.loads(head[0])
+    if isinstance(meta, dict):
+        return meta["centroids"], meta.get("build_id")
+    return meta, None  # legacy bare-list sidecar (pre-fingerprint builds)
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    ingest_batch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool = True,
+) -> None:
+    """Incremental IVF maintenance: assign NEW vectors to the
+    EXISTING index's cells (sidecar centroids — no retraining) and
+    dynamic-overwrite exactly the touched ``(cell, ingest_batch=N)``
+    partitions, the membership-store append discipline
+    (operators/incremental.dedup_index_append) applied to the vector
+    index. A replayed/retried append republishes its own partitions —
+    idempotent under at-least-once delivery; `cell`-level directory
+    pruning in `ivf_query_index` is untouched (ingest_batch is the
+    SECOND partition level).
+
+    The appended rows carry the sidecar's build fingerprint, so the
+    build-vs-assignment consistency probe keeps working across
+    appends; a rebuild (new build_id) racing an append surfaces as
+    the usual mismatch error at query time.
+
+    Centroids go STALE as the corpus drifts — that is a measured
+    contract, not a hope: `sim_ivf_append_recall` (plans/ext.py) pins
+    recall@5 of stale-centroid retrieval against a fresh rebuild,
+    per query. Batch −1 is reserved for build rows (raises).
+
+    At 100 TB: per-ingest cost is one batch-sized assignment pass
+    (centroid scoring is Arrow-batched, map-only) + a write touching
+    ≤ min(|batch|, n_centroids) cell directories; the index is never
+    rewritten and never shuffled."""
+    if int(ingest_batch) == -1:
+        raise ValueError(
+            "ingest_batch -1 is reserved for ivf_build_index rows; "
+            "use a non-negative batch id"
+        )
+    centroids, build_id = _read_ivf_sidecar(spark, path)
+    if not centroids:
+        raise ValueError(
+            f"IVF index at {path!r} has no centroids (empty-corpus "
+            "build) — appends cannot be assigned; rebuild with data"
+        )
+    assigned = (
+        ivf_assign(new_vectors, centroids, id_col, vec_col, arrow=arrow)
+        .withColumn("build_id", F.lit(build_id))
+        .withColumn("ingest_batch", F.lit(int(ingest_batch)).cast("long"))
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(path)
+    )
 
 
 def ivf_query_index(
@@ -621,26 +717,7 @@ def ivf_query_index(
     parquet `build_id` fingerprints must agree (see `ivf_build_index`)
     — a mismatch raises instead of probing against the wrong centroids.
     """
-    import json
-
-    sidecar_path = path + "_centroids"
-    try:
-        head = spark.read.text(sidecar_path).head()
-    except Exception as e:  # AnalysisException — sidecar dir missing
-        raise FileNotFoundError(
-            f"IVF centroid sidecar not found at {sidecar_path!r} — "
-            "was ivf_build_index run (and did it finish)?"
-        ) from e
-    if head is None:
-        raise ValueError(
-            f"IVF centroid sidecar at {sidecar_path!r} is empty — "
-            "partial/failed ivf_build_index write; rebuild the index."
-        )
-    meta = json.loads(head[0])
-    if isinstance(meta, dict):
-        centroids, build_id = meta["centroids"], meta.get("build_id")
-    else:  # legacy bare-list sidecar (pre-fingerprint builds)
-        centroids, build_id = meta, None
+    centroids, build_id = _read_ivf_sidecar(spark, path)
     # Materialize the probed query set once (bounded: queries×nprobe
     # rows): it is consumed twice — the IN-list below and the scoring
     # join — and would otherwise re-run the centroid-scoring UDF per
@@ -653,6 +730,10 @@ def ivf_query_index(
     # would also work but depends on join planning).
     cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     assigned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    if "ingest_batch" in assigned.columns:
+        # Batch identity is append-bookkeeping (idempotent replay),
+        # not scoring input.
+        assigned = assigned.drop("ingest_batch")
     if build_id is not None and "build_id" in assigned.columns:
         # One tiny limit(1) probe per query batch (reads a single row
         # group): assignments and sidecar must come from the SAME
@@ -808,6 +889,7 @@ def ivf_topk_portable(
     n_centroids: int = 16,
     nprobe: int = 4,
     quant: int = 1000,
+    train_on: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with the portable seed quantizer: every branch of the
     pipeline (centroid selection, cell assignment, probe ranking) is
@@ -821,7 +903,8 @@ def ivf_topk_portable(
     headline k-means variant shares (`_score_probed`).
     """
     cents = ivf_portable_seed_centroids(
-        corpus, id_col, vec_col, n_centroids, quant
+        corpus if train_on is None else train_on,
+        id_col, vec_col, n_centroids, quant,
     )
     if not cents:
         return ivf_assign(corpus, [], id_col, vec_col).select(

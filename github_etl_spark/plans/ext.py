@@ -2514,7 +2514,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
 
 
-_SIM_IVF_PORTABLE_ORACLE = """
+# Template: `train_where` restricts which vectors are eligible as
+# portable seed centroids (empty = all, the classic row; a predicate =
+# the stale-centroid appended-index regime of sim_ivf_append_recall).
+_SIM_IVF_PORTABLE_ORACLE_TMPL = """
 WITH emb_q AS (
   SELECT vec_id, embedding,
          list_transform(embedding,
@@ -2527,7 +2530,7 @@ cents AS (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
            AS cell,
          qv AS cv
-  FROM emb_q
+  FROM emb_q {train_where}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT 16
 ),
@@ -2572,6 +2575,8 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
        (floor((cosine_raw) * 10000 + 0.5) / 10000) AS cosine
 FROM ranked WHERE rank <= 5
 """
+
+_SIM_IVF_PORTABLE_ORACLE = _SIM_IVF_PORTABLE_ORACLE_TMPL.format(train_where="")
 
 
 @query("sim_ivf_topk_portable", oracle=_SIM_IVF_PORTABLE_ORACLE)
@@ -5169,3 +5174,92 @@ def mm_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return embed_text_linear(t["documents"])
+
+
+def _append_recall_oracle() -> str:
+    """Oracle for sim_ivf_append_recall: the portable IVF pipeline
+    twice — once with centroids drawn ONLY from the pre-append corpus
+    (vec_id % 5 <> 0: the stale-centroid regime an `ivf_index_append`ed
+    index runs in) and once trained fresh on everything — each scored
+    for recall@5 against the exact brute-force top-5."""
+    stale = _SIM_IVF_PORTABLE_ORACLE_TMPL.format(
+        train_where="WHERE vec_id % 5 <> 0"
+    )
+
+    def hits(cte: str, out: str) -> str:
+        return f"""
+      SELECT b.query_id,
+             CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS {out}
+      FROM bf b LEFT JOIN {cte} a
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id"""
+
+    return f"""
+    WITH bf AS ({_SIM_ORACLE}),
+    st AS ({stale}),
+    fr AS ({_SIM_IVF_PORTABLE_ORACLE}),
+    hs AS ({hits("st", "n_hits_stale")}),
+    hf AS ({hits("fr", "n_hits_fresh")})
+    SELECT hs.query_id, hs.n_hits_stale,
+           (floor((CAST(hs.n_hits_stale AS DOUBLE) / 5.0) * 10000 + 0.5)
+              / 10000) AS recall_stale,
+           hf.n_hits_fresh,
+           (floor((CAST(hf.n_hits_fresh AS DOUBLE) / 5.0) * 10000 + 0.5)
+              / 10000) AS recall_fresh,
+           (floor((CAST(hf.n_hits_fresh - hs.n_hits_stale AS DOUBLE) / 5.0)
+              * 10000 + 0.5) / 10000) AS recall_drift
+    FROM hs JOIN hf ON hf.query_id = hs.query_id
+    """
+
+
+@query("sim_ivf_append_recall", oracle=_append_recall_oracle())
+def sim_ivf_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the STALENESS contract for incremental IVF maintenance
+    (operators/similarity.ivf_index_append — VERDICT r12 item #4).
+    An appended index keeps serving the centroids it was BUILT with;
+    as the corpus grows past them, recall drifts. This row makes that
+    drift a per-query verified number instead of folklore: recall@5
+    of the stale-centroid retrieval (centroids eligible from the
+    pre-append 4/5 of the corpus only, assignment/scoring over
+    everything — exactly the appended index's regime, pinned
+    row-identical to the materialized path in
+    tests/test_similarity.py) vs the fresh rebuild, both against
+    exact brute force. The tuning signal a 100 TB operator watches to
+    schedule re-trains."""
+    from ..operators.similarity import brute_force_topk, ivf_topk_portable
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(corpus=emb, queries=q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(ap: DataFrame, out: str) -> DataFrame:
+        ap = ap.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        return (
+            exact.join(ap, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias(out)
+            )
+        )
+
+    stale = ivf_topk_portable(
+        emb, q, k=5, n_centroids=16, nprobe=4,
+        train_on=emb.filter(F.col("vec_id") % 5 != 0),
+    )
+    fresh = ivf_topk_portable(emb, q, k=5, n_centroids=16, nprobe=4)
+    hs = hits(stale, "n_hits_stale")
+    hf = hits(fresh, "n_hits_fresh")
+    return hs.join(hf, "query_id").select(
+        "query_id",
+        "n_hits_stale",
+        round_det(F.col("n_hits_stale") / 5.0, 4).alias("recall_stale"),
+        "n_hits_fresh",
+        round_det(F.col("n_hits_fresh") / 5.0, 4).alias("recall_fresh"),
+        round_det(
+            (F.col("n_hits_fresh") - F.col("n_hits_stale")) / 5.0, 4
+        ).alias("recall_drift"),
+    )

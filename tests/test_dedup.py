@@ -900,3 +900,74 @@ def test_canonicalize_url_spark_duckdb_lockstep(spark):
     assert got_spark[len(cases) - 3] == "a.com/p?ref=/"
     assert got_spark[len(cases) - 2] == "a.com/p"
     assert got_spark[len(cases) - 1] == "a.com/p?ref=/"
+
+
+def test_ivf_index_append_matches_stale_inline_and_is_idempotent(
+    spark, tmp_path
+):
+    """Incremental IVF maintenance (ivf_index_append): appended
+    vectors are assigned to the EXISTING sidecar centroids — querying
+    the appended index equals the inline path over the full corpus
+    with training restricted to the build corpus (`train_on`, the
+    stale-centroid regime the sim_ivf_append_recall row prices) — a
+    replayed append republishes identical state, and batch −1 is
+    reserved for build rows."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.similarity import (
+        _read_ivf_sidecar,
+        ivf_assign,
+        ivf_build_index,
+        ivf_index_append,
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    emb, queries = _emb_tables(spark)
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(seed, path, n_centroids=16)
+    ivf_index_append(spark, path, batch, ingest_batch=0)
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in ivf_query_index(
+            spark, path, queries, k=5, nprobe=4
+        ).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=16, nprobe=4, train_on=seed
+        ).collect()
+    }
+    assert got == inline
+
+    # The appended partition holds exactly the sidecar-centroid
+    # assignment of the batch, under the build's fingerprint.
+    cents, _bid = _read_ivf_sidecar(spark, path)
+    expected = {
+        (r.neighbor_id, r.cell) for r in ivf_assign(batch, cents).collect()
+    }
+    tbl = spark.read.parquet(path)
+    appended = {
+        (r.neighbor_id, r.cell)
+        for r in tbl.where(F.col("ingest_batch") == 0).collect()
+    }
+    assert appended == expected
+    assert tbl.select("build_id").distinct().count() == 1
+
+    # Replayed append (at-least-once delivery) republishes the same
+    # (cell, batch) partitions bit-for-bit.
+    state = sorted(map(tuple, tbl.collect()))
+    ivf_index_append(spark, path, batch, ingest_batch=0)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == state
+
+    with _pytest.raises(ValueError, match="reserved"):
+        ivf_index_append(spark, path, batch, ingest_batch=-1)
+    with _pytest.raises(FileNotFoundError):
+        ivf_index_append(
+            spark, str(tmp_path / "nope"), batch, ingest_batch=1
+        )
