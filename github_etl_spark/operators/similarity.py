@@ -10,6 +10,8 @@ idea as MinHash LSH but for cosine space.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W
@@ -691,6 +693,84 @@ def ivf_index_append(
     )
 
 
+def _ivf_fold_marker(path: str) -> str:
+    return path + "_folding"
+
+
+def ivf_index_fold(spark, path: str) -> int:
+    """Collapse the per-append ``ingest_batch`` partitions into ONE
+    fresh batch id per cell — the partition-count maintenance op for
+    an appended IVF index (after thousands of `ivf_index_append`
+    micro-batches, scan cost is directory listing, not bytes), the
+    `fold_partitions` discipline with one crucial difference: a
+    half-folded VECTOR index is NOT a harmless superset. Duplicated
+    vectors change query results (the same neighbor scores twice and
+    occupies two top-k slots), so unlike the membership stores the
+    fold is guarded by a MARKER: written FIRST, removed LAST, and
+    `ivf_query_index` refuses to serve while it exists. A crash at
+    any point leaves the marker; re-running the fold converges (it
+    re-distincts every surviving row into a fresh batch id and
+    deletes the rest) and re-enables queries.
+
+    Returns the number of partitions folded (0 = nothing to do:
+    a single batch id and no leftover marker). Run only with no
+    in-flight append whose batch may replay — folding erases batch
+    identity (the standard streaming-compaction caveat).
+
+    Local-filesystem marker/deletes (os/shutil), like the snapshot
+    retention sweep — at cloud scale swap for the Hadoop FileSystem
+    API."""
+    import shutil
+
+    from ..sinks.compact import partition_stats
+
+    centroids, _bid = _read_ivf_sidecar(spark, path)
+    if not centroids:
+        return 0  # empty-corpus build: unpartitioned, nothing to fold
+    marker = _ivf_fold_marker(path)
+    stats = partition_stats(path)
+    batches = {p["partition"].get("ingest_batch") for p in stats}
+    if len(batches) <= 1 and not os.path.exists(marker):
+        return 0
+    existing = [int(b) for b in batches if b is not None]
+    into = min(existing + [-1]) - 1
+    os.makedirs(marker, exist_ok=True)
+    with open(os.path.join(marker, "MARKER"), "w") as f:
+        f.write(f"folding into ingest_batch={into}\n")
+    df = spark.read.parquet(path)
+    data_cols = [c for c in df.columns if c != "ingest_batch"]
+    (
+        df.select(*data_cols)
+        .distinct()
+        .withColumn("ingest_batch", F.lit(into).cast("long"))
+        .write.mode("append")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(path)
+    )
+    failed: list[str] = []
+    for p in stats:
+        src = os.path.join(
+            path,
+            f"cell={p['partition']['cell']}",
+            f"ingest_batch={p['partition']['ingest_batch']}",
+        )
+        try:
+            shutil.rmtree(src)
+        except OSError as e:
+            failed.append(f"{src}: {e}")
+    if failed:
+        # Marker stays — queries keep refusing until a re-run
+        # finishes the job.
+        raise RuntimeError(
+            f"ivf_index_fold: consolidated rows are written to "
+            f"ingest_batch={into} but {len(failed)} source partition(s) "
+            f"could not be deleted (marker left in place; re-run to "
+            f"converge): " + "; ".join(failed)
+        )
+    shutil.rmtree(marker)
+    return len(stats)
+
+
 def ivf_query_index(
     spark,
     path: str,
@@ -718,6 +798,15 @@ def ivf_query_index(
     — a mismatch raises instead of probing against the wrong centroids.
     """
     centroids, build_id = _read_ivf_sidecar(spark, path)
+    if os.path.exists(_ivf_fold_marker(path)):
+        # A crashed ivf_index_fold leaves duplicated vectors — NOT a
+        # harmless superset for top-k (a duplicate occupies two result
+        # slots). Refuse until the fold is re-run to completion.
+        raise RuntimeError(
+            f"IVF index at {path!r} has an unfinished fold (marker "
+            f"{_ivf_fold_marker(path)!r}) — re-run ivf_index_fold to "
+            "converge before querying"
+        )
     # Materialize the probed query set once (bounded: queries×nprobe
     # rows): it is consumed twice — the IN-list below and the scoring
     # join — and would otherwise re-run the centroid-scoring UDF per

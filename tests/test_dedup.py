@@ -971,3 +971,74 @@ def test_ivf_index_append_matches_stale_inline_and_is_idempotent(
         ivf_index_append(
             spark, str(tmp_path / "nope"), batch, ingest_batch=1
         )
+
+
+def test_ivf_index_fold_preserves_queries_and_crash_guard(spark, tmp_path):
+    """Folding accreted append partitions leaves every query verdict
+    unchanged; a crashed fold (marker present, rows duplicated) makes
+    queries REFUSE rather than silently double-count neighbors, and a
+    re-run converges and re-enables them."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.similarity import (
+        _ivf_fold_marker,
+        ivf_build_index,
+        ivf_index_append,
+        ivf_index_fold,
+        ivf_query_index,
+    )
+
+    emb, queries = _emb_tables(spark)
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(emb.where(F.col("vec_id") % 3 != 0), path, n_centroids=8)
+    ivf_index_append(
+        spark, path, emb.where(F.col("vec_id") % 3 == 0), ingest_batch=0
+    )
+    before = sorted(
+        map(
+            tuple,
+            ivf_query_index(spark, path, queries, k=5, nprobe=3).collect(),
+        )
+    )
+    n = ivf_index_fold(spark, path)
+    assert n >= 2  # at least one build + one append partition folded
+    tbl = spark.read.parquet(path)
+    assert tbl.select("ingest_batch").distinct().count() == 1
+    after = sorted(
+        map(
+            tuple,
+            ivf_query_index(spark, path, queries, k=5, nprobe=3).collect(),
+        )
+    )
+    assert after == before
+    assert ivf_index_fold(spark, path) == 0  # idempotent no-op
+
+    # Crash simulation: duplicated rows + leftover marker. Queries
+    # refuse; re-running the fold converges and re-enables them.
+    tbl = spark.read.parquet(path)  # post-fold layout
+    dup = spark.createDataFrame(tbl.limit(5).collect(), tbl.schema)
+    dup.write.mode("append").partitionBy("cell", "ingest_batch").parquet(
+        path
+    )
+    marker = _ivf_fold_marker(path)
+    _os.makedirs(marker, exist_ok=True)
+    with open(_os.path.join(marker, "MARKER"), "w") as f:
+        f.write("crashed\n")
+    with _pytest.raises(RuntimeError, match="unfinished fold"):
+        ivf_query_index(spark, path, queries, k=5, nprobe=3).collect()
+    assert ivf_index_fold(spark, path) > 0
+    assert not _os.path.exists(marker)
+    assert (
+        sorted(
+            map(
+                tuple,
+                ivf_query_index(
+                    spark, path, queries, k=5, nprobe=3
+                ).collect(),
+            )
+        )
+        == before
+    )

@@ -959,6 +959,72 @@ def span_store_probe(spark, docs, ks) -> list[str]:
     return lines
 
 
+def ivf_append_probe(spark, emb, ks) -> list[str]:
+    """IVF-append probe (round 13): fixed 100-vector append against a
+    K-growing MATERIALIZED IVF index (`ivf_index_append`) — the
+    flatness claim of incremental vector-index maintenance: per-ingest
+    cost is one batch-sized centroid-assignment pass plus a write
+    touching at most min(|batch|, cells) partitions, independent of
+    how many vectors the index already holds. Centroid count is held
+    at 16 across K to isolate append-vs-index-size (the 100 TB sizing
+    rule grows cells WITH the corpus, which adds only a batch x cells
+    scoring term). Query time after the append is recorded too: cell
+    pruning keeps it tracking per-cell row count, not append count."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.similarity import ivf_index_append
+
+    root = tempfile.mkdtemp(prefix="scale_probe_ivfapp_")
+    batch = emb.limit(100).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    queries = emb.orderBy("vec_id").limit(10)
+    lines = [
+        "## IVF-append probe (round 13) — fixed batch vs growing index",
+        "",
+        "Fixed 100-vector batch appended to an index built from the",
+        "K-replicated embeddings (`ivf_build_index` at 16 cells ->",
+        "`ivf_index_append` -> `ivf_query_index`). Flat append column =",
+        "the incremental-maintenance claim: assignment is batch-sized,",
+        "the write dynamic-overwrites only the touched (cell, batch)",
+        "partitions, and the index is never read, shuffled or",
+        "rewritten by an append.",
+        "Regenerate: `python tools/scale_probe.py --ivf-append-only`.",
+        "",
+        "| K | index rows | build sec | append sec (100 vecs) | query sec |",
+        "|---|---|---|---|---|",
+    ]
+    for k in ks:
+        e = replicate(emb, "vec_id", k)
+        idx = os.path.join(root, f"ivf_k{k}")
+        t0 = _time.perf_counter()
+        ivf_build_index(e, idx, n_centroids=16)
+        t_build = _time.perf_counter() - t0
+        n_rows = spark.read.parquet(idx).count()
+        t0 = _time.perf_counter()
+        ivf_index_append(spark, idx, batch, ingest_batch=0)
+        t_append = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        ivf_query_index(spark, idx, queries, k=5, nprobe=4).count()
+        t_query = _time.perf_counter() - t0
+        lines.append(
+            f"| {k} | {n_rows} | {t_build:.1f} | {t_append:.1f} |"
+            f" {t_query:.1f} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Query time tracks per-cell row count (cells fixed at 16 here,",
+        "so probed rows grow with K by construction); the append",
+        "column is the contract under test.",
+        "",
+    ]
+    return lines
+
+
 _SECTION_MARKERS = [
     "## Relational & graph probe — triangles, bloom join, heavy hitters",
     "## Q9 join tree & BMP decode probe (round 6)",
@@ -973,6 +1039,7 @@ _SECTION_MARKERS = [
     "## DSIR sizing probe (round 10) — cost vs n_buckets",
     "## Hot-bucket probe (round 11) — budget_select offset idiom",
     "## Span-store probe (round 12) — fixed batch vs growing store",
+    "## IVF-append probe (round 13) — fixed batch vs growing index",
 ]
 
 
@@ -1033,7 +1100,7 @@ def main():
     flags = {
         "--relational-only", "--round6-only", "--png-only", "--bpe-only",
         "--codec-only", "--pagerank-only", "--basket-only", "--dsir-only",
-        "--hot-bucket-only", "--span-store-only",
+        "--hot-bucket-only", "--span-store-only", "--ivf-append-only",
     }
     args = [a for a in sys.argv[1:] if a not in flags]
     relational_only = "--relational-only" in sys.argv[1:]
@@ -1090,6 +1157,13 @@ def main():
         t = load_tables(spark, SF_DIR, register=False)
         _splice_section(
             _SECTION_MARKERS[10], span_store_probe(spark, t["documents"], ks)
+        )
+        return
+    if "--ivf-append-only" in sys.argv[1:]:
+        spark = get_spark("scale_probe")
+        t = load_tables(spark, SF_DIR, register=False)
+        _splice_section(
+            _SECTION_MARKERS[11], ivf_append_probe(spark, t["embeddings"], ks)
         )
         return
     spark = get_spark("scale_probe")
