@@ -352,6 +352,53 @@ def embed_weight(i: int, j: int) -> int:
     return ((7 * i + 11 * j) % 13) - 6
 
 
+def embed_text_vec(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, vec array<long>) — the frozen-linear-encoder vector of
+    `embed_text_linear`, kept as a real array for downstream vector
+    ops (`mm_embed_ann_topk` retrieves over it); the catalog-facing
+    string form lives in `embed_text_linear` (complex-cell ban)."""
+    from ..functions.text import words_expr
+    from ..operators.pipeline import portable_hash_bucket
+
+    words = words_expr(F.col(text_col))
+    packed = F.array(
+        F.struct(
+            F.transform(
+                words, lambda w: portable_hash_bucket(w, EMBED_FEATURES)
+            ).alias("b")
+        )
+    )
+
+    def feat(j: int):
+        return F.get(
+            F.transform(
+                packed, lambda p: F.size(F.filter(p["b"], lambda b: b == j))
+            ),
+            0,
+        ).cast("long")
+
+    staged = df.select(
+        F.col(id_col),
+        *[feat(j).alias(f"__f{j}") for j in range(EMBED_FEATURES)],
+    )
+    dims = [
+        sum(
+            (F.col(f"__f{j}") * F.lit(embed_weight(i, j)))
+            for j in range(EMBED_FEATURES)
+        ).alias(f"__e{i}")
+        for i in range(EMBED_DIM)
+    ]
+    e = staged.select(id_col, *dims)
+    return e.select(
+        id_col,
+        F.array(*[F.col(f"__e{i}") for i in range(EMBED_DIM)]).alias("vec"),
+    )
+
+
 def embed_text_linear(
     df: DataFrame,
     text_col: str = "text",
@@ -373,41 +420,8 @@ def embed_text_linear(
     matrix-multiply are all JVM expressions per row; no shuffle, no
     UDF, no model on the driver. Emits the vector as a space-joined
     string (catalog-wide complex-cell ban) plus integer checksums."""
-    from ..functions.text import words_expr
-    from ..operators.pipeline import portable_hash_bucket
-
-    words = words_expr(F.col(text_col))
-    # Element-wise portable bucket of each word, computed once into a
-    # lambda-bound array so the per-feature counts below cannot
-    # re-derive it per reference (the web_gate_expr staging trick).
-    packed = F.array(
-        F.struct(
-            F.transform(
-                words, lambda w: portable_hash_bucket(w, EMBED_FEATURES)
-            ).alias("b")
-        )
-    )
-
-    def feat(j: int):
-        return F.get(
-            F.transform(
-                packed, lambda p: F.size(F.filter(p["b"], lambda b: b == j))
-            ),
-            0,
-        ).cast("long")
-
-    feats = [feat(j).alias(f"__f{j}") for j in range(EMBED_FEATURES)]
-    staged = df.select(F.col(id_col), *feats)
-    dims = [
-        sum(
-            (F.col(f"__f{j}") * F.lit(embed_weight(i, j)))
-            for j in range(EMBED_FEATURES)
-        ).alias(f"__e{i}")
-        for i in range(EMBED_DIM)
-    ]
-    e = staged.select(id_col, *dims)
-    vec = F.array(*[F.col(f"__e{i}") for i in range(EMBED_DIM)])
-    return e.select(
+    vec = F.col("vec")
+    return embed_text_vec(df, text_col, id_col).select(
         id_col,
         F.array_join(vec, " ").alias("embedding"),
         F.aggregate(vec, F.lit(0).cast("long"), lambda a, x: a + x).alias(

