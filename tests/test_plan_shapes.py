@@ -116,6 +116,10 @@ EXCHANGE_BUDGET = {
     # fact scan reaches the semi join without an exchange (broadcast).
     "j7_bloom_prefilter_join": 3,
     "pipeline_filter_dedup_split": 1,
+    # 0 = frozen integer linear encoder: projection of fold-count
+    # features through constant weights, all in-row expressions — the
+    # documents→embeddings derivation runs at scan speed, no shuffle.
+    "mm_embed_text": 0,
     "quality_decile_binning": 2,
     # 0 = pure TakeOrderedAndProject sample + single-partition readout
     "quantile_sketch_bottomk": 0,
