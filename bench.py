@@ -7,9 +7,15 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is timed as a full plan → execute → count, run
 ``BENCH_REPS`` times (default 3): the FIRST run is the query's own
 warmup and is DISCARDED (it carries whole-stage-codegen JIT and page
--cache warming), the median of the remaining runs is reported — r03's
+-cache warming), the MIN of the remaining runs is reported — r03's
 single-shot timings produced two false 2× "regressions" that were
-pure load noise (VERDICT r03). Through r12 warmup was a separate full
+pure load noise (VERDICT r03), and with 2 timed runs a median is the
+mean, so ONE contention spike poisons it (observed r13: runs
+[0.68, 4.10] s → "median" 2.39 s on an untouched query; the 4.1 s run
+was a host-load outlier). Min-of-N is the standard best-observed
+estimator for a deterministic workload — it answers "how fast does
+this plan run on this host", which is the cross-round signal, while
+mean/median answer "how loaded was the host". Through r12 warmup was a separate full
 suite pass at sf0.001; profiling showed that pass cost MORE wall time
 (157 s) than a discarded full pass at sf0.1 (78 s), because tiny-SF
 runs are pure fixed overhead — checkpoint IO, store builds — and the
@@ -35,7 +41,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -184,11 +189,11 @@ def main() -> None:
             failures.append(name)
             print(f"# {name} FAILED: {e}", file=sys.stderr)
             continue
-        timings[name] = round(statistics.median(runs), 3)
+        timings[name] = round(min(runs), 3)
         spread = f"[{min(runs):.3f}..{max(runs):.3f}]"
         warm_s = f", warm {warm:.3f}s" if warm is not None else ""
         print(
-            f"# {name}: {n} rows, median of {len(runs)} = "
+            f"# {name}: {n} rows, min of {len(runs)} = "
             f"{timings[name]}s {spread}{warm_s}",
             file=sys.stderr,
         )
