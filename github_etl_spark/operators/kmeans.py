@@ -1,0 +1,248 @@
+"""Distributed Lloyd's k-means over an embedding column (EXT —
+SURVEY.md §2.11).
+
+The second fixed-point iterative algorithm in the engine (after
+PageRank, operators/graph.py) and the one a 100 TB vector pipeline
+actually needs: the IVF coarse quantizer today trains driver-side on a
+bounded sample (similarity.train_ivf_centroids — the FAISS recipe);
+this operator runs Lloyd iterations over the FULL corpus with the
+classic "small model, big data" Spark shape:
+
+- the model (k × dim integers) lives on the driver and is inlined into
+  the assignment expression as literals — NO join, NO broadcast frame;
+- each iteration is ONE corpus scan: a map-only argmin assignment into
+  a groupBy(cell) with per-dimension partial (map-side) sums, so the
+  shuffle per iteration is k·(dim+1) longs per map partition — bytes,
+  not data;
+- the driver crossing per iteration is exactly k rows (the new
+  centroid sums), bounded by construction.
+
+Everything is EXACT integer arithmetic so a SQL oracle can replay the
+whole fixed point value-for-value (the same bar the portable IVF /
+LSH paths set): vectors are quantized with the shared
+``quantize_expr`` (floor(v·1000 + 0.5) — bit-identical IEEE in any
+engine), seeds are the md5-ordered first k vectors
+(``ivf_portable_seed_centroids`` — discrete, re-derivable in SQL),
+distances are integer squared-L2 sums (|qv_i| ~ 10³, dim 64 →
+|d| ≪ 2⁶³), ties break to the LOWEST cell, and the centroid update is
+the integer-lattice mean ``floor(Σ qvᵢ / n)`` (Python ``//`` on exact
+BIGINT sums — replayed in SQL as ``(s - floormod(s, n)) / n``). A cell
+that loses all members keeps its previous centroid (deterministic
+k-means repair, no RNG).
+
+Reference parity note: the reference repo (mozilla-conduit/github-etl,
+main.py) has no clustering at all; this row exists for the north-star
+LLM-data pipeline (IVF centroid training, semantic-dedup cell design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import eager_checkpoint
+from .similarity import quantize_expr
+
+# Same representation cliff as similarity._ARROW_ASSIGN_CELLS: the
+# inlined-literal assignment expression is O(k·dim) generated code —
+# fine for an oracle-checked quantizer, wrong past ~64 cells where the
+# Arrow int64 matmul form takes over (identical values, tested).
+_ARROW_ASSIGN_CELLS = 64
+
+
+def _sq_dist_rank_expr(qv, centroids: list[list[int]]):
+    """array<struct<d:long, cell:int>> sorted ascending — cells ranked
+    by EXACT integer squared-L2 distance, lowest cell on ties."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(int(c)) for c in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for cent in centroids
+        ]
+    )
+    return F.array_sort(
+        F.transform(
+            dists,
+            lambda d, i: F.struct(
+                d.alias("d"), i.cast("int").alias("cell")
+            ),
+        )
+    )
+
+
+def _sq_assign_arrow(qv, centroids: list[list[int]]):
+    """min_c (d_c·k + c) via one Arrow-batched int64 matmul per batch —
+    the scale form of ``_sq_dist_rank_expr(...)[0]`` with (d, cell)
+    PACKED into one int64 (cell < k, so the packed minimum IS the
+    lexicographic (d, cell) minimum — bit-identical tie-break to the
+    expression form's ascending sort). d_c = |x|² − 2·x·C_cᵀ + |C_c|²
+    is exact int64 for |qv_i| ~ 10³ (|d·k| ≲ dim·(2·quant·v_max)²·k ≪
+    2⁶³). Packed because a struct-returning Series→DataFrame
+    pandas_udf signature is unsupported in this PySpark."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.int64)
+    csq = (cmat * cmat).sum(axis=1)
+    k = len(centroids)
+
+    @pandas_udf("long")
+    def assign(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype="int64")
+        m = np.stack(batch.to_numpy()).astype(np.int64, copy=False)
+        d = (m * m).sum(axis=1, keepdims=True) - 2 * (m @ cmat.T) + csq
+        return pd.Series((d * k + np.arange(k)).min(axis=1))
+
+    return assign(qv)
+
+
+def _assignment(qv, centroids: list[list[int]]):
+    """struct<d, cell> for the nearest centroid, auto-switching
+    representation exactly like similarity._top_cell_expr."""
+    k = len(centroids)
+    if k > _ARROW_ASSIGN_CELLS:
+        packed = _sq_assign_arrow(qv, centroids)
+        cell = F.pmod(packed, F.lit(k))
+        return F.struct(
+            # (packed - cell) is an exact multiple of k and ≪ 2⁵³, so
+            # the double division is exact
+            ((packed - cell) / k).cast("long").alias("d"),
+            cell.cast("int").alias("cell"),
+        )
+    r = _sq_dist_rank_expr(qv, centroids)[0]
+    return F.struct(r["d"].alias("d"), r["cell"].alias("cell"))
+
+
+def _floordiv(s: int, n: int) -> int:
+    """Integer-lattice mean component: Python // IS floor division on
+    exact ints; the SQL replay uses (s - floormod(s, n)) / n, equal by
+    construction (the numerator is an exact multiple of n)."""
+    return s // n
+
+
+def lloyd_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1000,
+) -> tuple[list[list[int]], DataFrame]:
+    """Run `iters` full-corpus Lloyd iterations from the portable md5
+    seeds; returns (final integer centroids, the checkpointed quantized
+    frame) so callers can score the fixed point without re-quantizing.
+
+    Scale notes (the 100 TB question): the quantized frame is
+    eager-checkpointed once and scanned iters+1 times (at cluster scale
+    you would persist it — same policy knob as PageRank's edge frame,
+    graph.py). Per iteration the only shuffle is the k-cell groupBy of
+    per-dim sums, partial-aggregated map-side to k·(dim+1) longs per
+    partition; the only driver crossing is the k aggregated rows.
+    """
+    q = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(
+        F.col(id_col).alias("i"),
+        quantize_expr(F.col(vec_col), quant).alias("qv"),
+    )
+    q = eager_checkpoint(q)
+    # Portable md5-ordered seeds over the ALREADY-quantized frame (the
+    # same selection ivf_portable_seed_centroids makes, minus the
+    # re-quantization): discrete, bounded at k rows, SQL-re-derivable.
+    seeds = (
+        q.orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r.qv) for r in seeds]
+    if not cents:
+        return [], q
+    dim = len(cents[0])
+    for _ in range(iters):
+        cell = _assignment(F.col("qv"), cents)["cell"]
+        rows = (
+            q.select(cell.alias("cell"), "qv")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("qv")[j]).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cell = {int(r["cell"]): r for r in rows}
+        cents = [
+            [
+                _floordiv(int(by_cell[c][f"s{j}"]), int(by_cell[c]["n"]))
+                for j in range(dim)
+            ]
+            if c in by_cell
+            else old
+            for c, old in enumerate(cents)
+        ]
+    return cents, q
+
+
+def kmeans_cell_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1000,
+) -> DataFrame:
+    """The oracle-checkable fixed-point summary: one row per non-empty
+    cell under the FINAL centroids — member count, exact integer
+    inertia (Σ squared-L2 distances, accumulated in DECIMAL(38) and
+    emitted BIGINT; |row d| ≪ 2⁶³ always, the cast bound is
+    n·dim·quant² and is documented rather than silently wrapped), and
+    the centroid checksums (Σ mᵢ, Σ mᵢ²) that pin every component of
+    the trained model."""
+    cents, q = lloyd_centroids(corpus, id_col, vec_col, k, iters, quant)
+    if not cents:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "cell int, n_members long, inertia long, m_sum long, "
+            "m_l2 long",
+        )
+    a = _assignment(F.col("qv"), cents)
+    m_sum = [sum(c) for c in cents]
+    m_l2 = [sum(x * x for x in c) for c in cents]
+    return (
+        q.select(a["cell"].alias("cell"), a["d"].alias("d"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("d").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("inertia"),
+        )
+        .withColumn(
+            "m_sum",
+            F.element_at(
+                # cast every element: m_l2 exceeds int32 at dim·quant²
+                # scale and a mixed int/long literal array won't
+                # resolve a common type
+                F.array(*[F.lit(int(x)).cast("long") for x in m_sum]),
+                F.col("cell") + 1,
+            ),
+        )
+        .withColumn(
+            "m_l2",
+            F.element_at(
+                F.array(*[F.lit(int(x)).cast("long") for x in m_l2]),
+                F.col("cell") + 1,
+            ),
+        )
+    )

@@ -5372,3 +5372,110 @@ def mm_embed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("cr"), 4).alias("cosine"),
         )
     )
+
+
+# --------------------------------------- distributed Lloyd's k-means
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64,
+                   quant: int = 1000) -> str:
+    """Generated oracle for kmeans_lloyd_stats: the WHOLE fixed point
+    unrolled — md5-ordered seeds, `iters` assignment/update rounds,
+    then the final-centroid cell stats. Every step is exact integer
+    arithmetic (quantized BIGINT vectors, integer squared-L2, the
+    integer-lattice floor mean as (s - floormod(s, n)) // n — the
+    numerator is an exact multiple of n, so truncating `//` equals the
+    engine's Python floor `//`), so DuckDB replays the trained model
+    bit-for-bit. Empty cells COALESCE to the previous centroid, same
+    deterministic repair as operators/kmeans.lloyd_centroids."""
+    sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(dim))
+    mean = ", ".join(
+        f"CAST((s{j} - (((s{j}) % n) + n) % n) // n AS BIGINT)"
+        for j in range(dim)
+    )
+    dist = (
+        "(SELECT SUM((x.a - x.b) * (x.a - x.b)) "
+        "FROM (SELECT UNNEST(v.qv) AS a, UNNEST(c.m) AS b) x)"
+    )
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {quant} + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0)""",
+        f"""c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INTEGER) AS cell,
+             qv AS m
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k})""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += [
+            f"""d{i} AS (
+      SELECT v.vec_id, v.qv, c.cell, {dist} AS d
+      FROM q v CROSS JOIN c{p} c)""",
+            f"""a{i} AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT vec_id, qv, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM d{i}) WHERE rn = 1)""",
+            f"""g{i} AS (
+      SELECT cell, COUNT(*) AS n, {sums} FROM a{i} GROUP BY cell)""",
+            f"""c{i} AS MATERIALIZED (
+      SELECT p.cell,
+             CASE WHEN g.cell IS NULL THEN p.m ELSE [{mean}] END AS m
+      FROM c{p} p LEFT JOIN g{i} g ON g.cell = p.cell)""",
+        ]
+    ctes += [
+        f"""df AS (
+      SELECT v.vec_id, c.cell, {dist} AS d
+      FROM q v CROSS JOIN c{iters} c)""",
+        """af AS (
+      SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM df) WHERE rn = 1)""",
+        """st AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(d) AS BIGINT) AS inertia
+      FROM af GROUP BY cell)""",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT st.cell, st.n_members, st.inertia,
+           CAST(list_sum(c.m) AS BIGINT) AS m_sum,
+           CAST(list_sum(list_transform(c.m, x -> x * x)) AS BIGINT)
+             AS m_l2
+    FROM st JOIN c{iters} c ON c.cell = st.cell
+    GROUP BY st.cell, st.n_members, st.inertia, c.m
+    """
+
+
+@query("kmeans_lloyd_stats", headline=True, oracle=_kmeans_oracle())
+def kmeans_lloyd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: DISTRIBUTED Lloyd's k-means over the full embeddings
+    corpus (operators/kmeans.py) — the engine's second oracle-checked
+    fixed-point iterative algorithm (after PageRank) and the training
+    step behind the IVF coarse quantizer, which today trains on a
+    bounded sample (FAISS-style); at 100 TB you run exactly this:
+    k=8 / 3 Lloyd rounds, each ONE map-only argmin scan into a k-cell
+    groupBy of per-dim partial sums (shuffle payload k·(dim+1) longs
+    per partition, driver crossing exactly k rows per round, model
+    inlined as literals — no join, no broadcast frame). Everything is
+    exact integer math from the shared portable quantizer/seed idioms
+    (quantize_expr, md5-ordered seeds), ties to the lowest cell, the
+    integer-lattice floor mean as the update, deterministic empty-cell
+    repair — so the oracle replays the ENTIRE training trajectory and
+    the emitted model checksums (m_sum, m_l2), member counts and exact
+    inertia are bit-for-bit, not approximately, right."""
+    from ..operators.kmeans import kmeans_cell_stats
+
+    t = load_tables(spark, sf_dir)
+    return kmeans_cell_stats(t["embeddings"], k=8, iters=3)

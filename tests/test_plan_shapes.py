@@ -112,6 +112,10 @@ EXCHANGE_BUDGET = {
     # pipeline_filter_dedup_split).
     "pipeline_html_to_split": 1,
     "j1_broadcast_lookup_join": 1,
+    # 1 = the final k-cell stats agg; each Lloyd round is its own
+    # bounded job (map-only argmin into a k-cell partial-agg groupBy,
+    # k rows to the driver) and never appears in the returned plan.
+    "kmeans_lloyd_stats": 1,
     # 3 = bloom-bitmap build agg + probe-side distinct + final agg; the
     # fact scan reaches the semi join without an exchange (broadcast).
     "j7_bloom_prefilter_join": 3,
