@@ -364,39 +364,48 @@ def embed_text_vec(
     from ..functions.text import words_expr
     from ..operators.pipeline import portable_hash_bucket
 
-    words = words_expr(F.col(text_col))
-    packed = F.array(
-        F.struct(
-            F.transform(
-                words, lambda w: portable_hash_bucket(w, EMBED_FEATURES)
-            ).alias("b")
-        )
+    # One pass, compact expression tree: bucket every word once, fold
+    # the bucket stream into a 16-bin histogram, then fold the literal
+    # weight matrix against the histogram. The first formulation here
+    # (16 per-bucket filter-counts, 8 dims each re-referencing all 16)
+    # collapsed into ~128 copies of the tokenizer subtree under
+    # CollapseProject and OOM'd the optimizer on a 1 GiB driver when
+    # composed downstream (pipeline_rag_retrieval). Values are
+    # identical: histogram[j] = count of words in bucket j, and each
+    # zip_with/aggregate dim is the same left-fold Σ_j W[i][j]·f_j.
+    buckets = F.transform(
+        words_expr(F.col(text_col)),
+        lambda w: portable_hash_bucket(w, EMBED_FEATURES),
     )
-
-    def feat(j: int):
-        return F.get(
-            F.transform(
-                packed, lambda p: F.size(F.filter(p["b"], lambda b: b == j))
-            ),
-            0,
-        ).cast("long")
-
-    staged = df.select(
-        F.col(id_col),
-        *[feat(j).alias(f"__f{j}") for j in range(EMBED_FEATURES)],
+    hist = F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0).cast("long"), EMBED_FEATURES),
+        lambda acc, b: F.transform(
+            acc,
+            lambda v, i: F.when(i == b.cast("int"), v + 1).otherwise(v),
+        ),
     )
-    dims = [
-        sum(
-            (F.col(f"__f{j}") * F.lit(embed_weight(i, j)))
-            for j in range(EMBED_FEATURES)
-        ).alias(f"__e{i}")
-        for i in range(EMBED_DIM)
-    ]
-    e = staged.select(id_col, *dims)
-    return e.select(
-        id_col,
-        F.array(*[F.col(f"__e{i}") for i in range(EMBED_DIM)]).alias("vec"),
+    wmat = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(embed_weight(i, j)).cast("long")
+                    for j in range(EMBED_FEATURES)
+                ]
+            )
+            for i in range(EMBED_DIM)
+        ]
     )
+    staged = df.select(F.col(id_col), hist.alias("__f"))
+    vec = F.transform(
+        wmat,
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("__f"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return staged.select(id_col, vec.alias("vec"))
 
 
 def embed_text_linear(

@@ -177,3 +177,87 @@ def phrase_count_expr(text_col, phrase: list[str]):
         )
     )
     return F.when(F.size(toks) >= m, hits).otherwise(F.lit(0)).cast("long")
+
+
+def bm25_multi_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents PER QUERY under BM25 — the multi-query
+    generalization of ``bm25_topk`` (same Lucene idf, same rounding
+    and tie rules): each query row's term set is its tokenized
+    ``qtext_col`` (distinct terms — BM25 is a bag-of-TERMS model over
+    the query).
+
+    Scale shape: ONE postings pass serves every query. The corpus
+    explode is semi-joined to the broadcast union of all query terms
+    before the tf shuffle (shuffle volume ∝ postings matching ANY
+    query, not corpus tokens × queries); per-query scoring re-joins
+    the bounded (query, term) relation to the tf rows, so the blowup
+    is Σ_q |postings(q)| — what any per-query loop would also pay,
+    without rescanning the corpus per query. Ranking windows partition
+    by query on the ROUNDED (4 dp) score with doc-id tiebreak, exactly
+    like the single-query form.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokens_expr(F.col(text_col)).alias("toks"),
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.size("toks"), F.lit(0)).alias("dl"),
+        F.col("toks"),
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        queries.select(
+            F.col(qid_col),
+            F.explode(
+                F.array_distinct(tokens_expr(F.col(qtext_col)))
+            ).alias("term"),
+        )
+    )
+    terms_all = qterms.select("term").distinct()
+    postings = toks.select(
+        F.col(id_col), "dl", F.explode("toks").alias("term")
+    ).join(F.broadcast(terms_all), "term")
+    tf = postings.groupBy(id_col, "dl", "term").agg(
+        F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(idf * tf_part).alias("score_raw"))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            round_det("score_raw", 4).alias("score"),
+        )
+    )
+    w = W.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= k)

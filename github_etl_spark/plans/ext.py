@@ -5120,16 +5120,26 @@ def embedding_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- documents -> embeddings
 
-def _embed_vec_ctes() -> str:
+def _embed_vec_ctes(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: str = "",
+) -> str:
     """The frozen-linear-encoder derivation (multimodal/media.
     embed_weight — weight literals inlined from the SAME Python
     function the Spark expression uses, so the two matrices cannot
-    drift) as shared CTE text ending in ``ev(doc_id, v)`` — composed
-    by the mm_embed_text and mm_embed_ann_topk oracles."""
+    drift) as shared CTE text ending in ``{prefix}ev({id_col}, v)`` —
+    composed by the mm_embed_text / mm_embed_ann_topk oracles
+    (defaults) and, parameterized, by pipeline_rag_retrieval's chunk
+    and query encoders (``prefix`` keeps the two instantiations'
+    CTE names disjoint in one statement)."""
     from ..multimodal.media import EMBED_DIM, EMBED_FEATURES, embed_weight
     from ..operators.pipeline import sql_hash_bucket
 
     b = sql_hash_bucket("w", EMBED_FEATURES)
+    words = _SQL_WORDS.replace("lower(text)", f"lower({text_col})")
+    p = prefix
     feats = ", ".join(
         f"CAST(len(list_filter(bs, b -> b = {j})) AS BIGINT) AS f{j}"
         for j in range(EMBED_FEATURES)
@@ -5144,11 +5154,12 @@ def _embed_vec_ctes() -> str:
     )
     vec = "[" + ", ".join(f"e{i}" for i in range(EMBED_DIM)) + "]"
     return f"""
-    w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
-    bk AS (SELECT doc_id, list_transform(ws, w -> {b}) AS bs FROM w),
-    f AS (SELECT doc_id, {feats} FROM bk),
-    e AS (SELECT doc_id, {dims} FROM f),
-    ev AS MATERIALIZED (SELECT doc_id, {vec} AS v FROM e)"""
+    {p}w AS (SELECT {id_col}, {words} AS ws FROM {src}),
+    {p}bk AS (SELECT {id_col}, list_transform(ws, w -> {b}) AS bs
+              FROM {p}w),
+    {p}f AS (SELECT {id_col}, {feats} FROM {p}bk),
+    {p}e AS (SELECT {id_col}, {dims} FROM {p}f),
+    {p}ev AS MATERIALIZED (SELECT {id_col}, {vec} AS v FROM {p}e)"""
 
 
 def _embed_text_oracle() -> str:
@@ -5479,3 +5490,268 @@ def kmeans_lloyd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return kmeans_cell_stats(t["embeddings"], k=8, iters=3)
+
+
+# ------------------------------------------------ RAG retrieval e2e
+
+def _rag_oracle() -> str:
+    """Oracle for pipeline_rag_retrieval — the full chunk → encode →
+    hybrid-retrieve pipeline composed from the standalone stages' SQL
+    fragments so they cannot drift: the udtf_doc_chunking window
+    arithmetic, TWO instantiations of the shared frozen-encoder CTEs
+    (`_embed_vec_ctes`, chunk + query prefixes), the search_bm25_topk
+    scoring text generalized per-query, and the search_hybrid_rrf
+    fusion rules (c=60, 6 dp rounding, rank-then-fuse)."""
+    c_toks = _SQL_TOKS.replace("lower(text)", "lower(chunk_text)")
+    q_toks = _SQL_TOKS.replace("lower(text)", "lower(qtext)")
+    return f"""
+    WITH dtoks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    ch0 AS (
+      SELECT doc_id, len(w) AS n_tok,
+             unnest(range(0,
+               CASE WHEN len(w) <= 0 THEN 0
+                    WHEN len(w) <= 32 THEN 1
+                    ELSE 1 + CAST(ceil((len(w) - 32) / 24.0) AS INT)
+               END)) AS chunk_id,
+             w
+      FROM dtoks
+    ),
+    ch AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(doc_id * 100000 + chunk_id AS BIGINT) AS ckey,
+             array_to_string(
+               w[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n_tok)],
+               ' ') AS chunk_text
+      FROM ch0
+      WHERE len(w[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n_tok)])
+              > 0
+    ),
+    qs AS MATERIALIZED (
+      SELECT doc_id AS query_id, array_to_string(w[1:12], ' ') AS qtext
+      FROM dtoks WHERE doc_id < 5
+    ),
+    {_embed_vec_ctes(src="ch", id_col="ckey",
+                     text_col="chunk_text", prefix="c")},
+    {_embed_vec_ctes(src="qs", id_col="query_id",
+                     text_col="qtext", prefix="q")},
+    cnz AS (
+      SELECT ckey, v,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+               AS l2
+      FROM cev WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    qnz AS (
+      SELECT query_id, v,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+               AS l2
+      FROM qev WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    sem0 AS (
+      SELECT q.query_id, c.ckey,
+             (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+                FROM (SELECT UNNEST(q.v) AS a, UNNEST(c.v) AS b) x)
+             / (sqrt(CAST(q.l2 AS DOUBLE)) * sqrt(CAST(c.l2 AS DOUBLE)))
+               AS cr
+      FROM qnz q CROSS JOIN cnz c
+    ),
+    sem AS (
+      SELECT query_id, ckey, rank_sem FROM (
+        SELECT query_id, ckey,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cr DESC, ckey ASC)
+                    AS INTEGER) AS rank_sem
+        FROM sem0) WHERE rank_sem <= 20
+    ),
+    ctoks AS (SELECT ckey, {c_toks} AS w FROM ch),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(COALESCE(len(w), 0)) AS avgdl
+      FROM ctoks
+    ),
+    cex AS (
+      SELECT ckey, COALESCE(len(w), 0) AS dl, unnest(w) AS term
+      FROM ctoks
+    ),
+    qterm AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, unnest({q_toks}) AS term FROM qs)
+    ),
+    tf AS (
+      SELECT ckey, dl, term, count(*) AS tf
+      FROM cex WHERE term IN (SELECT term FROM qterm)
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    lex0 AS (
+      SELECT qt.query_id, tf.ckey,
+             SUM( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * (tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+             ) AS score_raw
+      FROM qterm qt
+      JOIN tf ON tf.term = qt.term
+      JOIN dfreq d ON d.term = qt.term
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, ckey, rank_lex FROM (
+        SELECT query_id, ckey,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY (floor(score_raw * 10000 + 0.5) / 10000) DESC,
+                          ckey ASC) AS INTEGER) AS rank_lex
+        FROM lex0) WHERE rank_lex <= 20
+    ),
+    fused AS (
+      SELECT query_id, ckey, rank_lex, rank_sem,
+             (floor((COALESCE(1.0 / (60 + rank_lex), 0.0)
+                     + COALESCE(1.0 / (60 + rank_sem), 0.0)) * 1000000
+                    + 0.5) / 1000000) AS rrf_score
+      FROM lex FULL OUTER JOIN sem USING (query_id, ckey)
+    ),
+    ranked AS (
+      SELECT query_id, ckey, rank_lex, rank_sem, rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, ckey ASC)
+                  AS INTEGER) AS rank
+      FROM fused
+    )
+    SELECT query_id,
+           CAST((ckey - ckey % 100000) // 100000 AS BIGINT) AS doc_id,
+           CAST(ckey % 100000 AS BIGINT) AS chunk_id,
+           rank, rrf_score, rank_lex, rank_sem
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("pipeline_rag_retrieval", headline=True, oracle=_rag_oracle())
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT COMPOSITE: the RAG indexing+serving pipeline END-TO-END on
+    engine-derived artifacts — documents are context-window chunked
+    (operators/pipeline.chunk_tokens, 32/24), every chunk AND query is
+    encoded by the frozen integer linear encoder
+    (multimodal/media.embed_text_vec — the verified documents→
+    embeddings derivation), then 5 pinned queries (each the first 12
+    words of a document — self-retrieval sanity built in) are answered
+    by BOTH retrievers and fused: exact integer-cosine top-20 over the
+    derived chunk vectors, multi-query BM25 top-20 over the chunk
+    corpus (operators/search.bm25_multi_topk — ONE postings pass for
+    all queries), reciprocal-rank fusion (c=60) → top-5 chunks per
+    query. The oracle reuses the standalone stages' SQL fragments
+    (chunking window arithmetic, two instantiations of the shared
+    encoder CTEs, the BM25 scoring text, the RRF rounding rules), so
+    composite and stages cannot drift.
+
+    Scale shape: chunking and encoding are map-only expressions over
+    one eager-checkpointed chunk frame (three consumers: encoder,
+    postings, corpus stats); the cosine side broadcasts the BOUNDED
+    query vectors (5 rows) into a JVM zip_with dot — the corpus-sized
+    chunk-vector frame is never shuffled OR broadcast; the BM25 side
+    filters the corpus explode to the broadcast union of query terms
+    BEFORE its one tf shuffle; fusion sees ≤ 2·k_each rows per query.
+    Chunk keys pack as doc_id·100000 + chunk_id (documents beyond
+    2.4M whitespace tokens would overflow the packing — both engines
+    share the formula, and the corpus front door rejects pages that
+    large long before this)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import words_expr
+    from ..multimodal.media import embed_text_vec
+    from ..operators.pipeline import chunk_tokens
+    from ..operators.search import bm25_multi_topk
+    from ..session import eager_checkpoint
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    chunks = chunk_tokens(docs, "text", "doc_id", window=32, stride=24)
+    chunks = eager_checkpoint(
+        chunks.select(
+            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("ckey"),
+            "chunk_text",
+        )
+    )
+    q = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(words_expr(F.col("text")), 1, 12), " "
+        ).alias("qtext"),
+    )
+    l2_of = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    # Checkpoint BOTH vector frames before the cross-join scorer: the
+    # encoder is a deep expression tree (16 features × 8 dims over the
+    # tokenization), and letting it inline through the join + window
+    # lineage multiplies it into an optimizer/codegen blowup (the
+    # mm_embed_ann_topk lesson). After materialization v/qv are plain
+    # array columns.
+    cnz = eager_checkpoint(
+        embed_text_vec(chunks, "chunk_text", "ckey")
+        .select("ckey", F.col("vec").alias("v"))
+        .withColumn("l2", l2_of(F.col("v")))
+        .where(F.col("l2") > 0)
+    )
+    qnz = eager_checkpoint(
+        embed_text_vec(q, "qtext", "query_id")
+        .select("query_id", F.col("vec").alias("qv"))
+        .withColumn("ql2", l2_of(F.col("qv")))
+        .where(F.col("ql2") > 0)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    ).cast("double")
+    sem_w = W.partitionBy("query_id").orderBy(
+        F.col("cr").desc(), F.col("ckey").asc()
+    )
+    sem = (
+        cnz.crossJoin(F.broadcast(qnz))
+        .select(
+            "query_id",
+            "ckey",
+            (
+                dot
+                / (
+                    F.sqrt(F.col("ql2").cast("double"))
+                    * F.sqrt(F.col("l2").cast("double"))
+                )
+            ).alias("cr"),
+        )
+        .withColumn("rank_sem", F.row_number().over(sem_w).cast("int"))
+        .where(F.col("rank_sem") <= 20)
+        .select("query_id", "ckey", "rank_sem")
+    )
+    lex = bm25_multi_topk(
+        chunks, q, text_col="chunk_text", id_col="ckey", k=20
+    ).select("query_id", "ckey", F.col("rank").alias("rank_lex"))
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(60.0) + r), F.lit(0.0)
+    )
+    fused = lex.join(sem, ["query_id", "ckey"], "full_outer").select(
+        "query_id",
+        "ckey",
+        "rank_lex",
+        "rank_sem",
+        round_det(
+            contrib(F.col("rank_lex")) + contrib(F.col("rank_sem")), 6
+        ).alias("rrf_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("ckey").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.floor(F.col("ckey") / 100000).cast("long").alias("doc_id"),
+            F.pmod(F.col("ckey"), F.lit(100000)).cast("long").alias(
+                "chunk_id"
+            ),
+            "rank",
+            "rrf_score",
+            "rank_lex",
+            "rank_sem",
+        )
+    )

@@ -124,6 +124,12 @@ EXCHANGE_BUDGET = {
     # features through constant weights, all in-row expressions — the
     # documents→embeddings derivation runs at scan speed, no shuffle.
     "mm_embed_text": 0,
+    # 18 = the hybrid-retrieval composite: 6 are BroadcastExchanges of
+    # BOUNDED frames (query vectors/terms, dfreq, corpus stats); the
+    # corpus-scaled shuffles are the one postings tf groupBy, the
+    # per-query scoring groupBy (∝ matching postings), and the
+    # per-query ranking windows (≤ 2·k_each rows each after top-k).
+    "pipeline_rag_retrieval": 18,
     "quality_decile_binning": 2,
     # 0 = pure TakeOrderedAndProject sample + single-partition readout
     "quantile_sketch_bottomk": 0,

@@ -100,3 +100,66 @@ def test_phrase_count_overlapping(spark):
         phrase_count_expr(F.col("text"), ["a", "a"]).alias("n")
     )
     assert df.collect()[0].n == 3  # sliding window counts overlaps
+
+
+def test_multi_topk_matches_single_query_form(spark):
+    """bm25_multi_topk with one query row ≡ bm25_topk with that
+    query's term set — same scores, same ranks (the multi form's ONE
+    postings pass must not change the arithmetic)."""
+    from github_etl_spark.operators.search import bm25_multi_topk
+
+    docs = _corpus(spark)
+    single = {
+        (r.doc_id, r.rank): r.score
+        for r in bm25_topk(docs, ["flux", "common"], k=5).collect()
+    }
+    q = spark.createDataFrame(
+        [(7, "flux common")], "query_id long, qtext string"
+    )
+    multi = {
+        (r.doc_id, r.rank): r.score
+        for r in bm25_multi_topk(docs, q, k=5).collect()
+    }
+    assert multi == single
+
+
+def test_multi_topk_queries_are_independent(spark):
+    """Each query's ranking in the shared-pass form equals its own
+    single-query run — one query's terms must not leak into
+    another's scores (df/idf are global corpus stats, identical
+    either way; per-query scoring joins only that query's terms)."""
+    from github_etl_spark.operators.search import bm25_multi_topk
+
+    docs = _corpus(spark)
+    q = spark.createDataFrame(
+        [(1, "flux"), (2, "common words"), (3, "tulips")],
+        "query_id long, qtext string",
+    )
+    out = bm25_multi_topk(docs, q, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[(r.doc_id, r.rank)] = r.score
+    for qid, terms in [(1, ["flux"]), (2, ["common", "words"]), (3, ["tulips"])]:
+        solo = {
+            (r.doc_id, r.rank): r.score
+            for r in bm25_topk(docs, terms, k=5).collect()
+        }
+        assert by_q.get(qid, {}) == solo, qid
+
+
+def test_multi_topk_duplicate_query_terms_collapse(spark):
+    """BM25 is a bag-of-TERMS model over the query here: repeating a
+    term in qtext must not double its contribution (terms are
+    array_distinct'ed per query)."""
+    from github_etl_spark.operators.search import bm25_multi_topk
+
+    docs = _corpus(spark)
+    once = spark.createDataFrame(
+        [(1, "flux")], "query_id long, qtext string"
+    )
+    thrice = spark.createDataFrame(
+        [(1, "flux flux flux")], "query_id long, qtext string"
+    )
+    a = sorted(map(tuple, bm25_multi_topk(docs, once, k=5).collect()))
+    b = sorted(map(tuple, bm25_multi_topk(docs, thrice, k=5).collect()))
+    assert a == b
