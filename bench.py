@@ -168,6 +168,13 @@ def main() -> None:
     # the r04–r12 separate sf0.001 warmup pass: same JIT coverage,
     # half the wall time (see module docstring).
     reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
+    # Queries whose WARMUP run exceeds this many seconds get a single
+    # timed rep (VERDICT r12 #1: trim reps where the suite's wall time
+    # lives — the composites and graph queries — so primary + control
+    # stay inside the driver's bench window; a >2 s query's run-to-run
+    # noise is small RELATIVE to its runtime, so one rep is an
+    # acceptable min-estimator there while cheap queries keep reps-1).
+    heavy_cutoff = float(os.environ.get("BENCH_HEAVY_CUTOFF", "2.0"))
     timings: dict[str, float] = {}
     failures: list[str] = []
     for name, fn in sorted(headline_queries().items()):
@@ -183,6 +190,8 @@ def main() -> None:
                     warm = dt
                 else:
                     runs.append(dt)
+                if i == 1 and warm is not None and warm > heavy_cutoff:
+                    break
         except Exception as e:
             # One broken query must not discard the other timings or the
             # contract-required JSON line.
