@@ -554,10 +554,15 @@ def ivf_build_index(
     sample_size: int = 4096,
     seed: int = 42,
     arrow: bool = True,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Materialize the IVF index `ivf_topk` computes inline: cell
     assignments written as parquet PARTITIONED BY cell, centroids as a
     one-line text sidecar at ``<path>_centroids``.
+
+    ``centroids`` overrides the k-means training with caller-supplied
+    cells (e.g. the portable md5 seeds, so an oracle or a fold sibling
+    can re-derive the index's assignment — streaming/vector_gate.py).
 
     This is the 100 TB shape of the design note on `ivf_assign`: train
     once (sample-bounded), assign once (one corpus pass), write once —
@@ -579,9 +584,10 @@ def ivf_build_index(
     import hashlib
     import json
 
-    centroids = train_ivf_centroids(
-        corpus, vec_col, n_centroids, sample_size, seed=seed
-    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids, sample_size, seed=seed
+        )
     build_id = hashlib.md5(
         json.dumps(centroids).encode("utf-8")
     ).hexdigest()

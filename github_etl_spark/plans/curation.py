@@ -808,3 +808,95 @@ def pretrain_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pretrain_fold_verdicts(
         seed, batches, hash_family="md5_portable"
     )
+
+
+# ------------------------------------- streaming vector-ingest gate
+
+def _vector_gate_replay_oracle() -> str:
+    """Oracle for vector_gate_replay: the gate → encode → assign chain
+    replayed batch-free — the web-gate fragments (_SQL_C4_KEEP /
+    _SQL_GOPHER_KEEP), two prefixed instantiations of the shared
+    frozen-encoder CTEs (plans/ext._embed_vec_ctes: seed corpus and
+    ingest survivors), the md5 portable-seed centroid rule, and the
+    integer-dot argmax with dot-DESC/cell-ASC ties."""
+    from .ext import _embed_vec_ctes
+
+    return f"""
+    WITH w AS (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents),
+    feat AS (
+      SELECT doc_id, text, ws, {_SQL_LINES} AS lns,
+             array_to_string({_SQL_LINES}, chr(10)) AS r,
+             CAST(len(ws) AS INTEGER) AS n_words
+      FROM w
+    ),
+    gk AS MATERIALIZED (
+      SELECT doc_id, text,
+             (len(list_filter(lns, l -> {_SQL_C4_KEEP})) >= 3
+              AND {_SQL_GOPHER_KEEP}) AS keep
+      FROM feat
+    ),
+    sd AS (SELECT doc_id, text FROM gk WHERE doc_id % 4 = 0 AND keep),
+    {_embed_vec_ctes(src="sd", id_col="doc_id",
+                     text_col="text", prefix="s")},
+    cents AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS INTEGER) AS cell,
+             v AS cv
+      FROM sev
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 8
+    ),
+    ing AS (
+      SELECT doc_id, text, doc_id % 4 AS ingest_batch, keep
+      FROM gk WHERE doc_id % 4 IN (1, 2, 3)
+    ),
+    kd AS (SELECT doc_id, text FROM ing WHERE keep),
+    {_embed_vec_ctes(src="kd", id_col="doc_id",
+                     text_col="text", prefix="i")},
+    dots AS (
+      SELECT e.doc_id, c.cell,
+             (SELECT SUM(x.a * x.b)
+                FROM (SELECT UNNEST(e.v) AS a, UNNEST(c.cv) AS b) x)
+               AS dot
+      FROM iev e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT doc_id, cell FROM (
+        SELECT doc_id, cell,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY dot DESC, cell ASC) AS rn
+        FROM dots) WHERE rn = 1
+    ),
+    rows_all AS (
+      SELECT CAST(i.ingest_batch AS BIGINT) AS ingest_batch, a.cell
+      FROM asg a JOIN ing i USING (doc_id)
+      UNION ALL
+      SELECT CAST(ingest_batch AS BIGINT) AS ingest_batch,
+             CAST(-1 AS INTEGER) AS cell
+      FROM ing WHERE NOT keep
+    )
+    SELECT ingest_batch, cell, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM rows_all GROUP BY 1, 2
+    """
+
+
+@query("vector_gate_replay", oracle=_vector_gate_replay_oracle())
+def vector_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the STREAMING vector-index ingest gate's deterministic
+    replay (streaming/vector_gate.vector_fold_verdicts) — the THIRD
+    streaming store family (fingerprint → span → vector index): web
+    gate → frozen-encoder embed → integer-dot cell assignment against
+    the portable md5 seed centroids of the seed corpus' DERIVED
+    vectors, i.e. the frozen-centroid regime a built index serves
+    appends in (`sim_ivf_append_recall` prices exactly this
+    staleness). Per-(batch, cell) admission counts with gate-rejected
+    documents in cell −1; pytest pins the live foreachBatch stream
+    (dynamic per-batch partition overwrites, summary-first write
+    order) bit-identical to this fold. ONE map-only pass + one bounded
+    groupBy — the vector gate's verdicts depend on nothing accreted,
+    which is the design point the replay makes checkable."""
+    from ..streaming.vector_gate import vector_fold_verdicts
+
+    t = load_tables(spark, sf_dir)
+    return vector_fold_verdicts(t["documents"])
