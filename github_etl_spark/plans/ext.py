@@ -5657,6 +5657,7 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import words_expr
     from ..multimodal.media import embed_text_vec
+    from ..operators.partitioning import ensure_parallelism
     from ..operators.pipeline import chunk_tokens
     from ..operators.search import bm25_multi_topk
     from ..session import eager_checkpoint
@@ -5664,10 +5665,19 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     chunks = chunk_tokens(docs, "text", "doc_id", window=32, stride=24)
+    # Explicit width before the checkpoint: the chunk explode inherits
+    # the parquet scan's split count (ONE partition at catalog SFs),
+    # which would serialize the encoder pass on a single core — the
+    # span_dedup ensure_parallelism lesson, measured 11.9 s → 1.6 s on
+    # the sf0.1 chunk encode.
     chunks = eager_checkpoint(
-        chunks.select(
-            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("ckey"),
-            "chunk_text",
+        ensure_parallelism(
+            chunks.select(
+                (F.col("doc_id") * 100000 + F.col("chunk_id")).alias(
+                    "ckey"
+                ),
+                "chunk_text",
+            )
         )
     )
     q = docs.where(F.col("doc_id") < 5).select(
