@@ -5387,17 +5387,20 @@ def mm_embed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- distributed Lloyd's k-means
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64,
-                   quant: int = 1000) -> str:
-    """Generated oracle for kmeans_lloyd_stats: the WHOLE fixed point
-    unrolled — md5-ordered seeds, `iters` assignment/update rounds,
-    then the final-centroid cell stats. Every step is exact integer
-    arithmetic (quantized BIGINT vectors, integer squared-L2, the
-    integer-lattice floor mean as (s - floormod(s, n)) // n — the
-    numerator is an exact multiple of n, so truncating `//` equals the
-    engine's Python floor `//`), so DuckDB replays the trained model
-    bit-for-bit. Empty cells COALESCE to the previous centroid, same
-    deterministic repair as operators/kmeans.lloyd_centroids."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64,
+                 quant: int = 1000) -> list[str]:
+    """The trained-quantizer CTE chain, shared by the kmeans_lloyd_
+    stats oracle and the sim_ivf_lloyd_topk retrieval oracle: the
+    WHOLE fixed point unrolled — md5-ordered seeds, `iters`
+    assignment/update rounds — ending in ``c{iters}`` (the trained
+    centroids) and ``af(vec_id, cell, d)`` (the final corpus
+    assignment). Every step is exact integer arithmetic (quantized
+    BIGINT vectors, integer squared-L2, the integer-lattice floor
+    mean as (s - floormod(s, n)) // n — the numerator is an exact
+    multiple of n, so truncating `//` equals the engine's Python
+    floor `//`), so DuckDB replays the trained model bit-for-bit.
+    Empty cells COALESCE to the previous centroid, same deterministic
+    repair as operators/kmeans.lloyd_centroids."""
     sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(dim))
     mean = ", ".join(
         f"CAST((s{j} - (((s{j}) % n) + n) % n) // n AS BIGINT)"
@@ -5452,6 +5455,15 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d, cell) AS rn
         FROM df) WHERE rn = 1)""",
+    ]
+    return ctes
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64,
+                   quant: int = 1000) -> str:
+    """Oracle for kmeans_lloyd_stats: the shared trained-quantizer
+    chain (`_kmeans_ctes`) plus the final-centroid cell stats."""
+    ctes = _kmeans_ctes(k, iters, dim, quant) + [
         """st AS (
       SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
              CAST(SUM(d) AS BIGINT) AS inertia
@@ -5466,6 +5478,63 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64,
              AS m_l2
     FROM st JOIN c{iters} c ON c.cell = st.cell
     GROUP BY st.cell, st.n_members, st.inertia, c.m
+    """
+
+
+def _ivf_lloyd_oracle(k: int = 8, iters: int = 3, dim: int = 64,
+                      quant: int = 1000, nprobe: int = 3) -> str:
+    """Oracle for sim_ivf_lloyd_topk: the SAME trained-quantizer CTE
+    chain as kmeans_lloyd_stats (train → final corpus assignment
+    `af`), then the IVF probe/score/rank tail — queries probe their
+    `nprobe` nearest trained cells by integer squared-L2, candidates
+    score by exact integer cosine over the quantized vectors (dots ≪
+    2^53, so the float division replays bit-for-bit), rank on the raw
+    cosine with neighbor-id ties, top-5, 4 dp output rounding — the
+    sim_ivf_topk_portable contract with a TRAINED quantizer."""
+    dist = (
+        "(SELECT SUM((x.a - x.b) * (x.a - x.b)) "
+        "FROM (SELECT UNNEST(v.qv) AS a, UNNEST(c.m) AS b) x)"
+    )
+    ctes = _kmeans_ctes(k, iters, dim, quant) + [
+        f"""qp AS (
+      SELECT query_id, cell FROM (
+        SELECT v.vec_id AS query_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist}, c.cell) AS rn
+        FROM q v CROSS JOIN c{iters} c WHERE v.vec_id < 10)
+      WHERE rn <= {nprobe})""",
+        """nrm AS MATERIALIZED (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+               AS l2
+      FROM q)""",
+        """cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM qp p JOIN af a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id)""",
+        """scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+                FROM (SELECT UNNEST(qn.qv) AS a, UNNEST(nn.qv) AS b) x)
+             / (sqrt(CAST(qn.l2 AS DOUBLE)) * sqrt(CAST(nn.l2 AS DOUBLE)))
+               AS cr
+      FROM cand c
+      JOIN nrm qn ON qn.vec_id = c.query_id
+      JOIN nrm nn ON nn.vec_id = c.neighbor_id
+      WHERE qn.l2 > 0 AND nn.l2 > 0)""",
+        """ranked AS (
+      SELECT query_id, neighbor_id, cr,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cr DESC, neighbor_id ASC)
+               AS rank
+      FROM scored)""",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           (floor((cr) * 10000 + 0.5) / 10000) AS cosine
+    FROM ranked WHERE rank <= 5
     """
 
 
@@ -5490,6 +5559,91 @@ def kmeans_lloyd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return kmeans_cell_stats(t["embeddings"], k=8, iters=3)
+
+
+@query("sim_ivf_lloyd_topk", oracle=_ivf_lloyd_oracle())
+def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: IVF retrieval over the LLOYD-TRAINED quantizer — the full
+    train → assign → probe → score → rank loop in one oracle-checked
+    row, sharing the training CTE chain with kmeans_lloyd_stats
+    verbatim (`_kmeans_ctes`) so the trainer row and the retrieval
+    row cannot drift. The portable-seed variant
+    (sim_ivf_topk_portable) verifies the retrieval tail with RAW md5
+    seeds; this row closes the loop with centroids the engine
+    actually TRAINED (3 full-corpus Lloyd rounds), the quantizer a
+    100 TB deployment would serve. Queries probe their nprobe=3
+    nearest trained cells by integer squared-L2; candidates score by
+    exact integer cosine over the quantized vectors (dots ≪ 2^53 —
+    the float division replays bit-for-bit); top-5 per query. Shape:
+    corpus assignment is the same map-only argmin scan the trainer
+    uses over the ONE checkpointed quantized frame; the 30 probe rows
+    broadcast into the cell join; ranking is one per-query window."""
+    from pyspark.sql import Window as W
+
+    from ..operators.kmeans import (
+        _assignment,
+        _sq_dist_rank_expr,
+        lloyd_centroids,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cents, q = lloyd_centroids(t["embeddings"], k=8, iters=3)
+    l2_of = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    corpus = q.select(
+        F.col("i").alias("neighbor_id"),
+        F.col("qv").alias("nv"),
+        _assignment(F.col("qv"), cents)["cell"].alias("cell"),
+    ).withColumn("nl2", l2_of(F.col("nv")))
+    probe_cells = F.slice(
+        _sq_dist_rank_expr(F.col("qv"), cents), 1, 3
+    )
+    qp = (
+        q.where(F.col("i") < 10)
+        .select(
+            F.col("i").alias("query_id"),
+            F.col("qv").alias("qvq"),
+            F.explode(
+                F.transform(probe_cells, lambda s: s["cell"])
+            ).alias("cell"),
+        )
+        .withColumn("ql2", l2_of(F.col("qvq")))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvq"), F.col("nv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    ).cast("double")
+    scored = (
+        corpus.join(F.broadcast(qp), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .where((F.col("nl2") > 0) & (F.col("ql2") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot
+                / (
+                    F.sqrt(F.col("ql2").cast("double"))
+                    * F.sqrt(F.col("nl2").cast("double"))
+                )
+            ).alias("cr"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cr").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            round_det(F.col("cr"), 4).alias("cosine"),
+        )
+    )
 
 
 # ------------------------------------------------ RAG retrieval e2e
