@@ -5578,6 +5578,16 @@ def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus assignment is the same map-only argmin scan the trainer
     uses over the ONE checkpointed quantized frame; the 30 probe rows
     broadcast into the cell join; ranking is one per-query window."""
+    t = load_tables(spark, sf_dir)
+    return _lloyd_topk_frame(t["embeddings"], iters=3)
+
+
+def _lloyd_topk_frame(emb: DataFrame, iters: int) -> DataFrame:
+    """The Lloyd-quantizer IVF retrieval tail, parameterized by
+    training depth: iters=3 is the trained row (sim_ivf_lloyd_topk),
+    iters=0 retrieves with the RAW md5 seeds through the identical
+    machinery — the matched-configuration baseline
+    sim_ivf_trained_recall prices training against."""
     from pyspark.sql import Window as W
 
     from ..operators.kmeans import (
@@ -5586,8 +5596,7 @@ def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lloyd_centroids,
     )
 
-    t = load_tables(spark, sf_dir)
-    cents, q = lloyd_centroids(t["embeddings"], k=8, iters=3)
+    cents, q = lloyd_centroids(emb, k=8, iters=iters)
     l2_of = lambda col: F.aggregate(  # noqa: E731
         col, F.lit(0).cast("long"), lambda a, x: a + x * x
     )
@@ -5918,4 +5927,87 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_lex",
             "rank_sem",
         )
+    )
+
+
+def _ivf_trained_recall_oracle() -> str:
+    """Oracle for sim_ivf_trained_recall: the trained (iters=3) and
+    seed-only (iters=0) Lloyd-quantizer retrievals — each the FULL
+    `_ivf_lloyd_oracle` statement nested as a CTE, so both replay the
+    identical machinery at the identical k/nprobe — scored for
+    recall@5 against the exact brute-force top-5 (`_SIM_ORACLE`)."""
+    trained = _ivf_lloyd_oracle(iters=3)
+    seeded = _ivf_lloyd_oracle(iters=0)
+
+    def hits(cte: str, out: str) -> str:
+        return f"""
+      SELECT b.query_id,
+             CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS {out}
+      FROM bf b LEFT JOIN {cte} a
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id"""
+
+    return f"""
+    WITH bf AS ({_SIM_ORACLE}),
+    tr AS ({trained}),
+    sd AS ({seeded}),
+    ht AS ({hits("tr", "n_hits_trained")}),
+    hs AS ({hits("sd", "n_hits_seed")})
+    SELECT ht.query_id, ht.n_hits_trained,
+           (floor((CAST(ht.n_hits_trained AS DOUBLE) / 5.0) * 10000
+                  + 0.5) / 10000) AS recall_trained,
+           hs.n_hits_seed,
+           (floor((CAST(hs.n_hits_seed AS DOUBLE) / 5.0) * 10000 + 0.5)
+              / 10000) AS recall_seed,
+           (floor((CAST(ht.n_hits_trained - hs.n_hits_seed AS DOUBLE)
+                   / 5.0) * 10000 + 0.5) / 10000) AS recall_gain
+    FROM ht JOIN hs ON hs.query_id = ht.query_id
+    """
+
+
+@query("sim_ivf_trained_recall", oracle=_ivf_trained_recall_oracle())
+def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: does TRAINING the quantizer measurably beat its raw seeds?
+    The matched-configuration recall contract for kmeans_lloyd_stats:
+    recall@5 of the trained (3 Lloyd rounds) retrieval vs the
+    iters=0 seed-only retrieval — SAME k=8/nprobe=3, same quantized
+    scoring, same probe machinery (`_lloyd_topk_frame`), so the only
+    variable is the training — both against the exact float
+    brute-force top-5. Completes the IVF accuracy-contract ladder
+    (recall vs sampled-kmeans quantizer; staleness drift of an
+    appended index; and now the training gain itself) — the number
+    that justifies spending 3 corpus scans on Lloyd rounds at 100 TB
+    before anyone spends them."""
+    from ..operators.similarity import brute_force_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    exact = brute_force_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+
+    def hits(ap: DataFrame, out: str) -> DataFrame:
+        ap = ap.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        return (
+            exact.join(ap, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias(out)
+            )
+        )
+
+    ht = hits(_lloyd_topk_frame(emb, iters=3), "n_hits_trained")
+    hs = hits(_lloyd_topk_frame(emb, iters=0), "n_hits_seed")
+    return ht.join(hs, "query_id").select(
+        "query_id",
+        "n_hits_trained",
+        round_det(F.col("n_hits_trained") / 5.0, 4).alias(
+            "recall_trained"
+        ),
+        "n_hits_seed",
+        round_det(F.col("n_hits_seed") / 5.0, 4).alias("recall_seed"),
+        round_det(
+            (F.col("n_hits_trained") - F.col("n_hits_seed")) / 5.0, 4
+        ).alias("recall_gain"),
     )
