@@ -186,10 +186,11 @@ def vector_fold_verdicts(
     batch: web gate → encode → integer-dot argmax cell (ties → lowest
     cell, `_int_cell_rank_expr`), rejected documents land in cell −1.
     Emits (ingest_batch, cell, n_docs) — the same per-batch summaries
-    the live gate publishes, derived in ONE map-only pass + one
-    bounded groupBy (no per-batch loop: verdicts here depend on
-    nothing accreted, which is exactly the property that makes the
-    vector gate's replay story simpler than the membership gates')."""
+    the live gate publishes, derived as two map-only branch scans
+    (kept → encode+assign, rejected → cell −1) into one bounded
+    groupBy, with no per-batch loop: verdicts here depend on nothing
+    accreted, which is exactly the property that makes the vector
+    gate's replay story simpler than the membership gates'."""
     spark = docs.sparkSession
     seed = docs.where(
         (F.pmod(F.col(id_col), F.lit(4)) == 0)
