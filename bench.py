@@ -150,14 +150,14 @@ def main() -> None:
     # must fail in second 0, not after 20 minutes of measured queries
     # (which would lose the primary JSON line).
     try:
-        control_budget = float(os.environ.get("BENCH_CONTROL_BUDGET", "420"))
+        control_budget = float(os.environ.get("BENCH_CONTROL_BUDGET", "520"))
     except ValueError:
         print(
             f"# bad BENCH_CONTROL_BUDGET "
-            f"{os.environ.get('BENCH_CONTROL_BUDGET')!r}; using 420",
+            f"{os.environ.get('BENCH_CONTROL_BUDGET')!r}; using 520",
             file=sys.stderr,
         )
-        control_budget = 420.0
+        control_budget = 520.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("github_etl_spark_bench")
@@ -218,14 +218,20 @@ def main() -> None:
     if failures:
         result["failed"] = failures
     repo = os.path.dirname(os.path.abspath(__file__))
+    # Emit the PRIMARY result now, before the control runs: the driver
+    # parses the LAST JSON line, so if an external timeout kills the
+    # process mid-control, the primary-only emission below is still the
+    # last line and the round keeps its bench data (pre-r13 the whole
+    # emission happened after the control, so a mid-control kill lost
+    # everything — which is why the budget had to be ultra-conservative
+    # and r12's control was skipped at 498 s).
+    _emit(result, timings, failures, repo)
     ref = _control_ref(repo)
-    # The control roughly doubles wall time; if the primary already ran
-    # long (loaded host, bigger SF, reps), skip it rather than risk an
-    # external timeout killing the process before the JSON line prints
-    # — a missing primary result is worse than a missing control. The
-    # comparison is actual ELAPSED WALL TIME (warmup + all reps), not
-    # the sum of per-query medians, which under-counts by the rep
-    # factor.
+    # A kill during the control now only loses the control, so the
+    # budget merely avoids a pointlessly long run on a badly loaded
+    # host. Comparison is actual ELAPSED WALL TIME (warmup + all
+    # reps), not the sum of per-query mins, which under-counts by the
+    # rep factor.
     elapsed = round(time.perf_counter() - t_start, 1)
     if ref and elapsed > control_budget:
         result["control_error"] = {
@@ -265,12 +271,21 @@ def main() -> None:
                     "control_s": round(csum, 3),
                     "ratio": round(psum / csum, 3),
                 }
-    # The driver tail-captures stdout (~2 KiB) and parses the LAST JSON
-    # line; r06's single line (38 query medians + the control's 37)
-    # outgrew the window, its head was truncated, and BENCH_r06.json
-    # recorded "parsed": null. So: full detail goes to a durable file +
-    # a PRECEDING line, and the final line is a compact totals-only
-    # summary guaranteed to fit the tail window.
+    _emit(result, timings, failures, repo)
+    sys.exit(1 if failures else 0)
+
+
+def _emit(result: dict, timings: dict, failures: list, repo: str) -> None:
+    """Write BENCH_DETAIL.json and print the full-detail line plus the
+    compact totals-only LAST line. Called twice: once with the primary
+    result (so a kill during the control cannot lose it) and once with
+    the control/carried fields merged in — the driver tail-captures
+    stdout (~2 KiB) and parses the LAST JSON line; r06's single line
+    (38 query medians + the control's 37) outgrew the window, its head
+    was truncated, and BENCH_r06.json recorded "parsed": null. So:
+    full detail goes to a durable file + a PRECEDING line, and the
+    final line is a compact summary guaranteed to fit the tail
+    window."""
     detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
@@ -322,7 +337,6 @@ def main() -> None:
             if len(line) < 1024:
                 break
     print(line)
-    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
