@@ -5388,19 +5388,22 @@ def mm_embed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------- distributed Lloyd's k-means
 
 def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64,
-                 quant: int = 1000) -> list[str]:
+                 quant: int = 1000, prefix: str = "",
+                 include_q: bool = True) -> list[str]:
     """The trained-quantizer CTE chain, shared by the kmeans_lloyd_
-    stats oracle and the sim_ivf_lloyd_topk retrieval oracle: the
-    WHOLE fixed point unrolled — md5-ordered seeds, `iters`
-    assignment/update rounds — ending in ``c{iters}`` (the trained
-    centroids) and ``af(vec_id, cell, d)`` (the final corpus
-    assignment). Every step is exact integer arithmetic (quantized
-    BIGINT vectors, integer squared-L2, the integer-lattice floor
-    mean as (s - floormod(s, n)) // n — the numerator is an exact
-    multiple of n, so truncating `//` equals the engine's Python
-    floor `//`), so DuckDB replays the trained model bit-for-bit.
-    Empty cells COALESCE to the previous centroid, same deterministic
-    repair as operators/kmeans.lloyd_centroids."""
+    stats oracle, the sim_ivf_lloyd_topk retrieval oracle, and (with
+    per-k prefixes over ONE shared ``q``) the kmeans_elbow_curve
+    sweep: the WHOLE fixed point unrolled — md5-ordered seeds,
+    `iters` assignment/update rounds — ending in ``{prefix}c{iters}``
+    (the trained centroids) and ``{prefix}af(vec_id, cell, d)`` (the
+    final corpus assignment). Every step is exact integer arithmetic
+    (quantized BIGINT vectors, integer squared-L2, the
+    integer-lattice floor mean as (s - floormod(s, n)) // n — the
+    numerator is an exact multiple of n, so truncating `//` equals
+    the engine's Python floor `//`), so DuckDB replays the trained
+    model bit-for-bit. Empty cells COALESCE to the previous centroid,
+    same deterministic repair as operators/kmeans.lloyd_centroids."""
+    p = prefix
     sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(dim))
     mean = ", ".join(
         f"CAST((s{j} - (((s{j}) % n) + n) % n) // n AS BIGINT)"
@@ -5410,51 +5413,51 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64,
         "(SELECT SUM((x.a - x.b) * (x.a - x.b)) "
         "FROM (SELECT UNNEST(v.qv) AS a, UNNEST(c.m) AS b) x)"
     )
-    ctes = [
-        f"""q AS MATERIALIZED (
+    ctes = []
+    if include_q:
+        ctes.append(f"""q AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * {quant} + 0.5)
                          AS BIGINT)) AS qv
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) > 0)""",
-        f"""c0 AS MATERIALIZED (
+      WHERE embedding IS NOT NULL AND len(embedding) > 0)""")
+    ctes.append(f"""{p}c0 AS MATERIALIZED (
       SELECT CAST(row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS INTEGER) AS cell,
              qv AS m
       FROM q
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT {k})""",
-    ]
+      LIMIT {k})""")
     for i in range(1, iters + 1):
-        p = i - 1
+        pp = i - 1
         ctes += [
-            f"""d{i} AS (
+            f"""{p}d{i} AS (
       SELECT v.vec_id, v.qv, c.cell, {dist} AS d
-      FROM q v CROSS JOIN c{p} c)""",
-            f"""a{i} AS (
+      FROM q v CROSS JOIN {p}c{pp} c)""",
+            f"""{p}a{i} AS (
       SELECT vec_id, qv, cell FROM (
         SELECT vec_id, qv, cell,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d, cell) AS rn
-        FROM d{i}) WHERE rn = 1)""",
-            f"""g{i} AS (
-      SELECT cell, COUNT(*) AS n, {sums} FROM a{i} GROUP BY cell)""",
-            f"""c{i} AS MATERIALIZED (
+        FROM {p}d{i}) WHERE rn = 1)""",
+            f"""{p}g{i} AS (
+      SELECT cell, COUNT(*) AS n, {sums} FROM {p}a{i} GROUP BY cell)""",
+            f"""{p}c{i} AS MATERIALIZED (
       SELECT p.cell,
              CASE WHEN g.cell IS NULL THEN p.m ELSE [{mean}] END AS m
-      FROM c{p} p LEFT JOIN g{i} g ON g.cell = p.cell)""",
+      FROM {p}c{pp} p LEFT JOIN {p}g{i} g ON g.cell = p.cell)""",
         ]
     ctes += [
-        f"""df AS (
+        f"""{p}df AS (
       SELECT v.vec_id, c.cell, {dist} AS d
-      FROM q v CROSS JOIN c{iters} c)""",
-        """af AS (
+      FROM q v CROSS JOIN {p}c{iters} c)""",
+        f"""{p}af AS (
       SELECT vec_id, cell, d FROM (
         SELECT vec_id, cell, d,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d, cell) AS rn
-        FROM df) WHERE rn = 1)""",
+        FROM {p}df) WHERE rn = 1)""",
     ]
     return ctes
 
@@ -6011,3 +6014,63 @@ def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits_trained") - F.col("n_hits_seed")) / 5.0, 4
         ).alias("recall_gain"),
     )
+
+
+def _kmeans_elbow_oracle(ks: tuple = (2, 4, 8), iters: int = 3) -> str:
+    """Oracle for kmeans_elbow_curve: one shared quantized frame, one
+    full Lloyd chain per k (prefixed instantiations of
+    `_kmeans_ctes`), one (k, cells_used, inertia) row each."""
+    chains: list[str] = []
+    rows: list[str] = []
+    for idx, k in enumerate(ks):
+        p = f"k{k}_"
+        chains += _kmeans_ctes(
+            k=k, iters=iters, prefix=p, include_q=(idx == 0)
+        )
+        rows.append(
+            f"""SELECT CAST({k} AS INTEGER) AS k,
+             CAST(COUNT(DISTINCT cell) AS BIGINT) AS cells_used,
+             CAST(SUM(d) AS BIGINT) AS inertia
+      FROM {p}af"""
+        )
+    joined = ",\n    ".join(chains)
+    union = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH {joined}
+    SELECT * FROM (
+      {union}
+    )
+    """
+
+
+@query("kmeans_elbow_curve", oracle=_kmeans_elbow_oracle())
+def kmeans_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the model-selection companion to kmeans_lloyd_stats — the
+    elbow curve as an oracle-checked row: total exact-integer inertia
+    and non-empty cell count after 3 Lloyd rounds at k = 2, 4, 8 over
+    one shared quantized corpus. Inertia is EXACT, so the curve (and
+    the marginal gain of doubling k — what an operator reads before
+    provisioning IVF cells at 100 TB) replays bit-for-bit; the oracle
+    runs one full unrolled training chain per k over a single shared
+    quantized CTE. Engine cost is the kmeans_lloyd_stats shape × |ks|
+    — each k is its own bounded fixed point; nothing cross-k ever
+    shuffles (the union is three 1-row frames)."""
+    from ..operators.kmeans import kmeans_cell_stats
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    out = None
+    for k in (2, 4, 8):
+        s = (
+            kmeans_cell_stats(emb, k=k, iters=3)
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cells_used"),
+                F.sum("inertia").cast("long").alias("inertia"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("k"), "cells_used", "inertia"
+            )
+        )
+        out = s if out is None else out.unionByName(s)
+    return out
