@@ -246,3 +246,84 @@ def kmeans_cell_stats(
             ),
         )
     )
+
+
+def kmeans_minibatch_merge(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_batches: int = 3,
+    quant: int = 1000,
+) -> DataFrame:
+    """The MERGEABILITY contract behind incremental centroid
+    maintenance: split the corpus into `n_batches` ingest batches
+    (id % n_batches), compute each batch's per-cell partial state
+    (count + per-dim sums) under the shared seeds, merge the partials,
+    and take the integer-lattice mean — which must equal the
+    full-corpus single Lloyd round EXACTLY, because integer sums are
+    associative (the same argument the mergeable-sketch family makes
+    for MG/HLL/bottom-k). Emits one row per member cell: the merged
+    centroid's checksums plus ``matches_full`` (1 iff the merged
+    centroid is bit-identical to the full-round centroid — the
+    contract column, all-1 by construction unless the merge path
+    breaks).
+
+    At 100 TB this is the license to maintain centroids
+    incrementally: per-ingest cost is one batch-sized assignment into
+    a k·(dim+1)-long summary, stored per batch and merged on demand —
+    no full-corpus rescan per model refresh."""
+    cents, q = lloyd_centroids(
+        corpus, id_col, vec_col, k, iters=0, quant=quant
+    )
+    empty = (
+        "cell int, n_members long, m_sum long, m_l2 long, "
+        "matches_full int"
+    )
+    if not cents:
+        return corpus.sparkSession.createDataFrame([], empty)
+    dim = len(cents[0])
+    cell = _assignment(F.col("qv"), cents)["cell"]
+    partials = (
+        q.select(
+            F.pmod(F.col("i"), F.lit(n_batches)).alias("b"),
+            cell.alias("cell"),
+            "qv",
+        )
+        .groupBy("b", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("qv")[j]).alias(f"s{j}") for j in range(dim)],
+        )
+    )
+    merged = partials.groupBy("cell").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"s{j}").alias(f"s{j}") for j in range(dim)],
+    )
+    rows = merged.collect()  # bounded: ≤ k rows
+    mc = {
+        int(r["cell"]): [
+            _floordiv(int(r[f"s{j}"]), int(r["n"])) for j in range(dim)
+        ]
+        for r in rows
+    }
+    full, _ = lloyd_centroids(
+        corpus, id_col, vec_col, k, iters=1, quant=quant
+    )
+    m_sum = [sum(mc.get(c, [0])) for c in range(k)]
+    m_l2 = [sum(x * x for x in mc.get(c, [0])) for c in range(k)]
+    match = [int(c in mc and mc[c] == full[c]) for c in range(k)]
+
+    def lut(vals):
+        return F.element_at(
+            F.array(*[F.lit(int(x)).cast("long") for x in vals]),
+            F.col("cell") + 1,
+        )
+
+    return merged.select(
+        "cell",
+        F.col("n").cast("long").alias("n_members"),
+        lut(m_sum).alias("m_sum"),
+        lut(m_l2).alias("m_l2"),
+        lut(match).cast("int").alias("matches_full"),
+    )

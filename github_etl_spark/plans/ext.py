@@ -6074,3 +6074,59 @@ def kmeans_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out
+
+
+def _kmeans_merge_oracle(k: int = 8, dim: int = 64,
+                         n_batches: int = 3) -> str:
+    """Oracle for kmeans_minibatch_merge: the iters=1 chain gives the
+    shared seeds (f_c0), the full assignment under them (f_a1) and
+    the full-round centroids (f_c1); the batch path re-derives the
+    SAME update from per-(batch, cell) partial sums merged across
+    batches — matches_full compares the two centroid lists
+    component-for-component in SQL."""
+    sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(dim))
+    resums = ", ".join(f"SUM(s{j}) AS s{j}" for j in range(dim))
+    mean = ", ".join(
+        f"CAST((s{j} - (((s{j}) % n) + n) % n) // n AS BIGINT)"
+        for j in range(dim)
+    )
+    chain = ",\n    ".join(_kmeans_ctes(k=k, iters=1, dim=dim,
+                                        prefix="f_"))
+    return f"""
+    WITH {chain},
+    pb AS (
+      SELECT vec_id % {n_batches} AS b, cell, COUNT(*) AS n, {sums}
+      FROM f_a1 GROUP BY 1, 2),
+    mg AS (
+      SELECT cell, SUM(n) AS n, {resums} FROM pb GROUP BY cell),
+    mm AS (
+      SELECT cell, n, [{mean}] AS m FROM mg)
+    SELECT mm.cell,
+           CAST(mm.n AS BIGINT) AS n_members,
+           CAST(list_sum(mm.m) AS BIGINT) AS m_sum,
+           CAST(list_sum(list_transform(mm.m, x -> x * x)) AS BIGINT)
+             AS m_l2,
+           CAST(CASE WHEN mm.m = c.m THEN 1 ELSE 0 END AS INTEGER)
+             AS matches_full
+    FROM mm JOIN f_c1 c ON c.cell = mm.cell
+    """
+
+
+@query("kmeans_minibatch_merge", oracle=_kmeans_merge_oracle())
+def kmeans_minibatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the MERGEABILITY contract behind incremental centroid
+    maintenance (operators/kmeans.kmeans_minibatch_merge) — per-ingest
+    per-cell partial state (count + per-dim integer sums) merged
+    across 3 batches must reproduce the full-corpus Lloyd round
+    BIT-IDENTICALLY (integer sums are associative — the same argument
+    the mergeable-sketch family makes for MG/HLL/bottom-k, applied to
+    the model-training state). ``matches_full`` is the contract
+    column, compared in SQL on the oracle side and in Python on the
+    engine side — the row fails the hash check the moment the merge
+    path and the full-round path diverge. At 100 TB this is the
+    license to refresh centroids from stored per-ingest summaries
+    instead of full-corpus rescans."""
+    from ..operators.kmeans import kmeans_minibatch_merge as kmm
+
+    t = load_tables(spark, sf_dir)
+    return kmm(t["embeddings"], k=8, n_batches=3)
