@@ -116,3 +116,20 @@ def test_empty_corpus_schema(spark):
         "m_sum",
         "m_l2",
     ]
+
+
+def test_minibatch_merge_is_batchcount_invariant(spark, emb):
+    """The merged update must not depend on HOW the corpus was split
+    into ingest batches (associativity is the whole contract): 2-way
+    and 5-way splits produce identical rows, and matches_full is 1
+    everywhere."""
+    from github_etl_spark.operators.kmeans import kmeans_minibatch_merge
+
+    two = sorted(
+        map(tuple, kmeans_minibatch_merge(emb, k=4, n_batches=2).collect())
+    )
+    five = sorted(
+        map(tuple, kmeans_minibatch_merge(emb, k=4, n_batches=5).collect())
+    )
+    assert two == five
+    assert all(r[-1] == 1 for r in two)
