@@ -43,13 +43,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..session import eager_checkpoint
+from .partitioning import ensure_parallelism
 from .similarity import quantize_expr
 
-# Same representation cliff as similarity._ARROW_ASSIGN_CELLS: the
-# inlined-literal assignment expression is O(k·dim) generated code —
-# fine for an oracle-checked quantizer, wrong past ~64 cells where the
-# Arrow int64 matmul form takes over (identical values, tested).
-_ARROW_ASSIGN_CELLS = 64
+# Assignment representation switch (same idea as similarity.
+# _ARROW_ASSIGN_CELLS): the inlined-literal expression form is used at
+# or below this many cells, the Arrow int64 matmul above it (identical
+# values, tested). r13 OPTIMIZATION: default 0 — always the Arrow
+# matmul. The expression form inlines the centroids as literals, so
+# EVERY Lloyd iteration generates (and whole-stage-compiles) a fresh
+# O(k·dim) codegen unit; the matmul kernel is literal-free Python and
+# pays only the Arrow batch crossing (guide §4.2). Measured at sf0.1,
+# k=8/dim=64/iters=3: 4.9 s → 3.4 s warm, bit-identical output.
+_ARROW_ASSIGN_CELLS = 0
 
 
 def _sq_dist_rank_expr(qv, centroids: list[list[int]]):
@@ -154,7 +160,12 @@ def lloyd_centroids(
         F.col(id_col).alias("i"),
         quantize_expr(F.col(vec_col), quant).alias("qv"),
     )
-    q = eager_checkpoint(q)
+    # Widen a narrow scan before checkpointing: a small parquet corpus
+    # arrives as ONE split, which would serialize every iteration's
+    # assignment scan on a single core; at scale the scan is already
+    # wide and this is a no-op (guide §2.5 input-skew rule, the same
+    # ensure_parallelism guard the minhash/similarity operators use).
+    q = eager_checkpoint(ensure_parallelism(q))
     # Portable md5-ordered seeds over the ALREADY-quantized frame (the
     # same selection ivf_portable_seed_centroids makes, minus the
     # re-quantization): discrete, bounded at k rows, SQL-re-derivable.

@@ -48,13 +48,13 @@ def test_deterministic_across_runs(spark, emb):
 
 
 def test_arrow_assignment_parity(spark, emb, monkeypatch):
-    """Force the Arrow matmul form and assert the WHOLE fixed point
-    (trajectory, not just one assignment) is bit-identical to the
-    inlined-expression form — same contract similarity's
-    _top_cell_expr switch carries."""
-    expr = sorted(map(tuple, kmeans_cell_stats(emb, k=6, iters=2).collect()))
-    monkeypatch.setattr(km, "_ARROW_ASSIGN_CELLS", 0)
+    """Force the inlined-expression form and assert the WHOLE fixed
+    point (trajectory, not just one assignment) is bit-identical to
+    the Arrow matmul form (the r13 default, _ARROW_ASSIGN_CELLS=0) —
+    same contract similarity's _top_cell_expr switch carries."""
     arrow = sorted(map(tuple, kmeans_cell_stats(emb, k=6, iters=2).collect()))
+    monkeypatch.setattr(km, "_ARROW_ASSIGN_CELLS", 1_000_000)
+    expr = sorted(map(tuple, kmeans_cell_stats(emb, k=6, iters=2).collect()))
     assert expr == arrow
 
 
