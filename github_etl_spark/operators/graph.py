@@ -407,6 +407,7 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the UNDIRECTED graph given as
     canonical (src < dst) edges, in exact 64-bit fixed-point
@@ -431,19 +432,34 @@ def pagerank_fixed_point(
 
     **Plan shape** (the standard Pregel/GraphX pattern): the
     symmetrized edge list is hash-partitioned and sorted by ``src``
-    ONCE and checkpointed — the invariant side of every round's join,
-    so the per-round edge-side exchange disappears (checkpoint scans
-    preserve partitioning); degrees are computed once on that same
-    partitioning.  Each iteration is then one shuffled-HASH join
+    ONCE and PERSISTED — the invariant side of every round's join, so
+    the per-round edge-side exchange disappears (the persisted plan
+    keeps its repartition node visible to the planner; a checkpoint
+    scan loses it to UnknownPartitioning and re-exchanged the edges
+    every round — the r13 finding); degrees are computed once on that
+    same partitioning.  Each iteration is then one shuffled-HASH join
     (only the node-width rank fragments move and get hash-built —
     GraphX's strategy; the build side is bounded by nodes/partitions,
     and nothing is sorted per round) + one groupBy(dst) sum.  Measured
     at sf0.1: 2.2x faster than the naive per-round sort-merge form
-    with bit-identical ranks.  Each round's ranks are eagerly
-    checkpointed (reliable when a checkpoint dir is configured,
-    executor-local otherwise) and the previous round's blocks/files
-    are dropped, exactly like ``connected_components`` — lineage stays
-    O(1) per round and disk holds one snapshot, not one per round.
+    with bit-identical ranks.
+
+    ``checkpoint_interval``: ranks are eagerly checkpointed (reliable
+    when a checkpoint dir is configured, executor-local otherwise)
+    every this-many rounds AND after the final round, dropping the
+    previous snapshot each time — disk holds one snapshot, never one
+    per round.  Unlike ``connected_components`` (whose star rounds
+    reference the edge frame several times per round, so lineage grows
+    exponentially without per-round truncation), a PageRank round
+    reads ``ranks`` exactly once: lineage grows LINEARLY in rounds,
+    and a materialization per round is pure overhead — each one is a
+    full job submit + write barrier that blocks the next round from
+    pipelining.  Measured at sf0.1 (5 iterations, 1.2M-edge
+    co-purchase graph): per-round checkpoints 8.7 s → persisted edges
+    + one final materialization executing all five rounds in one job
+    5.2 s, bit-identical ranks.  Long trainings on a real cluster set
+    a smaller interval for failure-recovery bounds; the default favors
+    short fixed-iteration analytics.
 
     Reference parity: the reference engine has no graph operator; this
     is north-star surface alongside triangle_count (web/citation-graph
@@ -456,49 +472,55 @@ def pagerank_fixed_point(
 
     spark = edges.sparkSession
 
-    # Symmetrize, hash-partition and sort by src ONCE, checkpoint: the
-    # edge list is the loop-invariant side of every round's join, and
-    # a checkpointed pre-partitioned frame keeps its partitioning, so
-    # no round re-shuffles (or re-sorts) the edges — the Pregel
-    # edge-partition invariant.
+    # Symmetrize, hash-partition and sort by src ONCE, PERSIST: the
+    # edge list is the loop-invariant side of every round's join.
+    # persist (not checkpoint) on purpose — a checkpoint scan comes
+    # back as an ExistingRDD with UnknownPartitioning (verified in the
+    # r13 plans), so every round re-exchanged the full edge list; the
+    # persisted plan keeps its repartition(src) node visible and every
+    # round's join reuses the partitioning with NO edge-side exchange
+    # — the Pregel edge-partition invariant. Lineage here is three
+    # narrow ops over the input, so persist also keeps the frame
+    # recomputable on executor loss (localCheckpoint blocks are not).
+    from pyspark import StorageLevel
+
     e = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
     )
-    sym = _ckpt(
+    sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition(F.col("src"))
         .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Degrees reuse the edge partitioning (groupBy(src) needs no
     # exchange) and are reused every round.
-    deg = _ckpt(
+    deg = (
         sym.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("node"), "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     n = deg.count()
     if n == 0:
-        # Release the (empty) checkpoints before returning — the
-        # checkpoint-independent empty frame keeps the one-snapshot
-        # disk contract on this path too.
+        # Release the (empty) cached frames before returning.
         for dead in (sym, deg):
             dead.unpersist()
-            drop_checkpoint_files(dead)
         return spark.createDataFrame(
             [], "node long, deg long, rank_fp long"
         )
     base = scale // n
     teleport = (100 - damping_pct) * base
 
-    # Checkpointed like every later round, so the loop's
-    # drop_checkpoint_files(previous) is uniform (dropping a derived,
-    # never-checkpointed frame would warn-and-leak instead).
-    ranks = _ckpt(
-        deg.select("node", "deg", F.lit(base).cast("long").alias("rank_fp"))
+    # Lazy: round 0 derives straight from the deg snapshot; the first
+    # interval (or final-round) checkpoint below truncates the chain.
+    ranks = deg.select(
+        "node", "deg", F.lit(base).cast("long").alias("rank_fp")
     )
-    for _ in range(iterations):
+    last_ckpt = None
+    for it in range(iterations):
         # hint("shuffle_hash") on the RANK side: at graph scale
         # neither side of a node x edge join is a broadcastable
         # dimension (ranks/deg contain EVERY node), and post-checkpoint
@@ -529,14 +551,25 @@ def pagerank_fixed_point(
                 "coalesce(s, CAST(0 AS BIGINT))) div 100"
             ).alias("rank_fp"),
         )
-        nxt = _ckpt(nxt)
-        ranks.unpersist()
-        drop_checkpoint_files(ranks)
+        # Truncate lineage only at the interval (and on the final
+        # round, so the returned frame reads its own snapshot and the
+        # sym/deg snapshots can be released below): the rounds in
+        # between stay LAZY and execute as one pipelined job at the
+        # next materialization.
+        if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
+            nxt = _ckpt(nxt)
+            if last_ckpt is not None:
+                last_ckpt.unpersist()
+                drop_checkpoint_files(last_ckpt)
+            last_ckpt = nxt
         ranks = nxt
-    # The returned frame reads only ITS checkpoint; the edge and degree
-    # snapshots are dead now — release them (same no-copy-per-call
+    if last_ckpt is None:
+        # iterations == 0: materialize the base ranks so the release
+        # below cannot strand the returned frame's lineage.
+        ranks = _ckpt(ranks)
+    # The returned frame reads only ITS checkpoint; the cached edge and
+    # degree frames are dead now — release them (same no-copy-per-call
     # contract as _connected_components_run's round cleanup).
     for dead in (sym, deg):
         dead.unpersist()
-        drop_checkpoint_files(dead)
     return ranks
