@@ -6071,6 +6071,12 @@ def kmeans_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.lit(k).cast("int").alias("k"), "cells_used", "inertia"
             )
+            # An empty corpus trains no cells; drop the vacuous global-
+            # agg row (cells_used = 0) so empty input yields an empty
+            # curve, matching every other aggregate row in the catalog.
+            # A non-empty corpus always uses >= 1 cell, so this filters
+            # nothing at any real scale factor.
+            .where(F.col("cells_used") > 0)
         )
         out = s if out is None else out.unionByName(s)
     return out
