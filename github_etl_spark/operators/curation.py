@@ -73,6 +73,135 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
+# ---------------------------------------------------------------------------
+# Spark-SQL string forms (r13 OPTIMIZATION). The Column-API versions of
+# these builders cost hundreds of py4j round-trips to CONSTRUCT (measured
+# ~1.3 s per web_gate_expr call at ~1.8 ms RTT in this sandbox — time the
+# bench charges to every query that gates); each builder below renders the
+# IDENTICAL expression as one SQL string parsed in a single call. Numeric
+# literal discipline: Spark SQL parses `6.0` as DECIMAL(2,1), so every
+# fractional literal carries the `D` (double) suffix to reproduce the
+# Column form's double arithmetic bit-for-bit. The DuckDB mirrors live in
+# plans/curation.py (_SQL_LINES / _SQL_C4_KEEP / _SQL_GOPHER_M) — change
+# one, change both.
+# ---------------------------------------------------------------------------
+
+
+def _words_sql(col: str) -> str:
+    """functions.text.words_expr as Spark SQL text."""
+    return f"filter(split(lower({col}), '\\\\s+'), x -> x != '')"
+
+
+def _lines_sql(ws: str) -> str:
+    """derived_lines_expr over a word-array expression, as SQL text."""
+    return (
+        f"CASE WHEN size({ws}) = 0 THEN CAST(array() AS array<string>) "
+        f"ELSE transform("
+        f"sequence(0, CAST(ceil(size({ws}) / {LINE_WORDS}.0D) AS INT) - 1),"
+        " j -> concat("
+        f"CASE WHEN j % {BULLET_MOD} = 0 THEN '- ' ELSE '' END, "
+        f"concat_ws(' ', slice({ws}, j * {LINE_WORDS} + 1, {LINE_WORDS})), "
+        f"CASE WHEN j % {BOILER_MOD} = 5 THEN ' javascript' ELSE '' END, "
+        f"CASE WHEN j % {ELLIPSIS_MOD} = 3 THEN '...' "
+        f"WHEN j % {NOPUNCT_MOD} != 2 THEN '.' ELSE '' END)) END"
+    )
+
+
+def _c4_keep_sql(line: str) -> str:
+    """c4_line_keep_expr over a line expression, as SQL text."""
+    return (
+        f"({line} RLIKE '[.!?]$'"
+        f" AND size(filter(split({line}, ' '),"
+        f" t -> t RLIKE '[a-z]')) >= {C4_MIN_LINE_WORDS}"
+        f" AND NOT contains({line}, 'javascript')"
+        f" AND NOT contains({line}, 'lorem ipsum')"
+        " AND NOT contains(" + line + ", '{'))"
+    )
+
+
+def _sql_round(expr: str, digits: int = 2) -> str:
+    """functions.rounding.round_det as Spark SQL text (D-suffixed so
+    the arithmetic stays double, not decimal)."""
+    p = 10**digits
+    return f"(floor(({expr}) * {p}.0D + 0.5D) / {p}.0D)"
+
+
+def _gopher_metrics_sql(ws: str, lns: str) -> dict[str, str]:
+    """_gopher_metrics as SQL text over word/line array expressions."""
+    r = f"concat_ws('\\n', {lns})"
+    n_words = f"size({ws})"
+    n_lines = f"greatest(size({lns}), 1)"
+    n_hash = f"(length({r}) - length(replace({r}, '#', '')))"
+    n_ellipsis = f"((length({r}) - length(replace({r}, '...', ''))) / 3)"
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return {
+        "n_words": n_words,
+        "mean_word_len": _sql_round(
+            f"aggregate({ws}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+            f" / CAST(greatest({n_words}, 1) AS DOUBLE)",
+            4,
+        ),
+        "symbol_ratio": _sql_round(
+            f"({n_hash} + {n_ellipsis})"
+            f" / CAST(greatest({n_words}, 1) AS DOUBLE)",
+            4,
+        ),
+        "bullet_frac": _sql_round(
+            f"size(filter({lns}, l -> startswith(l, '- ')))"
+            f" / CAST({n_lines} AS DOUBLE)",
+            4,
+        ),
+        "ellipsis_frac": _sql_round(
+            f"size(filter({lns}, l -> endswith(l, '...')))"
+            f" / CAST({n_lines} AS DOUBLE)",
+            4,
+        ),
+        "alpha_frac": _sql_round(
+            f"size(filter({ws}, x -> x RLIKE '[a-z]'))"
+            f" / CAST(greatest({n_words}, 1) AS DOUBLE)",
+            4,
+        ),
+        "n_stop_distinct": (
+            f"size(array_distinct(filter({ws},"
+            f" x -> array_contains(array({stops}), x))))"
+        ),
+    }
+
+
+def _gopher_keep_sql(ws: str, lns: str) -> str:
+    """gopher_keep_expr as SQL text (same metric definitions)."""
+    m = _gopher_metrics_sql(ws, lns)
+    return (
+        f"({m['n_words']} >= {GOPHER_MIN_WORDS}"
+        f" AND {m['n_words']} <= {GOPHER_MAX_WORDS}"
+        f" AND {m['mean_word_len']} >= {GOPHER_MIN_MEAN_WORD_LEN}D"
+        f" AND {m['mean_word_len']} <= {GOPHER_MAX_MEAN_WORD_LEN}D"
+        f" AND {m['symbol_ratio']} <= {GOPHER_MAX_SYMBOL_RATIO}D"
+        f" AND {m['bullet_frac']} <= {GOPHER_MAX_BULLET_FRAC}D"
+        f" AND {m['ellipsis_frac']} <= {GOPHER_MAX_ELLIPSIS_FRAC}D"
+        f" AND {m['alpha_frac']} >= {GOPHER_MIN_ALPHA_FRAC}D"
+        f" AND {m['n_stop_distinct']} >= {GOPHER_MIN_STOPWORDS})"
+    )
+
+
+def web_gate_sql(text_col: str) -> str:
+    """web_gate_expr as ONE SQL string: the word/line arrays are built
+    once into a one-element struct array and every rule reads the
+    lambda variable, so predicate pushdown cannot re-inline the
+    derivation per reference (same structure as the Column form)."""
+    ws = _words_sql(text_col)
+    lns = _lines_sql(ws)
+    page = (
+        f"size(filter(s.lns, l -> {_c4_keep_sql('l')}))"
+        f" >= {C4_MIN_KEPT_LINES}"
+    )
+    keep = _gopher_keep_sql("s.ws", "s.lns")
+    return (
+        f"element_at(transform(array(struct({ws} AS ws, {lns} AS lns)),"
+        f" s -> ({page}) AND {keep}), 1)"
+    )
+
+
 def derived_lines_expr(text_col) -> Column:
     """Deterministic multi-line rendering of a document.
 
@@ -81,26 +210,26 @@ def derived_lines_expr(text_col) -> Column:
     (bullet prefix, boilerplate token, ellipsis / period / bare
     terminal) so every downstream line rule has real positive and
     negative rows. Pure JVM expressions, map-only; identical
-    derivation lives in plans/curation._SQL_LINES.
-    """
-    ws = words_expr(text_col)
+    derivation lives in plans/curation._SQL_LINES. Accepts a column
+    NAME (preferred — single-parse SQL construction) or a plain
+    attribute Column."""
+    return F.expr(_lines_sql(_words_sql(_col_name(text_col))))
 
-    def line(j: Column) -> Column:
-        return F.concat(
-            F.when(j % BULLET_MOD == 0, F.lit("- ")).otherwise(F.lit("")),
-            F.concat_ws(" ", F.slice(ws, j * LINE_WORDS + 1, LINE_WORDS)),
-            F.when(j % BOILER_MOD == 5, F.lit(" javascript")).otherwise(
-                F.lit("")
-            ),
-            F.when(j % ELLIPSIS_MOD == 3, F.lit("..."))
-            .when(j % NOPUNCT_MOD != 2, F.lit("."))
-            .otherwise(F.lit("")),
+
+def _col_name(col) -> str:
+    """The attribute name behind a plain column reference; pass-through
+    for strings. The SQL-string builders need a NAME to splice into
+    the expression text — a derived Column has no stable SQL form and
+    is rejected loudly."""
+    if isinstance(col, str):
+        return col
+    name = col._jc.toString()
+    if not name.replace("_", "").isalnum():
+        raise ValueError(
+            f"expected a plain column reference, got {name!r}; pass the "
+            "column name instead"
         )
-
-    n_lines = F.ceil(F.size(ws) / F.lit(float(LINE_WORDS))).cast("int")
-    return F.when(
-        F.size(ws) == 0, F.array().cast("array<string>")
-    ).otherwise(F.transform(F.sequence(F.lit(0), n_lines - 1), line))
+    return name
 
 
 def c4_line_keep_expr(line: Column) -> Column:
@@ -135,17 +264,21 @@ def kept_lines_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (
         df.select(
             F.col(id_col),
-            derived_lines_expr(F.col(text_col)).alias("__lns"),
+            derived_lines_expr(text_col).alias("__lns"),
         ).select(
             F.col(id_col),
-            F.filter(F.col("__lns"), c4_line_keep_expr).alias("kept_lines"),
-            F.size("__lns").alias("n_lines"),
+            F.expr(f"filter(__lns, l -> {_c4_keep_sql('l')})").alias(
+                "kept_lines"
+            ),
+            F.expr("size(__lns)").alias("n_lines"),
         ).select(
             id_col,
             "n_lines",
             "kept_lines",
-            F.size("kept_lines").alias("n_kept"),
-            (F.size("kept_lines") >= C4_MIN_KEPT_LINES).alias("keep_doc"),
+            F.expr("size(kept_lines)").alias("n_kept"),
+            F.expr(f"size(kept_lines) >= {C4_MIN_KEPT_LINES}").alias(
+                "keep_doc"
+            ),
         )
     )
 
@@ -154,10 +287,16 @@ def c4_kept_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Eager-checkpointed ``kept_lines_frame``. Checkpointed because
     it feeds multiple consumers (span explode, span-count rejoin,
     final stats) and the per-line regex cascade is the dominant map
-    cost."""
+    cost — which is also why the input is widened first: a single-file
+    parquet corpus arrives as ONE scan partition and would serialize
+    the whole cascade on one core (no-op when the scan is already
+    wide — the span_dedup ensure_parallelism lesson)."""
     from ..session import eager_checkpoint
+    from .partitioning import ensure_parallelism
 
-    return eager_checkpoint(kept_lines_frame(df, text_col, id_col))
+    return eager_checkpoint(
+        kept_lines_frame(ensure_parallelism(df), text_col, id_col)
+    )
 
 
 def c4_spans_from(stats: DataFrame, id_col: str) -> DataFrame:
@@ -665,21 +804,11 @@ def web_gate_expr(text_col) -> Column:
     cut). Here the word/line arrays are built once into a one-element
     struct array and every metric reads the LAMBDA VARIABLE — a bound
     variable cannot be inlined, so the arrays derive exactly once per
-    row no matter where the optimizer moves the predicate."""
-    packed = F.array(
-        F.struct(
-            words_expr(text_col).alias("ws"),
-            derived_lines_expr(text_col).alias("lns"),
-        )
-    )
-    return F.element_at(
-        F.transform(
-            packed,
-            lambda s: c4_page_keep_expr(s["lns"])
-            & _gopher_keep_from(_gopher_metrics(s["ws"], s["lns"])),
-        ),
-        1,
-    )
+    row no matter where the optimizer moves the predicate. Accepts a
+    column NAME or a plain attribute Column; constructed as one parsed
+    SQL string (``web_gate_sql``) — the Column form cost ~1.3 s of
+    py4j chatter per call (r13 measurement)."""
+    return F.expr(web_gate_sql(_col_name(text_col)))
 
 
 def gopher_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -700,13 +829,13 @@ def gopher_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     staged = df.select(
         F.col(id_col),
-        words_expr(F.col(text_col)).alias("__ws"),
-        derived_lines_expr(F.col(text_col)).alias("__lns"),
+        F.expr(_words_sql(text_col)).alias("__ws"),
+        derived_lines_expr(text_col).alias("__lns"),
     )
-    m = _gopher_metrics(F.col("__ws"), F.col("__lns"))
+    m = _gopher_metrics_sql("__ws", "__lns")
     out = staged.select(
         F.col(id_col),
-        *[m[name].alias(name) for name in (
+        *[F.expr(m[name]).alias(name) for name in (
             "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
             "ellipsis_frac", "alpha_frac", "n_stop_distinct",
         )],
@@ -737,7 +866,9 @@ def ccnet_buckets(
     from ..session import eager_checkpoint
 
     toks = df.select(
-        F.col(id_col), F.col(lang_col), F.explode(words_expr(F.col(text_col))).alias("tok")
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(F.expr(_words_sql(text_col))).alias("tok"),
     )
     freq = eager_checkpoint(
         toks.groupBy("tok").agg(F.count("*").alias("c"))
@@ -796,18 +927,18 @@ def blocklist_gate(
     (Aho-Corasick) behind the same (id, n_hits, keep) contract —
     `search_phrase_match` documents the single-phrase primitive.
     """
-    norm = F.concat(
-        F.lit(" "), F.concat_ws(" ", words_expr(F.col(text_col))), F.lit(" ")
+    from .partitioning import ensure_parallelism
+
+    norm = F.expr(
+        f"concat(' ', concat_ws(' ', {_words_sql(text_col)}), ' ')"
     )
-    staged = df.select(F.col(id_col), norm.alias("__norm"))
-    hits = None
-    for ph in phrases:
-        pad = f" {ph} "
-        h = (
-            F.length("__norm")
-            - F.length(F.replace(F.col("__norm"), F.lit(pad)))
-        ) / F.lit(len(pad))
-        hits = h if hits is None else hits + h
+    staged = ensure_parallelism(df).select(F.col(id_col), norm.alias("__norm"))
+    terms = " + ".join(
+        f"((length(__norm) - length(replace(__norm, ' {ph} ', '')))"
+        f" / {len(ph) + 2})"
+        for ph in phrases
+    )
+    hits = F.expr(terms)
     return staged.select(
         F.col(id_col),
         hits.cast("long").alias("n_hits"),

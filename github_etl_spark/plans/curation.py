@@ -288,7 +288,7 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     gated = docs.select("doc_id", "text", "lang").where(
-        web_gate_expr(F.col("text"))
+        web_gate_expr("text")
     )
     from ..session import eager_checkpoint
 
@@ -572,7 +572,7 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import eager_checkpoint
 
     docs = load_tables(spark, sf_dir)["documents"]
-    gated = docs.select("doc_id", "text").where(web_gate_expr(F.col("text")))
+    gated = docs.select("doc_id", "text").where(web_gate_expr("text"))
     exact = eager_checkpoint(
         gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     )
