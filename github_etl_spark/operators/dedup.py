@@ -69,6 +69,39 @@ def _shingles(text_col, n: int = 3):
     return F.array_distinct(ngrams_expr(tokens_expr(text_col), n))
 
 
+# ---------------------------------------------------------------------------
+# Spark-SQL string twins (r13 OPTIMIZATION). The Column-API builders above
+# construct their trees through py4j one call at a time (~1.8 ms RTT in
+# this sandbox); `minhash_lsh_candidates` alone cost ~1.0-1.6 s per CALL
+# to construct — over half of dedup_minhash_lsh's total bench time. Each
+# builder below renders the IDENTICAL expression tree as one SQL string
+# parsed in a single call. The DuckDB oracle mirrors live in plans/ext.py;
+# change one, change both.
+# ---------------------------------------------------------------------------
+
+
+def _tokens_sql(col: str) -> str:
+    """functions.text.dedup_tokens_expr as Spark SQL text."""
+    return f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+
+
+def _shingles_sql(col: str, n: int) -> str:
+    """_shingles (distinct word n-grams) as Spark SQL text — the same
+    zipped-slice construction, O(n·L) per row."""
+    toks = _tokens_sql(col)
+    ng = f"(size({toks}) - {n - 1})"
+    out = f"slice({toks}, 1, {ng})"
+    for i in range(1, n):
+        out = (
+            f"zip_with({out}, slice({toks}, {i + 1}, {ng}),"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+    return (
+        f"array_distinct(CASE WHEN {ng} > 0 THEN {out}"
+        " ELSE CAST(array() AS array<string>) END)"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -100,29 +133,23 @@ def minhash_signatures(
     """
     # Hash cost is shingles × num_hashes per row — widen a narrow scan
     # before it (no-op when the input already has enough partitions).
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("shingle")
+    exploded = ensure_parallelism(df).selectExpr(
+        id_col,
+        f"explode({_shingles_sql(text_col, shingle)}) AS shingle",
     )
     if hash_family == "md5_portable":
-        aggs = [
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16
-                )
-            ).alias(f"h{i}")
+        mins = ", ".join(
+            f"min(substring(md5(concat('{i}:', shingle)), 1, 16))"
             for i in range(num_hashes)
-        ]
+        )
     elif hash_family == "xxhash64":
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        mins = ", ".join(
+            f"min(xxhash64({i}, shingle))" for i in range(num_hashes)
+        )
     else:
         raise ValueError(f"unknown minhash family: {hash_family!r}")
-    sig = exploded.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    return exploded.groupBy(id_col).agg(
+        F.expr(f"array({mins})").alias("signature")
     )
 
 
@@ -150,24 +177,24 @@ def minhash_band_buckets(
         df, text_col, id_col, num_hashes, shingle, hash_family=hash_family
     )
 
-    def _band_slice(b):
-        return [
-            F.element_at("signature", b * rows_per_band + r + 1)
+    def _band_slice(b: int) -> str:
+        return ", ".join(
+            f"element_at(signature, {b * rows_per_band + r + 1})"
             for r in range(rows_per_band)
-        ]
+        )
 
     if hash_family == "md5_portable":
-        bucket_of = lambda b: F.concat_ws("", *_band_slice(b))  # noqa: E731
+        bucket_of = lambda b: f"concat_ws('', {_band_slice(b)})"  # noqa: E731
     else:
-        bucket_of = lambda b: F.xxhash64(F.lit(b), *_band_slice(b))  # noqa: E731
-    band_cols = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+        bucket_of = lambda b: f"xxhash64({b}, {_band_slice(b)})"  # noqa: E731
+    band_cols = "array({})".format(
+        ", ".join(
+            f"named_struct('band', {b}, 'bucket', {bucket_of(b)})"
             for b in range(bands)
-        ]
+        )
     )
-    return sigs.select(
-        F.col(id_col).alias("doc"), "signature", F.explode(band_cols).alias("bb")
+    return sigs.selectExpr(
+        f"{id_col} AS doc", "signature", f"explode({band_cols}) AS bb"
     ).select("doc", "signature", "bb.band", "bb.bucket")
 
 
@@ -225,23 +252,15 @@ def minhash_lsh_candidates(
         .filter(F.size("members") > 1)
     )
     # Ordered members → all i<j pairs, entirely within the row.
-    members = F.array_sort(F.col("members"))  # sorts by doc id (first field)
-    pair_structs = F.flatten(
-        F.transform(
-            members,
-            lambda m, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda n: F.struct(
-                    m["doc"].alias("id_a"),
-                    n["doc"].alias("id_b"),
-                    m["signature"].alias("sig_a"),
-                    n["signature"].alias("sig_b"),
-                ),
-            ),
-        )
+    ms = "array_sort(members)"  # sorts by doc id (first field)
+    pair_structs = (
+        f"flatten(transform({ms}, (m, i) ->"
+        f" transform(slice({ms}, i + 2, size({ms})), n ->"
+        " named_struct('id_a', m.doc, 'id_b', n.doc,"
+        " 'sig_a', m.signature, 'sig_b', n.signature))))"
     )
     pairs = (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        grouped.selectExpr(f"explode({pair_structs}) AS p")
         .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -252,7 +271,14 @@ def minhash_lsh_candidates(
 def signature_agreement_expr(sig_a, sig_b, num_hashes: int):
     """Estimated jaccard = fraction of agreeing minhash positions.
     Exact k/num_hashes ratios (binary fractions for power-of-two
-    num_hashes), so threshold comparisons replay exactly in SQL."""
+    num_hashes), so threshold comparisons replay exactly in SQL.
+    Accepts column NAMES (single-parse SQL construction) or Columns."""
+    if isinstance(sig_a, str) and isinstance(sig_b, str):
+        return F.expr(
+            f"size(filter(zip_with({sig_a}, {sig_b},"
+            " (x, y) -> CAST(x = y AS INT)), v -> v = 1))"
+            f" / CAST({num_hashes} AS DOUBLE)"
+        )
     return F.size(
         F.filter(
             F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
