@@ -285,6 +285,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     broadcast_degrees: bool = True,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Global triangle count of the undirected graph (one row:
     ``n_triangles``, ``n_edges``, ``n_nodes``).
@@ -312,12 +313,27 @@ def triangle_count(
     ``broadcast_degrees``: the degree table is node-sized (usually ≪
     edges) and feeds two equi-joins; broadcast by default, pass False
     for graphs whose node table alone exceeds executor memory.
+
+    ``edges_canonical``: the input is already distinct (src < dst)
+    long pairs with no nulls/self-loops — e.g. straight out of
+    ``cooccurrence_edges``, whose sorted in-row pair expansion ends in
+    its own ``distinct()``. Skips ``_canonical_edges``'s least/greatest
+    + distinct, which would otherwise re-shuffle the full edge set
+    back-to-back with the producer's dedup exchange for no change in
+    the data (guide §2.4: remove shuffles outright).
     """
     # The canonical edge set feeds three consumers (degrees, ranking,
     # the n_edges stat); localCheckpoint it once instead of re-running
     # the dedup shuffle per consumer. Edge-list bytes (16 B/row) are
     # the working set every distributed triangle counter holds anyway.
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    if edges_canonical:
+        _require_integral(edges, src, dst)
+        e = edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        ).localCheckpoint()
+    else:
+        e = _canonical_edges(edges, src, dst).localCheckpoint()
     deg = (
         e.select(F.col("src").alias("v"))
         .unionAll(e.select(F.col("dst").alias("v")))
@@ -339,10 +355,28 @@ def triangle_count(
         .alias("o")
     ).select("o.u", "o.w")
     width = edges.sparkSession.sparkContext.defaultParallelism
-    fwd = fwd.repartition(width, "u").localCheckpoint()
+    # persist, not localCheckpoint: a checkpoint scan comes back as
+    # ExistingRDD with UnknownPartitioning, so the groupBy("u") and the
+    # u-probe join below would EACH re-shuffle the edge set the
+    # repartition just placed; the persisted plan keeps its
+    # repartition(u) node visible and both consumers reuse it with no
+    # exchange (the pagerank loop-invariant-edges lesson, guide §2.4).
+    from pyspark.storagelevel import StorageLevel
+
+    fwd = fwd.repartition(width, "u").persist(StorageLevel.MEMORY_AND_DISK)
     adj = fwd.groupBy("u").agg(F.sort_array(F.collect_list("w")).alias("nbrs"))
-    adj_u = adj.select("u", F.col("nbrs").alias("nbrs_u"))
-    adj_w = adj.select(F.col("u").alias("w"), F.col("nbrs").alias("nbrs_w"))
+    # SHUFFLE_HASH on the node-sized adjacency sides: sort-merge would
+    # sort the edge-sized fwd stream twice (once per join) just to
+    # probe a node-sized build table; a hash build of the adjacency
+    # side skips both sorts (guide §3.1 — shuffled hash when one side
+    # is moderately small per partition). The u-join is co-partitioned
+    # with fwd's repartition, so SHJ there costs no new exchange
+    # either. Measured at sf0.1 (1.2M edges): intersect stage
+    # 1.8 s → 1.0 s.
+    adj_u = adj.select("u", F.col("nbrs").alias("nbrs_u")).hint("shuffle_hash")
+    adj_w = adj.select(
+        F.col("u").alias("w"), F.col("nbrs").alias("nbrs_w")
+    ).hint("shuffle_hash")
     per_edge = (
         fwd.join(adj_u, "u")
         .join(adj_w, "w")  # inner: a head with no out-edges closes no triangle
@@ -479,7 +513,12 @@ def pagerank_fixed_point(
     # r13 plans), so every round re-exchanged the full edge list; the
     # persisted plan keeps its repartition(src) node visible and every
     # round's join reuses the partitioning with NO edge-side exchange
-    # — the Pregel edge-partition invariant. Lineage here is three
+    # — the Pregel edge-partition invariant. NOTE this needs
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+    # (session.RUNTIME_CONFS): with the default false, AQE hides the
+    # cached plan's partitioning and an ENSURE_REQUIREMENTS exchange
+    # reappears above the InMemoryTableScan each round (seen in the
+    # r13 plan captures). Lineage here is three
     # narrow ops over the input, so persist also keeps the frame
     # recomputable on executor loss (localCheckpoint blocks are not).
     from pyspark import StorageLevel

@@ -3101,7 +3101,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_partkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return triangle_count(edges)
+    # cooccurrence_edges emits distinct (src < dst) pairs already —
+    # skip the operator's re-canonicalization, which would re-shuffle
+    # the 1.2M-edge set right after the producer's own dedup exchange.
+    return triangle_count(edges, edges_canonical=True)
 
 
 _PR_SCALE = 10**12

@@ -21,7 +21,34 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let the planner SEE a cached plan's output partitioning under
+    # AQE. Default false hides it (InMemoryTableScan reports Unknown),
+    # so every iterative operator that persists a repartitioned
+    # loop-invariant frame (pagerank's edge list, triangle_count's
+    # oriented edges) pays an ENSURE_REQUIREMENTS re-shuffle of the
+    # big side per consumer — the exact shuffle the persist exists to
+    # remove (guide §2.4). Scale-independent: the win grows with the
+    # edge set. Trade-off is AQE may serve the cache at its original
+    # partition count rather than coalescing; our persisted frames are
+    # explicitly repartitioned to cluster width, where that is what we
+    # want anyway.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
+
+
+def _extra_confs() -> dict[str, str]:
+    """Operator-independent conf overrides from the environment —
+    ``SPARK_GRAFT_CONFS="k=v;k=v"``. The A/B lever for configuration
+    experiments (optimization guide §1: measure first): the same query
+    code runs under candidate confs in separate processes without
+    editing source. Production values belong in RUNTIME_CONFS once
+    measured; this hook is for measuring them."""
+    out: dict[str, str] = {}
+    for item in os.environ.get("SPARK_GRAFT_CONFS", "").split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
 
 
 # Sessions we've already shipped the package zip to, keyed by
@@ -103,7 +130,7 @@ def tune(spark: SparkSession) -> SparkSession:
     (most importantly UTC timestamps for oracle parity — SURVEY.md
     §7.4 risk 1).
     """
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **_extra_confs()}.items():
         try:
             spark.conf.set(k, v)
         except Exception:
