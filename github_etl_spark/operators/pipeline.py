@@ -677,6 +677,47 @@ def tokenize_encode(
     return _assemble_input_ids(toks, vocab, id_col, unk_id)
 
 
+def tokenize_encode_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 200,
+    min_df: int = 2,
+    unk_id: int = 0,
+) -> DataFrame:
+    """(id, n_tokens, sum_tid) per document — the ORDER-INDEPENDENT
+    reductions of ``tokenize_encode``'s output, computed without ever
+    assembling the per-document id array: same ``vocab_induce`` table,
+    same broadcast LUT join, but the per-doc ``collect_list`` +
+    ``array_sort`` + array-fold (which exist only to put ids in
+    position order) are replaced by a plain count/sum aggregate over
+    the exploded token rows. BIGINT sums are exact and commutative, so
+    ``sum_tid ≡ aggregate(input_ids, 0, (a,x) -> a+x)`` and
+    ``n_tokens ≡ size(input_ids)`` bit-for-bit (pinned in tests
+    against ``tokenize_encode`` itself); the pretraining composite's
+    manifest needs only these, and skipping assembly removes the
+    object-hash aggregation buffers of corpus-length struct arrays
+    from its encode stage (guide §2.3: don't compute what you throw
+    away). Zero-token documents produce no rows — same semantics as
+    ``tokenize_encode``.
+    """
+    vocab = vocab_induce(df, text_col, id_col, k=k, min_df=min_df).select(
+        "tok", "vocab_id"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words_expr(F.col(text_col))).alias("tok"),
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col,
+        F.coalesce(F.col("vocab_id"), F.lit(unk_id)).cast("long").alias("tid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("tid").cast("long").alias("sum_tid"),
+    )
+
+
 def compression_ratio_col(text_col: str = "text", level: int = 6) -> Column:
     """zlib-compressed-size / raw-size of the UTF-8 text — the classic
     corpus-quality signal (Gopher/RefinedWeb family): templated or

@@ -568,7 +568,11 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import web_gate_expr
     from ..operators.dedup import minhash_lsh_candidates
     from ..operators.graph import cluster_assignment
-    from ..operators.pipeline import hash_split, pack_greedy, tokenize_encode
+    from ..operators.pipeline import (
+        hash_split,
+        pack_greedy,
+        tokenize_encode_stats,
+    )
     from ..session import eager_checkpoint
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -597,16 +601,12 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the unbounded-broadcast class the span-store fix removed; at
     # scale the join shuffles co-partitioned on doc_id, locally AQE
     # broadcasts on its own.
+    # tokenize_encode_stats ≡ tokenize_encode + (size, order-free sum)
+    # of input_ids — same vocab, same LUT join, no per-doc array
+    # assembly (the manifest never reads id ORDER; r13 optimization,
+    # equivalence pinned in tests/test_pipeline_ops.py).
     enc = eager_checkpoint(
-        tokenize_encode(kept, "text", "doc_id", k=200, min_df=2)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.expr(
-                "CAST(aggregate(input_ids, CAST(0 AS BIGINT),"
-                " (a, x) -> a + x) AS BIGINT)"
-            ).alias("sum_tid"),
-        )
+        tokenize_encode_stats(kept, "text", "doc_id", k=200, min_df=2)
         .join(kept.select("doc_id", "split"), "doc_id")
     )
     packed = pack_greedy(

@@ -503,6 +503,34 @@ def test_tokenize_encode_roundtrip(spark):
                 assert vocab[tid] == tok  # id decodes back to the token
 
 
+def test_tokenize_encode_stats_equivalence(spark):
+    """tokenize_encode_stats must reproduce tokenize_encode's
+    order-independent reductions bit-for-bit: n_tokens = size and
+    sum_tid = exact BIGINT fold of input_ids, same document set (the
+    r13 optimization replacing the pretraining composite's assembled
+    arrays with direct aggregates)."""
+    from pyspark.sql import functions as F
+
+    from github_etl_spark.operators.pipeline import (
+        tokenize_encode,
+        tokenize_encode_stats,
+    )
+
+    docs = _docs(spark)
+    full = tokenize_encode(docs, "text", "doc_id", k=200, min_df=2).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(aggregate(input_ids, CAST(0 AS BIGINT),"
+            " (a, x) -> a + x) AS BIGINT)"
+        ).alias("sum_tid"),
+    )
+    fast = tokenize_encode_stats(docs, "text", "doc_id", k=200, min_df=2)
+    assert full.exceptAll(fast).count() == 0
+    assert fast.exceptAll(full).count() == 0
+    assert fast.count() > 0
+
+
 def test_tokenize_encode_partitioning_invariant(spark):
     from github_etl_spark.operators.pipeline import tokenize_encode
 
