@@ -32,6 +32,7 @@ def main() -> None:
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--plans-only", action="store_true")
+    ap.add_argument("--final", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("opt_probe")
@@ -44,6 +45,13 @@ def main() -> None:
         fn = QUERIES[name].fn
         if args.tag:
             df = fn(spark, args.sf)
+            if args.final:
+                # Execute first so AQE finalizes: the captured plan then
+                # shows runtime decisions (elided ENSURE_REQUIREMENTS
+                # exchanges over cached partitioned frames, join
+                # rewrites, coalesced reads) instead of the
+                # pre-execution worst case.
+                df.write.format("noop").mode("overwrite").save()
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
