@@ -356,11 +356,16 @@ def embed_text_vec(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, vec array<long>) — the frozen-linear-encoder vector of
     `embed_text_linear`, kept as a real array for downstream vector
     ops (`mm_embed_ann_topk` retrieves over it); the catalog-facing
-    string form lives in `embed_text_linear` (complex-cell ban)."""
+    string form lives in `embed_text_linear` (complex-cell ban).
+    ``keep`` threads extra input columns through both staged
+    projections unchanged, so a composed pipeline can encode and
+    derive other per-row columns in ONE corpus pass instead of
+    re-reading a checkpoint per derivation (pipeline_rag_retrieval)."""
     from ..functions.text import words_expr
     from ..operators.pipeline import portable_hash_bucket
 
@@ -396,7 +401,8 @@ def embed_text_vec(
             for i in range(EMBED_DIM)
         ]
     )
-    staged = df.select(F.col(id_col), hist.alias("__f"))
+    extra = [F.col(c) for c in keep]
+    staged = df.select(F.col(id_col), *extra, hist.alias("__f"))
     vec = F.transform(
         wmat,
         lambda row: F.aggregate(
@@ -405,7 +411,7 @@ def embed_text_vec(
             lambda acc, x: acc + x,
         ),
     )
-    return staged.select(id_col, vec.alias("vec"))
+    return staged.select(id_col, *extra, vec.alias("vec"))
 
 
 def embed_text_linear(

@@ -6,10 +6,19 @@ the standard lexical ranking (the Lucene/Okapi formula).
 
 Scale shape (the inverted-index probe, expressed relationally):
 
-- tokens are exploded and filtered to the query terms FIRST — the
-  filter is a literal IN-list (broadcast), so the corpus-wide explode
-  feeds the one shuffle (tf groupBy) only rows matching query terms:
-  shuffle volume ∝ matching postings, not corpus tokens;
+- the corpus is tokenized ONCE: each document row reduces in the same
+  map pass to the narrow proxy (id, dl, qtoks) where qtoks keeps only
+  tokens in the query term set (a literal InSet — O(1) per token).
+  The proxy is eager-checkpointed, so the stats aggregate and the
+  postings explode both read materialized columns instead of each
+  re-running the regexp tokenizer over the corpus (r13: the un-staged
+  form paid ~4 tokenizer evaluations per row — one in the stats
+  branch, and in the postings branch the explode's inferred
+  non-null/non-empty constraint was pushed below the projection,
+  duplicating the split into the Filter — see guide §4.4 for the
+  same effect on UDFs);
+- the explode emits matching postings only: shuffle volume ∝ matching
+  postings, not corpus tokens;
 - document frequency / idf are computed from that same filtered
   relation (term cardinality = |query|, a tiny broadcast join back);
 - corpus stats (N, avgdl) are one scalar aggregate, crossJoin-broadcast
@@ -25,11 +34,43 @@ ROUNDED score so the window order replays exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_det
 from ..functions.text import dedup_tokens_expr as tokens_expr
+
+
+def _query_hits(toks: Column, terms: list[str]) -> Column:
+    """The tokens of `toks` that appear in the bounded query term set,
+    as an in-row array filter (InSet per element — no join, no row
+    blowup). Empty term set → typed empty array (explode yields no
+    rows, matching the empty-join behavior of the previous shape)."""
+    if not terms:
+        return F.expr("CAST(array() AS array<string>)")
+    return F.filter(toks, lambda x: x.isin(*terms))
+
+
+def _doc_base(
+    docs: DataFrame, text_col: str, id_col: str, terms: list[str]
+) -> DataFrame:
+    """ONE corpus tokenization pass reduced to the narrow BM25 proxy
+    (id, dl, qtoks), eager-checkpointed so both consumers (stats agg,
+    postings explode) read materialized columns. `toks` is staged in
+    its own projection so CollapseProject cannot duplicate the regexp
+    split into dl and qtoks."""
+    from ..session import eager_checkpoint
+
+    toks = docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    return eager_checkpoint(
+        toks.select(
+            F.col(id_col),
+            F.coalesce(F.size("toks"), F.lit(0)).alias("dl"),
+            _query_hits(F.col("toks"), terms).alias("qtoks"),
+        )
+    )
 
 
 def bm25_topk(
@@ -50,23 +91,16 @@ def bm25_topk(
     score is 0; a LIMIT over them would be arbitrary).
 
     `terms` is a Python list (a user query — small by nature); for
-    programmatic term sets join a broadcast DataFrame instead of the
-    IN-list, same plan shape.
+    programmatic term sets use ``bm25_multi_topk``, which derives the
+    term set from a queries DataFrame.
     """
-    toks = docs.select(
-        F.col(id_col),
-        tokens_expr(F.col(text_col)).alias("toks"),
-    ).select(
-        F.col(id_col),
-        F.coalesce(F.size("toks"), F.lit(0)).alias("dl"),
-        F.col("toks"),
-    )
-    stats = toks.agg(
+    base = _doc_base(docs, text_col, id_col, list(dict.fromkeys(terms)))
+    stats = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    postings = toks.select(
-        F.col(id_col), "dl", F.explode("toks").alias("term")
-    ).where(F.col("term").isin(list(terms)))
+    postings = base.select(
+        F.col(id_col), "dl", F.explode("qtoks").alias("term")
+    )
     tf = postings.groupBy(id_col, "dl", "term").agg(
         F.count("*").alias("tf")
     )
@@ -189,6 +223,7 @@ def bm25_multi_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    doc_base: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents PER QUERY under BM25 — the multi-query
     generalization of ``bm25_topk`` (same Lucene idf, same rounding
@@ -196,27 +231,28 @@ def bm25_multi_topk(
     ``qtext_col`` (distinct terms — BM25 is a bag-of-TERMS model over
     the query).
 
-    Scale shape: ONE postings pass serves every query. The corpus
-    explode is semi-joined to the broadcast union of all query terms
-    before the tf shuffle (shuffle volume ∝ postings matching ANY
-    query, not corpus tokens × queries); per-query scoring re-joins
-    the bounded (query, term) relation to the tf rows, so the blowup
-    is Σ_q |postings(q)| — what any per-query loop would also pay,
-    without rescanning the corpus per query. Ranking windows partition
-    by query on the ROUNDED (4 dp) score with doc-id tiebreak, exactly
-    like the single-query form.
+    Scale shape: ONE corpus tokenization pass serves every query. The
+    union of all query terms is a bounded driver collect (the query
+    relation — the SAME bytes the previous shape pulled to the driver
+    as a BroadcastExchange build side) inlined as a literal InSet, so
+    each document reduces in-row to (dl, matching tokens) with no
+    corpus-token explode or join; the explode of the materialized
+    match arrays feeds the one tf shuffle (shuffle volume ∝ postings
+    matching ANY query, not corpus tokens × queries); per-query
+    scoring re-joins the bounded (query, term) relation to the tf
+    rows, so the blowup is Σ_q |postings(q)| — what any per-query
+    loop would also pay, without rescanning the corpus per query.
+    Ranking windows partition by query on the ROUNDED (4 dp) score
+    with doc-id tiebreak, exactly like the single-query form.
+
+    ``doc_base``: optional precomputed corpus proxy (id_col, dl,
+    qtoks) — a composed pipeline that already makes a corpus pass
+    (pipeline_rag_retrieval's chunk+encode pass) attaches dl/qtoks
+    there and skips this operator's own pass. Contract: dl = token
+    count of ``tokens_expr(text_col)`` and qtoks = its tokens
+    restricted to the tokenized-query term set (``_query_hits``);
+    drift shows up as an oracle hash mismatch on the composite.
     """
-    toks = docs.select(
-        F.col(id_col),
-        tokens_expr(F.col(text_col)).alias("toks"),
-    ).select(
-        F.col(id_col),
-        F.coalesce(F.size("toks"), F.lit(0)).alias("dl"),
-        F.col("toks"),
-    )
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
     qterms = (
         queries.select(
             F.col(qid_col),
@@ -225,10 +261,21 @@ def bm25_multi_topk(
             ).alias("term"),
         )
     )
-    terms_all = qterms.select("term").distinct()
-    postings = toks.select(
-        F.col(id_col), "dl", F.explode("toks").alias("term")
-    ).join(F.broadcast(terms_all), "term")
+    if doc_base is None:
+        # Bounded driver collect: the distinct query terms (a user
+        # query set by nature; already driver-resident in the previous
+        # broadcast-join shape).
+        terms = sorted(
+            r.term
+            for r in qterms.select("term").distinct().collect()
+        )
+        doc_base = _doc_base(docs, text_col, id_col, terms)
+    stats = doc_base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = doc_base.select(
+        F.col(id_col), "dl", F.explode("qtoks").alias("term")
+    )
     tf = postings.groupBy(id_col, "dl", "term").agg(
         F.count("*").alias("tf")
     )

@@ -5811,42 +5811,48 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder CTEs, the BM25 scoring text, the RRF rounding rules), so
     composite and stages cannot drift.
 
-    Scale shape: chunking and encoding are map-only expressions over
-    one eager-checkpointed chunk frame (three consumers: encoder,
-    postings, corpus stats); the cosine side broadcasts the BOUNDED
-    query vectors (5 rows) into a JVM zip_with dot — the corpus-sized
-    chunk-vector frame is never shuffled OR broadcast; the BM25 side
-    filters the corpus explode to the broadcast union of query terms
-    BEFORE its one tf shuffle; fusion sees ≤ 2·k_each rows per query.
+    Scale shape (r13): ONE map-only corpus pass tokenizes, encodes
+    AND reduces each chunk to (vec, l2, dl, query-matching tokens) —
+    the single eager-checkpointed frame serves the cosine retriever
+    and both BM25 consumers (corpus stats agg, postings explode), so
+    the corpus is materialized once where the r12 shape paid three
+    passes and three corpus-sized checkpoints; the cosine side
+    broadcasts the BOUNDED query vectors (5 rows) into a JVM zip_with
+    dot — the corpus-sized chunk-vector frame is never shuffled OR
+    broadcast; the BM25 side reduces each chunk in-row to its
+    query-term matches (a literal InSet over the bounded collected
+    term union) so only matching postings reach its one tf shuffle;
+    fusion sees ≤ 2·k_each rows per query.
     Chunk keys pack as doc_id·100000 + chunk_id (documents beyond
     2.4M whitespace tokens would overflow the packing — both engines
     share the formula, and the corpus front door rejects pages that
     large long before this)."""
     from pyspark.sql import Window as W
 
-    from ..functions.text import words_expr
+    from ..functions.text import dedup_tokens_expr, words_expr
     from ..multimodal.media import embed_text_vec
     from ..operators.partitioning import ensure_parallelism
     from ..operators.pipeline import chunk_tokens
-    from ..operators.search import bm25_multi_topk
+    from ..operators.search import _query_hits, bm25_multi_topk
     from ..session import eager_checkpoint
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     chunks = chunk_tokens(docs, "text", "doc_id", window=32, stride=24)
-    # Explicit width before the checkpoint: the chunk explode inherits
-    # the parquet scan's split count (ONE partition at catalog SFs),
-    # which would serialize the encoder pass on a single core — the
-    # span_dedup ensure_parallelism lesson, measured 11.9 s → 1.6 s on
-    # the sf0.1 chunk encode.
-    chunks = eager_checkpoint(
-        ensure_parallelism(
-            chunks.select(
-                (F.col("doc_id") * 100000 + F.col("chunk_id")).alias(
-                    "ckey"
-                ),
-                "chunk_text",
-            )
+    # Explicit width before the encoder pass: the chunk explode
+    # inherits the parquet scan's split count (ONE partition at
+    # catalog SFs), which would serialize the encoder pass on a
+    # single core — the span_dedup ensure_parallelism lesson,
+    # measured 11.9 s → 1.6 s on the sf0.1 chunk encode. No
+    # checkpoint here (r13): the encoder pass below is now the
+    # chunk frame's ONLY consumer, so materializing the corpus
+    # of chunk texts bought nothing.
+    chunks = ensure_parallelism(
+        chunks.select(
+            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias(
+                "ckey"
+            ),
+            "chunk_text",
         )
     )
     q = docs.where(F.col("doc_id") < 5).select(
@@ -5858,18 +5864,53 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2_of = lambda col: F.aggregate(  # noqa: E731
         col, F.lit(0).cast("long"), lambda a, x: a + x * x
     )
-    # Checkpoint BOTH vector frames before the cross-join scorer: the
-    # encoder is a deep expression tree (16 features × 8 dims over the
+    # Bounded driver collect of the distinct query terms (5 pinned
+    # 12-word queries — the SAME derivation bm25_multi_topk performs
+    # internally), so the BM25 corpus proxy (dl, qtoks) can be
+    # computed inside the encoder's corpus pass below and handed to
+    # bm25_multi_topk as doc_base: ONE corpus pass tokenizes, encodes
+    # and reduces each chunk, where the r12 shape paid three (chunk
+    # checkpoint, encode pass, bm25's own tokenization) plus two extra
+    # corpus-sized checkpoint materializations (guide §1.2 step 1:
+    # remove passes, don't compute what you throw away).
+    terms = sorted(
+        r.term
+        for r in q.select(
+            F.explode(
+                F.array_distinct(dedup_tokens_expr(F.col("qtext")))
+            ).alias("term")
+        )
+        .distinct()
+        .collect()
+    )
+    # Stage the tokenization in its own projection (CollapseProject
+    # will not duplicate a non-cheap expression referenced twice),
+    # then reduce to dl + query-matching tokens.
+    based = chunks.select(
+        "ckey",
+        "chunk_text",
+        dedup_tokens_expr(F.col("chunk_text")).alias("__toks"),
+    ).select(
+        "ckey",
+        "chunk_text",
+        F.coalesce(F.size("__toks"), F.lit(0)).alias("dl"),
+        _query_hits(F.col("__toks"), terms).alias("qtoks"),
+    )
+    # Checkpoint the encoder output (with the BM25 proxy threaded
+    # through via keep=) before the cross-join scorer: the encoder is
+    # a deep expression tree (16 features × 8 dims over the
     # tokenization), and letting it inline through the join + window
     # lineage multiplies it into an optimizer/codegen blowup (the
     # mm_embed_ann_topk lesson). After materialization v/qv are plain
-    # array columns.
-    cnz = eager_checkpoint(
-        embed_text_vec(chunks, "chunk_text", "ckey")
-        .select("ckey", F.col("vec").alias("v"))
+    # array columns. The SAME checkpoint serves the cosine retriever
+    # (v, l2) and both BM25 consumers (dl, qtoks: stats agg + postings
+    # explode).
+    enc = eager_checkpoint(
+        embed_text_vec(based, "chunk_text", "ckey", keep=("dl", "qtoks"))
+        .select("ckey", "dl", "qtoks", F.col("vec").alias("v"))
         .withColumn("l2", l2_of(F.col("v")))
-        .where(F.col("l2") > 0)
     )
+    cnz = enc.select("ckey", "v", "l2").where(F.col("l2") > 0)
     qnz = eager_checkpoint(
         embed_text_vec(q, "qtext", "query_id")
         .select("query_id", F.col("vec").alias("qv"))
@@ -5902,7 +5943,12 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "ckey", "rank_sem")
     )
     lex = bm25_multi_topk(
-        chunks, q, text_col="chunk_text", id_col="ckey", k=20
+        chunks,
+        q,
+        text_col="chunk_text",
+        id_col="ckey",
+        k=20,
+        doc_base=enc.select("ckey", "dl", "qtoks"),
     ).select("query_id", "ckey", F.col("rank").alias("rank_lex"))
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(60.0) + r), F.lit(0.0)
