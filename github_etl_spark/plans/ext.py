@@ -941,11 +941,28 @@ def quality_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition); each doc's decile is an in-row comparison against the
     9 rounded cut points. Both the score and the cuts are 4-decimal
     rounded, so the bin edges replay exactly in the oracle."""
-    from ..functions.text import quality_score_expr
+    from ..functions.text import quality_score_from, words_expr
+    from ..session import eager_checkpoint
 
     t = load_tables(spark, sf_dir)
-    scores = t["documents"].select(
-        "doc_id", quality_score_expr(F.col("text")).alias("quality_score")
+    # Score once (r13): the percentile aggregate AND the final
+    # projection both consume the scored frame — Spark has no subplan
+    # reuse, so without the checkpoint the word-splitting score
+    # expression ran over the corpus twice. The staged form
+    # (quality_score_from over a bound word array) additionally cuts
+    # the splits per evaluation from 3 to 1; the checkpointed frame is
+    # (id, double) — a sliver of the corpus it summarizes.
+    scores = eager_checkpoint(
+        t["documents"].select(
+            "doc_id",
+            F.element_at(
+                F.transform(
+                    F.array(words_expr(F.col("text"))),
+                    lambda ws: quality_score_from(F.col("text"), ws),
+                ),
+                F.lit(1),
+            ).alias("quality_score"),
+        )
     )
     bounds = scores.agg(
         F.percentile("quality_score", [i / 10.0 for i in range(1, 10)]).alias(

@@ -265,21 +265,38 @@ def pipeline_html_to_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy(text) keeper — at 100 TB, one keyed exchange over the
     post-filter survivor set, the same shape as
     pipeline_filter_dedup_split."""
-    from ..functions.text import quality_score_expr
+    from ..functions.text import quality_score_from, words_expr
     from ..operators.pipeline import hash_split
 
     t = load_tables(spark, sf_dir)
     pages = t["documents"].select(
         "doc_id", synthesize_html_expr().alias("html")
     )
-    extracted = pages.select(
-        "doc_id", html_main_text_expr(F.col("html")).alias("text")
+    # ONE evaluation of the extraction + quality cascade per row (r13):
+    # the r12 shape computed text and quality_score as plain aliases,
+    # and predicate pushdown inlined the WHOLE html-extraction regex
+    # cascade into the pushed filter once per reference — the captured
+    # plan carried 4 copies of the extraction in the Filter plus one
+    # in each Project (~5 evaluations per row). Here the extraction is
+    # bound as a lambda variable (the web_gate_expr idiom — a bound
+    # variable cannot be re-inlined), the word array is staged the
+    # same way one level down, and F.inline emits both columns from a
+    # single Generate, whose outputs a predicate cannot be pushed
+    # beneath. Same expressions, same rounded values.
+    fused = F.transform(
+        F.array(html_main_text_expr(F.col("html"))),
+        lambda txt: F.struct(
+            txt.alias("text"),
+            F.element_at(
+                F.transform(
+                    F.array(words_expr(txt)),
+                    lambda ws: quality_score_from(txt, ws),
+                ),
+                F.lit(1),
+            ).alias("quality_score"),
+        ),
     )
-    scored = extracted.select(
-        "doc_id",
-        "text",
-        quality_score_expr(F.col("text")).alias("quality_score"),
-    )
+    scored = pages.select("doc_id", F.inline(fused))
     kept = scored.filter(F.col("quality_score") >= 0.5)
     dedup = kept.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"),

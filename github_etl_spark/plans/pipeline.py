@@ -397,17 +397,25 @@ def pipeline_filter_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPOSITION (filter-before-dedup ordering, score rounding at the
     gate boundary, split stability on the deduped survivor set).
     Shuffle shape: one groupBy(text); everything else is per-row."""
-    from ..functions.text import lang_id_expr, quality_score_expr
+    from ..functions.text import lang_id_from, quality_score_from, words_expr
 
     t = load_tables(spark, sf_dir)
-    scored = t["documents"].select(
-        "doc_id",
-        "text",
-        lang_id_expr(F.col("text")).alias("pred_lang"),
-        # quality_score_expr rounds internally (round_det at 4) — no
-        # second wrapper, same contract as the text_quality query.
-        quality_score_expr(F.col("text")).alias("quality_score"),
+    # ONE word split per row (r13): lang-id (3 stopword screens) and
+    # the quality score (2 more word-array terms) read a word array
+    # bound as a lambda variable, and F.inline emits both columns from
+    # a single Generate — predicate pushdown used to inline BOTH
+    # expressions (5 independent splits each) into the pushed filter
+    # and again into the projection. quality_score_from rounds
+    # internally (round_det at 4) — no second wrapper, same contract
+    # as the text_quality query.
+    staged = F.transform(
+        F.array(words_expr(F.col("text"))),
+        lambda ws: F.struct(
+            lang_id_from(ws).alias("pred_lang"),
+            quality_score_from(F.col("text"), ws).alias("quality_score"),
+        ),
     )
+    scored = t["documents"].select("doc_id", "text", F.inline(staged))
     kept = scored.filter(
         (F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.5)
     )
