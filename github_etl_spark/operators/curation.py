@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_det
-from ..functions.text import EN_STOPWORDS, words_expr
+from ..functions.text import EN_STOPWORDS
 
 # Derived-line rendering constants, shared verbatim with the oracle
 # SQL in plans/curation.py — change one, change both.
