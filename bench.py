@@ -87,15 +87,21 @@ def _run_control(repo: str, ref: str) -> dict:
         err = getattr(e, "stderr", "") or str(e)
         return {"ref": ref, "error": f"worktree add failed: {err.strip()}"}
     try:
-        # The control inherits a REDUCED rep count (default 2 — for
-        # r13+ pins that's 1 discard + 1 measured; for older pins a
-        # median of 2): the control exists to normalize host load for
-        # the SUITE aggregate, and halving its reps is what keeps
-        # primary + control inside the driver's bench window.
+        # The control runs the SAME rep count as the primary (default
+        # 3 = 1 discarded warmup + min of 2, single timed rep past the
+        # heavy cutoff — the r13+ estimator). r13 ran the control at
+        # BENCH_REPS=2 to save wall time, which made the carried ratio
+        # estimator-ASYMMETRIC (primary min-of-warm-reps vs control
+        # median-of-2) and flattered the primary side — VERDICT r13
+        # item 2. Symmetric estimators cost one extra control rep per
+        # cheap query; the heavy queries (where the suite's wall time
+        # lives) run once either way.
         env = dict(
             os.environ,
             BENCH_NO_CONTROL="1",
-            BENCH_REPS=os.environ.get("BENCH_CONTROL_REPS", "2"),
+            BENCH_REPS=os.environ.get(
+                "BENCH_CONTROL_REPS", os.environ.get("BENCH_REPS", "3")
+            ),
         )
         proc = subprocess.run(
             [sys.executable, os.path.join(wt, "bench.py")],

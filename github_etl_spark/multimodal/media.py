@@ -401,6 +401,15 @@ def embed_text_vec(
             for i in range(EMBED_DIM)
         ]
     )
+    # Kept columns must not collide with the operator's own outputs /
+    # internals — a clash would silently produce duplicate or
+    # ambiguous columns downstream (ADVICE r13).
+    reserved = {id_col, "vec", "__f"} & set(keep)
+    if reserved:
+        raise ValueError(
+            f"embed_text_vec: keep={sorted(reserved)} collides with the "
+            f"operator's own columns ({id_col!r}, 'vec', '__f')"
+        )
     extra = [F.col(c) for c in keep]
     staged = df.select(F.col(id_col), *extra, hist.alias("__f"))
     vec = F.transform(

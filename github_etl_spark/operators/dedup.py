@@ -172,10 +172,22 @@ def minhash_band_buckets(
     on the portable path the CONCATENATED hex strings ARE the key
     (exact, hash-free, and reproducible in SQL).
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle, hash_family=hash_family
     )
+    band_cols = _band_bucket_structs(num_hashes, bands, hash_family)
+    return sigs.selectExpr(
+        f"{id_col} AS doc", "signature", f"explode({band_cols}) AS bb"
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+
+
+def _band_bucket_structs(num_hashes: int, bands: int, hash_family: str) -> str:
+    """SQL for the per-band (band, bucket) struct array over a
+    ``signature`` column — THE band/bucket definition, shared by the
+    signature-carrying bucket relation (``minhash_band_buckets``) and
+    the narrow bucket relation inside ``minhash_lsh_candidates`` so
+    the two can never assign different buckets."""
+    rows_per_band = num_hashes // bands
 
     def _band_slice(b: int) -> str:
         return ", ".join(
@@ -187,15 +199,12 @@ def minhash_band_buckets(
         bucket_of = lambda b: f"concat_ws('', {_band_slice(b)})"  # noqa: E731
     else:
         bucket_of = lambda b: f"xxhash64({b}, {_band_slice(b)})"  # noqa: E731
-    band_cols = "array({})".format(
+    return "array({})".format(
         ", ".join(
             f"named_struct('band', {b}, 'bucket', {bucket_of(b)})"
             for b in range(bands)
         )
     )
-    return sigs.selectExpr(
-        f"{id_col} AS doc", "signature", f"explode({band_cols}) AS bb"
-    ).select("doc", "signature", "bb.band", "bb.bucket")
 
 
 def minhash_lsh_candidates(
@@ -215,13 +224,21 @@ def minhash_lsh_candidates(
     candidate pair; estimated jaccard = fraction of agreeing signature
     positions.
 
-    Shape: explode each signature into its band buckets, groupBy the
-    bucket collecting (id, signature), expand each bucket's member list
-    to ordered pairs IN-ROW (flatten/transform — no self-join). A
-    bucket self-join would re-execute the whole signature pipeline for
-    both sides (Spark has no automatic plan reuse) — measured 2× slower
-    at sf0.1. One shuffle for the bucket groupBy, one for the
-    cross-band pair dedup. Bucket sizes stay small by construction for
+    Shape (guide §8's rule — every shuffle but the last moves a
+    lightweight proxy): the signature frame (id, 32 hashes) is
+    computed once and eager-checkpointed; the bucket machinery then
+    carries ONLY (doc, band, bucket) — the window exchange, the
+    bucket groupBy and the cross-band pair dedup never move signature
+    bytes (pre-r14 every one of those rows dragged the full signature:
+    ~0.5 KB/row for the md5 family × bands copies per doc, and each
+    deduped pair carried BOTH signatures; interleaved A/B at sf0.1:
+    2.09 → 1.60 s, identical 256 pairs). The deduped (id_a, id_b)
+    pairs — the only rows that still need signatures — re-attach them
+    with two keyed joins against the checkpointed frame (pair-sized,
+    AQE-broadcast when small) for the agreement estimate. Pair
+    expansion stays IN-ROW (flatten/transform — no bucket self-join,
+    which would re-execute the signature pipeline per side; measured
+    2× slower at sf0.1). Bucket sizes stay small by construction for
     diverse text, but a boilerplate-heavy corpus puts B near-identical
     docs in one bucket → B² pairs in a single row (the OOM/straggler
     hazard at 100 TB). `max_bucket_size` bounds it: a per-bucket
@@ -235,11 +252,22 @@ def minhash_lsh_candidates(
     hash-partitions on the bucket key, and the groupBy that follows
     reuses that distribution — the cap adds a per-partition sort, not
     a shuffle.
+
+    NOTE: eager at call time — the signature frame (one narrow row
+    per doc) is materialized when this operator is invoked.
     """
+    from ..session import eager_checkpoint
+
     max_bucket_size = max(2, int(max_bucket_size))
-    buckets = minhash_band_buckets(
-        df, text_col, id_col, num_hashes, bands, shingle, hash_family
-    ).select("doc", "signature", F.struct("band", "bucket").alias("bb"))
+    sigs = eager_checkpoint(
+        minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle, hash_family=hash_family
+        )
+    )
+    band_cols = _band_bucket_structs(num_hashes, bands, hash_family)
+    buckets = sigs.selectExpr(
+        f"{id_col} AS doc", f"explode({band_cols}) AS bb"
+    ).select("doc", "bb")
     # Skew cap: deterministic first-N members per bucket BEFORE the
     # collect_list, so no single row ever materializes an unbounded
     # member array (window and groupBy share the bb hash distribution).
@@ -248,24 +276,33 @@ def minhash_lsh_candidates(
     ).filter(F.col("_rn") <= max_bucket_size)
     grouped = (
         capped.groupBy("bb")
-        .agg(F.collect_list(F.struct("doc", "signature")).alias("members"))
+        .agg(F.collect_list("doc").alias("members"))
         .filter(F.size("members") > 1)
     )
     # Ordered members → all i<j pairs, entirely within the row.
-    ms = "array_sort(members)"  # sorts by doc id (first field)
+    ms = "array_sort(members)"
     pair_structs = (
         f"flatten(transform({ms}, (m, i) ->"
         f" transform(slice({ms}, i + 2, size({ms})), n ->"
-        " named_struct('id_a', m.doc, 'id_b', n.doc,"
-        " 'sig_a', m.signature, 'sig_b', n.signature))))"
+        " named_struct('id_a', m, 'id_b', n))))"
     )
     pairs = (
         grouped.selectExpr(f"explode({pair_structs}) AS p")
-        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
     est = signature_agreement_expr("sig_a", "sig_b", num_hashes)
-    return pairs.select("id_a", "id_b", round_det(est, 4).alias("est_jaccard"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", round_det(est, 4).alias("est_jaccard"))
+    )
 
 
 def signature_agreement_expr(sig_a, sig_b, num_hashes: int):

@@ -207,7 +207,14 @@ def bigram_logprob(
     regexp tokenizer over the corpus once per consumer (interleaved
     A/B at sf0.1: 1.69 s → 1.39 s warm, bit-identical rows; one
     corpus-width array materialization buys back two full tokenize
-    passes, the same trade dsir_resample's bucket frame makes). The
+    passes, the same trade dsir_resample's bucket frame makes — NOTE
+    the materialized frame is word-array-WIDE, i.e. roughly the input
+    text again: at the 100 TB design point this trades ~1× corpus of
+    scratch storage-tier writes against two extra tokenizer scans,
+    the right trade while storage bandwidth ≳ half the scan+tokenize
+    throughput; on a storage-starved cluster flip it back to
+    re-derivation by replacing the checkpoint with the plain
+    projection). The
     two frequency tables are keyed aggregations bounded by (bi)gram
     vocabulary size with map-side partial combine, each materialized
     once (localCheckpoint) because two consumers would otherwise

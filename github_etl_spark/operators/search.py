@@ -224,6 +224,7 @@ def bm25_multi_topk(
     k1: float = 1.2,
     b: float = 0.75,
     doc_base: DataFrame | None = None,
+    max_inset_terms: int = 10_000,
 ) -> DataFrame:
     """Top-k documents PER QUERY under BM25 — the multi-query
     generalization of ``bm25_topk`` (same Lucene idf, same rounding
@@ -252,6 +253,23 @@ def bm25_multi_topk(
     count of ``tokens_expr(text_col)`` and qtoks = its tokens
     restricted to the tokenized-query term set (``_query_hits``);
     drift shows up as an oracle hash mismatch on the composite.
+
+    NOTE this operator is EAGER at call time when ``doc_base`` is
+    None: it collects the distinct query-term union (bounded by
+    ``max_inset_terms``) and materializes the corpus proxy before
+    returning the lazy result frame.
+
+    ``max_inset_terms``: guard on the driver collect (VERDICT r13
+    item 5 / ADVICE). The InSet fast path inlines the term union as a
+    per-token literal set — fine for a user query set, a driver-OOM +
+    megabyte-literal hazard for a corpus-sized ``queries`` frame.
+    Above the cap the operator falls back to the broadcast-join
+    postings shape: the corpus explodes ALL tokens and a broadcast
+    semi-join with the (never collected) term relation keeps the
+    matching postings — two tokenizer passes over the corpus (stats,
+    postings) instead of one materialized proxy, but bounded driver
+    memory and no giant literal expression. Results are identical
+    (pinned in tests/test_search.py).
     """
     qterms = (
         queries.select(
@@ -261,21 +279,42 @@ def bm25_multi_topk(
             ).alias("term"),
         )
     )
+    postings = None
     if doc_base is None:
-        # Bounded driver collect: the distinct query terms (a user
-        # query set by nature; already driver-resident in the previous
-        # broadcast-join shape).
-        terms = sorted(
-            r.term
-            for r in qterms.select("term").distinct().collect()
+        # Bounded driver collect: at most max_inset_terms + 1 distinct
+        # terms are pulled (a user query set fits by nature; the +1
+        # row only detects overflow).
+        term_rows = (
+            qterms.select("term")
+            .distinct()
+            .limit(max_inset_terms + 1)
+            .collect()
         )
-        doc_base = _doc_base(docs, text_col, id_col, terms)
-    stats = doc_base.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    postings = doc_base.select(
-        F.col(id_col), "dl", F.explode("qtoks").alias("term")
-    )
+        if len(term_rows) <= max_inset_terms:
+            terms = sorted(r.term for r in term_rows)
+            doc_base = _doc_base(docs, text_col, id_col, terms)
+        else:
+            # Fallback: term set too large to inline. One staged
+            # tokenization per consumer pass; the term relation stays
+            # distributed and broadcasts into the postings semi-join.
+            toks = docs.select(
+                F.col(id_col), tokens_expr(F.col(text_col)).alias("toks")
+            )
+            stats = toks.select(
+                F.coalesce(F.size("toks"), F.lit(0)).alias("dl")
+            ).agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+            postings = toks.select(
+                F.col(id_col),
+                F.coalesce(F.size("toks"), F.lit(0)).alias("dl"),
+                F.explode("toks").alias("term"),
+            ).join(F.broadcast(qterms.select("term").distinct()), "term")
+    if postings is None:
+        stats = doc_base.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        postings = doc_base.select(
+            F.col(id_col), "dl", F.explode("qtoks").alias("term")
+        )
     tf = postings.groupBy(id_col, "dl", "term").agg(
         F.count("*").alias("tf")
     )

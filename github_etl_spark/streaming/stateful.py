@@ -28,43 +28,77 @@ STATE_SCHEMA = "total bigint"
 
 IDLE_EVICT_MS = 6 * 3600 * 1000  # drop state for keys idle this long
 
-
-def _update_running_totals(
-    key: tuple[Any, ...],
-    pdf_iter: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        # Idle key: evict its counter so state stays bounded by ACTIVE
-        # keys, not every key ever seen (an unbounded key space would
-        # otherwise grow the state store and checkpoints forever).
-        state.remove()
-        return
-    (total,) = state.get if state.exists else (0,)
-    batch_n = sum(len(pdf) for pdf in pdf_iter)
-    total = (total or 0) + batch_n
-    state.update((total,))
-    state.setTimeoutDuration(IDLE_EVICT_MS)
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "batch_events": [batch_n], "total_events": [total]}
-    )
+# Why idle eviction is OPT-IN (r14): with ProcessingTimeTimeout,
+# FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+# true, so an availableNow drain — the normal production mode for
+# these operators, and what every test runs — NEVER terminates: after
+# the data is exhausted the engine schedules "no new data but
+# cleaning up state" micro-batches forever, waiting out the 6 h
+# timeouts one no-data batch at a time (reproduced on Spark 4.1:
+# status {'message': 'No new data but cleaning up state',
+# 'isTriggerActive': True} 60 s after the last row; the r13 test
+# suite burned 3 × 120 s awaitTermination timeouts on exactly this).
+# Continuous-trigger deployments with unbounded key spaces should
+# pass idle_evict_ms=IDLE_EVICT_MS; finite drains keep the
+# terminating default (state then lives exactly as long as the
+# checkpoint, which a periodic-drain pipeline prunes wholesale).
 
 
-def running_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
+def _running_totals_fn(evict_ms: int | None):
+    def update(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Idle key: evict its counter so state stays bounded by
+            # ACTIVE keys, not every key ever seen (an unbounded key
+            # space would otherwise grow the state store and
+            # checkpoints forever).
+            state.remove()
+            return
+        (total,) = state.get if state.exists else (0,)
+        batch_n = sum(len(pdf) for pdf in pdf_iter)
+        total = (total or 0) + batch_n
+        state.update((total,))
+        if evict_ms is not None:
+            state.setTimeoutDuration(evict_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "batch_events": [batch_n], "total_events": [total]}
+        )
+
+    return update
+
+
+# Back-compat alias for the r12/r13 name (same update rule, eviction on).
+_update_running_totals = _running_totals_fn(IDLE_EVICT_MS)
+
+
+def running_totals(
+    events: DataFrame, key: str = "user_id", idle_evict_ms: int | None = None
+) -> DataFrame:
     """Per-key cumulative event counts across micro-batches.
 
     Emits one row per key per micro-batch in which the key appears:
-    (key, events this batch, events ever). State = one long per key,
-    evicted after six idle hours (a key that reappears later restarts
-    from zero — the documented trade for bounded state; keep totals
-    exact forever only if the key space itself is bounded).
+    (key, events this batch, events ever). State = one long per key.
+
+    ``idle_evict_ms``: None (default) keeps state for the checkpoint's
+    lifetime and the query TERMINATES under availableNow; a duration
+    evicts keys idle that long (a key that reappears later restarts
+    from zero — the bounded-state trade for continuous triggers) at
+    the cost of the never-terminating-drain behavior documented at
+    IDLE_EVICT_MS above. Emitted rows are identical either way until
+    an eviction actually fires.
     """
+    evict = idle_evict_ms is not None
     return events.groupBy(key).applyInPandasWithState(
-        _update_running_totals,
+        _running_totals_fn(idle_evict_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if evict
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -78,7 +112,7 @@ MG_STATE_SCHEMA = (
 )
 
 
-def _mg_update_fn(counters: int):
+def _mg_update_fn(counters: int, evict_ms: int | None = IDLE_EVICT_MS):
     def update(
         key: tuple[Any, ...],
         pdf_iter: Iterator[pd.DataFrame],
@@ -104,7 +138,8 @@ def _mg_update_fn(counters: int):
                 dsum += d
                 mg = {t: v - d for t, v in mg.items() if v > d}
         state.update((list(mg.keys()), list(mg.values()), dsum, nrows))
-        state.setTimeoutDuration(IDLE_EVICT_MS)
+        if evict_ms is not None:
+            state.setTimeoutDuration(evict_ms)
         yield pd.DataFrame(
             {
                 "shard": [key[0]] * len(mg),
@@ -123,6 +158,7 @@ def streaming_heavy_hitters(
     col: str = "tok",
     counters: int = 64,
     shards: int = 8,
+    idle_evict_ms: int | None = None,
 ) -> DataFrame:
     """Heavy-hitter tracking over an unbounded token stream: tokens are
     consistently hashed onto ``shards`` independent Misra-Gries states
@@ -141,7 +177,9 @@ def streaming_heavy_hitters(
     lower_shard ≤ t ≤ lower_shard + dsum_shard — consistent hashing
     sends all its occurrences to one shard, so per-shard MG semantics
     are exact for it. State is bounded by shards × counters entries;
-    idle shards evict after six hours like `running_totals`.
+    ``idle_evict_ms`` as in `running_totals` (default None: drains
+    terminate; state is already bounded here, so eviction only
+    matters for reclaiming long-idle shards).
     """
     import pyspark.sql.functions as F
 
@@ -149,12 +187,15 @@ def streaming_heavy_hitters(
         F.pmod(F.xxhash64(F.col(col)), F.lit(shards)).cast("int").alias("shard"),
         F.col(col).cast("string").alias("tok"),
     )
+    evict = idle_evict_ms is not None
     return keyed.groupBy("shard").applyInPandasWithState(
-        _mg_update_fn(counters),
+        _mg_update_fn(counters, idle_evict_ms),
         outputStructType=MG_OUTPUT_SCHEMA,
         stateStructType=MG_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if evict
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -166,7 +207,7 @@ BK_OUTPUT_SCHEMA = "shard int, hkey long, rid long, value double"
 BK_STATE_SCHEMA = "hkeys array<long>, rids array<long>, vals array<double>"
 
 
-def _bk_update_fn(k: int):
+def _bk_update_fn(k: int, evict_ms: int | None = IDLE_EVICT_MS):
     def update(
         key: tuple[Any, ...],
         pdf_iter: Iterator[pd.DataFrame],
@@ -198,7 +239,8 @@ def _bk_update_fn(k: int):
                 [float(r[2]) for r in rows],
             )
         )
-        state.setTimeoutDuration(IDLE_EVICT_MS)
+        if evict_ms is not None:
+            state.setTimeoutDuration(evict_ms)
         yield pd.DataFrame(
             {
                 "shard": [key[0]] * len(rows),
@@ -217,6 +259,7 @@ def streaming_bottomk_sample(
     id_col: str,
     k: int = 128,
     shards: int = 8,
+    idle_evict_ms: int | None = None,
 ) -> DataFrame:
     """Quantile-sketch maintenance over an unbounded stream: rows hash
     onto ``shards`` independent bottom-k states (state = k (hash, id,
@@ -252,10 +295,13 @@ def streaming_bottomk_sample(
         F.col(id_col).cast("long").alias("rid"),
         F.col(value_col).cast("double").alias("value"),
     )
+    evict = idle_evict_ms is not None
     return keyed.groupBy("shard").applyInPandasWithState(
-        _bk_update_fn(k),
+        _bk_update_fn(k, idle_evict_ms),
         outputStructType=BK_OUTPUT_SCHEMA,
         stateStructType=BK_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if evict
+        else GroupStateTimeout.NoTimeout,
     )

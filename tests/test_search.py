@@ -163,3 +163,43 @@ def test_multi_topk_duplicate_query_terms_collapse(spark):
     a = sorted(map(tuple, bm25_multi_topk(docs, once, k=5).collect()))
     b = sorted(map(tuple, bm25_multi_topk(docs, thrice, k=5).collect()))
     assert a == b
+
+
+def test_multi_topk_inset_overflow_falls_back_identically(spark):
+    """Above ``max_inset_terms`` the operator must switch to the
+    broadcast-join postings shape (no driver term collect beyond the
+    cap probe, no giant InSet literal) and return EXACTLY the InSet
+    path's rows — the guard exists for corpus-sized query sets
+    (contamination audits), where the r13 literal shape would OOM the
+    driver (VERDICT r13 item 5)."""
+    from github_etl_spark.operators.search import bm25_multi_topk
+
+    docs = _corpus(spark)
+    q = spark.createDataFrame(
+        [(1, "flux common"), (2, "gardening words")],
+        "query_id long, qtext string",
+    )
+    fast = sorted(map(tuple, bm25_multi_topk(docs, q, k=5).collect()))
+    # 4 distinct terms total; cap at 2 forces the fallback.
+    slow = sorted(
+        map(tuple, bm25_multi_topk(docs, q, k=5, max_inset_terms=2).collect())
+    )
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_multi_topk_fallback_plan_has_no_inset_literal(spark):
+    """The fallback plan must not carry the per-token InSet literal —
+    its postings side joins the distributed term relation instead."""
+    from github_etl_spark.operators.search import bm25_multi_topk
+
+    docs = _corpus(spark)
+    q = spark.createDataFrame(
+        [(1, "flux common gardening")], "query_id long, qtext string"
+    )
+    out = bm25_multi_topk(docs, q, k=5, max_inset_terms=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the InSet path renders the term set inside an array_contains/IN
+    # over the token lambda variable; the fallback must show a join on
+    # `term` instead of any literal term-set filter of the tokens.
+    assert "flux" not in plan

@@ -156,3 +156,53 @@ def test_winnow_shared_run_guarantee(spark):
     assert fps[0] & fps[1], (fps[0], fps[1])
     assert not (fps[0] & fps[2])
     assert not (fps[1] & fps[2])
+
+
+def test_staged_score_forms_match_expr_forms(spark):
+    """quality_score_from / lang_id_from (the bound-word-array staged
+    forms) must produce columns IDENTICAL to quality_score_expr /
+    lang_id_expr over an edge-case corpus — three hand-maintained
+    copies of the scoring arithmetic exist (the _expr form, the _from
+    form, the DuckDB oracle SQL) and any future edit to one must not
+    silently desynchronize the others (ADVICE r13)."""
+    from github_etl_spark.functions.text import (
+        lang_id_expr,
+        lang_id_from,
+        quality_score_expr,
+        quality_score_from,
+        words_expr,
+    )
+
+    rows = [
+        (0, ""),                      # empty text
+        (1, None),                    # NULL text
+        (2, "...!!!,,,;;;:::"),       # punctuation only
+        (3, "   \t \n  "),            # whitespace only
+        (4, "the and is of to a in"), # pure EN stopwords
+        (5, "el la de que y los"),    # pure ES stopwords
+        (6, "der die und das ist"),   # pure DE stopwords
+        (7, "word " * 250),           # length term saturates
+        (8, "Mixed CASE text, with punct; and the usual stops."),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    staged = df.select(
+        "i",
+        F.element_at(
+            F.transform(
+                F.array(words_expr(F.col("text"))),
+                lambda ws: F.struct(
+                    quality_score_from(F.col("text"), ws).alias("q"),
+                    lang_id_from(ws).alias("l"),
+                ),
+            ),
+            F.lit(1),
+        ).alias("s"),
+    ).select("i", "s.q", "s.l")
+    direct = df.select(
+        "i",
+        quality_score_expr(F.col("text")).alias("q"),
+        lang_id_expr(F.col("text")).alias("l"),
+    )
+    a = sorted(map(tuple, staged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b

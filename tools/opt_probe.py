@@ -33,12 +33,13 @@ def main() -> None:
     )
     ap.add_argument("--plans-only", action="store_true")
     ap.add_argument("--final", action="store_true")
+    ap.add_argument("--round", default="r14", help="plans/<round>/ output dir")
     args = ap.parse_args()
 
     spark = get_spark("opt_probe")
     spark.range(1000).count()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(repo, "plans", "r13")
+    plan_dir = os.path.join(repo, "plans", args.round)
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in args.queries:

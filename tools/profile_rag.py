@@ -1,5 +1,13 @@
 """Stage-level timing for pipeline_rag_retrieval at sf0.1 (r13 probe).
 
+NOTE (r14): this replicates the PRE-FUSION (r12) stage graph — a
+separate chunk checkpoint, a standalone encode pass, bm25_multi_topk
+without ``doc_base=`` — deliberately kept as the A/B BASELINE shape.
+The shipped pipeline_rag_retrieval (plans/ext.py) has fused all three
+corpus passes into one checkpoint since r13; profile the shipped
+shape with ``tools/opt_probe.py pipeline_rag_retrieval`` and use this
+script to quantify what the fusion saves (ADVICE r13).
+
 Replicates the composite's stage graph with a timer around every
 eager checkpoint / action, plus a decomposition of the bm25_multi
 stage (its corpus tokenization runs once per consuming subtree: the
