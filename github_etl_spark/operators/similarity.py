@@ -1159,48 +1159,89 @@ def pq_encode(
     ~4 bytes of index payload — the memory trade that makes
     billion-vector serving fit on a cluster.
     """
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     live = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     if _pq_is_int_family(codebooks):
         vv = quantize_expr(F.col(vec_col), quant)
-        zero = F.lit(0).cast("long")
     else:  # trained float codebooks — same shape, float arithmetic
         vv = _as_double(F.col(vec_col))
-        zero = F.lit(0.0)
-
-    def code_of(s: int):
-        sub_v = F.slice(vv, s * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub_v,
-                        F.array(*[F.lit(c) for c in cw]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    zero,
-                    lambda acc, x: acc + x,
-                )
-                for cw in codebooks[s]
-            ]
-        )
-        ranked = F.array_sort(
-            F.transform(
-                dists,
-                lambda d, j: F.struct(d.alias("d"), j.cast("int").alias("j")),
-            )
-        )
-        return ranked[0]["j"]
 
     # `extra` carries additional per-row expressions through the same
     # pass (e.g. the IVF cell in ivfpq_topk) — one corpus scan instead
     # of a self-join that would re-execute the encoding pipeline.
-    return corpus.where(live).select(
+    # Single-parse SQL for the m×ksub distance tower (r13 idiom): the
+    # Column-API form paid thousands of py4j round-trips PER CALL
+    # (~6-8 s of driver time for the trained ksub=64 family) to build
+    # an expression the parser assembles from one string in tens of
+    # ms. The staged `__vv` projection also guarantees the quantized
+    # vector is derived once per row regardless of how many subspace
+    # slices reference it.
+    staged = corpus.where(live).select(
         F.col(id_col).alias("neighbor_id"),
-        F.array(*[code_of(s) for s in range(m)]).alias("codes"),
+        vv.alias("__vv"),
         *[expr.alias(name) for name, expr in (extra or {}).items()],
     )
+    return staged.select(
+        "neighbor_id",
+        F.expr(_pq_codes_sql(codebooks)).alias("codes"),
+        *[F.col(name) for name in (extra or {})],
+    )
+
+
+def _sql_num(c, int_family: bool) -> str:
+    """A codeword component as a SQL literal of the SAME type the
+    Column form produced: BIGINT for the portable int family (so the
+    (a-b)*(a-b) arithmetic stays integer-exact), shortest-round-trip
+    double otherwise."""
+    return f"{int(c)}L" if int_family else repr(float(c)) + "D"
+
+
+def _pq_codes_sql(codebooks) -> str:
+    """SQL for the m nibble codes over a staged `__vv` column —
+    argmin-by-(distance, index) per subspace, lowest code on ties
+    (array_sort over (d, j) structs, exactly the Column form's
+    ranking)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    int_family = _pq_is_int_family(codebooks)
+    zero = "CAST(0 AS BIGINT)" if int_family else "0.0D"
+    codes = []
+    for s in range(m):
+        sub_v = f"slice(__vv, {s * sub + 1}, {sub})"
+        dists = ", ".join(
+            f"aggregate(zip_with({sub_v}, array("
+            + ", ".join(_sql_num(c, int_family) for c in cw)
+            + f"), (a, b) -> (a - b) * (a - b)), {zero}, (acc, x) -> acc + x)"
+            for cw in codebooks[s]
+        )
+        codes.append(
+            f"array_sort(transform(array({dists}), (d, j) ->"
+            " named_struct('d', d, 'j', CAST(j AS INT))))[0].j"
+        )
+    return f"array({', '.join(codes)})"
+
+
+def _pq_lut_sql(codebooks, quant: int) -> str:
+    """SQL for the per-query m×ksub dot-product LUT over a staged
+    `__qf` (double) column — same left-fold dot as `dot_expr`, double
+    literals precomputed in Python exactly as the Column form's
+    F.lit(c / quant) did."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    int_family = _pq_is_int_family(codebooks)
+    rows = []
+    for s in range(m):
+        sub_q = f"slice(__qf, {s * sub + 1}, {sub})"
+        dots = ", ".join(
+            f"aggregate(zip_with({sub_q}, array("
+            + ", ".join(
+                repr(float(c / float(quant) if int_family else c)) + "D"
+                for c in cw
+            )
+            + "), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            for cw in codebooks[s]
+        )
+        rows.append(f"array({dots})")
+    return f"array({', '.join(rows)})"
 
 
 def pq_topk(
@@ -1246,35 +1287,15 @@ def pq_topk(
             F.lit(0).alias("rank"),
             F.lit(None).cast("double").alias("score"),
         )
-    sub = len(codebooks[0][0])
-    m = len(codebooks)
     codes = pq_encode(corpus, codebooks, id_col, vec_col, quant)
     live = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     qf = _as_double(F.col(vec_col))
-    int_family = _pq_is_int_family(codebooks)
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    dot_expr(
-                        F.slice(qf, s * sub + 1, sub),
-                        F.array(
-                            *[
-                                F.lit(c / float(quant) if int_family else c)
-                                for c in cw
-                            ]
-                        ),
-                    )
-                    for cw in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
     q = queries.where(live).select(
-        F.col(id_col).alias("query_id"),
-        lut.alias("lut"),
-        qf.alias("q_vec"),
+        F.col(id_col).alias("query_id"), qf.alias("__qf")
+    ).select(
+        "query_id",
+        F.expr(_pq_lut_sql(codebooks, quant)).alias("lut"),
+        F.col("__qf").alias("q_vec"),
     )
     score = F.aggregate(
         F.zip_with(
@@ -1432,42 +1453,24 @@ def ivfpq_topk(
             F.lit(0).cast("int").alias("rank"),
             F.lit(None).cast("double").alias("score"),
         )
-    sub = len(codebooks[0][0])
-    m = len(codebooks)
     live = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     ranked = _int_cell_rank_expr(quantize_expr(F.col(vec_col), quant), cents)
     codes = pq_encode(
         corpus, codebooks, id_col, vec_col, quant,
         extra={"cell": ranked[0]["cell"]},
     )
-    int_family = _pq_is_int_family(codebooks)
     qf = _as_double(F.col(vec_col))
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    dot_expr(
-                        F.slice(qf, s * sub + 1, sub),
-                        F.array(
-                            *[
-                                F.lit(c / float(quant) if int_family else c)
-                                for c in cw
-                            ]
-                        ),
-                    )
-                    for cw in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
     q = queries.where(live).select(
         F.col(id_col).alias("query_id"),
-        lut.alias("lut"),
-        qf.alias("q_vec"),
+        qf.alias("__qf"),
         F.explode(
             F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
         ).alias("cell"),
+    ).select(
+        "query_id",
+        F.expr(_pq_lut_sql(codebooks, quant)).alias("lut"),
+        F.col("__qf").alias("q_vec"),
+        "cell",
     )
     score = F.aggregate(
         F.zip_with(
